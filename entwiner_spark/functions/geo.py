@@ -1,0 +1,122 @@
+"""Geospatial expressions — pure Catalyst, no UDFs (SURVEY.md §2.8, §3.3).
+
+Reference semantics re-expressed:
+- great-circle LineString length, R=6,371,000 m
+  (/root/reference/entwiner/utils.py:7-33) as a fold over the
+  coordinate array with higher-order functions;
+- two-phase spatial queries: bbox candidate filter (replaces the
+  r-tree, /root/reference/entwiner/geopackage/feature_table.py:120-196)
+  + exact point-to-LineString distance refine (:198-235).  The refine
+  uses a local equirectangular projection (meters) instead of the
+  reference's pyproj EPSG:3740; both are planar-meter approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+# meters per degree of latitude (and of longitude at the equator)
+M_PER_DEG = 111_320.0
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters between two lon/lat points.
+
+    Matches the reference formula (atan2 form, R=6371000):
+    /root/reference/entwiner/utils.py:7-33.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+def _pair_dist(a: Column, b: Column) -> Column:
+    return haversine_m(
+        F.element_at(a, 1), F.element_at(a, 2), F.element_at(b, 1), F.element_at(b, 2)
+    )
+
+
+def linestring_length_m(coords: Column) -> Column:
+    """Sum of haversine segment lengths over an array<array<double>>.
+
+    Pure higher-order-function expression (zip_with + aggregate) — stays
+    inside whole-stage codegen, no Python involved.
+    """
+    n = F.size(coords)
+    heads = F.slice(coords, F.lit(1), n - F.lit(1))
+    tails = F.slice(coords, F.lit(2), n - F.lit(1))
+    seg = F.zip_with(heads, tails, _pair_dist)
+    return F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def point_segment_distance_m(
+    plon: Column, plat: Column, a: Column, b: Column
+) -> Column:
+    """Planar point-to-segment distance in meters.
+
+    Local equirectangular projection centered at the query latitude:
+    x = lon * M_PER_DEG * cos(radians(plat)), y = lat * M_PER_DEG.
+    Then the classic projection-onto-segment clamp.
+    """
+    cosl = F.cos(F.radians(plat))
+    px = plon * M_PER_DEG * cosl
+    py = plat * F.lit(M_PER_DEG)
+    ax = F.element_at(a, 1) * M_PER_DEG * cosl
+    ay = F.element_at(a, 2) * F.lit(M_PER_DEG)
+    bx = F.element_at(b, 1) * M_PER_DEG * cosl
+    by = F.element_at(b, 2) * F.lit(M_PER_DEG)
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, ((px - ax) * dx + (py - ay) * dy) / len2).otherwise(F.lit(0.0))
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+def point_linestring_distance_m(plon: Column, plat: Column, coords: Column) -> Column:
+    """Min point-to-segment distance over all segments of a LineString."""
+    n = F.size(coords)
+    heads = F.slice(coords, F.lit(1), n - F.lit(1))
+    tails = F.slice(coords, F.lit(2), n - F.lit(1))
+    dists = F.zip_with(
+        heads, tails, lambda a, b: point_segment_distance_m(plon, plat, a, b)
+    )
+    return F.array_min(dists)
+
+
+def bbox_columns(coords: Column) -> dict[str, Column]:
+    """MBR of a LineString as four columns (the r-tree analogue, X1).
+
+    Written at ingest time; Parquet min/max stats on these columns give
+    partition- and row-group-level pruning for bbox predicates.
+    """
+    lons = F.transform(coords, lambda c: F.element_at(c, 1))
+    lats = F.transform(coords, lambda c: F.element_at(c, 2))
+    return {
+        "_minx": F.array_min(lons),
+        "_maxx": F.array_max(lons),
+        "_miny": F.array_min(lats),
+        "_maxy": F.array_max(lats),
+    }
+
+
+def meter_bbox(lon: float, lat: float, distance_m: float) -> tuple[float, float, float, float]:
+    """Driver-side lon/lat bbox for a meter radius around a point.
+
+    Equirectangular expansion (reference does pyproj fwd+inverse,
+    /root/reference/entwiner/geopackage/feature_table.py:164-196).
+    Returns (minx, maxx, miny, maxy), a superset of the true circle —
+    exactness comes from the refine phase.
+    """
+    import math
+
+    dlat = distance_m / M_PER_DEG
+    dlon = distance_m / (M_PER_DEG * max(math.cos(math.radians(lat)), 1e-12))
+    return (lon - dlon, lon + dlon, lat - dlat, lat + dlat)

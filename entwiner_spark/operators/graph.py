@@ -1,0 +1,332 @@
+"""SparkGraph — the DataFrame-native graph facade (SURVEY.md §2.11, §3.2).
+
+Replaces the reference's NetworkX-protocol layer
+(/root/reference/entwiner/graphs/digraphdb/) with set-at-a-time
+DataFrame queries, and its per-node-SQL Dijkstra driving
+(README.md:66-74) with a Pregel-style iterative frontier expansion:
+each iteration is ONE distributed join+shuffle over the whole frontier
+instead of one SQLite query per expanded node.
+
+Scale notes:
+- edges are repartitioned on ``_u`` once at construction so every
+  frontier join reuses the same hash partitioning (no re-shuffle of the
+  big side per iteration);
+- lineage is truncated with ``localCheckpoint`` every few iterations
+  (iterative-plan blowup is the classic Spark failure mode here);
+- convergence = count of improved vertices, one lightweight action per
+  iteration.
+
+Known reference quirks NOT replicated (SURVEY.md §7): swapped
+successor/predecessor wiring in OuterAdjlistView defaults and
+``unique_successors`` counting ``_u`` (edge_table.py:129) — this
+implementation uses the semantically correct columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entwiner_spark.operators import spatial
+
+
+class SparkGraph:
+    """A directed property graph over (nodes_df, edges_df).
+
+    Parity surface: DiGraphDBView/DiGraphDB
+    (/root/reference/entwiner/graphs/digraphdb/__init__.py:16-167).
+    """
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, partitions: int | None = None):
+        self.spark: SparkSession = edges.sparkSession
+        n = partitions or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        # Co-locate adjacency: all out-edges of a node in one partition.
+        self.edges = edges.repartition(n, "_u")
+        self.nodes = nodes
+
+    # ---- cardinality (A1/A3) ------------------------------------------
+    def size(self, weight: str | None = None) -> float:
+        """Edge count, or sum of an edge attribute if ``weight`` given
+        (parity: DiGraphDBView.size, graphs/digraphdb/__init__.py:62-66)."""
+        if weight is None:
+            return self.edges.count()
+        return self.edges.agg(F.sum(weight)).collect()[0][0]
+
+    def order(self) -> int:
+        return self.nodes.count()
+
+    # ---- point lookups (P2-P8) ----------------------------------------
+    def get_edge(self, u: str, v: str) -> DataFrame:
+        return self.edges.filter((F.col("_u") == u) & (F.col("_v") == v))
+
+    def get_node(self, n: str) -> DataFrame:
+        return self.nodes.filter(F.col("_n") == n)
+
+    def has_node(self, n: str) -> bool:
+        return bool(self.nodes.filter(F.col("_n") == n).limit(1).count())
+
+    def successors(self, n: str) -> DataFrame:
+        return self.edges.filter(F.col("_u") == n)
+
+    def predecessors(self, n: str) -> DataFrame:
+        return self.edges.filter(F.col("_v") == n)
+
+    def successor_nodes(self, n: str | None = None) -> DataFrame:
+        if n is None:
+            return self.edges.select("_v").distinct()
+        return self.edges.filter(F.col("_u") == n).select("_v")
+
+    def predecessor_nodes(self, n: str | None = None) -> DataFrame:
+        if n is None:
+            return self.edges.select("_u").distinct()
+        return self.edges.filter(F.col("_v") == n).select("_u")
+
+    # ---- degrees (A2, corrected semantics) ----------------------------
+    def out_degree(self) -> DataFrame:
+        return self.edges.groupBy("_u").agg(
+            F.count_distinct("_v").alias("out_degree")
+        )
+
+    def in_degree(self) -> DataFrame:
+        return self.edges.groupBy("_v").agg(
+            F.count_distinct("_u").alias("in_degree")
+        )
+
+    # ---- spatial passthrough (graphs/digraphdb/__init__.py:84-86) -----
+    def edges_dwithin(
+        self, lon: float, lat: float, distance: float, sort: bool = False
+    ) -> DataFrame:
+        return spatial.dwithin(self.edges, lon, lat, distance, sort=sort)
+
+    # ---- caching (S8: to_in_memory, graphs/digraphdb/__init__.py:88-93)
+    def to_in_memory(self) -> "SparkGraph":
+        g = SparkGraph(self.nodes.cache(), self.edges.cache())
+        return g
+
+    # ---- routing: Pregel-style SSSP -----------------------------------
+    def shortest_path_lengths(
+        self,
+        source: str,
+        weight: str | None = None,
+        max_iterations: int = 50,
+        checkpoint_every: int = 5,
+    ) -> DataFrame:
+        """Single-source shortest distances: DataFrame ``(_n, dist)``.
+
+        ``weight=None`` -> hop counts (BFS).  Equivalent of driving
+        nx.dijkstra over the lazy adjacency views (SURVEY.md §3.2), as a
+        distributed Bellman-Ford/Pregel loop.
+        """
+        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+        adj = self.edges.select(
+            F.col("_u"), F.col("_v"), w.alias("_w")
+        ).localCheckpoint(eager=False)
+
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        dist = self.spark.createDataFrame([(source, 0.0)], schema)
+        frontier = dist
+
+        for it in range(max_iterations):
+            msgs = (
+                frontier.join(adj, frontier["_n"] == adj["_u"])
+                .select(adj["_v"].alias("_n"), (frontier["dist"] + adj["_w"]).alias("dist"))
+                .groupBy("_n")
+                .agg(F.min("dist").alias("dist"))
+            )
+            joined = msgs.alias("m").join(dist.alias("d"), "_n", "left_outer")
+            improved = joined.filter(
+                F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
+            ).select("_n", F.col("m.dist").alias("dist"))
+            improved = improved.localCheckpoint(eager=True)
+            if improved.isEmpty():
+                break
+            # merge via outer join + coalesce (a Union here trips
+            # Catalyst constraint rewriting on checkpointed lineage)
+            dist = (
+                dist.alias("d")
+                .join(improved.alias("i"), "_n", "full_outer")
+                .select(
+                    "_n",
+                    F.coalesce(F.col("i.dist"), F.col("d.dist")).alias("dist"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0:
+                dist = dist.localCheckpoint(eager=True)
+            frontier = improved
+        return dist
+
+    def shortest_path(
+        self, source: str, target: str, weight: str | None = None, max_iterations: int = 50
+    ) -> tuple[list[str], float] | None:
+        """Reconstructed path + total distance, or None if unreachable.
+
+        Path reconstruction collects only O(path length) rows.
+        """
+        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+        adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).localCheckpoint(
+            eager=False
+        )
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("pred", T.StringType(), True),
+            ]
+        )
+        dist = self.spark.createDataFrame([(source, 0.0, None)], schema)
+        frontier = dist
+        for it in range(max_iterations):
+            msgs = (
+                frontier.join(adj, frontier["_n"] == adj["_u"])
+                .select(
+                    adj["_v"].alias("_n"),
+                    (frontier["dist"] + adj["_w"]).alias("dist"),
+                    frontier["_n"].alias("pred"),
+                )
+                .groupBy("_n")
+                .agg(F.min(F.struct("dist", "pred")).alias("best"))
+                .select("_n", F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"))
+            )
+            joined = msgs.alias("m").join(dist.alias("d"), "_n", "left_outer")
+            improved = joined.filter(
+                F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
+            ).select("_n", F.col("m.dist").alias("dist"), F.col("m.pred").alias("pred"))
+            improved = improved.localCheckpoint(eager=True)
+            if improved.isEmpty():
+                break
+            dist = (
+                dist.alias("d")
+                .join(improved.alias("i"), "_n", "full_outer")
+                .select(
+                    "_n",
+                    F.coalesce(F.col("i.dist"), F.col("d.dist")).alias("dist"),
+                    F.when(F.col("i.dist").isNotNull(), F.col("i.pred"))
+                    .otherwise(F.col("d.pred"))
+                    .alias("pred"),
+                )
+            )
+            if (it + 1) % 5 == 0:
+                dist = dist.localCheckpoint(eager=True)
+            frontier = improved
+
+        rows = {r["_n"]: (r["dist"], r["pred"]) for r in dist.collect()}
+        if target not in rows:
+            return None
+        path, cur = [], target
+        while cur is not None:
+            path.append(cur)
+            cur = rows[cur][1]
+        return path[::-1], rows[target][0]
+
+    def connected_components(self, max_iterations: int = 50) -> DataFrame:
+        """Weakly connected components: ``(_n, component)`` with
+        component = min node id reachable over undirected edges.
+        Small-star/large-star-lite label propagation.
+        """
+        und = (
+            self.edges.select("_u", "_v")
+            .unionByName(self.edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        labels = self.nodes.select("_n", F.col("_n").alias("component"))
+        for it in range(max_iterations):
+            prop = (
+                labels.join(und, labels["_n"] == und["_u"])
+                .select(und["_v"].alias("_n"), F.col("component"))
+                .groupBy("_n")
+                .agg(F.min("component").alias("component"))
+            )
+            merged = (
+                labels.alias("l")
+                .join(prop.alias("p"), "_n", "left_outer")
+                .select(
+                    "_n",
+                    F.least(
+                        F.col("l.component"), F.coalesce(F.col("p.component"), F.col("l.component"))
+                    ).alias("component"),
+                )
+            )
+            merged = merged.localCheckpoint(eager=True)
+            changed = (
+                merged.alias("a")
+                .join(labels.alias("b"), "_n")
+                .filter(F.col("a.component") != F.col("b.component"))
+                .limit(1)
+                .count()
+            )
+            labels = merged
+            if changed == 0:
+                break
+        return labels
+
+    def pagerank(
+        self, alpha: float = 0.85, max_iterations: int = 20, tol: float = 1e-6
+    ) -> DataFrame:
+        """PageRank over the directed edge set: ``(_n, rank)``.
+
+        Parity with the reference's "centrality metrics" claim
+        (/root/reference/README.md:67) — implemented as iterative
+        DataFrame message passing.
+        """
+        n_nodes = self.nodes.count()
+        out = self.edges.groupBy("_u").agg(F.count(F.lit(1)).alias("deg"))
+        adj = (
+            self.edges.select("_u", "_v")
+            .join(out, "_u")
+            .localCheckpoint(eager=False)
+        )
+        ranks = self.nodes.select("_n", F.lit(1.0 / n_nodes).alias("rank"))
+        for it in range(max_iterations):
+            contribs = (
+                ranks.join(adj, ranks["_n"] == adj["_u"])
+                .select(adj["_v"].alias("_n"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("_n")
+                .agg(F.sum("c").alias("c"))
+            )
+            # dangling mass redistributed uniformly
+            dangling = ranks.join(
+                adj.select("_u").distinct(), ranks["_n"] == F.col("_u"), "left_anti"
+            ).agg(F.sum("rank")).collect()[0][0] or 0.0
+            new_ranks = (
+                self.nodes.select("_n")
+                .join(contribs, "_n", "left_outer")
+                .select(
+                    "_n",
+                    (
+                        F.lit((1 - alpha) / n_nodes)
+                        + F.lit(alpha)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=True)
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "_n")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        return ranks
+
+    # ---- interop (TODO.md:37-39 parity) -------------------------------
+    def to_networkx(self):
+        """Collect to an nx.DiGraph — small graphs only (driver-side)."""
+        import networkx as nx  # optional dependency
+
+        g = nx.DiGraph()
+        for row in self.nodes.collect():
+            d = row.asDict()
+            g.add_node(d.pop("_n"), **d)
+        for row in self.edges.collect():
+            d = row.asDict()
+            g.add_edge(d.pop("_u"), d.pop("_v"), **d)
+        return g

@@ -1,0 +1,175 @@
+"""GeoJSON linear-feature ingest (SURVEY.md §2.1 S1/S2/S6, §2.7 U1/U2).
+
+Re-expresses the reference pipeline
+(/root/reference/entwiner/io.py:10-58 + geopackagenetwork writes) as a
+single declarative DataFrame plan:
+
+    read.json -> explode(features) -> filter LineString
+      -> forward ∪ reverse projection (reversed coords, sign-flipped
+         columns) -> node-ID construction -> last-write-wins dedup
+
+Scale notes:
+- ``spark.read.json`` infers the union property schema across all
+  features — that replaces the reference's mid-load ``ALTER TABLE``
+  schema evolution (feature_table.py:480-517).
+- fid assignment is per-file-offset + 2*feature_index + direction, so
+  no global window/sort is needed; only per-file feature counts are
+  collected to the driver (#files is metadata-sized).
+- dedup is a per-key window (partitioned by (_u,_v)), not a global one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entwiner_spark.functions.geo import bbox_columns, linestring_length_m
+from entwiner_spark.functions.ids import node_id_from_coord
+from entwiner_spark.schemas import DEFAULT_PRECISION
+
+#: Columns the engine owns; everything else on the edges DF is a property.
+RESERVED_EDGE_COLUMNS = (
+    "fid", "_u", "_v", "_layer", "geom",
+    "_minx", "_maxx", "_miny", "_maxy", "_length",
+)
+
+
+def _exploded_features(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """FeatureCollection file(s) -> one row per feature with file + index."""
+    raw = spark.read.option("multiLine", "true").json(paths)
+    return raw.select(
+        F.input_file_name().alias("_src"),
+        F.posexplode("features").alias("_pos", "_f"),
+    )
+
+
+def edges_from_geojson(
+    spark: SparkSession,
+    paths: str | list[str],
+    precision: int = DEFAULT_PRECISION,
+    changes_sign: tuple[str, ...] = (),
+    add_reverse: bool = True,
+    with_length: bool = False,
+) -> DataFrame:
+    """Ingest GeoJSON FeatureCollection(s) into the canonical edges DF.
+
+    Mirrors reference semantics (io.py:10-54): only LineStrings kept;
+    every feature yields a forward edge and (if ``add_reverse``) a
+    reverse edge with reversed coordinates and ``changes_sign`` columns
+    negated; ``_layer`` is the source filename stem; node IDs are
+    rounded "lon, lat" strings; edges are unique on (_u, _v) with
+    last-write-wins (REPLACE INTO semantics, feature_table.py:601-613).
+    """
+    feats = _exploded_features(spark, paths)
+    lines = feats.filter(F.col("_f.geometry.type") == "LineString")
+
+    # Union property schema was inferred by read.json; flatten it.
+    # The engine-assigned fid PK is authoritative (a property named
+    # "fid" would collide with it, so it is excluded — divergence from
+    # the reference documented in SURVEY.md §7 "no parallel edges").
+    prop_fields: list[str] = []
+    f_type = lines.schema["_f"].dataType
+    if "properties" in f_type.names:
+        ptype = f_type["properties"].dataType
+        if hasattr(ptype, "names"):
+            prop_fields = [n for n in ptype.names if n not in RESERVED_EDGE_COLUMNS]
+
+    coords = F.col("_f.geometry.coordinates")
+    base = lines.select(
+        "_src",
+        "_pos",
+        F.regexp_extract(
+            F.regexp_replace("_src", r"^file:/+", "/"), r"([^/]+?)(\.[^./]*)?$", 1
+        ).alias("_layer"),
+        F.struct(
+            F.lit("LineString").alias("type"), coords.alias("coordinates")
+        ).alias("geom"),
+        *[F.col(f"_f.properties.{n}").alias(n) for n in prop_fields],
+    )
+
+    # Per-file fid offsets: cumulative feature counts in USER path
+    # order (write order in the reference's sequential build,
+    # /root/reference/entwiner/cli.py:36-41).
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+
+    def _order_key(src: str) -> int:
+        tail = src.split("://")[-1]
+        for i, p in enumerate(path_list):
+            if tail.endswith(p.split("://")[-1].lstrip("/")) or p.endswith(tail):
+                return i
+        return len(path_list)
+
+    per_file = base.groupBy("_src").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    per_file.sort(key=lambda r: (_order_key(r["_src"]), r["_src"]))
+    offsets, running = {}, 0
+    for row in per_file:
+        offsets[row["_src"]] = running
+        running += row["_cnt"] * (2 if add_reverse else 1)
+    offset_col = F.coalesce(
+        *[F.when(F.col("_src") == s, F.lit(o)) for s, o in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+
+    step = 2 if add_reverse else 1
+    fwd = base.withColumn("_dir", F.lit(0))
+    parts = [fwd]
+    if add_reverse:
+        rev_cols = {
+            "geom": F.struct(
+                F.lit("LineString").alias("type"),
+                F.reverse(F.col("geom.coordinates")).alias("coordinates"),
+            )
+        }
+        for c in changes_sign:
+            if c in prop_fields:
+                rev_cols[c] = -F.col(c)
+        rev = fwd.withColumns({**rev_cols, "_dir": F.lit(1)})
+        parts.append(rev)
+    both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    edge_coords = F.col("geom.coordinates")
+    edges = both.select(
+        (offset_col + F.col("_pos") * step + F.col("_dir") + 1).alias("fid"),
+        node_id_from_coord(F.element_at(edge_coords, 1), precision).alias("_u"),
+        node_id_from_coord(F.element_at(edge_coords, -1), precision).alias("_v"),
+        "_layer",
+        "geom",
+        *[c for c in prop_fields],
+    )
+
+    # Last-write-wins dedup on the natural key (U2): keep highest fid.
+    w = Window.partitionBy("_u", "_v").orderBy(F.col("fid").desc())
+    edges = (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    bbox = bbox_columns(F.col("geom.coordinates"))
+    edges = edges.withColumns(bbox)
+    if with_length:
+        edges = edges.withColumn("_length", linestring_length_m(F.col("geom.coordinates")))
+    return edges
+
+
+def nodes_from_edges(edges: DataFrame, precision: int = DEFAULT_PRECISION) -> DataFrame:
+    """Derive the nodes table from edge endpoints (S6).
+
+    Reference synthesizes two node rows per edge and upserts them
+    (/root/reference/entwiner/geopackagenetwork/edge_table.py:5-33);
+    here: endpoint union + dropDuplicates on the node key.
+    """
+    coords = F.col("geom.coordinates")
+    u_nodes = edges.select(
+        F.col("_u").alias("_n"),
+        F.struct(
+            F.lit("Point").alias("type"), F.element_at(coords, 1).alias("coordinates")
+        ).alias("geom"),
+    )
+    v_nodes = edges.select(
+        F.col("_v").alias("_n"),
+        F.struct(
+            F.lit("Point").alias("type"), F.element_at(coords, -1).alias("coordinates")
+        ).alias("geom"),
+    )
+    return u_nodes.unionByName(v_nodes).dropDuplicates(["_n"])

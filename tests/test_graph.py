@@ -1,0 +1,137 @@
+"""SparkGraph facade parity tests (SURVEY.md §2.11, §3.2).
+
+Reference invariants: /root/reference/tests/test_digraphdbview.py —
+size()==8, adjacency sets, dwithin==2 — plus SSSP cross-checked
+against an independent driver-side Dijkstra on the collected fixture.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.graph import SparkGraph
+from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+
+N1 = "-122.313294, 47.6598762"
+N2 = "-122.3141965, 47.659887"
+
+
+@pytest.fixture(scope="module")
+def G(spark, tiny_edges, tiny_nodes):
+    return SparkGraph(tiny_nodes, tiny_edges)
+
+
+@pytest.fixture(scope="module")
+def uwG(spark):
+    edges = edges_from_geojson(
+        spark, "/root/reference/tests/data/uw.geojson", with_length=True
+    )
+    return SparkGraph(nodes_from_edges(edges), edges).to_in_memory()
+
+
+def test_size(G):
+    assert G.size() == 8
+    assert G.order() == 5
+
+
+def test_has_node(G):
+    assert G.has_node(N1)
+    assert G.has_node(N2)
+    assert not G.has_node("nope")
+
+
+def test_adjacency(G):
+    succ = {r["_v"] for r in G.successor_nodes(N2).collect()}
+    # N2 is the hub: successors = all 4 other nodes
+    assert len(succ) == 4 and N2 not in succ
+    pred = {r["_u"] for r in G.predecessor_nodes(N2).collect()}
+    assert pred == succ  # every edge has its reverse
+
+
+def test_degrees(G):
+    out = {r["_u"]: r["out_degree"] for r in G.out_degree().collect()}
+    assert out[N2] == 4
+    assert out[N1] == 1
+
+
+def test_dwithin_reference_invariant(G):
+    """2 of 8 edges within 0.1 m of node N1's coords (FIXTURES.md §1)."""
+    assert G.edges_dwithin(-122.3132940, 47.6598762, 0.1).count() == 2
+
+
+def test_get_edge(G):
+    row = G.get_edge(N1, N2).collect()
+    assert len(row) == 1 and row[0]["fid"] == 2
+
+
+def _dijkstra(edges: list[tuple[str, str, float]], source: str) -> dict[str, float]:
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_matches_dijkstra(uwG):
+    edge_rows = uwG.edges.select("_u", "_v", "_length").collect()
+    triples = [(r["_u"], r["_v"], r["_length"]) for r in edge_rows]
+    source = triples[0][0]
+    expected = _dijkstra(triples, source)
+    got = {
+        r["_n"]: r["dist"]
+        for r in uwG.shortest_path_lengths(source, weight="_length").collect()
+    }
+    assert set(got) == set(expected)
+    for n, d in expected.items():
+        assert got[n] == pytest.approx(d, rel=1e-9), n
+
+
+def test_shortest_path_reconstruction(uwG):
+    edge_rows = uwG.edges.select("_u", "_v", "_length").collect()
+    triples = [(r["_u"], r["_v"], r["_length"]) for r in edge_rows]
+    source = triples[0][0]
+    expected = _dijkstra(triples, source)
+    target = max(expected, key=expected.get)  # farthest reachable node
+    path, total = uwG.shortest_path(source, target, weight="_length")
+    assert path[0] == source and path[-1] == target
+    assert total == pytest.approx(expected[target], rel=1e-9)
+    # path edges must exist and sum to total
+    lut = {(u, v): w for u, v, w in triples}
+    assert sum(lut[(a, b)] for a, b in zip(path, path[1:])) == pytest.approx(total)
+
+
+def test_bfs_hops(G):
+    hops = {r["_n"]: r["dist"] for r in G.shortest_path_lengths(N1).collect()}
+    assert hops[N1] == 0.0
+    assert hops[N2] == 1.0
+    assert max(hops.values()) == 2.0  # everything within 2 hops via hub
+
+
+def test_connected_components(uwG):
+    cc = uwG.connected_components()
+    assert cc.count() == 77
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_pagerank_sums_to_one(G):
+    pr = G.pagerank(max_iterations=10)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_unreachable_returns_none(G):
+    # add an isolated node scenario: bogus target simply absent
+    assert G.shortest_path(N1, "999, 999") is None
