@@ -1,0 +1,109 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...extras}
+
+Extras mirror the reference's published perf assertions (BASELINE.md):
+- bulk_insert_edges_per_sec: fwd+rev edge synthesis + parquet write
+  (reference: >= ~2,260 edges/s, tests/test_build.py)
+- keyed_updates_per_sec: MERGE-style keyed update throughput
+  (reference: >= 2,000 updates/s, tests/test_digraphdb.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_revenue_by_nation",
+    "a2_orders_per_customer",
+    "o1_top10_orders",
+    "u2_last_write_wins",
+    "w1_top3_per_customer",
+    "geo_f6_haversine_within",
+    "g_j1_sssp_weighted",
+    "t1_doc_stats",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "s2_cosine_top10",
+    "s4_lsh_buckets",
+    "e1_tumbling_hourly",
+    "e3_sessionize",
+]
+
+
+def main() -> None:
+    from entwiner_spark import catalog
+    from entwiner_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM/session so per-query times measure the queries
+    spark.range(1000).count()
+
+    sf = None
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            sf = None
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.time()
+        rows = fn(spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 3)
+        del rows
+
+    # --- reference-parity throughput extras ---------------------------
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.time()
+        edges = catalog.QUERIES["s1_fwd_rev_ingest"](spark, SF_DIR)
+        edges.write.mode("overwrite").parquet(f"{tmp}/edges.parquet")
+        n_edges = spark.read.parquet(f"{tmp}/edges.parquet").count()
+        insert_rate = n_edges / (time.time() - t0)
+
+        from entwiner_spark.operators.mutations import update_columns
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        updates = orders.limit(10000).select(
+            "o_orderkey", F.lit("BENCH-UPDATED").alias("o_orderpriority")
+        )
+        t0 = time.time()
+        merged = update_columns(orders, updates, ["o_orderkey"])
+        merged.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        n_upd = 10000
+        update_rate = n_upd / (time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "bulk_insert_edges_per_sec": round(insert_rate, 1),
+                "keyed_updates_per_sec": round(update_rate, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

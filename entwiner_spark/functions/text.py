@@ -1,0 +1,85 @@
+"""Text-analysis expressions for training-data pipelines (SURVEY.md §2.14).
+
+All pure Catalyst expressions over a string column — tokenization,
+stopword/language heuristics, quality scoring, fingerprinting.  Each is
+designed to be oracle-expressible in ANSI-ish SQL (DuckDB twin) so the
+driver can verify it, and to run JVM-side at 100 TB (no Python UDFs).
+
+Hashing convention used across dedup/similarity operators: a
+deterministic 32-bit integer from the md5 hex prefix —
+``conv(substr(md5(x),1,8),16,10)`` — chosen because both Spark and
+DuckDB can compute it bit-identically (unlike murmur3 ``hash()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword set shared with the DuckDB oracles.
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization — literal single-space split so the
+    DuckDB ``string_split`` twin behaves identically."""
+    return F.split(text, " ")
+
+
+def stable_hash32(c: Column) -> Column:
+    """Deterministic 32-bit hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(words(text), lambda x: F.array_contains(sw, x)))
+    return n_sw / F.size(words(text))
+
+
+def avg_word_length(text: Column) -> Column:
+    return F.length(F.replace(text, F.lit(" "), F.lit(""))) / F.size(words(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1.3]:
+    length saturation + stopword signal + word-length sanity.
+    Deterministic and SQL-twinnable; weights are arbitrary but fixed.
+    """
+    n = word_count(text).cast("double")
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    wl = avg_word_length(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.lit(0.5) * len_score + F.lit(2.0) * sw + F.lit(0.3) * wl_score
+
+
+def normalized_text(text: Column) -> Column:
+    """lower + collapse whitespace — the canonical form for exact dedup
+    and fingerprinting."""
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (array<string>); empty if fewer than k words.
+
+    Pure expression: sequence + transform over the token array.
+    """
+    w = words(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )

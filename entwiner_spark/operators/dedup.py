@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.14).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup, all expressed as
+shuffle-conscious DataFrame plans:
+
+- exact dedup = hash + groupBy (one shuffle on the hash);
+- MinHash signatures are computed per-row with pure array expressions
+  (NO explode — a 100 TB corpus never materializes its shingle set);
+  only the narrow (id, band_key) table shuffles for the LSH bucket join;
+- candidate pairs come from a self-equi-join on band keys, which AQE
+  can skew-split when a band is hot.
+
+The hash is the md5-prefix 32-bit integer (functions/text.py) so every
+step has a bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entwiner_spark.functions.text import fingerprint, shingles, stable_hash32, words
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-row groups by normalized-text fingerprint.
+
+    Returns (fp, canonical_id, n_copies); keep-policy = min id.
+    One shuffle, partial-aggregated map-side.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function — shared with oracles."""
+    return [(1 + i * 7, 3 + i * 11) for i in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as k scalar columns m0..m{k-1}.
+
+    array_min over transformed shingles — order-insensitive, so no
+    explode/shuffle; the whole signature is one narrow projection.
+    The expensive md5 shingle hash is materialized ONCE into an
+    intermediate array column and each of the k permutations is a cheap
+    affine transform over it (k-fold md5 saving vs the naive form).
+    """
+    hashed = F.transform(shingles(F.col(text_col), shingle_k), stable_hash32)
+    base = df.select(F.col(id_col), hashed.alias("_hs"))
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    cols = [
+        F.array_min(F.transform(F.col("_hs"), perm(a, b))).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return base.select(F.col(id_col), *cols)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Bands of k/bands rows each; band key is the concatenated signature
+    slice.  The self-join runs on the tiny (id, band, key) projection.
+    """
+    rows_per_band = k // bands
+    band_entries = []
+    for b in range(bands):
+        key = F.concat_ws(
+            ":", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+        )
+        band_entries.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("key"))
+        )
+    banded = reduce(DataFrame.unionByName, band_entries)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash over word hashes, as a single integer.
+
+    bit_j = sign of sum over words of (2*((H(w)>>j)&1) - 1), folded into
+    an integer.  Computed with per-row array expressions (aggregate over
+    the token array) — again no explode.
+    """
+    w = words(F.col(text_col))
+    hashed = F.transform(w, stable_hash32)
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    value = reduce(
+        lambda acc, j: acc
+        + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return df.select(F.col(id_col), value.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise word-set Jaccard similarity >= threshold (id_a < id_b).
+
+    O(n^2) cross join — the exact baseline for small candidate sets;
+    at scale use lsh_candidate_pairs first and Jaccard only as the
+    verify step on candidates.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("ws")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,103 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(SURVEY.md §2.14).
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct.  The Spark-side plumbing — schema, batch iteration shape,
+partition-parallel decode via mapInPandas — is real and tested; the
+actual codec is stubbed (`decode_stub`) because no image/audio libs
+exist in this environment.  Swapping `_decode_payload` for a PIL/ffmpeg
+call is the only change needed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("width", T.LongType(), True),
+                    T.StructField("height", T.LongType(), True),
+                    T.StructField("channels", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Wrap an arbitrary binary/string column as the canonical media
+    table with deterministic fake dimensions derived from the payload
+    hash (stands in for a real header parse)."""
+    payload = F.col(payload_col).cast("binary")
+    h = F.conv(F.substring(F.md5(F.col(payload_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            (h % 1024).alias("width"),
+            (F.shiftright(h, 10) % 768).alias("height"),
+            F.lit(3).cast("long").alias("channels"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes) -> list[float]:
+    """REAL-DECODER SLOT.  Deterministic fake: 8 byte-histogram-ish
+    floats.  A real deployment raises NotImplementedError here until a
+    codec (PIL, torchaudio, ffmpeg) is wired in."""
+    if payload is None:
+        return []
+    n = len(payload)
+    if n == 0:
+        return [0.0] * 8
+    return [sum(payload[i::8]) / max(1, len(payload[i::8])) for i in range(8)]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Partition-parallel decode/feature-extract via mapInPandas.
+
+    Arrow-batched; each worker touches only its partition's payloads —
+    the shape a 100 TB media corpus needs (payloads never move to the
+    driver, decode is embarrassingly parallel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "feature": pdf["payload"].map(_decode_payload),
+                }
+            )
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

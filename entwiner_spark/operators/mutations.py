@@ -1,0 +1,73 @@
+"""Keyed mutation operators (SURVEY.md §2.9 M1-M6).
+
+The reference does per-PK SQL UPDATEs with schema evolution
+(/root/reference/entwiner/geopackage/feature_table.py:237-263) and
+keyed upserts via REPLACE INTO (:601-613).  On immutable Parquet the
+equivalents are join-based rewrites (Delta MERGE semantics without
+Delta):
+
+- ``update_columns``  = MERGE ... WHEN MATCHED THEN UPDATE
+- ``upsert``          = MERGE ... WHEN MATCHED UPDATE / NOT MATCHED INSERT
+- ``delete_keys``     = MERGE ... WHEN MATCHED THEN DELETE (anti join)
+
+All are single-shuffle joins on the key; the updates side is typically
+small -> broadcast.  Unlike the reference's DiGraphDB.update_edges
+(graphs/digraphdb/__init__.py:164-167, self-described as not working),
+these are functional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def update_columns(
+    target: DataFrame, updates: DataFrame, key: list[str], broadcast: bool = True
+) -> DataFrame:
+    """Keyed column update (M1/M2): non-key columns of ``updates``
+    overwrite matching rows; unmatched rows pass through unchanged.
+    New columns in ``updates`` are added (schema evolution, NULL for
+    unmatched rows) — the ALTER TABLE analogue.
+    """
+    upd = F.broadcast(updates) if broadcast else updates
+    upd_cols = [c for c in updates.columns if c not in key]
+    t, u = target.alias("t"), upd.alias("u")
+    joined = t.join(u, key, "left_outer")
+    out_cols = [F.col(f"t.{c}") for c in key]
+    for c in target.columns:
+        if c in key:
+            continue
+        if c in upd_cols:
+            out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}"))
+    for c in upd_cols:
+        if c not in target.columns:
+            out_cols.append(F.col(f"u.{c}"))
+    return joined.select(*out_cols)
+
+
+def upsert(target: DataFrame, incoming: DataFrame, key: list[str]) -> DataFrame:
+    """REPLACE INTO semantics (S5/U2): incoming rows win on key
+    conflict, others inserted.  Schema union via unionByName."""
+    t = target.join(incoming.select(*key), key, "left_anti")
+    return t.unionByName(incoming, allowMissingColumns=True)
+
+
+def delete_keys(target: DataFrame, keys: DataFrame, key: list[str]) -> DataFrame:
+    """Keyed delete (M5/M6 analogue): anti join on the key set."""
+    return target.join(keys.select(*key), key, "left_anti")
+
+
+def set_edge_attr(
+    edges: DataFrame, u: str, v: str, attr: str, value
+) -> DataFrame:
+    """Single-edge attribute set (M3): d[key] = value through the
+    mapping protocol in the reference (graphs/digraphdb/edges.py:25-39).
+    value=None clears the attribute (reference delete sets NULL).
+    """
+    hit = (F.col("_u") == u) & (F.col("_v") == v)
+    return edges.withColumn(
+        attr, F.when(hit, F.lit(value)).otherwise(F.col(attr) if attr in edges.columns else F.lit(None))
+    )

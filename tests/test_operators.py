@@ -1,0 +1,132 @@
+"""Unit tests for dedup / similarity / text / mutation operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    from entwiner_spark.operators.dedup import exact_dedup
+
+    clones = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    combined = docs.select("doc_id", "text").unionByName(clones)
+    out = exact_dedup(combined)
+    n_docs = docs.count()
+    assert out.count() == n_docs  # one group per distinct text
+    assert out.filter(F.col("n_copies") == 2).count() == n_docs
+    # canonical keeps the min id (original, not clone)
+    assert out.agg(F.max("canonical_id")).collect()[0][0] < 10_000
+
+
+def test_minhash_identical_texts_collide(spark, docs):
+    from entwiner_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base = docs.select("doc_id", "text").filter(F.size(F.split("text", " ")) >= 3)
+    clones = base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    sig = minhash_signatures(base.unionByName(clones))
+    pairs = lsh_candidate_pairs(sig)
+    # every (doc, clone) pair must be a candidate (identical signatures)
+    n = base.count()
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 10_000).count()
+    assert planted == n
+
+
+def test_simhash_is_deterministic_and_bounded(spark, docs):
+    from entwiner_spark.operators.dedup import simhash
+
+    out1 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    out2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out1 == out2
+    assert all(0 <= v < (1 << 16) for v in out1.values())
+
+
+def test_jaccard_self_similarity(spark, docs):
+    from entwiner_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 20)
+    clones = base.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    pairs = ngram_jaccard_pairs(base.unionByName(clones), threshold=0.999)
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 100)
+    assert planted.count() == 20
+    assert all(r["jaccard"] == 1.0 for r in planted.collect())
+
+
+def test_cosine_topk_self_first(spark):
+    from entwiner_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    top = cosine_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 3  # self-similarity == 1.0 ranks first
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_join_excludes_self(spark):
+    from entwiner_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = knn_join(emb.filter(F.col("vec_id") < 5), emb, dim=64, k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["qid"] != r["nid"] for r in rows)
+
+
+def test_lsh_bucket_recall(spark):
+    """Identical vectors land in identical buckets (sanity floor)."""
+    from entwiner_spark.operators.similarity import lsh_buckets
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    )
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(doubled, dim=64).collect()}
+    for vid in list(b):
+        if vid < 10_000:
+            assert b[vid] == b[vid + 10_000]
+
+
+def test_update_columns_merge_semantics(spark):
+    from entwiner_spark.operators.mutations import update_columns
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    updates = orders.limit(10).select(
+        "o_orderkey",
+        F.lit("XXX").alias("o_orderstatus"),
+        F.lit(1.5).alias("brand_new_col"),
+    )
+    out = update_columns(orders, updates, ["o_orderkey"])
+    assert out.count() == orders.count()
+    assert out.filter(F.col("o_orderstatus") == "XXX").count() == 10
+    # schema evolution: new column exists, NULL for unmatched
+    assert out.filter(F.col("brand_new_col").isNotNull()).count() == 10
+
+
+def test_upsert_last_write_wins(spark):
+    from entwiner_spark.operators.mutations import upsert
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    incoming = orders.limit(5).withColumn("o_orderstatus", F.lit("NEW"))
+    out = upsert(orders, incoming, ["o_orderkey"])
+    assert out.count() == orders.count()
+    assert out.filter(F.col("o_orderstatus") == "NEW").count() == 5
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    from entwiner_spark.operators.multimodal import extract_features, to_media_table
+
+    media = to_media_table(docs.limit(50), "doc_id", "text")
+    assert media.schema["meta"].dataType.names == ["n_bytes", "width", "height", "channels"]
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
