@@ -84,15 +84,18 @@ def lsh_candidate_pairs(
     slice.  The self-join runs on the tiny (id, band, key) projection.
     """
     rows_per_band = k // bands
-    band_entries = []
-    for b in range(bands):
-        key = F.concat_ws(
+    keys = [
+        F.concat_ws(
             ":", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
         )
-        band_entries.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("key"))
-        )
-    banded = reduce(DataFrame.unionByName, band_entries)
+        for b in range(bands)
+    ]
+    # posexplode over the key array: ONE pass over the signatures
+    # produces all bands (a per-band union would re-scan — and
+    # re-hash — the corpus once per band)
+    banded = sig.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "key")
+    )
     a = banded.alias("a")
     bb = banded.alias("b")
     return (

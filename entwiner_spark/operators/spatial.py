@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from entwiner_spark.functions.geo import (
+    bbox_columns,
     meter_bbox,
     point_linestring_distance_m,
 )
@@ -30,12 +31,24 @@ def bbox_predicate(minx: float, maxx: float, miny: float, maxy: float) -> Column
     )
 
 
-def intersects(df: DataFrame, bbox: tuple[float, float, float, float]) -> DataFrame:
+def intersects(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    geom_col: str = "geom",
+) -> DataFrame:
     """All features whose MBR intersects ``(minx, maxx, miny, maxy)``.
 
     Parity: FeatureTable.intersects (feature_table.py:120-162) — the
     reference also returns MBR-level candidates, not exact hits.
+
+    If the write-time bbox columns are absent (e.g. a table imported
+    from GeoPackage), they are derived from the geometry inline — the
+    predicate then costs a geometry scan instead of a stats-pruned one,
+    which is correct but slower; re-write through the parquet store to
+    restore pruning.
     """
+    if "_minx" not in df.columns:
+        df = df.withColumns(bbox_columns(F.col(f"{geom_col}.coordinates")))
     minx, maxx, miny, maxy = bbox
     return df.filter(bbox_predicate(minx, maxx, miny, maxy))
 

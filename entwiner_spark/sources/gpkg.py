@@ -1,0 +1,168 @@
+"""GeoPackage import/export — boundary-format exchange with the
+reference's on-disk artifacts (SURVEY.md §2.1 S5/S7, §3.1).
+
+A user of the reference owns ``.gpkg`` files (SQLite DBs with
+``edges``/``nodes`` feature tables and gpkg_* metadata,
+/root/reference/entwiner/geopackage/__init__.py:114-192).  These
+functions convert between that format and this engine's DataFrames.
+
+Scale note: GeoPackage is a single-file SQLite artifact — inherently a
+small-data boundary format (the reference itself is single-node).  The
+conversion therefore runs driver-side via stdlib sqlite3 and is NOT a
+100 TB path; the 100 TB path is the parquet graph store
+(sources/parquet_store.py).  Import parallelizes immediately after
+createDataFrame; export collects (guarded by ``max_rows``).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from entwiner_spark.functions.wkb import (
+    geometry_to_gpkg_blob,
+    gpkg_blob_to_geometry,
+)
+from entwiner_spark.schemas import DEFAULT_SRID
+
+_WGS84_DEF = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+)
+
+
+def read_geopackage(
+    spark: SparkSession, path: str, table: str, geom_col: str = "geom"
+) -> DataFrame:
+    """Load a GeoPackage feature table as a DataFrame with the geometry
+    decoded to the canonical struct."""
+    con = sqlite3.connect(path)
+    con.row_factory = sqlite3.Row
+    try:
+        rows = con.execute(f'SELECT * FROM "{table}"').fetchall()
+    finally:
+        con.close()
+    records = []
+    for r in rows:
+        d = dict(r)
+        if geom_col in d:
+            g = gpkg_blob_to_geometry(d[geom_col])
+            # Row (not dict) so createDataFrame infers a struct, not a map
+            d[geom_col] = (
+                None
+                if g is None
+                else Row(type=g["type"], coordinates=g["coordinates"])
+            )
+        records.append(Row(**d))
+    return spark.createDataFrame(records)
+
+
+def _create_gpkg_skeleton(con: sqlite3.Connection, srid: int) -> None:
+    """Minimal valid GeoPackage metadata (gpkg_spatial_ref_sys,
+    gpkg_contents, gpkg_geometry_columns) — the subset the reference
+    creates at geopackage/__init__.py:120-192."""
+    con.executescript(
+        """
+        PRAGMA application_id = 0x47504B47;
+        PRAGMA user_version = 10200;
+        CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+          srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+          organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+          definition TEXT NOT NULL, description TEXT);
+        CREATE TABLE IF NOT EXISTS gpkg_contents (
+          table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+          identifier TEXT UNIQUE, description TEXT DEFAULT '',
+          last_change DATETIME DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+          min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+          srs_id INTEGER);
+        CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+          table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+          geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+          z TINYINT NOT NULL, m TINYINT NOT NULL,
+          CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+        """
+    )
+    con.execute(
+        "INSERT OR REPLACE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+        ("WGS 84", srid, "EPSG", srid, _WGS84_DEF, None),
+    )
+    for srs_id, name in ((-1, "Undefined cartesian"), (0, "Undefined geographic")):
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            (name, srs_id, "NONE", srs_id, "undefined", None),
+        )
+
+
+_SQLITE_TYPES = {"bigint": "INTEGER", "int": "INTEGER", "double": "DOUBLE"}
+
+
+def write_geopackage(
+    df: DataFrame,
+    path: str,
+    table: str,
+    geometry_type: str = "LINESTRING",
+    geom_col: str = "geom",
+    srid: int = DEFAULT_SRID,
+    max_rows: int = 5_000_000,
+    append: bool = False,
+) -> None:
+    """Export a DataFrame to a GeoPackage feature table.
+
+    Collects to the driver (boundary format — see module docstring);
+    refuses above ``max_rows`` to prevent accidental 100 TB collects.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{n} rows exceeds max_rows={max_rows}: GeoPackage is a "
+            "small-data exchange format; use the parquet store at scale"
+        )
+    cols = [c for c, _ in df.dtypes if c != geom_col]
+    types = dict(df.dtypes)
+    has_geom = geom_col in types
+
+    if not append and os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        _create_gpkg_skeleton(con, srid)
+        col_defs = ", ".join(
+            f'"{c}" {_SQLITE_TYPES.get(types[c], "TEXT")}' for c in cols
+        )
+        geom_def = f', "{geom_col}" BLOB' if has_geom else ""
+        con.execute(
+            f'CREATE TABLE IF NOT EXISTS "{table}" '
+            f"(fid INTEGER PRIMARY KEY AUTOINCREMENT, {col_defs}{geom_def})"
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents "
+            "(table_name, data_type, identifier, srs_id) VALUES (?,?,?,?)",
+            (table, "features", table, srid),
+        )
+        if has_geom:
+            con.execute(
+                "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+                (table, geom_col, geometry_type, srid),
+            )
+        out_cols = [c for c in cols if c != "fid"] + ([geom_col] if has_geom else [])
+        placeholders = ", ".join("?" for _ in out_cols)
+        quoted = ", ".join(f'"{c}"' for c in out_cols)
+        insert = f'INSERT INTO "{table}" ({quoted}) VALUES ({placeholders})'
+        batch = []
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            vals = [
+                geometry_to_gpkg_blob(d[c], srid) if c == geom_col else d[c]
+                for c in out_cols
+            ]
+            batch.append(vals)
+            if len(batch) >= 10_000:  # reference batch size, feature_table.py:461
+                con.executemany(insert, batch)
+                batch = []
+        if batch:
+            con.executemany(insert, batch)
+        con.commit()
+    finally:
+        con.close()
