@@ -1,0 +1,65 @@
+"""CLI: build a graph store from GeoJSON (the `entwiner` CLI analogue).
+
+Reference: /root/reference/entwiner/cli.py — `entwiner in.geojson ...
+out.gpkg [--precision N] [--changes-sign col]`.  Here the output is a
+parquet graph store directory (use --gpkg for a GeoPackage artifact):
+
+    python -m entwiner_spark build in1.geojson [in2 ...] out_store \
+        [--precision 7] [--changes-sign incline] [--gpkg]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="entwiner_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="GeoJSON -> graph store")
+    b.add_argument("inputs", nargs="+", help="input GeoJSON files + output path last")
+    b.add_argument("--precision", type=int, default=7)
+    b.add_argument("--changes-sign", action="append", default=[])
+    b.add_argument("--gpkg", action="store_true", help="write a GeoPackage instead")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        *sources, out = args.inputs
+        if not sources:
+            ap.error("need at least one input and one output path")
+        import os
+
+        missing = [s for s in sources if not os.path.exists(s)]
+        if missing:
+            ap.error(f"input file(s) not found: {', '.join(missing)}")
+        from entwiner_spark.session import get_spark
+        from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+
+        spark = get_spark("entwiner-build")
+        edges = edges_from_geojson(
+            spark,
+            sources,
+            precision=args.precision,
+            changes_sign=tuple(args.changes_sign),
+            with_length=True,
+        )
+        nodes = nodes_from_edges(edges, precision=args.precision)
+        if args.gpkg:
+            from entwiner_spark.sources.gpkg import write_geopackage
+
+            cols = [c for c in edges.columns if not c.startswith("_m")]
+            write_geopackage(edges.select(*cols), out, "edges")
+            write_geopackage(nodes, out, "nodes", geometry_type="POINT", append=True)
+        else:
+            from entwiner_spark.sources.parquet_store import write_graph_tables
+
+            write_graph_tables(edges, nodes, out)
+        print(f"built {out}: {edges.count()} edges, {nodes.count()} nodes")
+        spark.stop()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

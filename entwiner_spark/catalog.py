@@ -1292,3 +1292,363 @@ def mm1_binary_meta(spark, sf_dir):
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
+
+
+# =====================================================================
+# Coverage batch 2: more §2 line items (O2, P3/P6/P8, S6, A5, F7/F8,
+# window/rank superset, TPC-H-Q3 shape, k-hop, approx degree,
+# embedding near-dup)
+# =====================================================================
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped: selective dim filter -> 3-way join -> agg ->
+    top-k.  The segment filter prunes customer before the join; AQE
+    picks broadcast for the filtered side at scale."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "o2_first_row",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    ORDER BY o_orderdate, o_orderkey LIMIT 1
+    """,
+)
+def o2_first_row(spark, sf_dir):
+    """LIMIT 1 fetch (O2: fetchone patterns)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(1)
+    )
+
+
+@q(
+    "w2_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS moving_avg
+    FROM orders
+    """,
+)
+def w2_moving_avg(spark, sf_dir):
+    """Frame-based window aggregate (rowsBetween superset)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("moving_avg"),
+    )
+
+
+@q(
+    "w3_rank_dense",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           rank() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderpriority, o_orderkey) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_orderpriority) AS drnk
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def w3_rank_dense(spark, sf_dir):
+    """rank/dense_rank analytic superset (§2.5)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w1 = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority", "o_orderkey")
+    w2 = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+    )
+
+
+@q("a2b_approx_degree", None)  # approximate by construction — rows-only check
+def a2b_approx_degree(spark, sf_dir):
+    """approx_count_distinct degree variant (the 100 TB scale path for
+    A2; HLL sketch, one pass, no exact-distinct shuffle).  Accuracy
+    bound asserted in tests/test_catalog.py."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---- graph point lookups on the nation DAG --------------------------
+
+@q(
+    "g_p3_node_lookup",
+    f"WITH edges AS ({_GRAPH_EDGES_SQL}) "
+    "SELECT DISTINCT u AS node FROM edges WHERE u = 13",
+)
+def g_p3_node_lookup(spark, sf_dir):
+    """Node point lookup (P3/P4 has_node)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.get_node("13").select(F.col("_n").cast("long").alias("node"))
+
+
+@q(
+    "g_p6_predecessors",
+    f"WITH edges AS ({_GRAPH_EDGES_SQL}) SELECT u, w FROM edges WHERE v = 8",
+)
+def g_p6_predecessors(spark, sf_dir):
+    """Predecessor edges (P6)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.predecessors("8").select(F.col("_u").cast("long").alias("u"), "w")
+
+
+@q(
+    "g_p8_pred_nodes",
+    f"WITH edges AS ({_GRAPH_EDGES_SQL}) SELECT DISTINCT u AS node FROM edges",
+)
+def g_p8_pred_nodes(spark, sf_dir):
+    """Global distinct predecessor IDs (P8 with n=None)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.predecessor_nodes().select(F.col("_u").cast("long").alias("node"))
+
+
+@q(
+    "g_j1_khop",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    walk(node, hops) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.hops + 1 FROM walk JOIN edges e ON e.u = walk.node
+      WHERE walk.hops < 3
+    )
+    SELECT node, min(hops) AS hops FROM walk GROUP BY node
+    """,
+)
+def g_j1_khop(spark, sf_dir):
+    """k-hop neighborhood (ego graph): BFS truncated at 3 iterations."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.shortest_path_lengths("0", weight=None, max_iterations=3).select(
+        F.col("_n").cast("long").alias("node"), F.col("dist").alias("hops")
+    )
+
+
+# ---- more spatial/ingest line items ---------------------------------
+
+@q(
+    "s6_derived_nodes",
+    f"""
+    SELECT DISTINCT CAST(round({_PART_LON}, 7) AS VARCHAR) || ', ' ||
+           CAST(round({_PART_LAT}, 7) AS VARCHAR) AS _n
+    FROM part
+    UNION
+    SELECT DISTINCT CAST(round(({_PART_LON} + 3.0e-3), 7) AS VARCHAR) || ', ' ||
+           CAST(round(({_PART_LAT} - 2.0e-3), 7) AS VARCHAR)
+    FROM part
+    """,
+)
+def s6_derived_nodes(spark, sf_dir):
+    """Derived node table from edge endpoints (S6): endpoint union +
+    dedup on the node key."""
+    edges = s1_fwd_rev_ingest(spark, sf_dir)
+    return (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+
+
+@q(
+    "geo_a5_bbox",
+    f"""
+    SELECT s_suppkey,
+           least({_SUP_LON}, ({_SUP_LON} + 1.0e-2), ({_SUP_LON} + 2.0e-2)) AS _minx,
+           greatest({_SUP_LON}, ({_SUP_LON} + 1.0e-2), ({_SUP_LON} + 2.0e-2)) AS _maxx,
+           least({_SUP_LAT}, ({_SUP_LAT} + 1.0e-2), {_SUP_LAT}) AS _miny,
+           greatest({_SUP_LAT}, ({_SUP_LAT} + 1.0e-2), {_SUP_LAT}) AS _maxy
+    FROM supplier
+    """,
+)
+def geo_a5_bbox(spark, sf_dir):
+    """Bounding-box aggregate over geometry (A5/X1 write-time columns)."""
+    s = _t(spark, sf_dir, "supplier")
+    lon = F.lit(-120.0) + (F.col("s_suppkey") % 100) * 0.01
+    lat = (
+        F.lit(45.0)
+        + ((F.col("s_suppkey") - F.col("s_suppkey") % 3) / F.lit(3)).cast("long")
+        % 100
+        * 0.01
+    )
+    coords = F.array(
+        F.array(lon, lat), F.array(lon + 0.01, lat + 0.01), F.array(lon + 0.02, lat)
+    )
+    bb = G.bbox_columns(coords)
+    return s.select(
+        "s_suppkey",
+        bb["_minx"].alias("_minx"),
+        bb["_maxx"].alias("_maxx"),
+        bb["_miny"].alias("_miny"),
+        bb["_maxy"].alias("_maxy"),
+    )
+
+
+@q(
+    "geo_f7_meter_bbox",
+    f"""
+    SELECT c_custkey,
+           round({_CUST_LON} - 5000.0e0 / (111320.0e0 * cos(radians({_CUST_LAT}))), 7) AS bb_minx,
+           round({_CUST_LON} + 5000.0e0 / (111320.0e0 * cos(radians({_CUST_LAT}))), 7) AS bb_maxx,
+           round({_CUST_LAT} - 5000.0e0 / 111320.0e0, 7) AS bb_miny,
+           round({_CUST_LAT} + 5000.0e0 / 111320.0e0, 7) AS bb_maxy
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def geo_f7_meter_bbox(spark, sf_dir):
+    """Meter-radius -> lon/lat bbox (F7: the pyproj fwd/inverse replacement)."""
+    pts = _cust_points(spark, sf_dir).filter(F.col("c_custkey") % 10 == 0)
+    dlat = F.lit(5000.0) / F.lit(G.M_PER_DEG)
+    dlon = F.lit(5000.0) / (F.lit(G.M_PER_DEG) * F.cos(F.radians(F.col("lat"))))
+    return pts.select(
+        "c_custkey",
+        F.round(F.col("lon") - dlon, 7).alias("bb_minx"),
+        F.round(F.col("lon") + dlon, 7).alias("bb_maxx"),
+        F.round(F.col("lat") - dlat, 7).alias("bb_miny"),
+        F.round(F.col("lat") + dlat, 7).alias("bb_maxy"),
+    )
+
+
+def _seg_dist_sql(plon: str, plat: str, alon: str, alat: str, blon: str, blat: str) -> str:
+    """Planar point-to-segment distance, mirroring functions/geo.py
+    point_segment_distance_m term-for-term (same associativity)."""
+    cosl = f"cos(radians({plat}))"
+    px, py = f"({plon} * 111320.0e0 * {cosl})", f"({plat} * 111320.0e0)"
+    ax, ay = f"({alon} * 111320.0e0 * {cosl})", f"({alat} * 111320.0e0)"
+    bx, by = f"({blon} * 111320.0e0 * {cosl})", f"({blat} * 111320.0e0)"
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t_raw = (
+        f"(CASE WHEN {len2} > 0 THEN (({px} - {ax}) * {dx} + ({py} - {ay}) * {dy}) / {len2} "
+        f"ELSE 0.0e0 END)"
+    )
+    t = f"least(1.0e0, greatest(0.0e0, {t_raw}))"
+    cx, cy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+    return f"sqrt(({px} - {cx}) * ({px} - {cx}) + ({py} - {cy}) * ({py} - {cy}))"
+
+
+_F8_Q = ("(-119.5e0)", "(45.2e0)")
+_F8_SEGS = [
+    (_SUP_LON, _SUP_LAT, f"({_SUP_LON} + 1.0e-2)", f"({_SUP_LAT} + 1.0e-2)"),
+    (f"({_SUP_LON} + 1.0e-2)", f"({_SUP_LAT} + 1.0e-2)", f"({_SUP_LON} + 2.0e-2)", _SUP_LAT),
+]
+
+
+@q(
+    "geo_f8_point_distance",
+    f"""
+    SELECT s_suppkey,
+           round(least({_seg_dist_sql(*_F8_Q, *_F8_SEGS[0])},
+                       {_seg_dist_sql(*_F8_Q, *_F8_SEGS[1])}), 3) AS dist_m
+    FROM supplier
+    """,
+)
+def geo_f8_point_distance(spark, sf_dir):
+    """Exact point-to-LineString distance (F8, the dwithin refine
+    phase) as a pure expression — the oracle replays the same planar
+    clamp formula term-for-term."""
+    s = _t(spark, sf_dir, "supplier")
+    lon = F.lit(-120.0) + (F.col("s_suppkey") % 100) * 0.01
+    lat = (
+        F.lit(45.0)
+        + ((F.col("s_suppkey") - F.col("s_suppkey") % 3) / F.lit(3)).cast("long")
+        % 100
+        * 0.01
+    )
+    coords = F.array(
+        F.array(lon, lat), F.array(lon + 0.01, lat + 0.01), F.array(lon + 0.02, lat)
+    )
+    d = G.point_linestring_distance_m(F.lit(-119.5), F.lit(45.2), coords)
+    return s.select("s_suppkey", F.round(d, 3).alias("dist_m"))
+
+
+_D6_DOT = " + ".join(
+    f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+    for i in range(1, _DIM + 1)
+)
+_D6_NA = " + ".join(
+    f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+    for i in range(1, _DIM + 1)
+)
+_D6_NB = " + ".join(
+    f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+    for i in range(1, _DIM + 1)
+)
+
+
+@q(
+    "d6_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_D6_DOT}) / (sqrt({_D6_NA}) * sqrt({_D6_NB})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150
+    WHERE round(({_D6_DOT}) / (sqrt({_D6_NA}) * sqrt({_D6_NB})), 6) >= 0.35
+    """,
+)
+def d6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the exact-verify step after
+    LSH candidate generation (threshold chosen so the synthetic corpus
+    yields a small non-empty answer)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), SIM._as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), SIM._as_double(F.col("embedding")).alias("vb"))
+    cos = SIM.dot_cols(F.col("va"), F.col("vb"), _DIM) / (
+        SIM.norm(F.col("va"), _DIM) * SIM.norm(F.col("vb"), _DIM)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )

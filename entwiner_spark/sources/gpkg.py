@@ -119,9 +119,11 @@ def write_geopackage(
             f"{n} rows exceeds max_rows={max_rows}: GeoPackage is a "
             "small-data exchange format; use the parquet store at scale"
         )
-    cols = [c for c, _ in df.dtypes if c != geom_col]
+    # fid is always the PK column; a DataFrame fid feeds it values
+    cols = [c for c, _ in df.dtypes if c not in (geom_col, "fid")]
     types = dict(df.dtypes)
     has_geom = geom_col in types
+    has_fid = "fid" in types
 
     if not append and os.path.exists(path):
         os.remove(path)
@@ -146,7 +148,9 @@ def write_geopackage(
                 "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
                 (table, geom_col, geometry_type, srid),
             )
-        out_cols = [c for c in cols if c != "fid"] + ([geom_col] if has_geom else [])
+        out_cols = (["fid"] if has_fid else []) + cols + (
+            [geom_col] if has_geom else []
+        )
         placeholders = ", ".join("?" for _ in out_cols)
         quoted = ", ".join(f'"{c}"' for c in out_cols)
         insert = f'INSERT INTO "{table}" ({quoted}) VALUES ({placeholders})'

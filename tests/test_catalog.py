@@ -14,10 +14,10 @@ def test_contract_shape():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    assert len(qs) >= 45
+    assert len(qs) >= 60
     assert set(oracles) <= set(qs)
-    # every oracle-less query is a documented iterative op
-    assert set(qs) - set(oracles) == {"g_pagerank"}
+    # every oracle-less query is a documented iterative/approximate op
+    assert set(qs) - set(oracles) == {"g_pagerank", "a2b_approx_degree"}
 
 
 def test_entry_runs(spark):
@@ -49,3 +49,24 @@ def test_query_runs_at_sf0001(spark, name):
 
     df = catalog.QUERIES[name](spark, SF)
     assert df.limit(5).count() >= 0  # executes without error
+
+
+def test_approx_degree_accuracy(spark):
+    """approx_count_distinct stays within its rsd bound vs exact."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark import catalog
+
+    approx = {
+        r["o_orderstatus"]: r["approx_custs"]
+        for r in catalog.QUERIES["a2b_approx_degree"](spark, SF).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["x"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("x"))
+        .collect()
+    }
+    for k, x in exact.items():
+        assert abs(approx[k] - x) / x < 0.1

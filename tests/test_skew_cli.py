@@ -1,0 +1,48 @@
+"""Skew utilities parity + CLI build drive."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from entwiner_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").groupBy("o_custkey").count()
+    salted = salted_join(o, c, "o_custkey", salt=4).groupBy("o_custkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_matches_plain(spark):
+    from entwiner_spark.operators.skew import salted_count
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plain = {r["o_custkey"]: r["n"] for r in
+             o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["o_custkey"]: r["n"] for r in salted_count(o, "o_custkey").collect()}
+    assert plain == salted
+
+
+def test_cli_build(tmp_path, tiny_geojson):
+    out = str(tmp_path / "store")
+    res = subprocess.run(
+        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "8 edges, 5 nodes" in res.stdout
+    import os
+
+    assert os.path.exists(f"{out}/edges.parquet")
