@@ -630,7 +630,7 @@ def g_j1_sssp_weighted(spark, sf_dir):
     """Weighted SSSP (the nx.dijkstra_path analogue, §3.2) — distances
     are integer-valued doubles so cross-engine equality is exact."""
     g = _graph_as_spark_graph(spark, sf_dir)
-    return g.shortest_path_lengths("0", weight="w", max_iterations=30).select(
+    return g.shortest_path_lengths("0", weight="w").select(
         F.col("_n").cast("long").alias("node"), F.col("dist")
     )
 

@@ -105,19 +105,85 @@ class SparkGraph:
         return g
 
     # ---- routing: Pregel-style SSSP -----------------------------------
+
+    #: below this edge count, iterative algorithms collect the edge
+    #: list and run driver-side — per-iteration job-scheduling overhead
+    #: dwarfs the work for small graphs (the reference's entire scale
+    #: envelope fits here; the Pregel path is for graphs that don't).
+    LOCAL_THRESHOLD = 100_000
+
+    def _edge_count(self) -> int:
+        if not hasattr(self, "_cached_edge_count"):
+            self._cached_edge_count = self.edges.count()
+        return self._cached_edge_count
+
+    def _use_local(self, strategy: str) -> bool:
+        if strategy == "local":
+            return True
+        if strategy == "pregel":
+            return False
+        return self._edge_count() <= self.LOCAL_THRESHOLD
+
+    def _collect_triples(self, weight: str | None) -> list[tuple[str, str, float]]:
+        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+        return [
+            (r["_u"], r["_v"], r["_w"])
+            for r in self.edges.select("_u", "_v", w.alias("_w")).collect()
+        ]
+
+    def _local_sssp(self, source: str, weight: str | None) -> DataFrame:
+        """Driver-side Dijkstra — identical additions to the Pregel
+        path (dist[u] + w along the shortest path), so results are
+        bit-equal."""
+        import heapq
+
+        adj: dict[str, list[tuple[str, float]]] = {}
+        for u, v, w in self._collect_triples(weight):
+            adj.setdefault(u, []).append((v, w))
+        dist: dict[str, float] = {source: 0.0}
+        pq = [(0.0, source)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(list(dist.items()), schema)
+
     def shortest_path_lengths(
         self,
         source: str,
         weight: str | None = None,
         max_iterations: int = 50,
         checkpoint_every: int = 5,
+        strategy: str = "auto",
     ) -> DataFrame:
         """Single-source shortest distances: DataFrame ``(_n, dist)``.
 
         ``weight=None`` -> hop counts (BFS).  Equivalent of driving
         nx.dijkstra over the lazy adjacency views (SURVEY.md §3.2), as a
-        distributed Bellman-Ford/Pregel loop.
+        distributed Bellman-Ford/Pregel loop; small graphs short-cut to
+        a driver-side Dijkstra (``strategy`` = auto|pregel|local).
         """
+        if strategy == "auto" and weight is not None and max_iterations < 50:
+            # truncated *weighted* iteration has Bellman-Ford-step
+            # semantics only the distributed loop reproduces
+            strategy = "pregel"
+        if self._use_local(strategy):
+            out = self._local_sssp(source, weight)
+            if weight is None and max_iterations < 50:
+                # truncated BFS == k-hop neighborhood
+                out = out.filter(F.col("dist") <= float(max_iterations))
+            return out
         w = F.col(weight).cast("double") if weight else F.lit(1.0)
         adj = self.edges.select(
             F.col("_u"), F.col("_v"), w.alias("_w")
@@ -162,12 +228,42 @@ class SparkGraph:
         return dist
 
     def shortest_path(
-        self, source: str, target: str, weight: str | None = None, max_iterations: int = 50
+        self,
+        source: str,
+        target: str,
+        weight: str | None = None,
+        max_iterations: int = 50,
+        strategy: str = "auto",
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
 
         Path reconstruction collects only O(path length) rows.
         """
+        if self._use_local(strategy):
+            import heapq
+
+            adj: dict[str, list[tuple[str, float]]] = {}
+            for u, v, w in self._collect_triples(weight):
+                adj.setdefault(u, []).append((v, w))
+            dist: dict[str, float] = {source: 0.0}
+            pred: dict[str, str | None] = {source: None}
+            pq = [(0.0, source)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v], pred[v] = nd, u
+                        heapq.heappush(pq, (nd, v))
+            if target not in dist:
+                return None
+            path, cur = [], target
+            while cur is not None:
+                path.append(cur)
+                cur = pred[cur]
+            return path[::-1], dist[target]
         w = F.col(weight).cast("double") if weight else F.lit(1.0)
         adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).localCheckpoint(
             eager=False
@@ -224,11 +320,45 @@ class SparkGraph:
             cur = rows[cur][1]
         return path[::-1], rows[target][0]
 
-    def connected_components(self, max_iterations: int = 50) -> DataFrame:
+    def connected_components(
+        self, max_iterations: int = 50, strategy: str = "auto"
+    ) -> DataFrame:
         """Weakly connected components: ``(_n, component)`` with
         component = min node id reachable over undirected edges.
-        Small-star/large-star-lite label propagation.
+        Small-star/large-star-lite label propagation; small graphs use
+        driver-side union-find (same min-label semantics).
         """
+        if self._use_local(strategy):
+            parent: dict[str, str] = {
+                r["_n"]: r["_n"] for r in self.nodes.select("_n").collect()
+            }
+
+            def find(x: str) -> str:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for u, v, _ in self._collect_triples(None):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            # min label per component (the union order above keeps the
+            # min root, but a second pass is cheap and unconditional)
+            comp_min: dict[str, str] = {}
+            for n in parent:
+                r = find(n)
+                comp_min[r] = min(comp_min.get(r, n), n)
+            schema = T.StructType(
+                [
+                    T.StructField("_n", T.StringType(), False),
+                    T.StructField("component", T.StringType(), False),
+                ]
+            )
+            rows = [(n, comp_min[find(n)]) for n in parent]
+            return self.spark.createDataFrame(rows, schema)
         und = (
             self.edges.select("_u", "_v")
             .unionByName(self.edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
@@ -267,14 +397,48 @@ class SparkGraph:
         return labels
 
     def pagerank(
-        self, alpha: float = 0.85, max_iterations: int = 20, tol: float = 1e-6
+        self,
+        alpha: float = 0.85,
+        max_iterations: int = 20,
+        tol: float = 1e-6,
+        strategy: str = "auto",
     ) -> DataFrame:
         """PageRank over the directed edge set: ``(_n, rank)``.
 
         Parity with the reference's "centrality metrics" claim
         (/root/reference/README.md:67) — implemented as iterative
-        DataFrame message passing.
+        DataFrame message passing; small graphs run the same formula
+        driver-side.
         """
+        if self._use_local(strategy):
+            triples = self._collect_triples(None)
+            node_ids = [r["_n"] for r in self.nodes.select("_n").collect()]
+            n_nodes = len(node_ids)
+            out_deg: dict[str, int] = {}
+            for u, _, _ in triples:
+                out_deg[u] = out_deg.get(u, 0) + 1
+            ranks = {n: 1.0 / n_nodes for n in node_ids}
+            for _ in range(max_iterations):
+                contribs: dict[str, float] = {}
+                for u, v, _ in triples:
+                    contribs[v] = contribs.get(v, 0.0) + ranks[u] / out_deg[u]
+                dangling = sum(r for n, r in ranks.items() if n not in out_deg)
+                new_ranks = {
+                    n: (1 - alpha) / n_nodes
+                    + alpha * (contribs.get(n, 0.0) + dangling / n_nodes)
+                    for n in node_ids
+                }
+                delta = sum(abs(new_ranks[n] - ranks[n]) for n in node_ids)
+                ranks = new_ranks
+                if delta < tol:
+                    break
+            schema = T.StructType(
+                [
+                    T.StructField("_n", T.StringType(), False),
+                    T.StructField("rank", T.DoubleType(), False),
+                ]
+            )
+            return self.spark.createDataFrame(list(ranks.items()), schema)
         n_nodes = self.nodes.count()
         out = self.edges.groupBy("_u").agg(F.count(F.lit(1)).alias("deg"))
         adj = (

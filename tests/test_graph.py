@@ -92,7 +92,7 @@ def test_sssp_matches_dijkstra(uwG):
     expected = _dijkstra(triples, source)
     got = {
         r["_n"]: r["dist"]
-        for r in uwG.shortest_path_lengths(source, weight="_length").collect()
+        for r in uwG.shortest_path_lengths(source, weight="_length", strategy="pregel").collect()
     }
     assert set(got) == set(expected)
     for n, d in expected.items():
@@ -105,7 +105,7 @@ def test_shortest_path_reconstruction(uwG):
     source = triples[0][0]
     expected = _dijkstra(triples, source)
     target = max(expected, key=expected.get)  # farthest reachable node
-    path, total = uwG.shortest_path(source, target, weight="_length")
+    path, total = uwG.shortest_path(source, target, weight="_length", strategy="pregel")
     assert path[0] == source and path[-1] == target
     assert total == pytest.approx(expected[target], rel=1e-9)
     # path edges must exist and sum to total
@@ -121,7 +121,7 @@ def test_bfs_hops(G):
 
 
 def test_connected_components(uwG):
-    cc = uwG.connected_components()
+    cc = uwG.connected_components(strategy="pregel")
     assert cc.count() == 77
     assert cc.select("component").distinct().count() == 1
 
@@ -135,3 +135,18 @@ def test_pagerank_sums_to_one(G):
 def test_unreachable_returns_none(G):
     # add an isolated node scenario: bogus target simply absent
     assert G.shortest_path(N1, "999, 999") is None
+
+
+def test_local_matches_pregel(uwG):
+    """The small-graph fast path and the distributed loop agree."""
+    src = uwG.edges.limit(1).collect()[0]["_u"]
+    loc = {r["_n"]: r["dist"] for r in
+           uwG.shortest_path_lengths(src, weight="_length", strategy="local").collect()}
+    pre = {r["_n"]: r["dist"] for r in
+           uwG.shortest_path_lengths(src, weight="_length", strategy="pregel").collect()}
+    assert loc == pre
+    cc_l = {r["_n"]: r["component"] for r in
+            uwG.connected_components(strategy="local").collect()}
+    cc_p = {r["_n"]: r["component"] for r in
+            uwG.connected_components(strategy="pregel").collect()}
+    assert cc_l == cc_p
