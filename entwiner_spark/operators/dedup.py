@@ -92,10 +92,12 @@ def lsh_candidate_pairs(
     ]
     # posexplode over the key array: ONE pass over the signatures
     # produces all bands (a per-band union would re-scan — and
-    # re-hash — the corpus once per band)
+    # re-hash — the corpus once per band); the checkpoint materializes
+    # the narrow (id, band, key) table so the self-join's two sides
+    # don't each recompute the signature expressions
     banded = sig.select(
         F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "key")
-    )
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     bb = banded.alias("b")
     return (
