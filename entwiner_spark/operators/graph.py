@@ -124,8 +124,20 @@ class SparkGraph:
             return False
         return self._edge_count() <= self.LOCAL_THRESHOLD
 
-    def _collect_triples(self, weight: str | None) -> list[tuple[str, str, float]]:
-        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    @staticmethod
+    def _weight_col(weight):
+        """Edge-cost resolution (SURVEY.md §2.13): an attribute name, a
+        Column expression (the reference's callable-cost analogue —
+        e.g. built from pyspark.sql.functions or a pandas_udf), or
+        None for hop counts."""
+        if weight is None:
+            return F.lit(1.0)
+        if isinstance(weight, str):
+            return F.col(weight).cast("double")
+        return weight.cast("double")
+
+    def _collect_triples(self, weight) -> list[tuple[str, str, float]]:
+        w = self._weight_col(weight)
         return [
             (r["_u"], r["_v"], r["_w"])
             for r in self.edges.select("_u", "_v", w.alias("_w")).collect()
@@ -184,7 +196,7 @@ class SparkGraph:
                 # truncated BFS == k-hop neighborhood
                 out = out.filter(F.col("dist") <= float(max_iterations))
             return out
-        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+        w = self._weight_col(weight)
         adj = self.edges.select(
             F.col("_u"), F.col("_v"), w.alias("_w")
         ).localCheckpoint(eager=False)
@@ -264,7 +276,7 @@ class SparkGraph:
                 path.append(cur)
                 cur = pred[cur]
             return path[::-1], dist[target]
-        w = F.col(weight).cast("double") if weight else F.lit(1.0)
+        w = self._weight_col(weight)
         adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).localCheckpoint(
             eager=False
         )

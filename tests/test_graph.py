@@ -150,3 +150,16 @@ def test_local_matches_pregel(uwG):
     cc_p = {r["_n"]: r["component"] for r in
             uwG.connected_components(strategy="pregel").collect()}
     assert cc_l == cc_p
+
+
+def test_weight_as_column_expression(uwG):
+    """§2.13 UDF surface: cost = arbitrary Column expression (here a
+    doubled length), matching 2x the attribute-weight distances."""
+    src = uwG.edges.limit(1).collect()[0]["_u"]
+    base = {r["_n"]: r["dist"] for r in
+            uwG.shortest_path_lengths(src, weight="_length").collect()}
+    doubled = {r["_n"]: r["dist"] for r in
+               uwG.shortest_path_lengths(src, weight=F.col("_length") * 2).collect()}
+    assert set(base) == set(doubled)
+    for n in base:
+        assert doubled[n] == pytest.approx(base[n] * 2, rel=1e-12)
