@@ -66,6 +66,32 @@ class SparkGraph:
     def has_node(self, n: str) -> bool:
         return bool(self.nodes.filter(F.col("_n") == n).limit(1).count())
 
+    def node_attrs(self, n: str) -> dict:
+        """Strict node lookup -> attribute dict; raises NodeNotFound on
+        miss (parity: NodeTable.get_node,
+        /root/reference/entwiner/geopackagenetwork/node_table.py:13-25)."""
+        from entwiner_spark.exceptions import NodeNotFound
+
+        rows = self.get_node(n).limit(1).collect()
+        if not rows:
+            raise NodeNotFound(n)
+        d = rows[0].asDict(recursive=True)
+        d.pop("_n", None)
+        return d
+
+    def edge_attrs(self, u: str, v: str) -> dict:
+        """Strict edge lookup -> attribute dict; raises EdgeNotFound
+        (parity: EdgeTable.get_edge, edge_table.py:136-145)."""
+        from entwiner_spark.exceptions import EdgeNotFound
+
+        rows = self.get_edge(u, v).limit(1).collect()
+        if not rows:
+            raise EdgeNotFound(f"({u}, {v})")
+        d = rows[0].asDict(recursive=True)
+        d.pop("_u", None)
+        d.pop("_v", None)
+        return d
+
     def successors(self, n: str) -> DataFrame:
         return self.edges.filter(F.col("_u") == n)
 

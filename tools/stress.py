@@ -1,0 +1,95 @@
+"""Scale stress: run the core pipelines at ~1M-row scale on local[32].
+
+Not part of the test suite (minutes, not seconds) — evidence that the
+distributed paths hold beyond the sf0.1 bench scale.  Results recorded
+in PLANS.md.  Usage: python tools/stress.py [--docs N_REPLICAS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--doc-replicas", type=int, default=200)
+    ap.add_argument("--graph-nodes", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.range(10).count()
+    out: dict[str, float] = {}
+
+    # --- 1M-doc corpus: replicate sf0.1 docs with a per-replica salt
+    # word so near-dup structure survives but exact dups are planted
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    reps = spark.range(args.doc_replicas).select(F.col("id").alias("rep"))
+    corpus = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(F.col("rep") % 10 == 0, F.col("text"))  # exact dups every 10th
+            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("salt"), F.col("rep"))))
+            .alias("text"),
+        )
+    )
+    n_docs = corpus.count()
+    out["corpus_docs"] = n_docs
+
+    t0 = time.time()
+    out["exact_dedup_groups"] = exact_dedup(corpus).count()
+    out["exact_dedup_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    sig = minhash_signatures(corpus.filter(F.size(F.split("text", " ")) >= 3))
+    n_sig = sig.count()
+    out["minhash_docs"] = n_sig
+    out["minhash_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
+    out["lsh_sec"] = round(time.time() - t0, 1)
+
+    # --- 2M-edge synthetic graph, forced Pregel SSSP
+    n = args.graph_nodes
+    base = spark.range(n)
+    e1 = base.filter(F.col("id") < n - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    e2 = base.filter(F.col("id") < n - 1000).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1000).cast("string").alias("_v"),
+        (F.col("id") % 3 + 5).cast("double").alias("w"),
+    )
+    edges = e1.unionByName(e2)
+    nodes = base.select(F.col("id").cast("string").alias("_n"))
+    G = SparkGraph(nodes, edges, partitions=32)
+    t0 = time.time()
+    dist = G.shortest_path_lengths("0", weight="w", max_iterations=25, strategy="pregel")
+    out["sssp_reached_25iter"] = dist.count()
+    out["sssp_edges"] = edges.count()
+    out["sssp_sec"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
