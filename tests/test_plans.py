@@ -1,0 +1,61 @@
+"""Physical-plan invariants (PLANS.md claims as assertions)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import assert_pushed_filters, plan_summary
+
+    df = catalog.QUERIES["q1_pricing_summary"](spark, SF)
+    assert_pushed_filters(df, "l_shipdate")
+    # column pruning: the scan must not read all 11 lineitem columns
+    read = [l for l in plan_summary(df) if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_j2_broadcasts_nation(spark):
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    df = catalog.QUERIES["j2_revenue_by_nation"](spark, SF)
+    lines = plan_summary(df)
+    assert any("BroadcastHashJoin" in l for l in lines)
+
+
+def test_topk_uses_take_ordered(spark):
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    for name in ("o1_top10_orders", "s2_cosine_top10", "geo_o1_knn"):
+        lines = plan_summary(catalog.QUERIES[name](spark, SF))
+        assert any("TakeOrderedAndProject" in l for l in lines), name
+
+
+def test_point_lookup_pushes_equality(spark):
+    """Adjacency/point predicates must reach the scan (the B-tree
+    analogue: parquet min/max skipping)."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.plans import assert_pushed_filters
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert_pushed_filters(li.filter(F.col("l_orderkey") == 42), "l_orderkey")
+
+
+def test_spatial_bbox_pushed(spark, tiny_edges, tmp_path):
+    """bbox predicates over the stored graph reach the parquet scan."""
+    from entwiner_spark.operators.spatial import intersects
+    from entwiner_spark.plans import assert_pushed_filters
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables,
+        write_graph_tables,
+    )
+
+    store = str(tmp_path / "s")
+    write_graph_tables(tiny_edges, None, store, partitions=2)
+    edges, _ = read_graph_tables(spark, store)
+    cand = intersects(edges, (-122.32, -122.31, 47.65, 47.66))
+    assert_pushed_filters(cand, "_minx", "_maxx", "_miny", "_maxy")

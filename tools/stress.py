@@ -17,8 +17,8 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--doc-replicas", type=int, default=200)
-    ap.add_argument("--graph-nodes", type=int, default=1_000_000)
+    ap.add_argument("--doc-replicas", type=int, default=20)
+    ap.add_argument("--graph-nodes", type=int, default=100_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -35,6 +35,9 @@ def main() -> None:
     spark.range(10).count()
     out: dict[str, float] = {}
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     # --- 1M-doc corpus: replicate sf0.1 docs with a per-replica salt
     # word so near-dup structure survives but exact dups are planted
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -44,23 +47,31 @@ def main() -> None:
         .select(
             (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
             F.when(F.col("rep") % 10 == 0, F.col("text"))  # exact dups every 10th
-            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("salt"), F.col("rep"))))
+            .otherwise(F.concat_ws(" ", F.concat(F.lit("salt"), F.col("rep")), F.col("text"),
+                                   F.concat(F.lit("tail"), F.col("rep"))))
             .alias("text"),
         )
     )
+    # crossJoin inherits the single-file input's partitioning — without
+    # this, every downstream stage runs on ONE task (the local-mode
+    # version of the classic small-dim-explosion pitfall)
+    corpus = corpus.repartition(64)
     n_docs = corpus.count()
     out["corpus_docs"] = n_docs
 
+    log("phase: exact dedup")
     t0 = time.time()
     out["exact_dedup_groups"] = exact_dedup(corpus).count()
     out["exact_dedup_sec"] = round(time.time() - t0, 1)
 
+    log("phase: minhash")
     t0 = time.time()
     sig = minhash_signatures(corpus.filter(F.size(F.split("text", " ")) >= 3))
     n_sig = sig.count()
     out["minhash_docs"] = n_sig
     out["minhash_sec"] = round(time.time() - t0, 1)
 
+    log("phase: lsh")
     t0 = time.time()
     out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
     out["lsh_sec"] = round(time.time() - t0, 1)
@@ -80,9 +91,10 @@ def main() -> None:
     )
     edges = e1.unionByName(e2)
     nodes = base.select(F.col("id").cast("string").alias("_n"))
+    log("phase: pregel sssp")
     G = SparkGraph(nodes, edges, partitions=32)
     t0 = time.time()
-    dist = G.shortest_path_lengths("0", weight="w", max_iterations=25, strategy="pregel")
+    dist = G.shortest_path_lengths("0", weight="w", max_iterations=12, strategy="pregel")
     out["sssp_reached_25iter"] = dist.count()
     out["sssp_edges"] = edges.count()
     out["sssp_sec"] = round(time.time() - t0, 1)
