@@ -48,8 +48,15 @@ def main() -> None:
     from entwiner_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM/session so per-query times measure the queries
+    # warm the JVM + whole-stage codegen caches: run every headline
+    # query once at the smallest SF so measured times reflect execution,
+    # not first-compile of each query's generated code
     spark.range(1000).count()
+    for name in HEADLINE:
+        try:
+            catalog.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))

@@ -126,21 +126,33 @@ def simhash(
     w = words(F.col(text_col))
     hashed = F.transform(w, stable_hash32)
 
-    def bit_sum(j: int) -> Column:
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    # hash each word ONCE, expand to its signed bit vector, then a
+    # single fold with an array<long> accumulator (a per-bit aggregate
+    # would re-hash the token array once per bit)
+    bit_vectors = F.transform(
+        hashed,
+        lambda h: F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for j in range(bits)
+            ]
+        ),
+    )
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    sums = F.aggregate(
+        bit_vectors,
+        zero,
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    base = df.select(F.col(id_col), sums.alias("_bs"))
     value = reduce(
         lambda acc, j: acc
-        + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        + F.when(F.element_at(F.col("_bs"), j + 1) > 0, F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
         range(bits),
         F.lit(0).cast("long"),
     )
-    return df.select(F.col(id_col), value.alias("simhash"))
+    return base.select(F.col(id_col), value.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

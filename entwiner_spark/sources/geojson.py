@@ -34,9 +34,40 @@ RESERVED_EDGE_COLUMNS = (
 )
 
 
-def _exploded_features(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """FeatureCollection file(s) -> one row per feature with file + index."""
+def _exploded_features(
+    spark: SparkSession, paths: str | list[str], lines: bool = False
+) -> DataFrame:
+    """Feature rows (file + in-file index) from either format:
+
+    - ``lines=False``: GeoJSON FeatureCollection files.  multiLine JSON
+      is unsplittable — each file parses as ONE task, so parallelism is
+      capped at #files.  Fine for modest inputs.
+    - ``lines=True``: newline-delimited GeoJSON (GeoJSONSeq / .ndjson,
+      one Feature per line) — splittable, the 100 TB ingest format.
+      Caveat: reference-parity fid assignment needs an in-file order,
+      which costs a per-file window; at true scale prefer many files
+      (the window parallelizes across files) or accept engine-ordered
+      fids.
+    """
+    from entwiner_spark.exceptions import UnrecognizedFileFormat
+
+    if lines:
+        raw = spark.read.json(paths)
+        if "geometry" not in raw.columns:
+            raise UnrecognizedFileFormat(
+                f"{paths}: no GeoJSON features found (expected one "
+                "Feature object per line)"
+            )
+        w = Window.partitionBy("_src").orderBy(F.monotonically_increasing_id())
+        return raw.select(
+            F.input_file_name().alias("_src"), F.struct(*raw.columns).alias("_f")
+        ).withColumn("_pos", F.row_number().over(w) - 1)
     raw = spark.read.option("multiLine", "true").json(paths)
+    if "features" not in raw.columns:
+        raise UnrecognizedFileFormat(
+            f"{paths}: not a GeoJSON FeatureCollection (no 'features' "
+            "array; for newline-delimited GeoJSON pass lines=True)"
+        )
     return raw.select(
         F.input_file_name().alias("_src"),
         F.posexplode("features").alias("_pos", "_f"),
@@ -50,6 +81,7 @@ def edges_from_geojson(
     changes_sign: tuple[str, ...] = (),
     add_reverse: bool = True,
     with_length: bool = False,
+    lines: bool = False,
 ) -> DataFrame:
     """Ingest GeoJSON FeatureCollection(s) into the canonical edges DF.
 
@@ -60,22 +92,22 @@ def edges_from_geojson(
     rounded "lon, lat" strings; edges are unique on (_u, _v) with
     last-write-wins (REPLACE INTO semantics, feature_table.py:601-613).
     """
-    feats = _exploded_features(spark, paths)
-    lines = feats.filter(F.col("_f.geometry.type") == "LineString")
+    feats = _exploded_features(spark, paths, lines=lines)
+    linestrings = feats.filter(F.col("_f.geometry.type") == "LineString")
 
     # Union property schema was inferred by read.json; flatten it.
     # The engine-assigned fid PK is authoritative (a property named
     # "fid" would collide with it, so it is excluded — divergence from
     # the reference documented in SURVEY.md §7 "no parallel edges").
     prop_fields: list[str] = []
-    f_type = lines.schema["_f"].dataType
+    f_type = linestrings.schema["_f"].dataType
     if "properties" in f_type.names:
         ptype = f_type["properties"].dataType
         if hasattr(ptype, "names"):
             prop_fields = [n for n in ptype.names if n not in RESERVED_EDGE_COLUMNS]
 
     coords = F.col("_f.geometry.coordinates")
-    base = lines.select(
+    base = linestrings.select(
         "_src",
         "_pos",
         F.regexp_extract(

@@ -188,3 +188,17 @@ def test_ogr_gate_raises_without_fiona(spark):
         pass
     with pytest.raises(UnrecognizedFileFormat):
         edges_from_ogr(spark, "/tmp/whatever.shp")
+
+
+def test_geojsonseq_lines_ingest(spark, tmp_path):
+    """Newline-delimited GeoJSON (the splittable at-scale format)
+    produces the same graph as the FeatureCollection form."""
+    from tests.conftest import TINY_FC
+    from entwiner_spark.sources.geojson import edges_from_geojson
+
+    p = tmp_path / "tiny.ndjson"
+    p.write_text("\n".join(json.dumps(f) for f in TINY_FC["features"]))
+    edges = edges_from_geojson(spark, str(p), lines=True)
+    assert edges.count() == 8
+    rows = {(r["_u"], r["_v"]): r["fid"] for r in edges.collect()}
+    assert rows[("-122.313294, 47.6598762", "-122.3141965, 47.659887")] == 2
