@@ -1652,3 +1652,84 @@ def d6_embedding_neardup(spark, sf_dir):
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+# =====================================================================
+# Coverage batch 3: graph motifs + centrality (J1 depth)
+# =====================================================================
+
+_TRI_EDGES_SQL = """
+  SELECT CAST(n_nationkey AS VARCHAR) AS u,
+         CAST((n_nationkey + 1) % 25 AS VARCHAR) AS v FROM nation
+  UNION ALL
+  SELECT CAST((n_nationkey + 2) % 25 AS VARCHAR), CAST(n_nationkey AS VARCHAR)
+  FROM nation
+"""
+
+
+@q(
+    "g_triangles",
+    f"""
+    WITH edges AS ({_TRI_EDGES_SQL})
+    SELECT DISTINCT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b,
+                    CAST(e2.v AS BIGINT) AS c
+    FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e2.v AND e3.v = e1.u
+    WHERE e1.u < e1.v AND e1.u < e2.v
+    """,
+)
+def g_triangles(spark, sf_dir):
+    """Directed-triangle motif count (3-way self-join; the GraphFrames
+    motif-find analogue).  The synthetic graph (+1 steps and backward
+    -2 edges mod 25) contains exactly 25 directed 3-cycles."""
+    n = _t(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").cast("string").alias("_u"),
+        ((F.col("n_nationkey") + 1) % 25).cast("string").alias("_v"),
+    )
+    e2 = n.select(
+        ((F.col("n_nationkey") + 2) % 25).cast("string").alias("_u"),
+        F.col("n_nationkey").cast("string").alias("_v"),
+    )
+    edges = e1.unionByName(e2).withColumn("w", F.lit(1.0))
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=8)
+    return g.triangle_count().select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+@q(
+    "g_closeness",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      SELECT DISTINCT u AS n FROM edges UNION SELECT DISTINCT v FROM edges
+    ),
+    walk(src, node, dist) AS (
+      SELECT n, n, CAST(0 AS DOUBLE) FROM all_nodes
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT src, node, min(dist) AS d FROM walk GROUP BY src, node)
+    SELECT src AS node, sum(d) AS total_dist,
+           CAST(count(*) - 1 AS BIGINT) AS n_reachable
+    FROM best GROUP BY src
+    """,
+)
+def g_closeness(spark, sf_dir):
+    """All-pairs closeness aggregates over the weighted DAG (J1 depth:
+    |V| SSSP runs; distances are integer-valued so the cross-engine
+    sums are exact)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.closeness(weight="w").select(
+        F.col("_n").cast("long").alias("node"),
+        F.col("total_dist"),
+        F.col("n_reachable").cast("long").alias("n_reachable"),
+    )

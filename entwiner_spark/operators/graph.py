@@ -519,6 +519,69 @@ class SparkGraph:
                 break
         return ranks
 
+    def triangle_count(self) -> DataFrame:
+        """Directed triangles (u -> v -> w -> u) as one row per
+        distinct triangle: ``(a, b, c)`` with a = lexicographic min.
+
+        Motif-style 3-way self-join; each hop shuffles on the join key
+        and AQE picks broadcast when the edge set is small.
+        """
+        e1 = self.edges.select(F.col("_u").alias("a"), F.col("_v").alias("b"))
+        e2 = self.edges.select(F.col("_u").alias("b"), F.col("_v").alias("c"))
+        e3 = self.edges.select(F.col("_u").alias("c"), F.col("_v").alias("a"))
+        tri = (
+            e1.join(e2, "b")
+            .join(e3, ["c", "a"])
+            .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        )
+        return tri.select("a", "b", "c").distinct()
+
+    def closeness(self, weight=None, strategy: str = "auto") -> DataFrame:
+        """Closeness-style centrality: per source node, the sum of
+        shortest-path distances to its reachable set and the reach
+        count (parity with the reference's "centrality metrics" claim,
+        README.md:67).
+
+        Small graphs: driver-side Dijkstra per source.  Large graphs:
+        this is |V| SSSP runs — run per-landmark sampling instead
+        (call shortest_path_lengths for a landmark subset).
+        """
+        if not self._use_local(strategy):
+            raise ValueError(
+                "exact all-pairs closeness is O(V) SSSP runs; at scale "
+                "sample landmarks via shortest_path_lengths instead"
+            )
+        import heapq
+
+        adj: dict[str, list[tuple[str, float]]] = {}
+        for u, v, w in self._collect_triples(weight):
+            adj.setdefault(u, []).append((v, w))
+        sources = [r["_n"] for r in self.nodes.select("_n").collect()]
+        rows = []
+        for s in sources:
+            dist = {s: 0.0}
+            pq = [(0.0, s)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            reach = len(dist) - 1
+            total = sum(dist.values())
+            rows.append((s, float(total), reach))
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("total_dist", T.DoubleType(), False),
+                T.StructField("n_reachable", T.IntegerType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # ---- interop (TODO.md:37-39 parity) -------------------------------
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""

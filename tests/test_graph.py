@@ -163,3 +163,17 @@ def test_weight_as_column_expression(uwG):
     assert set(base) == set(doubled)
     for n in base:
         assert doubled[n] == pytest.approx(base[n] * 2, rel=1e-12)
+
+
+def test_triangle_count(spark, uwG):
+    """fwd+rev edge pairs are 2-cycles, not triangles — the uw sidewalk
+    graph contains no directed 3-cycles."""
+    assert uwG.triangle_count().count() == 0
+
+
+def test_closeness_small_graph(G):
+    rows = {r["_n"]: (r["total_dist"], r["n_reachable"]) for r in G.closeness().collect()}
+    # hub N2 reaches all 4 others in 1 hop
+    assert rows["-122.3141965, 47.659887"] == (4.0, 4)
+    # leaf reaches hub in 1, others in 2 -> total 1 + 3*2 = 7
+    assert rows["-122.313294, 47.6598762"] == (7.0, 4)
