@@ -17,7 +17,6 @@ Parity rules applied throughout (see SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 from functools import reduce
 
