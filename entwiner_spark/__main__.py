@@ -48,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.gpkg:
             from entwiner_spark.sources.gpkg import write_geopackage
 
-            cols = [c for c in edges.columns if not c.startswith("_m")]
+            cols = [
+                c for c in edges.columns
+                if c not in ("_minx", "_maxx", "_miny", "_maxy")
+            ]
             write_geopackage(edges.select(*cols), out, "edges")
             write_geopackage(nodes, out, "nodes", geometry_type="POINT", append=True)
         else:

@@ -32,6 +32,10 @@ def geometry_to_wkb(geom: dict | None) -> bytes | None:
     gtype = geom["type"]
     coords = geom["coordinates"]
     if gtype == "Point":
+        if not coords:
+            # POINT EMPTY: NaN coordinates per the WKB convention
+            nan = float("nan")
+            return struct.pack("<BI2d", 1, _WKB_POINT, nan, nan)
         return struct.pack("<BI2d", 1, _WKB_POINT, coords[0], coords[1])
     if gtype == "LineString":
         out = struct.pack("<BII", 1, _WKB_LINESTRING, len(coords))
@@ -48,7 +52,11 @@ def wkb_to_geometry(buf: bytes | None) -> dict | None:
     endian = "<" if buf[0] == 1 else ">"
     (gtype,) = struct.unpack_from(f"{endian}I", buf, 1)
     if gtype == _WKB_POINT:
+        import math
+
         x, y = struct.unpack_from(f"{endian}2d", buf, 5)
+        if math.isnan(x) and math.isnan(y):
+            return {"type": "Point", "coordinates": []}
         return {"type": "Point", "coordinates": [x, y]}
     if gtype == _WKB_LINESTRING:
         (n,) = struct.unpack_from(f"{endian}I", buf, 5)

@@ -38,11 +38,17 @@ class SparkGraph:
     (/root/reference/entwiner/graphs/digraphdb/__init__.py:16-167).
     """
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame, partitions: int | None = None):
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        partitions: int | None = None,
+        _pre_partitioned: bool = False,
+    ):
         self.spark: SparkSession = edges.sparkSession
         n = partitions or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         # Co-locate adjacency: all out-edges of a node in one partition.
-        self.edges = edges.repartition(n, "_u")
+        self.edges = edges if _pre_partitioned else edges.repartition(n, "_u")
         self.nodes = nodes
 
     # ---- cardinality (A1/A3) ------------------------------------------
@@ -127,8 +133,12 @@ class SparkGraph:
 
     # ---- caching (S8: to_in_memory, graphs/digraphdb/__init__.py:88-93)
     def to_in_memory(self) -> "SparkGraph":
-        g = SparkGraph(self.nodes.cache(), self.edges.cache())
-        return g
+        """Cache both tables, keeping the existing _u hash partitioning
+        (re-invoking the partitioning constructor would put a fresh
+        shuffle on top of the cache for every downstream query)."""
+        return SparkGraph(
+            self.nodes.cache(), self.edges.cache(), _pre_partitioned=True
+        )
 
     # ---- routing: Pregel-style SSSP -----------------------------------
 
@@ -459,7 +469,10 @@ class SparkGraph:
             for _ in range(max_iterations):
                 contribs: dict[str, float] = {}
                 for u, v, _ in triples:
-                    contribs[v] = contribs.get(v, 0.0) + ranks[u] / out_deg[u]
+                    # edges whose source is absent from the nodes table
+                    # contribute nothing (matches the distributed join)
+                    if u in ranks:
+                        contribs[v] = contribs.get(v, 0.0) + ranks[u] / out_deg[u]
                 dangling = sum(r for n, r in ranks.items() if n not in out_deg)
                 new_ranks = {
                     n: (1 - alpha) / n_nodes

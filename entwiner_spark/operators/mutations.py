@@ -23,23 +23,44 @@ from pyspark.sql import functions as F
 
 
 def update_columns(
-    target: DataFrame, updates: DataFrame, key: list[str], broadcast: bool = True
+    target: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    broadcast: bool = True,
+    null_overwrites: bool = False,
 ) -> DataFrame:
     """Keyed column update (M1/M2): non-key columns of ``updates``
     overwrite matching rows; unmatched rows pass through unchanged.
     New columns in ``updates`` are added (schema evolution, NULL for
     unmatched rows) — the ALTER TABLE analogue.
+
+    NULL semantics: by default an update value of NULL keeps the old
+    value (sparse-update semantics — updates carry only the fields they
+    set, like the reference's keyed UPDATE of provided keys,
+    feature_table.py:237-260).  Pass ``null_overwrites=True`` for
+    strict MERGE WHEN MATCHED semantics where NULL clears the column —
+    implemented with a match flag so matched rows take the update value
+    verbatim.  ``updates`` must be unique on ``key`` (duplicates would
+    multiply matched target rows through the join).
     """
-    upd = F.broadcast(updates) if broadcast else updates
+    upd = updates.dropDuplicates(key)
+    upd = F.broadcast(upd) if broadcast else upd
     upd_cols = [c for c in updates.columns if c not in key]
-    t, u = target.alias("t"), upd.alias("u")
+    matched = upd.withColumn("_matched", F.lit(True))
+    t, u = target.alias("t"), matched.alias("u")
     joined = t.join(u, key, "left_outer")
     out_cols = [F.col(f"t.{c}") for c in key]
     for c in target.columns:
         if c in key:
             continue
         if c in upd_cols:
-            out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c))
+            if null_overwrites:
+                new_val = F.when(
+                    F.col("u._matched"), F.col(f"u.{c}")
+                ).otherwise(F.col(f"t.{c}"))
+            else:
+                new_val = F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
+            out_cols.append(new_val.alias(c))
         else:
             out_cols.append(F.col(f"t.{c}"))
     for c in upd_cols:

@@ -95,7 +95,21 @@ def _create_gpkg_skeleton(con: sqlite3.Connection, srid: int) -> None:
         )
 
 
-_SQLITE_TYPES = {"bigint": "INTEGER", "int": "INTEGER", "double": "DOUBLE"}
+_SQLITE_TYPES = {
+    "bigint": "INTEGER",
+    "int": "INTEGER",
+    "smallint": "INTEGER",
+    "tinyint": "INTEGER",
+    "boolean": "INTEGER",
+    "double": "DOUBLE",
+    "float": "DOUBLE",
+}
+
+
+def _sqlite_type(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "DOUBLE"
+    return _SQLITE_TYPES.get(dtype, "TEXT")
 
 
 def write_geopackage(
@@ -130,9 +144,7 @@ def write_geopackage(
     con = sqlite3.connect(path)
     try:
         _create_gpkg_skeleton(con, srid)
-        col_defs = ", ".join(
-            f'"{c}" {_SQLITE_TYPES.get(types[c], "TEXT")}' for c in cols
-        )
+        col_defs = ", ".join(f'"{c}" {_sqlite_type(types[c])}' for c in cols)
         geom_def = f', "{geom_col}" BLOB' if has_geom else ""
         con.execute(
             f'CREATE TABLE IF NOT EXISTS "{table}" '

@@ -41,7 +41,10 @@ def edges_from_ogr(
             geom = dict(f["geometry"])
             if geom["type"] != "LineString":
                 continue
-            props = {k: v for k, v in dict(f["properties"]).items() if v is not None}
+            # keep None-valued properties: every Row must carry the
+            # same field set or createDataFrame misaligns columns
+            # (NULL storage matches reference semantics anyway, P1)
+            props = dict(sorted(dict(f["properties"]).items()))
             rows.append(
                 Row(
                     _layer=layer,

@@ -30,10 +30,17 @@ def stream_edges_to_parquet(
     stream = spark.readStream.schema(schema).json(watch_dir)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         sess = batch.sparkSession
         try:
             current = sess.read.parquet(f"{store_dir}/edges.parquet")
-        except Exception:
+            current.schema  # force path resolution now
+        except AnalysisException as e:
+            # only path-not-found means "first batch"; any other read
+            # failure must abort rather than silently replace the store
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             current = None
         merged = (
             upsert(current, batch, ["_u", "_v"]) if current is not None else batch

@@ -202,3 +202,58 @@ def test_geojsonseq_lines_ingest(spark, tmp_path):
     assert edges.count() == 8
     rows = {(r["_u"], r["_v"]): r["fid"] for r in edges.collect()}
     assert rows[("-122.313294, 47.6598762", "-122.3141965, 47.659887")] == 2
+
+
+def test_update_columns_null_semantics(spark):
+    from entwiner_spark.operators.mutations import update_columns
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, status string"
+    )
+    updates = spark.createDataFrame([(1, None)], "k int, status string")
+    # default: NULL update keeps the old value (sparse update)
+    kept = update_columns(target, updates, ["k"])
+    assert {r["k"]: r["status"] for r in kept.collect()} == {1: "a", 2: "b"}
+    # strict MERGE semantics: NULL clears the column on matched rows
+    cleared = update_columns(target, updates, ["k"], null_overwrites=True)
+    assert {r["k"]: r["status"] for r in cleared.collect()} == {1: None, 2: "b"}
+    # duplicate update keys must not multiply target rows
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, status string")
+    assert update_columns(target, dup, ["k"]).count() == 2
+
+
+def test_empty_point_wkb_roundtrip():
+    from entwiner_spark.functions.wkb import (
+        geometry_to_gpkg_blob,
+        gpkg_blob_to_geometry,
+    )
+
+    empty = {"type": "Point", "coordinates": []}
+    blob = geometry_to_gpkg_blob(empty)
+    assert blob[:2] == b"GP" and blob[3] & 0b10000  # empty flag set
+    assert gpkg_blob_to_geometry(blob) == empty
+
+
+def test_to_in_memory_keeps_partitioning(spark, tiny_edges, tiny_nodes):
+    from entwiner_spark.operators.graph import SparkGraph
+
+    g = SparkGraph(tiny_nodes, tiny_edges, partitions=3)
+    g2 = g.to_in_memory()
+    assert g2.edges.rdd.getNumPartitions() == 3  # no re-shuffle on top
+    assert g2.size() == 8
+
+
+def test_gpkg_float_bool_types_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.sources.gpkg import read_geopackage, write_geopackage
+
+    df = spark.createDataFrame(
+        [(1, 0.5, True), (2, 1.5, False)], "id bigint, grade float, open boolean"
+    )
+    path = str(tmp_path / "typed.gpkg")
+    write_geopackage(df, path, "t")
+    back = read_geopackage(spark, path, "t")
+    rows = {r["id"]: (r["grade"], r["open"]) for r in back.collect()}
+    assert rows[1][0] == 0.5 and rows[2][0] == 1.5  # numeric, not '0.5'
+    assert rows[1][1] in (1, True) and rows[2][1] in (0, False)
