@@ -1641,8 +1641,8 @@ def d6_embedding_neardup(spark, sf_dir):
     LSH candidate generation (threshold chosen so the synthetic corpus
     yields a small non-empty answer)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = emb.select(F.col("vec_id").alias("id_a"), SIM._as_double(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), SIM._as_double(F.col("embedding")).alias("vb"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = SIM.dot_cols(F.col("va"), F.col("vb"), _DIM) / (
         SIM.norm(F.col("va"), _DIM) * SIM.norm(F.col("vb"), _DIM)
     )
@@ -1731,4 +1731,95 @@ def g_closeness(spark, sf_dir):
         F.col("_n").cast("long").alias("node"),
         F.col("total_dist"),
         F.col("n_reachable").cast("long").alias("n_reachable"),
+    )
+
+
+# =====================================================================
+# Coverage batch 4: IVF-flat ANN (the second scale path after LSH)
+# =====================================================================
+
+_N_CENT = 8
+
+
+def _ivf_centroids(spark, sf_dir) -> list[list[float]]:
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < _N_CENT).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _l2_chain_sql(e: str, c: str) -> str:
+    return " + ".join(
+        f"(CAST({e}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE))"
+        f" * (CAST({e}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE))"
+        for i in range(1, _DIM + 1)
+    )
+
+
+_CENT_FROM = ", ".join(
+    f"(SELECT embedding AS c{k} FROM embeddings WHERE vec_id = {k}) t{k}"
+    for k in range(_N_CENT)
+)
+_D_COLS = ", ".join(
+    f"({_l2_chain_sql('embedding', f'c{k}')}) AS d{k}" for k in range(_N_CENT)
+)
+_LEAST = "least(" + ", ".join(f"d{k}" for k in range(_N_CENT)) + ")"
+_ARGMIN_CASE = (
+    "CASE "
+    + " ".join(f"WHEN d{k} = _m THEN {k}" for k in range(_N_CENT))
+    + " END"
+)
+
+_IVF_ASSIGN_SQL = f"""
+    WITH d AS (
+      SELECT vec_id, {_D_COLS}
+      FROM embeddings, {_CENT_FROM}
+    )
+    SELECT vec_id, CAST({_ARGMIN_CASE} AS INT) AS centroid
+    FROM (SELECT vec_id, {_LEAST} AS _m, * FROM d)
+"""
+
+
+@q("s5_ivf_assign", _IVF_ASSIGN_SQL)
+def s5_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest of 8 fixed centroids (the
+    first 8 embeddings).  The oracle reproduces the argmin via
+    least + first-equal CASE — identical to the iterative strict-<
+    fold because both engines compute the same doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_assign(emb, _ivf_centroids(spark, sf_dir))
+
+
+@q(
+    "s5b_ivf_topk",
+    f"""
+    WITH assign AS ({_IVF_ASSIGN_SQL}),
+    q AS (
+      SELECT e.vec_id AS qid, e.embedding AS qv, a.centroid
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+      WHERE e.vec_id < 6
+    ),
+    c AS (
+      SELECT e.vec_id AS nid, e.embedding AS cv, a.centroid
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    scored AS (
+      SELECT qid, nid,
+             round(({_dot_sql("qv", "cv")})
+                   / (sqrt({_dot_sql("qv", "qv")}) * sqrt({_dot_sql("cv", "cv")})), 6)
+               AS cosine
+      FROM q JOIN c USING (centroid) WHERE qid != nid
+    )
+    SELECT qid, nid, rank, cosine FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored) WHERE rank <= 2
+    """,
+)
+def s5b_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: per query (vec_id<6), top-2 within its coarse
+    bucket only — the bucket equi-join replaces the cross product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    return SIM.ivf_topk(
+        emb.filter(F.col("vec_id") < 6), emb, cents, dim=_DIM, k=2
     )

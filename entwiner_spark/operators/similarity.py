@@ -4,10 +4,11 @@ Brute-force cosine top-k as the exact baseline, plus a
 random-hyperplane LSH bucketing as the scale path (bucket join replaces
 the full cross product; recall tunable by #planes / multi-probe).
 
-Dot products are generated as explicit fixed-dimension expression
-chains (element_at(e,1)*q1 + ... left-associated) rather than
-F.aggregate folds: the same chain is emitted for the DuckDB oracle, so
-both engines add in the same order and produce bit-identical doubles.
+Vector math is zip_with + aggregate left folds seeded at 0.0 — the
+addition order equals the oracle's left-associated term chains
+(0.0 + t1 == t1), so both engines produce bit-identical doubles.
+(Explicit element_at chains were ~100x slower: past the codegen size
+limit Catalyst falls back to per-op interpretation.)
 """
 
 from __future__ import annotations
@@ -24,14 +25,21 @@ def _as_double(vec: Column) -> Column:
 
 
 def dot_literal(vec: Column, q: list[float]) -> Column:
-    """<vec, q> with q inlined as literals; left-associated sum."""
-    terms = [F.element_at(vec, i + 1) * F.lit(float(q[i])) for i in range(len(q))]
-    return reduce(lambda a, b: a + b, terms)
+    """<vec, q> with q inlined as an array literal.
+
+    zip_with + aggregate (left fold from 0.0, so the addition order is
+    exactly the oracle's left-associated chain — 0.0 + t1 == t1).
+    Generated element_at chains are ~100x slower here: they overflow
+    the codegen size limit and fall back to per-op interpretation.
+    """
+    lit = F.lit([float(x) for x in q])
+    prods = F.zip_with(vec, lit, lambda x, qi: x.cast("double") * qi)
+    return F.aggregate(prods, F.lit(0.0), lambda a, b: a + b)
 
 
 def dot_cols(a: Column, b: Column, dim: int) -> Column:
-    terms = [F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1)]
-    return reduce(lambda x, y: x + y, terms)
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda x, y: x + y)
 
 
 def norm(vec: Column, dim: int) -> Column:
@@ -54,7 +62,7 @@ def cosine_topk(
 
     dim = len(query)
     qn = math.sqrt(sum(x * x for x in query))
-    v = _as_double(F.col(vec_col))
+    v = F.col(vec_col)
     cos = dot_literal(v, query) / (norm(v, dim) * F.lit(qn))
     return (
         emb.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
@@ -78,12 +86,8 @@ def knn_join(
     keeps per-query heaps — the window is partitioned by query id, so
     no single-partition global sort exists.
     """
-    q = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
     cos = dot_cols(F.col("qv"), F.col("cv"), dim) / (
         norm(F.col("qv"), dim) * norm(F.col("cv"), dim)
     )
@@ -117,7 +121,7 @@ def lsh_buckets(
     Candidate generation for near-neighbor search: equal buckets ->
     candidates; a bucket-key groupBy replaces the O(n^2) cross join.
     """
-    v = _as_double(F.col(vec_col))
+    v = F.col(vec_col)
     bucket = reduce(
         lambda acc, p: acc
         + F.when(
@@ -128,3 +132,90 @@ def lsh_buckets(
         F.lit(0).cast("long"),
     )
     return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def l2sq_literal(vec: Column, c: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid; left-assoc chain."""
+    lit = F.lit([float(x) for x in c])
+    sq = F.zip_with(
+        vec, lit, lambda x, ci: (x.cast("double") - ci) * (x.cast("double") - ci)
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda a, b: a + b)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid assignment.
+
+    The centroid list is tiny and inlined as literals (broadcast by
+    construction); one narrow projection per vector — the partition
+    step of IVF-flat ANN.  Ties resolve to the lowest centroid index
+    (strict < comparison), mirrored exactly by the SQL oracle.
+    """
+    v = F.col(vec_col)
+    # materialize the K distances as columns, then argmin via least +
+    # first-equal CASE.  An iterative when(dk < best_d, ...) fold would
+    # nest best_d inside each condition — a 3^K expression-tree blowup
+    # that took Catalyst minutes at K=8.
+    base = emb.select(
+        F.col(id_col),
+        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+    )
+    # barrier: without it CollapseProject re-inlines every distance
+    # chain into least() AND each equality test (~9x duplication),
+    # pushing the projection past the codegen size limit into
+    # interpreted mode.  The shuffled table is just (id, K doubles).
+    base = base.repartition(F.col(id_col))
+    m = F.least(*[F.col(f"_d{k}") for k in range(len(centroids))])
+    expr = None
+    for k in range(len(centroids)):
+        cond = F.col(f"_d{k}") == m
+        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+    return base.select(F.col(id_col), expr.alias("centroid"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: search only the query's coarse bucket.
+
+    The bucket equi-join replaces the full cross product; recall is
+    tunable with multi-probe (assign queries to their p nearest
+    centroids) — single-probe here for oracle determinism.
+    """
+    qa = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "qid"
+    )
+    ca = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "nid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).join(F.broadcast(qa), "qid")
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+    ).join(ca, "nid")
+    cos = dot_cols(F.col("qv"), F.col("cv"), dim) / (
+        norm(F.col("qv"), dim) * norm(F.col("cv"), dim)
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )

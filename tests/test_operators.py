@@ -130,3 +130,27 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert len(feats) == 50
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(r["n_bytes"] > 0 for r in feats)
+
+
+def test_ivf_assign_and_topk(spark):
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    assign = ivf_assign(emb, cents)
+    a = {r["vec_id"]: r["centroid"] for r in assign.collect()}
+    # each centroid vector is its own nearest centroid (distance 0)
+    for k in range(4):
+        assert a[k] == k
+    assert set(a.values()) <= set(range(4))
+    top = ivf_topk(emb.filter(F.col("vec_id") < 3), emb, cents, dim=64, k=2)
+    rows = top.collect()
+    assert all(r["qid"] != r["nid"] for r in rows)
+    # every returned neighbor shares the query's bucket
+    for r in rows:
+        assert a[r["nid"]] == a[r["qid"]]
