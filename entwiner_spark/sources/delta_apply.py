@@ -1,0 +1,85 @@
+"""Incremental graph maintenance: apply a GeoJSON delta to a store.
+
+The reference rebuilds the whole GeoPackage per ingest (build.py) and
+its keyed-update path is partial (SURVEY §2.9).  This module gives the
+engine a true incremental lifecycle over the parquet store:
+
+- features in the delta file upsert their (fwd, rev) edges
+  (last-write-wins on (_u, _v) — REPLACE INTO semantics);
+- features carrying a truthy ``_deleted`` property delete BOTH
+  directions of their edge instead;
+- the node table is re-derived from the merged edge set (S6), so
+  orphaned endpoints disappear with their last edge.
+
+One read + two keyed joins + one atomic publish; no driver-side row
+loops, so the same plan at 100 TB just shuffles more partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.mutations import delete_keys, upsert
+from entwiner_spark.schemas import DEFAULT_PRECISION
+from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+from entwiner_spark.sources.parquet_store import (
+    read_graph_tables,
+    write_graph_tables,
+)
+
+DELETE_FLAG = "_deleted"
+
+
+def apply_geojson_delta(
+    spark: SparkSession,
+    store_dir: str,
+    delta_paths: str | list[str],
+    precision: int = DEFAULT_PRECISION,
+    changes_sign: tuple[str, ...] = (),
+    lines: bool = False,
+) -> dict[str, int]:
+    """Merge a GeoJSON delta into an existing graph store.
+
+    Returns counts: {"upserted": n, "deleted": n, "edges": total}.
+    """
+    from entwiner_spark.exceptions import UnrecognizedFileFormat
+
+    current, _ = read_graph_tables(spark, store_dir)
+    try:
+        delta = edges_from_geojson(
+            spark,
+            delta_paths,
+            precision=precision,
+            changes_sign=changes_sign,
+            with_length="_length" in current.columns,
+            lines=lines,
+        )
+    except UnrecognizedFileFormat:
+        # an empty delta is a no-op, not an error
+        return {"upserted": 0, "deleted": 0, "edges": current.count()}
+
+    if DELETE_FLAG in delta.columns:
+        doomed = delta.filter(
+            F.coalesce(F.col(DELETE_FLAG).cast("boolean"), F.lit(False))
+        ).select("_u", "_v")
+        incoming = delta.filter(
+            ~F.coalesce(F.col(DELETE_FLAG).cast("boolean"), F.lit(False))
+        ).drop(DELETE_FLAG)
+    else:
+        doomed = None
+        incoming = delta
+
+    n_upsert = incoming.count()
+    merged = upsert(current, incoming, ["_u", "_v"])
+    n_delete = 0
+    if doomed is not None:
+        n_delete = doomed.count()
+        merged = delete_keys(merged, doomed, ["_u", "_v"])
+
+    # avoid lazy self-read-while-overwriting: materialize before publish
+    merged = merged.localCheckpoint(eager=True)
+    nodes = nodes_from_edges(merged, precision=precision)
+    write_graph_tables(merged, nodes, store_dir)
+    total = read_graph_tables(spark, store_dir)[0].count()
+    return {"upserted": n_upsert, "deleted": n_delete, "edges": total}

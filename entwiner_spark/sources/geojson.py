@@ -68,6 +68,12 @@ def _exploded_features(
             f"{paths}: not a GeoJSON FeatureCollection (no 'features' "
             "array; for newline-delimited GeoJSON pass lines=True)"
         )
+    el_type = raw.schema["features"].dataType
+    if not hasattr(getattr(el_type, "elementType", None), "names"):
+        # an empty features array infers as array<string> — no features
+        raise UnrecognizedFileFormat(
+            f"{paths}: FeatureCollection contains no features"
+        )
     return raw.select(
         F.input_file_name().alias("_src"),
         F.posexplode("features").alias("_pos", "_f"),

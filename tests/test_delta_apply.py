@@ -1,0 +1,66 @@
+"""Incremental store maintenance: GeoJSON delta -> MERGE."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TINY_COORDS
+
+
+def _feature(coords, props=None):
+    return {
+        "type": "Feature",
+        "geometry": {"type": "LineString", "coordinates": coords},
+        "properties": props or {},
+    }
+
+
+def test_apply_geojson_delta(spark, tiny_edges, tiny_nodes, tmp_path):
+    from entwiner_spark.sources.delta_apply import apply_geojson_delta
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables,
+        write_graph_tables,
+    )
+
+    store = str(tmp_path / "store")
+    write_graph_tables(tiny_edges, tiny_nodes, store, partitions=2)
+
+    # delta: modify feature 1 (new surface prop), add a new feature,
+    # delete feature 3 (both directions)
+    delta = {
+        "type": "FeatureCollection",
+        "features": [
+            _feature(TINY_COORDS[0], {"surface": "gravel"}),
+            _feature([[-122.320, 47.661], [-122.321, 47.662]], {"surface": "new"}),
+            _feature(TINY_COORDS[2], {"_deleted": True}),
+        ],
+    }
+    dpath = tmp_path / "delta.geojson"
+    dpath.write_text(json.dumps(delta))
+
+    stats = apply_geojson_delta(spark, store, str(dpath))
+    # 2 non-deleted features -> 4 edges upserted; 1 deleted -> 2 edges
+    assert stats["upserted"] == 4 and stats["deleted"] == 2
+    # 8 original - 2 deleted + 2 new = 8
+    assert stats["edges"] == 8
+
+    edges, nodes = read_graph_tables(spark, store)
+    # modified edge carries the new property both directions
+    mod = edges.filter(F.col("surface") == "gravel")
+    assert mod.count() == 2
+    # deleted edge gone in both directions
+    del_u = "-122.3141965, 47.659887"
+    del_v = "-122.3142026, 47.6597293"
+    gone = edges.filter(
+        ((F.col("_u") == del_u) & (F.col("_v") == del_v))
+        | ((F.col("_u") == del_v) & (F.col("_v") == del_u))
+    )
+    assert gone.count() == 0
+    # new endpoints exist; orphaned endpoint of the deleted edge gone
+    ids = {r["_n"] for r in nodes.collect()}
+    assert "-122.32, 47.661" in ids and "-122.321, 47.662" in ids
+    assert del_v not in ids  # only the deleted edge touched it
+    # untouched edges intact
+    assert edges.filter(F.col("surface").isNull()).count() == 4
