@@ -72,14 +72,19 @@ def fingerprint(text: Column) -> Column:
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 
-    Pure expression: sequence + transform over the token array.
+    Built as zip_with over k shifted slices of the token array — the
+    split() runs k times per row.  (The obvious
+    transform(sequence, i -> element_at(w, i+j)) form re-evaluates the
+    split per element access: O(words^2) per row, which dominated the
+    whole minhash pipeline before this rewrite.)
     """
     w = words(text)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(w, i + j) for j in range(k)]
-    )
-    return F.when(n >= k, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = n - F.lit(k - 1)
+    combined = F.slice(w, F.lit(1), cnt)
+    for j in range(1, k):
+        part = F.slice(w, F.lit(j + 1), cnt)
+        combined = F.zip_with(
+            combined, part, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, combined).otherwise(F.array().cast("array<string>"))
