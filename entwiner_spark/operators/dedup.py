@@ -83,6 +83,11 @@ def lsh_candidate_pairs(
     Bands of k/bands rows each; band key is the concatenated signature
     slice.  The self-join runs on the tiny (id, band, key) projection.
     """
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: trailing signature "
+            "rows would be silently ignored, lowering recall"
+        )
     rows_per_band = k // bands
     keys = [
         F.concat_ws(

@@ -211,27 +211,32 @@ class SparkGraph:
         self,
         source: str,
         weight: str | None = None,
-        max_iterations: int = 50,
+        max_iterations: int | None = None,
         checkpoint_every: int = 5,
         strategy: str = "auto",
     ) -> DataFrame:
         """Single-source shortest distances: DataFrame ``(_n, dist)``.
 
-        ``weight=None`` -> hop counts (BFS).  Equivalent of driving
+        ``weight=None`` -> hop counts (BFS); ``max_iterations`` bounds
+        the hop radius (k-hop neighborhood) — None means run to
+        convergence (safety cap 200).  Equivalent of driving
         nx.dijkstra over the lazy adjacency views (SURVEY.md §3.2), as a
         distributed Bellman-Ford/Pregel loop; small graphs short-cut to
         a driver-side Dijkstra (``strategy`` = auto|pregel|local).
         """
-        if strategy == "auto" and weight is not None and max_iterations < 50:
+        bounded = max_iterations is not None
+        if strategy == "auto" and weight is not None and bounded:
             # truncated *weighted* iteration has Bellman-Ford-step
             # semantics only the distributed loop reproduces
             strategy = "pregel"
         if self._use_local(strategy):
             out = self._local_sssp(source, weight)
-            if weight is None and max_iterations < 50:
+            if weight is None and bounded:
                 # truncated BFS == k-hop neighborhood
                 out = out.filter(F.col("dist") <= float(max_iterations))
             return out
+        if max_iterations is None:
+            max_iterations = 200
         w = self._weight_col(weight)
         adj = self.edges.select(
             F.col("_u"), F.col("_v"), w.alias("_w")
@@ -280,7 +285,7 @@ class SparkGraph:
         source: str,
         target: str,
         weight: str | None = None,
-        max_iterations: int = 50,
+        max_iterations: int | None = None,
         strategy: str = "auto",
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
@@ -312,6 +317,8 @@ class SparkGraph:
                 path.append(cur)
                 cur = pred[cur]
             return path[::-1], dist[target]
+        if max_iterations is None:
+            max_iterations = 200
         w = self._weight_col(weight)
         adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).localCheckpoint(
             eager=False
@@ -413,7 +420,18 @@ class SparkGraph:
             .distinct()
             .localCheckpoint(eager=False)
         )
-        labels = self.nodes.select("_n", F.col("_n").alias("component"))
+        # seed from nodes ∪ edge endpoints so nodes appearing only in
+        # edges are labeled too (the local union-find path includes
+        # them; the two strategies must agree).  Built from self.edges,
+        # not `und`, to avoid an ambiguous self-join with the
+        # propagation loop below.
+        all_nodes = (
+            self.nodes.select("_n")
+            .unionByName(self.edges.select(F.col("_u").alias("_n")))
+            .unionByName(self.edges.select(F.col("_v").alias("_n")))
+            .distinct()
+        )
+        labels = all_nodes.select("_n", F.col("_n").alias("component"))
         for it in range(max_iterations):
             prop = (
                 labels.join(und, labels["_n"] == und["_u"])

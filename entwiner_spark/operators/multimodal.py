@@ -51,10 +51,10 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Wrap an arbitrary binary/string column as the canonical media
     table with deterministic fake dimensions derived from the payload
     hash (stands in for a real header parse)."""
+    from entwiner_spark.functions.text import stable_hash32
+
     payload = F.col(payload_col).cast("binary")
-    h = F.conv(F.substring(F.md5(F.col(payload_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    h = stable_hash32(F.col(payload_col).cast("string"))
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         payload.alias("payload"),

@@ -4,8 +4,12 @@ Defaults chosen for correctness-at-scale:
 - AQE on (runtime join-strategy switching, skew-join splitting,
   partition coalescing) — replaces every hand-coded physical tactic the
   reference used (SURVEY.md §4).
-- UTC session timezone and ANSI off so DuckDB-oracle comparisons are
-  deterministic.
+- UTC session timezone so DuckDB-oracle comparisons are deterministic.
+- ANSI mode is left at Spark 4's default (ON): every oracle-verified
+  query passes under it, and it surfaces real errors (divide-by-zero,
+  bad casts) instead of silent NULLs; inputs that would trip ANSI on
+  malformed data are guarded at the ingest boundary (degenerate
+  geometries filtered, try_cast for user-supplied flags).
 - Arrow enabled for the few Pandas-UDF paths (similarity / multimodal).
 """
 

@@ -59,13 +59,22 @@ def apply_geojson_delta(
         # an empty delta is a no-op, not an error
         return {"upserted": 0, "deleted": 0, "edges": current.count()}
 
+    # delta fids restart at 1 — shift past the store's max so the
+    # engine fid PK stays unique across increments; materialize once
+    # (counts + upsert + node re-derive would otherwise re-run the
+    # whole ingest plan per action)
+    max_fid = current.agg(F.max("fid")).collect()[0][0] or 0
+    delta = delta.withColumn("fid", F.col("fid") + F.lit(max_fid))
+    delta = delta.localCheckpoint(eager=True)
+
     if DELETE_FLAG in delta.columns:
-        doomed = delta.filter(
-            F.coalesce(F.col(DELETE_FLAG).cast("boolean"), F.lit(False))
-        ).select("_u", "_v")
-        incoming = delta.filter(
-            ~F.coalesce(F.col(DELETE_FLAG).cast("boolean"), F.lit(False))
-        ).drop(DELETE_FLAG)
+        # try_cast: a malformed _deleted value means "not deleted"
+        # rather than an ANSI cast failure aborting the merge
+        flag = F.coalesce(
+            F.col(DELETE_FLAG).try_cast("boolean"), F.lit(False)
+        )
+        doomed = delta.filter(flag).select("_u", "_v")
+        incoming = delta.filter(~flag).drop(DELETE_FLAG)
     else:
         doomed = None
         incoming = delta

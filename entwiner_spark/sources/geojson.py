@@ -99,7 +99,13 @@ def edges_from_geojson(
     last-write-wins (REPLACE INTO semantics, feature_table.py:601-613).
     """
     feats = _exploded_features(spark, paths, lines=lines)
-    linestrings = feats.filter(F.col("_f.geometry.type") == "LineString")
+    # degenerate LineStrings (<2 points) are dropped: invalid GeoJSON,
+    # and under ANSI mode an empty coordinates array would abort the
+    # node-ID element_at instead of yielding NULL
+    linestrings = feats.filter(
+        (F.col("_f.geometry.type") == "LineString")
+        & (F.size(F.col("_f.geometry.coordinates")) >= 2)
+    )
 
     # Union property schema was inferred by read.json; flatten it.
     # The engine-assigned fid PK is authoritative (a property named

@@ -52,6 +52,11 @@ def edges_from_ogr(
                     **props,
                 )
             )
+    if not rows:
+        raise UnrecognizedFileFormat(
+            f"{path}: no LineString features found (layer may contain "
+            "only points/polygons)"
+        )
     raw = spark.createDataFrame(rows)
     from pyspark.sql import functions as F
 

@@ -34,6 +34,15 @@ def write_graph_tables(
     half-written store (the reference achieves this with shutil.move of
     the temp gpkg, build.py:44-47).
     """
+    if "://" in store_dir:
+        # the rename-based publish is local-filesystem only; object
+        # stores need a transactional table format (Delta/Iceberg) or
+        # Hadoop FileSystem rename semantics — explicit error beats a
+        # mangled local path (TODO.md)
+        raise ValueError(
+            f"{store_dir}: parquet_store publishes via local-FS rename; "
+            "use a local path (cloud stores need a transactional format)"
+        )
     parent = os.path.dirname(os.path.abspath(store_dir)) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="_graphstore_tmp_", dir=parent)

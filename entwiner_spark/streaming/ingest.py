@@ -33,6 +33,9 @@ def stream_edges_to_parquet(
         from pyspark.errors import AnalysisException
 
         sess = batch.sparkSession
+        # a microbatch can carry several rows for one edge; collapse to
+        # one per key so the store's (_u,_v) uniqueness contract holds
+        batch = batch.dropDuplicates(["_u", "_v"])
         try:
             current = sess.read.parquet(f"{store_dir}/edges.parquet")
             current.schema  # force path resolution now
