@@ -122,3 +122,79 @@ def test_graph_store_roundtrip(spark, tiny_edges, tiny_nodes, tmp_path):
     copy_store(spark, store, str(tmp_path / "gstore2"))
     edges2, nodes2 = read_graph_tables(spark, str(tmp_path / "gstore2"))
     assert edges2.count() == 8 and nodes2.count() == 5
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across microbatches."""
+    from pyspark.sql import types as T
+
+    from entwiner_spark.streaming.stateful import running_totals
+
+    d = tmp_path / "st"
+    d.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    (d / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"user_id": 1, "value": 2.0},
+            {"user_id": 1, "value": 3.0},
+            {"user_id": 2, "value": 1.0},
+        ])
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("rt_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["user_id"]: (r["n_events"], r["total_value"])
+                 for r in spark.sql("SELECT * FROM rt_test").collect()}
+        assert first[1] == (2, 5.0) and first[2] == (1, 1.0)
+        (d / "b2.json").write_text(json.dumps({"user_id": 1, "value": 10.0}))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rt_test WHERE user_id = 1").collect()
+        # state accumulated across batches: latest emission is (3, 15.0)
+        assert (3, 15.0) in {(r["n_events"], r["total_value"]) for r in rows}
+    finally:
+        q.stop()
+
+
+def test_stateful_seen_edge_filter(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from entwiner_spark.streaming.stateful import seen_edge_filter
+
+    d = tmp_path / "se"
+    d.mkdir()
+    schema = T.StructType(
+        [T.StructField("_u", T.StringType()), T.StructField("_v", T.StringType())]
+    )
+    (d / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"_u": "a", "_v": "b"},
+            {"_u": "a", "_v": "b"},
+            {"_u": "b", "_v": "c"},
+        ])
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        seen_edge_filter(stream)
+        .writeStream.format("memory")
+        .queryName("se_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM se_test").collect()[0]["n"] == 2
+        # re-arrival in a later batch is suppressed by state
+        (d / "b2.json").write_text(json.dumps({"_u": "a", "_v": "b"}))
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM se_test").collect()[0]["n"] == 2
+    finally:
+        q.stop()
