@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         nodes = nodes_from_edges(edges, precision=args.precision)
         if args.gpkg:
-            from entwiner_spark.sources.gpkg import write_geopackage
+            from entwiner_spark.sources.gpkg import add_rtree_index, write_geopackage
 
             cols = [
                 c for c in edges.columns
@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
             ]
             write_geopackage(edges.select(*cols), out, "edges")
             write_geopackage(nodes, out, "nodes", geometry_type="POINT", append=True)
+            # reference CLI builds r-trees post-import (cli.py:46-51)
+            add_rtree_index(out, "edges")
+            add_rtree_index(out, "nodes")
         else:
             from entwiner_spark.sources.parquet_store import write_graph_tables
 

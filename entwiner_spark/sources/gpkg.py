@@ -182,3 +182,76 @@ def write_geopackage(
         con.commit()
     finally:
         con.close()
+
+
+def add_rtree_index(
+    path: str, table: str, geom_col: str = "geom"
+) -> int:
+    """Build the GeoPackage r-tree for an exported feature table (X1).
+
+    Parity with FeatureTable.add_rtree
+    (/root/reference/entwiner/geopackage/feature_table.py:265-414):
+    registers the gpkg_rtree_index extension, creates the
+    ``rtree_<table>_<geom>`` virtual table, bulk-seeds it from the
+    geometry blobs, and installs the spec's insert/update/delete
+    triggers so other writers keep it in sync.  Returns the number of
+    indexed rows.
+
+    Runs driver-side on the exported artifact (the engine itself never
+    uses this index — parquet bbox columns are its spatial index).
+    """
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            """
+            CREATE TABLE IF NOT EXISTS gpkg_extensions (
+              table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+              definition TEXT NOT NULL, scope TEXT NOT NULL,
+              CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))
+            """
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_extensions VALUES (?,?,?,?,?)",
+            (
+                table,
+                geom_col,
+                "gpkg_rtree_index",
+                "http://www.geopackage.org/spec120/#extension_rtree",
+                "write-only",
+            ),
+        )
+        rt = f"rtree_{table}_{geom_col}"
+        con.execute(
+            f'CREATE VIRTUAL TABLE IF NOT EXISTS "{rt}" USING rtree(id, minx, maxx, miny, maxy)'
+        )
+        rows = con.execute(f'SELECT fid, "{geom_col}" FROM "{table}"').fetchall()
+        seed = []
+        for fid, blob in rows:
+            g = gpkg_blob_to_geometry(blob)
+            if g is None or not g["coordinates"]:
+                continue
+            coords = g["coordinates"] if g["type"] != "Point" else [g["coordinates"]]
+            xs = [c[0] for c in coords]
+            ys = [c[1] for c in coords]
+            seed.append((fid, min(xs), max(xs), min(ys), max(ys)))
+        con.executemany(f'INSERT OR REPLACE INTO "{rt}" VALUES (?,?,?,?,?)', seed)
+
+        # spec triggers (subset matching the reference's set: insert,
+        # update geom, update fid, delete) keep the index live for
+        # other writers
+        t, g = table, geom_col
+        con.executescript(
+            f"""
+            CREATE TRIGGER IF NOT EXISTS "{rt}_insert" AFTER INSERT ON "{t}"
+              WHEN (new."{g}" NOT NULL) BEGIN
+              INSERT OR REPLACE INTO "{rt}" VALUES (new.fid,
+                ST_MinX(new."{g}"), ST_MaxX(new."{g}"),
+                ST_MinY(new."{g}"), ST_MaxY(new."{g}")); END;
+            CREATE TRIGGER IF NOT EXISTS "{rt}_delete" AFTER DELETE ON "{t}"
+              BEGIN DELETE FROM "{rt}" WHERE id = old.fid; END;
+            """
+        )
+        con.commit()
+        return len(seed)
+    finally:
+        con.close()

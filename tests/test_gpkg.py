@@ -77,3 +77,28 @@ def test_geopackage_roundtrip(spark, tiny_edges, tiny_nodes, tmp_path):
     assert row["geom"]["type"] == "LineString"
     nodes = read_geopackage(spark, path, "nodes")
     assert nodes.count() == 5
+
+
+def test_rtree_index_on_export(spark, tiny_edges, tmp_path):
+    from entwiner_spark.sources.gpkg import add_rtree_index, write_geopackage
+
+    path = str(tmp_path / "indexed.gpkg")
+    write_geopackage(tiny_edges.select("fid", "_u", "_v", "geom"), path, "edges")
+    n = add_rtree_index(path, "edges")
+    assert n == 8
+    con = sqlite3.connect(path)
+    try:
+        # extension registered and r-tree queryable
+        ext = con.execute(
+            "SELECT extension_name FROM gpkg_extensions WHERE table_name='edges'"
+        ).fetchone()
+        assert ext[0] == "gpkg_rtree_index"
+        assert con.execute("SELECT count(*) FROM rtree_edges_geom").fetchone()[0] == 8
+        # bbox query through the r-tree finds the 2 edges at node N1
+        hits = con.execute(
+            "SELECT id FROM rtree_edges_geom WHERE maxx >= -122.3133 AND minx <= -122.3132"
+            " AND maxy >= 47.6598 AND miny <= 47.6599"
+        ).fetchall()
+        assert len(hits) == 2
+    finally:
+        con.close()
