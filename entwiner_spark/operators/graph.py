@@ -613,6 +613,61 @@ class SparkGraph:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def closeness_landmarks(
+        self,
+        n_landmarks: int = 16,
+        weight=None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Approximate closeness at scale: SSSP from a deterministic
+        landmark sample instead of every node (the documented
+        escalation from exact ``closeness``).
+
+        Landmarks are every ceil(V/n)-th node by sorted id (stable
+        across runs).  Returns per node: sum of distances FROM the
+        landmarks that reach it, how many did, and the normalized
+        ``avg_dist`` (compare rankings with avg_dist — raw sums are not
+        comparable across nodes reached by different landmark counts).
+        On a symmetric graph with all nodes as landmarks this equals
+        exact closeness.
+
+        Use this only when the graph is too big for ``closeness`` (k
+        SSSP runs instead of V); below LOCAL_THRESHOLD exact closeness
+        is both cheaper and correct.  Small landmark counts rank
+        coarsely — quality grows with k.
+        """
+        ids = sorted(r["_n"] for r in self.nodes.select("_n").collect())
+        step = max(1, len(ids) // n_landmarks)
+        landmarks = ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
+
+        totals: DataFrame | None = None
+        for lm in landmarks:
+            d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)
+            d = d.select("_n", F.col("dist").alias("_d"))
+            if totals is None:
+                totals = d.select(
+                    "_n", F.col("_d").alias("total_dist"), F.lit(1).alias("n_landmarks")
+                )
+            else:
+                totals = (
+                    totals.alias("t")
+                    .join(d.alias("d"), "_n", "full_outer")
+                    .select(
+                        "_n",
+                        (
+                            F.coalesce(F.col("t.total_dist"), F.lit(0.0))
+                            + F.coalesce(F.col("d._d"), F.lit(0.0))
+                        ).alias("total_dist"),
+                        (
+                            F.coalesce(F.col("t.n_landmarks"), F.lit(0))
+                            + F.when(F.col("d._d").isNotNull(), 1).otherwise(0)
+                        ).alias("n_landmarks"),
+                    )
+                )
+        return totals.withColumn(
+            "avg_dist", F.col("total_dist") / F.col("n_landmarks")
+        )
+
     # ---- interop (TODO.md:37-39 parity) -------------------------------
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""

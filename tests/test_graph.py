@@ -177,3 +177,23 @@ def test_closeness_small_graph(G):
     assert rows["-122.3141965, 47.659887"] == (4.0, 4)
     # leaf reaches hub in 1, others in 2 -> total 1 + 3*2 = 7
     assert rows["-122.313294, 47.6598762"] == (7.0, 4)
+
+
+def test_closeness_landmarks_all_equals_exact_on_symmetric_graph(uwG):
+    """uw has fwd+rev for every edge (symmetric), so landmark sums over
+    ALL nodes equal the exact per-source closeness totals."""
+    exact = {r["_n"]: (r["total_dist"], r["n_reachable"])
+             for r in uwG.closeness(weight="_length").collect()}
+    approx = {r["_n"]: (r["total_dist"], r["n_landmarks"])
+              for r in uwG.closeness_landmarks(n_landmarks=10_000, weight="_length").collect()}
+    assert set(exact) == set(approx)
+    for n, (td, reach) in exact.items():
+        atd, alm = approx[n]
+        assert atd == pytest.approx(td, rel=1e-9)
+        assert alm == reach + 1  # landmark set includes the node itself (dist 0)
+
+
+def test_closeness_landmarks_sampled(uwG):
+    out = uwG.closeness_landmarks(n_landmarks=5, weight="_length").collect()
+    assert len(out) > 0
+    assert all(r["n_landmarks"] <= 5 for r in out)
