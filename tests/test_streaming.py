@@ -198,3 +198,58 @@ def test_stateful_seen_edge_filter(spark, tmp_path):
         assert spark.sql("SELECT count(*) n FROM se_test").collect()[0]["n"] == 2
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling window with a watermark: events later than
+    the watermark horizon are dropped, on-time events are not."""
+    from entwiner_spark.streaming.windows import tumbling_counts
+
+    d = tmp_path / "late"
+    d.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # batch 1: events up to 13:05 -> watermark advances to 12:05
+    (d / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"ts": "2024-01-01T10:30:00", "event_type": "a", "value": 1.0},
+            {"ts": "2024-01-01T13:05:00", "event_type": "a", "value": 1.0},
+        ])
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    agg = tumbling_counts(stream, duration="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event older than the watermark (10:45 < 12:05,
+        # its 10:00 window is closed) and one on-time event
+        (d / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in [
+                {"ts": "2024-01-01T10:45:00", "event_type": "a", "value": 1.0},
+                {"ts": "2024-01-01T13:10:00", "event_type": "a", "value": 1.0},
+            ])
+        )
+        q.processAllAvailable()
+        (d / "b3.json").write_text(  # push watermark forward to close windows
+            json.dumps({"ts": "2024-01-01T18:00:00", "event_type": "a", "value": 1.0})
+        )
+        q.processAllAvailable()
+        rows = {r["ws"].isoformat(): r["n"] for r in spark.sql(
+            "SELECT win.start AS ws, n FROM wm_test"
+        ).collect()}
+    finally:
+        q.stop()
+    # the 10:00 window emitted with ONLY the on-time event (late 10:45
+    # arrival dropped); the 13:00 window counted both on-time events
+    assert rows["2024-01-01T10:00:00"] == 1
+    assert rows["2024-01-01T13:00:00"] == 2
