@@ -235,6 +235,7 @@ class SparkGraph:
                 # truncated BFS == k-hop neighborhood
                 out = out.filter(F.col("dist") <= float(max_iterations))
             return out
+        bounded_by_caller = max_iterations is not None
         if max_iterations is None:
             max_iterations = 200
         w = self._weight_col(weight)
@@ -251,6 +252,7 @@ class SparkGraph:
         dist = self.spark.createDataFrame([(source, 0.0)], schema)
         frontier = dist
 
+        converged = False
         for it in range(max_iterations):
             msgs = (
                 frontier.join(adj, frontier["_n"] == adj["_u"])
@@ -264,6 +266,7 @@ class SparkGraph:
             ).select("_n", F.col("m.dist").alias("dist"))
             improved = improved.localCheckpoint(eager=True)
             if improved.isEmpty():
+                converged = True
                 break
             # merge via outer join + coalesce (a Union here trips
             # Catalyst constraint rewriting on checkpointed lineage)
@@ -278,6 +281,12 @@ class SparkGraph:
             if (it + 1) % checkpoint_every == 0:
                 dist = dist.localCheckpoint(eager=True)
             frontier = improved
+        if not converged and not bounded_by_caller:
+            raise RuntimeError(
+                "SSSP hit the 200-iteration safety cap without "
+                "converging; pass max_iterations explicitly for a "
+                "bounded (k-hop) result or raise the cap"
+            )
         return dist
 
     def shortest_path(
@@ -366,17 +375,22 @@ class SparkGraph:
                 dist = dist.localCheckpoint(eager=True)
             frontier = improved
 
-        rows = {r["_n"]: (r["dist"], r["pred"]) for r in dist.collect()}
-        if target not in rows:
+        # reconstruct by walking predecessors with point lookups —
+        # O(path length) tiny queries against the checkpointed dist
+        # table instead of collecting every reachable node
+        dist = dist.localCheckpoint(eager=True)
+        t_row = dist.filter(F.col("_n") == target).collect()
+        if not t_row:
             return None
-        path, cur = [], target
+        total = t_row[0]["dist"]
+        path, cur = [target], t_row[0]["pred"]
         while cur is not None:
             path.append(cur)
-            cur = rows[cur][1]
-        return path[::-1], rows[target][0]
+            cur = dist.filter(F.col("_n") == cur).collect()[0]["pred"]
+        return path[::-1], total
 
     def connected_components(
-        self, max_iterations: int = 50, strategy: str = "auto"
+        self, max_iterations: int = 200, strategy: str = "auto"
     ) -> DataFrame:
         """Weakly connected components: ``(_n, component)`` with
         component = min node id reachable over undirected edges.
@@ -432,6 +446,7 @@ class SparkGraph:
             .distinct()
         )
         labels = all_nodes.select("_n", F.col("_n").alias("component"))
+        converged = False
         for it in range(max_iterations):
             prop = (
                 labels.join(und, labels["_n"] == und["_u"])
@@ -459,7 +474,16 @@ class SparkGraph:
             )
             labels = merged
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # one-hop min-label propagation needs O(diameter) rounds;
+            # silent wrong components are worse than an error
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations (graph diameter exceeds "
+                "the budget); raise max_iterations"
+            )
         return labels
 
     def pagerank(
@@ -563,7 +587,11 @@ class SparkGraph:
         tri = (
             e1.join(e2, "b")
             .join(e3, ["c", "a"])
-            .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+            .filter(
+                (F.col("a") < F.col("b"))
+                & (F.col("a") < F.col("c"))
+                & (F.col("b") != F.col("c"))  # excludes self-loop degenerates
+            )
         )
         return tri.select("a", "b", "c").distinct()
 

@@ -42,6 +42,25 @@ def read_geopackage(
     con.row_factory = sqlite3.Row
     try:
         rows = con.execute(f'SELECT * FROM "{table}"').fetchall()
+        if not rows:
+            # empty table: build the schema from sqlite column decls
+            # (geometry defaults to the LineString struct)
+            from pyspark.sql import types as T
+
+            from entwiner_spark.schemas import GEOM_LINESTRING
+
+            decls = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+            type_map = {"INTEGER": T.LongType(), "DOUBLE": T.DoubleType()}
+            fields = []
+            for c in decls:
+                name, decl = c["name"], (c["type"] or "TEXT").upper()
+                if name == geom_col:
+                    fields.append(T.StructField(name, GEOM_LINESTRING, True))
+                else:
+                    fields.append(
+                        T.StructField(name, type_map.get(decl, T.StringType()), True)
+                    )
+            return spark.createDataFrame([], T.StructType(fields))
     finally:
         con.close()
     records = []
@@ -166,11 +185,19 @@ def write_geopackage(
         placeholders = ", ".join("?" for _ in out_cols)
         quoted = ", ".join(f'"{c}"' for c in out_cols)
         insert = f'INSERT INTO "{table}" ({quoted}) VALUES ({placeholders})'
+        import json as _json
+
+        def _bindable(v):
+            # sqlite3 cannot bind lists/dicts (array/struct property
+            # columns) — store them as JSON text in the TEXT column
+            return _json.dumps(v) if isinstance(v, (list, dict)) else v
+
         batch = []
         for row in df.toLocalIterator():
             d = row.asDict(recursive=True)
             vals = [
-                geometry_to_gpkg_blob(d[c], srid) if c == geom_col else d[c]
+                geometry_to_gpkg_blob(d[c], srid) if c == geom_col
+                else _bindable(d[c])
                 for c in out_cols
             ]
             batch.append(vals)
@@ -192,10 +219,10 @@ def add_rtree_index(
     Parity with FeatureTable.add_rtree
     (/root/reference/entwiner/geopackage/feature_table.py:265-414):
     registers the gpkg_rtree_index extension, creates the
-    ``rtree_<table>_<geom>`` virtual table, bulk-seeds it from the
-    geometry blobs, and installs the spec's insert/update/delete
-    triggers so other writers keep it in sync.  Returns the number of
-    indexed rows.
+    ``rtree_<table>_<geom>`` virtual table and bulk-seeds it from the
+    geometry blobs.  Returns the number of indexed rows.  The index is
+    a static snapshot (see inline note on triggers) — re-run after
+    modifying the table.
 
     Runs driver-side on the exported artifact (the engine itself never
     uses this index — parquet bbox columns are its spatial index).
@@ -236,18 +263,16 @@ def add_rtree_index(
             seed.append((fid, min(xs), max(xs), min(ys), max(ys)))
         con.executemany(f'INSERT OR REPLACE INTO "{rt}" VALUES (?,?,?,?,?)', seed)
 
-        # spec triggers (subset matching the reference's set: insert,
-        # update geom, update fid, delete) keep the index live for
-        # other writers
-        t, g = table, geom_col
+        # only the delete trigger is installable: the spec's insert/
+        # update triggers need the ST_MinX.. SQL functions, which exist
+        # in Spatialite but not stdlib sqlite3.  The exported artifact
+        # is therefore a STATICALLY indexed snapshot — writers that
+        # insert/update geometries must re-run add_rtree_index (the
+        # reference keeps it live via Spatialite triggers,
+        # feature_table.py:313-414).
         con.executescript(
             f"""
-            CREATE TRIGGER IF NOT EXISTS "{rt}_insert" AFTER INSERT ON "{t}"
-              WHEN (new."{g}" NOT NULL) BEGIN
-              INSERT OR REPLACE INTO "{rt}" VALUES (new.fid,
-                ST_MinX(new."{g}"), ST_MaxX(new."{g}"),
-                ST_MinY(new."{g}"), ST_MaxY(new."{g}")); END;
-            CREATE TRIGGER IF NOT EXISTS "{rt}_delete" AFTER DELETE ON "{t}"
+            CREATE TRIGGER IF NOT EXISTS "{rt}_delete" AFTER DELETE ON "{table}"
               BEGIN DELETE FROM "{rt}" WHERE id = old.fid; END;
             """
         )

@@ -44,9 +44,10 @@ def running_totals(
         state.update((n, total))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_value": [total]})
 
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, n_events long, total_value double",
+        outputStructType=f"{key_col} {key_type}, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -80,6 +81,6 @@ def seen_edge_filter(
         update,
         outputStructType=f"{u_col} string, {v_col} string",
         stateStructType="seen int",
-        outputMode="update",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

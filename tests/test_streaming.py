@@ -186,7 +186,7 @@ def test_stateful_seen_edge_filter(spark, tmp_path):
         seen_edge_filter(stream)
         .writeStream.format("memory")
         .queryName("se_test")
-        .outputMode("update")
+        .outputMode("append")
         .start()
     )
     try:
