@@ -178,6 +178,34 @@ def ivf_assign(
     return base.select(F.col(id_col), expr.alias("centroid"))
 
 
+def ivf_probe_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: each vector mapped to its ``probes``
+    nearest centroids (one output row per probe).  Recall knob for
+    ivf_topk — more probes search more buckets."""
+    v = F.col(vec_col)
+    base = emb.select(
+        F.col(id_col),
+        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+    )
+    base = base.repartition(F.col(id_col))
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"_d{k}").alias("d"), F.lit(k).alias("c"))
+            for k in range(len(centroids))
+        ]
+    )
+    ranked = F.slice(F.array_sort(pairs), 1, probes)
+    return base.select(
+        F.col(id_col), F.explode(ranked).alias("_p")
+    ).select(F.col(id_col), F.col("_p.c").alias("centroid"))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -186,16 +214,21 @@ def ivf_topk(
     k: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """IVF-flat ANN: search only the query's coarse bucket.
-
-    The bucket equi-join replaces the full cross product; recall is
-    tunable with multi-probe (assign queries to their p nearest
-    centroids) — single-probe here for oracle determinism.
+    """IVF-flat ANN: search the query's ``probes`` nearest coarse
+    buckets (probes=1 keeps the single-probe oracle determinism; raise
+    it for recall — each extra probe adds one bucket's candidates per
+    query).
     """
-    qa = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
-        id_col, "qid"
-    )
+    if probes > 1:
+        qa = ivf_probe_assign(
+            queries, centroids, probes, id_col, vec_col
+        ).withColumnRenamed(id_col, "qid")
+    else:
+        qa = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
+            id_col, "qid"
+        )
     ca = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         id_col, "nid"
     )

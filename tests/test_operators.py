@@ -154,3 +154,33 @@ def test_ivf_assign_and_topk(spark):
     # every returned neighbor shares the query's bucket
     for r in rows:
         assert a[r["nid"]] == a[r["qid"]]
+
+
+def test_ivf_multiprobe_recall_improves(spark):
+    """More probes -> recall vs exact top-1 can only improve (and the
+    probe buckets are the truly nearest centroids)."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qids = [r["vec_id"] for r in emb.filter(F.col("vec_id") >= 8).limit(6).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    def recall(probes):
+        hits = 0
+        approx = ivf_topk(queries, emb, cents, dim=64, k=1, probes=probes)
+        got = {r["qid"]: r["nid"] for r in approx.collect()}
+        for q in qids:
+            qv = [float(x) for x in emb.filter(F.col("vec_id") == q).collect()[0]["embedding"]]
+            exact = cosine_topk(emb.filter(F.col("vec_id") != q), qv, k=1).collect()[0]["vec_id"]
+            if got.get(q) == exact:
+                hits += 1
+        return hits
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
