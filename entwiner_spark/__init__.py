@@ -19,7 +19,12 @@ no driver-side loops over data, broadcast hints for small dims, AQE on.
 
 from entwiner_spark.session import get_spark, stop_spark
 from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+from entwiner_spark.sources.parquet_store import (
+    read_graph_tables,
+    write_graph_tables,
+)
 from entwiner_spark.operators.graph import SparkGraph
+from entwiner_spark.operators.spatial import dwithin, intersects
 
 __version__ = "0.1.0"
 
@@ -28,6 +33,10 @@ __all__ = [
     "stop_spark",
     "edges_from_geojson",
     "nodes_from_edges",
+    "read_graph_tables",
+    "write_graph_tables",
     "SparkGraph",
+    "dwithin",
+    "intersects",
     "__version__",
 ]
