@@ -1823,3 +1823,30 @@ def s5b_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(
         emb.filter(F.col("vec_id") < 6), emb, cents, dim=_DIM, k=2
     )
+
+
+@q(
+    "w4_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+)
+def w4_lag_lead(spark, sf_dir):
+    """lag/lead analytics (§2.5): per-customer order cadence."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
