@@ -1850,3 +1850,66 @@ def w4_lag_lead(spark, sf_dir):
         .alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6 shape: pure filter + scan + agg — every predicate
+    pushes to parquet, zero joins, one partial-agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS avg_pk, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON avg_pk = l_partkey
+    WHERE p_size < 10 AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H-Q17 shape: join against a derived per-key aggregate (the
+    decorrelated form of a correlated scalar subquery — written the
+    same way in both engines so the plan and values align)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    avg_q = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .join(avg_q, F.col("avg_pk") == li["l_partkey"])
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -14,7 +14,7 @@ def test_contract_shape():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    assert len(qs) >= 68
+    assert len(qs) >= 70
     assert set(oracles) <= set(qs)
     # every oracle-less query is a documented iterative/approximate op
     assert set(qs) - set(oracles) == {"g_pagerank", "a2b_approx_degree"}
