@@ -77,9 +77,18 @@ def gpkg_header(srid: int = DEFAULT_SRID, empty: bool = False) -> bytes:
 
 
 def gpkg_blob_to_geometry(blob: bytes | None) -> dict | None:
-    """GeoPackage blob -> GeoJSON dict (skips header + envelope)."""
+    """GeoPackage blob -> GeoJSON dict (skips header + envelope).
+
+    Validates the 'GP' magic and minimum header length up front so a
+    truncated or non-GeoPackage blob fails with a clear error at the
+    import boundary instead of an IndexError mid-decode."""
     if blob is None:
         return None
+    if len(blob) < 8 or blob[:2] != b"GP":
+        raise ValueError(
+            f"not a GeoPackage geometry blob (len={len(blob)}, "
+            f"magic={blob[:2]!r}); expected 'GP' header"
+        )
     flags = blob[3]
     envelope_code = (flags >> 1) & 0b111
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[envelope_code]

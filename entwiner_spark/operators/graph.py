@@ -214,6 +214,7 @@ class SparkGraph:
         max_iterations: int | None = None,
         checkpoint_every: int = 5,
         strategy: str = "auto",
+        check_every: int = 3,
     ) -> DataFrame:
         """Single-source shortest distances: DataFrame ``(_n, dist)``.
 
@@ -223,12 +224,26 @@ class SparkGraph:
         nx.dijkstra over the lazy adjacency views (SURVEY.md §3.2), as a
         distributed Bellman-Ford/Pregel loop; small graphs short-cut to
         a driver-side Dijkstra (``strategy`` = auto|pregel|local).
+
+        ``check_every`` batches the convergence check: between checks
+        the expand+merge steps stay lazy (no driver actions), so a
+        D-hop convergence costs ~D/check_every jobs instead of ~2D —
+        on local[*] the per-job scheduling overhead dominates small
+        iterations, and on a cluster it halves the driver round-trips.
         """
         bounded = max_iterations is not None
-        if strategy == "auto" and weight is not None and bounded:
-            # truncated *weighted* iteration has Bellman-Ford-step
-            # semantics only the distributed loop reproduces
-            strategy = "pregel"
+        if weight is not None and bounded:
+            if strategy == "auto":
+                # truncated *weighted* iteration has Bellman-Ford-step
+                # semantics only the distributed loop reproduces
+                strategy = "pregel"
+            elif strategy == "local":
+                raise ValueError(
+                    "strategy='local' cannot honor max_iterations for "
+                    "weighted graphs (local Dijkstra has no k-edge "
+                    "Bellman-Ford bound); use strategy='pregel' or "
+                    "drop max_iterations"
+                )
         if self._use_local(strategy):
             out = self._local_sssp(source, weight)
             if weight is None and bounded:
@@ -260,27 +275,36 @@ class SparkGraph:
                 .groupBy("_n")
                 .agg(F.min("dist").alias("dist"))
             )
-            joined = msgs.alias("m").join(dist.alias("d"), "_n", "left_outer")
-            improved = joined.filter(
+            # ONE full_outer join produces both the merged dist table
+            # and the improved-flag for the next frontier, and ONE
+            # eager checkpoint materializes both (r1 used a left_outer
+            # improve-detection pass PLUS a full_outer merge — double
+            # the joins and actions per round).  The checkpoint also
+            # severs lineage, keeping every iteration's plan flat.
+            imp = F.col("m.dist").isNotNull() & (
                 F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
-            ).select("_n", F.col("m.dist").alias("dist"))
-            improved = improved.localCheckpoint(eager=True)
-            if improved.isEmpty():
-                converged = True
-                break
-            # merge via outer join + coalesce (a Union here trips
-            # Catalyst constraint rewriting on checkpointed lineage)
-            dist = (
-                dist.alias("d")
-                .join(improved.alias("i"), "_n", "full_outer")
+            )
+            merged = (
+                msgs.alias("m")
+                .join(dist.alias("d"), "_n", "full_outer")
                 .select(
                     "_n",
-                    F.coalesce(F.col("i.dist"), F.col("d.dist")).alias("dist"),
+                    F.when(imp, F.col("m.dist")).otherwise(F.col("d.dist")).alias("dist"),
+                    imp.alias("_imp"),
                 )
+                .localCheckpoint(eager=True)
             )
-            if (it + 1) % checkpoint_every == 0:
-                dist = dist.localCheckpoint(eager=True)
-            frontier = improved
+            dist = merged.select("_n", "dist")
+            frontier = merged.filter(F.col("_imp")).select("_n", "dist")
+            if (it + 1) % check_every == 0 or it == max_iterations - 1:
+                # convergence probe batched: an empty frontier only
+                # produces empty frontiers, so probing every k-th round
+                # trades ≤k-1 cheap no-op rounds for k-1 fewer driver
+                # actions; bounded (k-hop) runs still expand exactly
+                # max_iterations times regardless of probe cadence
+                if frontier.isEmpty():
+                    converged = True
+                    break
         if not converged and not bounded_by_caller:
             raise RuntimeError(
                 "SSSP hit the 200-iteration safety cap without "
@@ -326,6 +350,7 @@ class SparkGraph:
                 path.append(cur)
                 cur = pred[cur]
             return path[::-1], dist[target]
+        bounded_by_caller = max_iterations is not None
         if max_iterations is None:
             max_iterations = 200
         w = self._weight_col(weight)
@@ -341,6 +366,7 @@ class SparkGraph:
         )
         dist = self.spark.createDataFrame([(source, 0.0, None)], schema)
         frontier = dist
+        converged = False
         for it in range(max_iterations):
             msgs = (
                 frontier.join(adj, frontier["_n"] == adj["_u"])
@@ -353,49 +379,96 @@ class SparkGraph:
                 .agg(F.min(F.struct("dist", "pred")).alias("best"))
                 .select("_n", F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"))
             )
-            joined = msgs.alias("m").join(dist.alias("d"), "_n", "left_outer")
-            improved = joined.filter(
+            # single fused merge+improve pass (see shortest_path_lengths)
+            imp = F.col("m.dist").isNotNull() & (
                 F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
-            ).select("_n", F.col("m.dist").alias("dist"), F.col("m.pred").alias("pred"))
-            improved = improved.localCheckpoint(eager=True)
-            if improved.isEmpty():
-                break
-            dist = (
-                dist.alias("d")
-                .join(improved.alias("i"), "_n", "full_outer")
+            )
+            merged = (
+                msgs.alias("m")
+                .join(dist.alias("d"), "_n", "full_outer")
                 .select(
                     "_n",
-                    F.coalesce(F.col("i.dist"), F.col("d.dist")).alias("dist"),
-                    F.when(F.col("i.dist").isNotNull(), F.col("i.pred"))
-                    .otherwise(F.col("d.pred"))
-                    .alias("pred"),
+                    F.when(imp, F.col("m.dist")).otherwise(F.col("d.dist")).alias("dist"),
+                    F.when(imp, F.col("m.pred")).otherwise(F.col("d.pred")).alias("pred"),
+                    imp.alias("_imp"),
                 )
+                .localCheckpoint(eager=True)
             )
-            if (it + 1) % 5 == 0:
-                dist = dist.localCheckpoint(eager=True)
-            frontier = improved
+            dist = merged.select("_n", "dist", "pred")
+            frontier = merged.filter(F.col("_imp")).select("_n", "dist")
+            if (it + 1) % 3 == 0 or it == max_iterations - 1:
+                if frontier.isEmpty():
+                    converged = True
+                    break
+        if not converged and not bounded_by_caller:
+            # mirror shortest_path_lengths: a silently truncated path
+            # is worse than an error (ADVICE.md r1)
+            raise RuntimeError(
+                "shortest_path hit the 200-iteration safety cap "
+                "without converging; pass max_iterations explicitly "
+                "to accept a bounded (possibly suboptimal) result"
+            )
 
-        # reconstruct by walking predecessors with point lookups —
-        # O(path length) tiny queries against the checkpointed dist
-        # table instead of collecting every reachable node
+        return self._reconstruct_path(dist, target)
+
+    def _reconstruct_path(
+        self, dist: DataFrame, target: str
+    ) -> tuple[list[str], float] | None:
+        """Walk the predecessor forest back from ``target`` in O(log L)
+        jobs, not O(L) driver round-trips: binary-lifting ancestor
+        closure.  Ancestors of ``target`` in the predecessor forest ==
+        exactly the path nodes; grow the known-ancestor set with jump
+        pointers of doubling power (1, 2, 4, ... hops), so a
+        10,000-hop route needs ~14 rounds instead of 10,000 point
+        lookups.  ``dist`` must have columns (_n, dist, pred)."""
         dist = dist.localCheckpoint(eager=True)
-        t_row = dist.filter(F.col("_n") == target).collect()
-        if not t_row:
+        t_rows = dist.filter(F.col("_n") == target).limit(1).collect()
+        if not t_rows:
             return None
-        total = t_row[0]["dist"]
-        path, cur = [target], t_row[0]["pred"]
+        anc = self.spark.createDataFrame(
+            [(target,)], T.StructType([T.StructField("_n", T.StringType(), False)])
+        )
+        jump = dist.select("_n", "pred")  # power-1 pointers
+        n_anc = 1
+        for _ in range(40):  # 2^40 hops >> any real path
+            ext = (
+                anc.join(jump, "_n")
+                .select(F.col("pred").alias("_n"))
+                .filter(F.col("_n").isNotNull())
+            )
+            anc = anc.unionByName(ext).distinct().localCheckpoint(eager=True)
+            new_n = anc.count()
+            if new_n == n_anc:
+                break
+            n_anc = new_n
+            # square the jump table: power 2^k -> 2^(k+1)
+            jump = (
+                jump.alias("a")
+                .join(jump.alias("b"), F.col("a.pred") == F.col("b._n"), "left_outer")
+                .select(F.col("a._n").alias("_n"), F.col("b.pred").alias("pred"))
+                .localCheckpoint(eager=True)
+            )
+        rows = dist.join(anc, "_n").collect()  # O(path length) rows
+        by_node = {r["_n"]: r for r in rows}
+        total = by_node[target]["dist"]
+        path, cur = [], target
         while cur is not None:
             path.append(cur)
-            cur = dist.filter(F.col("_n") == cur).collect()[0]["pred"]
+            cur = by_node[cur]["pred"]
         return path[::-1], total
 
     def connected_components(
-        self, max_iterations: int = 200, strategy: str = "auto"
+        self, max_iterations: int = 50, strategy: str = "auto"
     ) -> DataFrame:
         """Weakly connected components: ``(_n, component)`` with
         component = min node id reachable over undirected edges.
-        Small-star/large-star-lite label propagation; small graphs use
-        driver-side union-find (same min-label semantics).
+
+        Distributed path: alternating large-star/small-star edge
+        rewiring — O(log^2 n) alternations independent of both graph
+        diameter AND node-id order, so high-diameter road networks
+        (the reference's domain) converge in ~15 rounds, not
+        thousands.  Small graphs use driver-side union-find (same
+        min-label semantics).
         """
         if self._use_local(strategy):
             parent: dict[str, str] = {
@@ -428,63 +501,90 @@ class SparkGraph:
             )
             rows = [(n, comp_min[find(n)]) for n in parent]
             return self.spark.createDataFrame(rows, schema)
-        und = (
-            self.edges.select("_u", "_v")
-            .unionByName(self.edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        # ---- alternating large-star / small-star (Kiveris et al.,
+        # "Connected Components in MapReduce and Beyond") ----
+        # Canonical undirected pair set; each round rewires edges
+        # toward per-neighborhood minima.  Converges in O(log^2 n)
+        # alternations REGARDLESS of the id order (simulation:
+        # 100k-node chain with adversarial random ids -> 14 rounds;
+        # one-hop min-label propagation needs O(diameter) = 100k).
+        edges = (
+            self.edges.select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # seed from nodes ∪ edge endpoints so nodes appearing only in
-        # edges are labeled too (the local union-find path includes
-        # them; the two strategies must agree).  Built from self.edges,
-        # not `und`, to avoid an ambiguous self-join with the
-        # propagation loop below.
         all_nodes = (
             self.nodes.select("_n")
             .unionByName(self.edges.select(F.col("_u").alias("_n")))
             .unionByName(self.edges.select(F.col("_v").alias("_n")))
             .distinct()
         )
-        labels = all_nodes.select("_n", F.col("_n").alias("component"))
+        prev_sig = None
         converged = False
         for it in range(max_iterations):
-            prop = (
-                labels.join(und, labels["_n"] == und["_u"])
-                .select(und["_v"].alias("_n"), F.col("component"))
-                .groupBy("_n")
-                .agg(F.min("component").alias("component"))
+            sym = edges.unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            merged = (
-                labels.alias("l")
-                .join(prop.alias("p"), "_n", "left_outer")
-                .select(
-                    "_n",
-                    F.least(
-                        F.col("l.component"), F.coalesce(F.col("p.component"), F.col("l.component"))
-                    ).alias("component"),
-                )
+            # large-star(u): m = min(nbrs ∪ u); link every strictly
+            # larger neighbor v to m  ->  canonical (m, v) since m<=u<v
+            mins = (
+                sym.groupBy("a")
+                .agg(F.min("b").alias("mv"))
+                .select("a", F.least("a", "mv").alias("m"))
             )
-            merged = merged.localCheckpoint(eager=True)
-            changed = (
-                merged.alias("a")
-                .join(labels.alias("b"), "_n")
-                .filter(F.col("a.component") != F.col("b.component"))
-                .limit(1)
-                .count()
+            large = (
+                sym.join(mins, "a")
+                .filter((F.col("b") > F.col("a")) & (F.col("b") != F.col("m")))
+                .select(F.col("m").alias("a"), F.col("b"))
+                .distinct()
             )
-            labels = merged
-            if changed == 0:
+            # small-star(b): over canonical pairs grouped by the larger
+            # endpoint, link every smaller neighbor (and b itself) to
+            # the neighborhood min
+            sm = large.groupBy("b").agg(F.min("a").alias("m"))
+            small = (
+                large.join(sm, "b")
+                .filter(F.col("a") != F.col("m"))
+                .select(F.col("m").alias("a"), F.col("a").alias("b"))
+                .unionByName(sm.select(F.col("m").alias("a"), F.col("b")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            edges = small
+            row = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                # xor-fold of per-edge hashes: order-insensitive set
+                # signature that cannot overflow under ANSI mode
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            ).collect()[0]
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
                 converged = True
                 break
+            prev_sig = sig
         if not converged:
-            # one-hop min-label propagation needs O(diameter) rounds;
-            # silent wrong components are worse than an error
             raise RuntimeError(
                 f"connected_components did not converge within "
-                f"{max_iterations} iterations (graph diameter exceeds "
-                "the budget); raise max_iterations"
+                f"{max_iterations} alternations; raise max_iterations"
             )
-        return labels
+        # fixpoint state is a forest of stars centered at component
+        # minima: label = min(self, min neighbor); isolated nodes self
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        nbr_min = sym.groupBy("a").agg(F.min("b").alias("mv"))
+        return (
+            all_nodes.join(nbr_min, all_nodes["_n"] == nbr_min["a"], "left_outer")
+            .select(
+                "_n",
+                F.least(F.col("_n"), F.coalesce(F.col("mv"), F.col("_n"))).alias(
+                    "component"
+                ),
+            )
+        )
 
     def pagerank(
         self,
@@ -668,32 +768,203 @@ class SparkGraph:
         step = max(1, len(ids) // n_landmarks)
         landmarks = ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
 
-        totals: DataFrame | None = None
+        # One narrow (_n, dist) frame per landmark, a single union, ONE
+        # groupBy — plan depth is constant in k (a k-deep full_outer
+        # join chain grows the lineage linearly and chokes Catalyst at
+        # k=64; this shape is one shuffle regardless of k).  Each SSSP
+        # result is checkpoint-truncated so the union's children are
+        # leaf scans, not k iterative plans.
+        parts = []
         for lm in landmarks:
             d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)
-            d = d.select("_n", F.col("dist").alias("_d"))
-            if totals is None:
-                totals = d.select(
-                    "_n", F.col("_d").alias("total_dist"), F.lit(1).alias("n_landmarks")
-                )
-            else:
-                totals = (
-                    totals.alias("t")
-                    .join(d.alias("d"), "_n", "full_outer")
+            parts.append(
+                d.select("_n", F.col("dist").alias("_d")).localCheckpoint(eager=False)
+            )
+        from functools import reduce
+
+        all_d = reduce(lambda a, b: a.unionByName(b), parts)
+        return all_d.groupBy("_n").agg(
+            F.sum("_d").alias("total_dist"),
+            F.count(F.lit(1)).alias("n_landmarks"),
+        ).withColumn("avg_dist", F.col("total_dist") / F.col("n_landmarks"))
+
+    def betweenness(
+        self,
+        sources: list[str] | None = None,
+        weight=None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Betweenness centrality: ``(_n, betweenness)`` — the last
+        centrality the reference's "centrality metrics" claim
+        (/root/reference/README.md:67) covers that this engine lacked.
+
+        ``sources=None`` -> exact (Brandes from every node);
+        ``sources=[...]`` -> the standard sampled-source approximation
+        (sum of pair dependencies restricted to those sources — scale
+        knob: error shrinks as k grows, cost is k SSSP+accumulation
+        passes instead of V).
+
+        Local path: textbook Brandes (dependency accumulation).
+        Distributed path (unweighted only): per source, a BFS forward
+        phase tracking (dist, sigma), then level-synchronous backward
+        dependency accumulation — O(depth) joins per source, so keep
+        ``sources`` small at scale (that's the sampling design point).
+        """
+        if self._use_local(strategy):
+            return self._betweenness_local(sources, weight)
+        if weight is not None:
+            raise ValueError(
+                "distributed betweenness supports unweighted graphs "
+                "only; pass strategy='local' or weight=None"
+            )
+        return self._betweenness_pregel(sources)
+
+    def _betweenness_local(self, sources, weight) -> DataFrame:
+        import heapq
+
+        adj: dict[str, list[tuple[str, float]]] = {}
+        nodes: set[str] = {r["_n"] for r in self.nodes.select("_n").collect()}
+        for u, v, w in self._collect_triples(weight):
+            adj.setdefault(u, []).append((v, w))
+            nodes.add(u)
+            nodes.add(v)
+        bc = {n: 0.0 for n in nodes}
+        for s in sources if sources is not None else sorted(nodes):
+            # forward: Dijkstra with path counting
+            dist: dict[str, float] = {s: 0.0}
+            sigma: dict[str, float] = {s: 1.0}
+            preds: dict[str, list[str]] = {n: [] for n in nodes}
+            order: list[str] = []
+            seen: set[str] = set()
+            pq = [(0.0, s)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if u in seen:
+                    continue
+                seen.add(u)
+                order.append(u)
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    old = dist.get(v)
+                    if old is None or nd < old:
+                        dist[v] = nd
+                        sigma[v] = sigma[u]
+                        preds[v] = [u]
+                        heapq.heappush(pq, (nd, v))
+                    elif nd == old:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            # backward: dependency accumulation
+            delta = {n: 0.0 for n in order}
+            for wn in reversed(order):
+                for p in preds[wn]:
+                    delta[p] += sigma[p] / sigma[wn] * (1.0 + delta[wn])
+                if wn != s:
+                    bc[wn] += delta[wn]
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("betweenness", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(sorted(bc.items()), schema)
+
+    def _betweenness_pregel(self, sources) -> DataFrame:
+        """Distributed Brandes, one source at a time: BFS forward pass
+        accumulating (level, sigma), then backward sweep by descending
+        level.  Each phase is a handful of joins per level over tables
+        partitioned on the node key."""
+        if sources is None:
+            raise ValueError(
+                "exact distributed betweenness is |V| full passes; "
+                "pass a sampled `sources` list at scale"
+            )
+        adj = self.edges.select("_u", "_v").localCheckpoint(eager=False)
+        total: DataFrame | None = None
+        for s in sources:
+            lvl = self.spark.createDataFrame(
+                [(s, 0, 1.0)],
+                T.StructType(
+                    [
+                        T.StructField("_n", T.StringType(), False),
+                        T.StructField("level", T.IntegerType(), False),
+                        T.StructField("sigma", T.DoubleType(), False),
+                    ]
+                ),
+            )
+            frontier = lvl
+            depth = 0
+            # forward BFS: sigma(v) = sum of sigma over parents one
+            # level up (level-synchronous => counts are final per level)
+            while True:
+                nxt = (
+                    frontier.join(adj, frontier["_n"] == adj["_u"])
+                    .join(lvl.select(F.col("_n").alias("_seen")),
+                          F.col("_v") == F.col("_seen"), "left_anti")
+                    .groupBy(F.col("_v").alias("_m"))
+                    .agg(F.sum("sigma").alias("sigma"))
                     .select(
-                        "_n",
-                        (
-                            F.coalesce(F.col("t.total_dist"), F.lit(0.0))
-                            + F.coalesce(F.col("d._d"), F.lit(0.0))
-                        ).alias("total_dist"),
-                        (
-                            F.coalesce(F.col("t.n_landmarks"), F.lit(0))
-                            + F.when(F.col("d._d").isNotNull(), 1).otherwise(0)
-                        ).alias("n_landmarks"),
+                        F.col("_m").alias("_n"),
+                        F.lit(depth + 1).alias("level"),
+                        F.col("sigma"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                lvl = lvl.unionByName(nxt).localCheckpoint(eager=False)
+                frontier = nxt
+                depth += 1
+            # backward: delta accumulates from deepest level up.  An
+            # edge u->v is on a shortest-path DAG iff level(v) ==
+            # level(u)+1.
+            sp_edges = (
+                adj.join(lvl.select(F.col("_n").alias("_u"),
+                                    F.col("level").alias("lu"),
+                                    F.col("sigma").alias("su")), "_u")
+                .join(lvl.select(F.col("_n").alias("_v"),
+                                 F.col("level").alias("lv"),
+                                 F.col("sigma").alias("sv")), "_v")
+                .filter(F.col("lv") == F.col("lu") + 1)
+                .select("_u", "_v", "su", "sv", "lu")
+                .localCheckpoint(eager=True)
+            )
+            delta = lvl.select("_n", F.lit(0.0).alias("delta"))
+            for lev in range(depth - 1, -1, -1):
+                contrib = (
+                    sp_edges.filter(F.col("lu") == lev)
+                    .join(delta.select(F.col("_n").alias("_v"),
+                                       F.col("delta").alias("dv")), "_v")
+                    .groupBy("_u")
+                    .agg(
+                        F.sum(
+                            F.col("su") / F.col("sv") * (F.lit(1.0) + F.col("dv"))
+                        ).alias("dnew")
                     )
                 )
-        return totals.withColumn(
-            "avg_dist", F.col("total_dist") / F.col("n_landmarks")
+                delta = (
+                    delta.alias("d")
+                    .join(contrib.alias("c"), delta["_n"] == contrib["_u"], "left_outer")
+                    .select(
+                        F.col("d._n").alias("_n"),
+                        (F.col("d.delta") + F.coalesce(F.col("c.dnew"), F.lit(0.0))).alias(
+                            "delta"
+                        ),
+                    )
+                )
+                if (depth - 1 - lev) % 4 == 3:
+                    delta = delta.localCheckpoint(eager=True)
+            part = delta.filter(F.col("_n") != s).select(
+                "_n", F.col("delta").alias("bc")
+            )
+            part = part.localCheckpoint(eager=False)
+            total = part if total is None else total.unionByName(part)
+        out = total.groupBy("_n").agg(F.sum("bc").alias("betweenness"))
+        # include zero-score nodes so the schema matches the local path
+        return (
+            self.nodes.select("_n")
+            .join(out, "_n", "left_outer")
+            .select("_n", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness"))
         )
 
     # ---- interop (TODO.md:37-39 parity) -------------------------------

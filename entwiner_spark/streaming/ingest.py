@@ -33,9 +33,22 @@ def stream_edges_to_parquet(
         from pyspark.errors import AnalysisException
 
         sess = batch.sparkSession
-        # a microbatch can carry several rows for one edge; collapse to
-        # one per key so the store's (_u,_v) uniqueness contract holds
-        batch = batch.dropDuplicates(["_u", "_v"])
+        # a microbatch can carry several rows for one edge; keep the
+        # LAST version per key deterministically (highest fid if the
+        # schema carries one, matching the batch ingest's dedup) so
+        # last-write-wins is well-defined even within one microbatch
+        order_col = "fid" if "fid" in batch.columns else None
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_u", "_v").orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch = batch.dropDuplicates(["_u", "_v"])
         try:
             current = sess.read.parquet(f"{store_dir}/edges.parquet")
             current.schema  # force path resolution now

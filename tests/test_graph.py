@@ -197,3 +197,99 @@ def test_closeness_landmarks_sampled(uwG):
     out = uwG.closeness_landmarks(n_landmarks=5, weight="_length").collect()
     assert len(out) > 0
     assert all(r["n_landmarks"] <= 5 for r in out)
+
+
+# ---- round 2: betweenness, O(log) CC, O(log) path reconstruction ----
+
+def test_betweenness_exact_matches_networkx(uwG):
+    nx = pytest.importorskip("networkx")
+    g = uwG.to_networkx()
+    want = nx.betweenness_centrality(g, normalized=False, weight="_length")
+    got = {r["_n"]: r["betweenness"] for r in
+           uwG.betweenness(weight="_length").collect()}
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-6)
+
+
+def test_betweenness_pregel_matches_local_sampled(uwG):
+    """Distributed Brandes (unweighted, sampled sources) must equal the
+    local accumulation restricted to the same sources."""
+    srcs = sorted(r["_n"] for r in uwG.nodes.select("_n").collect())[:6]
+    local = {r["_n"]: r["betweenness"] for r in
+             uwG.betweenness(sources=srcs, strategy="local").collect()}
+    dist = {r["_n"]: r["betweenness"] for r in
+            uwG.betweenness(sources=srcs, strategy="pregel").collect()}
+    assert set(dist) == set(local)
+    for n, v in local.items():
+        assert dist[n] == pytest.approx(v, abs=1e-9)
+
+
+def test_cc_star_contraction_converges_logarithmically(spark):
+    """A 200-node chain has diameter 200; one-hop propagation needs 200
+    rounds, large-star/small-star must finish well inside 16
+    alternations."""
+    n = 200
+    base = spark.range(n)
+    edges = base.filter(F.col("id") < n - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+    ).withColumn("w", F.lit(1.0))
+    nodes = base.select(F.col("id").cast("string").alias("_n"))
+    G2 = SparkGraph(nodes, edges, partitions=4)
+    cc = G2.connected_components(max_iterations=16, strategy="pregel")
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"0"}
+    assert cc.count() == n
+
+
+def test_path_reconstruction_binary_lifting(spark):
+    """500-hop predecessor chain reconstructs correctly (and in ~9
+    doubling rounds — job count asserted in tools/stress.py)."""
+    n = 500
+    rows = [(str(i), float(i), str(i - 1) if i else None) for i in range(n)]
+    from pyspark.sql import types as T
+    dist = spark.createDataFrame(rows, T.StructType([
+        T.StructField("_n", T.StringType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("pred", T.StringType(), True),
+    ]))
+    edges = spark.createDataFrame([("0", "1", 1.0)], ["_u", "_v", "w"])
+    G2 = SparkGraph(dist.select("_n"), edges, partitions=4)
+    path, total = G2._reconstruct_path(dist, str(n - 1))
+    assert total == float(n - 1)
+    assert path == [str(i) for i in range(n)]
+    assert G2._reconstruct_path(dist, "not-a-node") is None
+
+
+def test_shortest_path_unconverged_raises(spark):
+    """>cap-hop graphs must raise, not silently truncate (ADVICE r1)."""
+    n = 30
+    base = spark.range(n)
+    edges = base.filter(F.col("id") < n - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+    ).withColumn("w", F.lit(1.0))
+    G2 = SparkGraph(base.select(F.col("id").cast("string").alias("_n")),
+                    edges, partitions=4)
+    with pytest.raises(RuntimeError, match="safety cap"):
+        # monkey-patch the cap down via max_iterations=None semantics:
+        # a 29-hop chain with the loop bounded to 5 iterations by the
+        # caller is fine (bounded), but the unbounded call with a
+        # patched cap must raise.  Exercise via small max on lengths.
+        import unittest.mock as mock
+        with mock.patch.object(SparkGraph, "LOCAL_THRESHOLD", 0):
+            real_range = range
+
+            def short_range(x):
+                return real_range(min(x, 5))
+
+            with mock.patch("entwiner_spark.operators.graph.range",
+                            short_range, create=True):
+                G2.shortest_path("0", str(n - 1), weight="w", strategy="pregel")
+
+
+def test_local_weighted_bounded_raises(uwG):
+    with pytest.raises(ValueError, match="local"):
+        uwG.shortest_path_lengths("x", weight="_length",
+                                  max_iterations=3, strategy="local")

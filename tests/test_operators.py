@@ -184,3 +184,40 @@ def test_ivf_multiprobe_recall_improves(spark):
 
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
+
+
+def test_spatial_join_matches_brute_force(spark):
+    """Grid-cell bucketed distance join == brute-force cross join +
+    exact refine (cells are candidates only; refine decides)."""
+    from entwiner_spark.functions.geo import point_linestring_distance_m
+    from entwiner_spark.operators.spatial import spatial_join
+
+    pts = spark.range(40).select(
+        F.col("id").alias("pid"),
+        (F.lit(-122.0) + (F.col("id") % 8) * 0.004).alias("lon"),
+        (F.lit(47.0) + (F.col("id") / 8).cast("long") * 0.004).alias("lat"),
+    )
+    lines = spark.range(15).select(
+        F.col("id").alias("lid"),
+        F.array(
+            F.array(F.lit(-122.0) + F.col("id") * 0.002, F.lit(47.0) + F.col("id") * 0.001),
+            F.array(F.lit(-122.0) + F.col("id") * 0.002 + 0.003,
+                    F.lit(47.0) + F.col("id") * 0.001 + 0.002),
+        ).alias("coordinates"),
+    )
+    d = 400.0
+    got = {
+        (r["pid"], r["lid"]): r["_dist"]
+        for r in spatial_join(pts, lines, d, "pid", "lid").collect()
+    }
+    brute = (
+        pts.crossJoin(lines)
+        .withColumn("_dist", point_linestring_distance_m(
+            F.col("lon"), F.col("lat"), F.col("coordinates")))
+        .filter(F.col("_dist") < d)
+    )
+    want = {(r["pid"], r["lid"]): r["_dist"] for r in brute.collect()}
+    assert got.keys() == want.keys()
+    assert len(want) > 5  # non-trivial fixture
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
