@@ -25,6 +25,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query (all but the
-    iterative-fixpoint ones, e.g. g_pagerank)."""
+    """DuckDB twins for every catalog query — including the iterative
+    ones (g_pagerank runs a fixed-iteration unrolled CTE oracle)."""
     return dict(catalog.ORACLES)

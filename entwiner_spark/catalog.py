@@ -656,10 +656,53 @@ def g_cc_components(spark, sf_dir):
     )
 
 
-@q("g_pagerank", None)  # iterative fixpoint — no SQL oracle (rows-only check)
+def _pagerank_sql(iterations: int = 10) -> str:
+    """Unrolled power-iteration oracle: one chained CTE per iteration
+    (standard SQL — no recursive-CTE aggregation restrictions), written
+    term-for-term against the engine formula
+    r' = (1-a)/N + a*(sum(r_u/deg_u) + dangling/N) so every
+    floating-point operation matches (in-degree is at most 2 on this
+    DAG, and two-term IEEE addition is commutative, so accumulation
+    order cannot diverge)."""
+    ctes = [
+        f"edges AS (SELECT u, v FROM ({_GRAPH_EDGES_SQL}))",
+        "nodes AS (SELECT DISTINCT u AS n FROM edges"
+        " UNION SELECT DISTINCT v AS n FROM edges)",
+        "deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u)",
+        "r0 AS (SELECT n, 1.0e0 / 25 AS r FROM nodes)",
+    ]
+    for i in range(iterations):
+        # MATERIALIZED: each iteration references the previous twice
+        # (contribution sum + dangling mass); default CTE inlining
+        # would re-expand the chain 2^iterations times
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+      SELECT nodes.n,
+             (1.0e0 - 0.85e0) / 25
+             + 0.85e0 * (COALESCE(c.c, 0.0e0) + dang.m / 25) AS r
+      FROM nodes
+      LEFT JOIN (SELECT e.v AS n, sum(p.r / deg.d) AS c
+                 FROM r{i} p JOIN edges e ON e.u = p.n
+                 JOIN deg ON deg.u = e.u
+                 GROUP BY e.v) c ON c.n = nodes.n
+      CROSS JOIN (SELECT COALESCE(sum(p.r), 0.0e0) AS m
+                  FROM r{i} p LEFT JOIN deg ON deg.u = p.n
+                  WHERE deg.u IS NULL) dang
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n AS node, round(r, 6) AS rank FROM r{iterations}"
+    )
+
+
+@q("g_pagerank", _pagerank_sql(10))
 def g_pagerank(spark, sf_dir):
+    """PageRank with a value-verified oracle: tol=0 forces exactly 10
+    iterations on both engines (closes the r1 `no_oracle` row)."""
     g = _graph_as_spark_graph(spark, sf_dir)
-    return g.pagerank(max_iterations=10).select(
+    return g.pagerank(max_iterations=10, tol=0.0).select(
         F.col("_n").cast("long").alias("node"), F.round("rank", 6).alias("rank")
     )
 
@@ -1406,17 +1449,42 @@ def w3_rank_dense(spark, sf_dir):
     )
 
 
-@q("a2b_approx_degree", None)  # approximate by construction — rows-only check
+@q(
+    "a2b_approx_degree",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def a2b_approx_degree(spark, sf_dir):
     """approx_count_distinct degree variant (the 100 TB scale path for
-    A2; HLL sketch, one pass, no exact-distinct shuffle).  Accuracy
-    bound asserted in tests/test_catalog.py."""
+    A2; HLL sketch, one pass, no exact-distinct shuffle).
+
+    Value-verified with a bounded-error check (closes the r1 rows-only
+    entry): the query itself compares the HLL estimate to the exact
+    distinct count and emits ``within_bound`` = |approx-exact| <=
+    3*rsd*exact; the oracle asserts TRUE (plus the exact counts).  The
+    exact count_distinct exists only for this harness — production use
+    is the approx column alone."""
+    err = 3 * 0.02
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
             F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("o_custkey")).alias("exact_custs"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs"))
+                <= F.lit(err) * F.col("exact_custs")
+            ).alias("within_bound"),
         )
     )
 
@@ -1913,3 +1981,236 @@ def q17_small_quantity(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# =====================================================================
+# Round-2 additions: two-table spatial join, betweenness, as-of join
+# =====================================================================
+
+_J5_SEGS = [
+    (_PART_LON, _PART_LAT, f"({_PART_LON} + 1.0e-2)", f"({_PART_LAT} + 1.0e-2)"),
+    (
+        f"({_PART_LON} + 1.0e-2)",
+        f"({_PART_LAT} + 1.0e-2)",
+        f"({_PART_LON} + 2.0e-2)",
+        _PART_LAT,
+    ),
+]
+_J5_DIST = (
+    f"least({_seg_dist_sql(_SUP_LON, _SUP_LAT, *_J5_SEGS[0])}, "
+    f"{_seg_dist_sql(_SUP_LON, _SUP_LAT, *_J5_SEGS[1])})"
+)
+
+
+@q(
+    "geo_j5_spatial_join",
+    f"""
+    SELECT s_suppkey, p_partkey, round({_J5_DIST}, 3) AS dist_m
+    FROM supplier, part
+    WHERE {_J5_DIST} < 500.0e0
+    """,
+)
+def geo_j5_spatial_join(spark, sf_dir):
+    """Two-table spatial distance join (the reference roadmap's POI x
+    edges shape, /root/reference/TODO.md:49-60): supplier points
+    joined to part polylines within 500 m via the grid-cell bucketed
+    `spatial.spatial_join` — explode covered cells, equi-join on the
+    cell id (hash shuffle, NO cross product), dedupe, exact refine.
+    The oracle is the brute-force cross join with the same term-for-
+    term planar distance, so values verify the bucketing is lossless.
+    """
+    from entwiner_spark.operators.spatial import spatial_join
+
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.select(
+        "s_suppkey",
+        (F.lit(-120.0) + (F.col("s_suppkey") % 100) * 0.01).alias("lon"),
+        (
+            F.lit(45.0)
+            + ((F.col("s_suppkey") - F.col("s_suppkey") % 3) / F.lit(3)).cast("long")
+            % 100
+            * 0.01
+        ).alias("lat"),
+    )
+    p = _t(spark, sf_dir, "part")
+    plon = F.lit(-120.0) + (F.col("p_partkey") % 100) * 0.01
+    plat = (
+        F.lit(45.0)
+        + ((F.col("p_partkey") - F.col("p_partkey") % 100) / F.lit(100)).cast("long")
+        % 100
+        * 0.01
+    )
+    lines = p.select(
+        "p_partkey",
+        F.array(
+            F.array(plon, plat),
+            F.array(plon + 0.01, plat + 0.01),
+            F.array(plon + 0.02, plat),
+        ).alias("coordinates"),
+    )
+    joined = spatial_join(pts, lines, 500.0, "s_suppkey", "p_partkey")
+    return joined.select(
+        "s_suppkey", "p_partkey", F.round("_dist", 3).alias("dist_m")
+    )
+
+
+def _betweenness_oracle_sql() -> str:
+    """Literal-table oracle for betweenness on the fixed nation DAG
+    (same closed-form-topology precedent as g_cc_components): an
+    independent BFS-based Brandes in plain Python over the known edge
+    list u->u+1 (u<24), u->u+7 (u<=17).  The engine's local path is a
+    Dijkstra-based Brandes and the pregel path a level-synchronous
+    one, so three distinct implementations must agree."""
+    from collections import deque
+
+    edges = [(u, u + 1) for u in range(24)] + [(u, u + 7) for u in range(18)]
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    nodes = sorted({x for e in edges for x in e})
+    bc = {n: 0.0 for n in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds: dict[int, list[int]] = {}
+        order: list[int] = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0.0
+                    preds[v] = []
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = {n: 0.0 for n in order}
+        for w in reversed(order):
+            for pr in preds.get(w, []):
+                delta[pr] += sigma[pr] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    rows = ", ".join(f"({n}, {round(bc[n], 6)!r})" for n in nodes)
+    return (
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(bc AS DOUBLE) AS betweenness "
+        f"FROM (VALUES {rows}) AS t(node, bc)"
+    )
+
+
+@q("g_betweenness", _betweenness_oracle_sql())
+def g_betweenness(spark, sf_dir):
+    """Betweenness centrality (the last centrality in the reference's
+    README.md:67 claim) on the unweighted nation DAG."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.betweenness(weight=None).select(
+        F.col("_n").cast("long").alias("node"),
+        F.round("betweenness", 6).alias("betweenness"),
+    )
+
+
+@q(
+    "e5_asof_last_view",
+    """
+    WITH v AS (SELECT user_id, ts, max(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+         p AS (SELECT event_id, user_id, ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.purchase_value, v.view_value,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def e5_asof_last_view(spark, sf_dir):
+    """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics):
+    each purchase matched to the user's most recent view at-or-before
+    it.  Implemented union+window in operators/asof.py — one shuffle,
+    no Python; the oracle is DuckDB's native ASOF LEFT JOIN.  The view
+    side is pre-aggregated per (user, ts) so tie-breaking is
+    deterministic in both engines."""
+    from entwiner_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(purchases, views, on="ts", by=["user_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        "view_value",
+        (F.unix_micros("ts") - F.unix_micros("_asof_ts")).alias("gap_us"),
+    )
+
+
+# =====================================================================
+# Driver-verification rotation
+# =====================================================================
+
+# The correctness driver samples the first 50 registered queries
+# (CORRECTNESS_r01.json == the first 50 names in r1 registration
+# order).  Rotate so every query earns a driver-verified row: queries
+# WITHOUT a full hash-green r1 row (new, changed, or unsampled) go
+# first, then the r1-green ones most central to SURVEY §2, then the
+# remaining r1-green ones.  tools/check.py verifies all of them
+# locally regardless of order.
+
+_R01_GREEN = {
+    "q1_pricing_summary", "p2_point_lookup", "p4_semi_join",
+    "p4b_anti_join", "p7_distinct_pairs", "j2_revenue_by_nation",
+    "a1_table_counts", "a2_orders_per_customer", "a3_weighted_size",
+    "o1_top10_orders", "u1_union_parties", "u2_last_write_wins",
+    "u3_union_missing_cols", "w1_top3_per_customer", "agg_rollup_status",
+    "agg_cube_docs", "set_intersect_custkeys", "set_except_custkeys",
+    "j_outer_order_counts", "m1_keyed_update", "m2_delete_keys",
+    "ev_json_extract", "g_p5_successors", "g_a2_out_degree",
+    "g_j1_bfs_hops", "g_j1_sssp_weighted", "g_cc_components",
+    "geo_f6_haversine_within", "geo_o1_knn", "geo_j3_bbox_count",
+    "geo_a4_linestring_length", "s1_fwd_rev_ingest", "t1_doc_stats",
+    "t2_stopword_langid", "t3_fingerprint", "t4_quality_score",
+    "d1_exact_dedup", "d2_minhash_signatures", "d3_minhash_lsh_pairs",
+    "d4_simhash", "d5_ngram_jaccard_pairs", "s2_cosine_top10",
+    "s3_knn_join", "s4_lsh_buckets", "e1_tumbling_hourly",
+    "e2_sliding_30min", "e3_sessionize", "e4_topk_users",
+    "mm1_binary_meta",
+}
+
+# r1-green queries worth a fresh row this round (diverse §2 families),
+# placed right after the must-verify block; the rest keep their r1
+# rows and tools/check.py coverage.
+_RERUN_FIRST = [
+    "q1_pricing_summary", "s1_fwd_rev_ingest", "j2_revenue_by_nation",
+    "g_j1_bfs_hops", "g_j1_sssp_weighted", "g_cc_components",
+    "g_p5_successors", "g_a2_out_degree", "geo_f6_haversine_within",
+    "geo_o1_knn", "geo_j3_bbox_count", "geo_a4_linestring_length",
+    "d1_exact_dedup", "d2_minhash_signatures", "d3_minhash_lsh_pairs",
+    "d4_simhash", "d5_ngram_jaccard_pairs", "s2_cosine_top10",
+    "s3_knn_join", "s4_lsh_buckets", "e1_tumbling_hourly",
+    "e2_sliding_30min", "e3_sessionize", "e4_topk_users",
+    "mm1_binary_meta",
+]
+
+
+def _rotate_registration_order() -> None:
+    front = [n for n in QUERIES if n not in _R01_GREEN]
+    rerun = [n for n in _RERUN_FIRST if n in QUERIES]
+    seen = set(front) | set(rerun)
+    rest = [n for n in QUERIES if n not in seen]
+    order = front + rerun + rest
+    for d in (QUERIES, ORACLES):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_rotate_registration_order()

@@ -221,3 +221,77 @@ def test_spatial_join_matches_brute_force(spark):
     assert len(want) > 5  # non-trivial fixture
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+# ---- as-of join (operators/asof.py) ---------------------------------
+
+def _asof_fixture(spark):
+    from datetime import datetime as dt
+
+    trades = spark.createDataFrame(
+        [
+            (1, "A", dt(2024, 1, 1, 10, 0, 0), 100.0),
+            (2, "A", dt(2024, 1, 1, 10, 5, 0), 101.0),
+            (3, "B", dt(2024, 1, 1, 10, 2, 0), 50.0),
+            (4, "B", dt(2024, 1, 1, 9, 0, 0), 49.0),  # before any quote
+        ],
+        "trade_id long, sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", dt(2024, 1, 1, 9, 59, 0), 99.5),
+            ("A", dt(2024, 1, 1, 10, 0, 0), 100.1),  # tie: ts == trade 1 ts
+            ("A", dt(2024, 1, 1, 10, 4, 0), 100.9),
+            ("B", dt(2024, 1, 1, 10, 0, 0), 49.9),
+        ],
+        "sym string, ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from entwiner_spark.operators.asof import asof_join
+
+    trades, quotes = _asof_fixture(spark)
+    got = (
+        asof_join(trades, quotes, on="ts", by=["sym"])
+        .select("trade_id", "quote")
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            trades.toPandas().sort_values("ts"),
+            quotes.toPandas().sort_values("ts"),
+            on="ts",
+            by="sym",
+        )
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+    # trade 1 ties quote@10:00 -> inclusive match (100.1); trade 4 has
+    # no preceding quote -> NULL
+    assert got["quote"].tolist()[0] == 100.1
+    assert pd.isna(got["quote"].tolist()[3])
+    pd.testing.assert_series_equal(got["quote"], want["quote"], check_names=False)
+
+
+def test_asof_join_tolerance_drops_stale_matches(spark):
+    from entwiner_spark.operators.asof import asof_join
+
+    trades, quotes = _asof_fixture(spark)
+    out = {
+        r["trade_id"]: r["quote"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=["sym"], tolerance_us=60_000_000
+        ).collect()
+    }
+    # trade 2 (10:05) matched quote@10:04 -> within 60s, kept
+    assert out[2] == 100.9
+    # trade 3 (10:02) matched quote@10:00 -> 120s, dropped to NULL
+    assert out[3] is None
+    # all left rows survive (left-join semantics)
+    assert len(out) == 4
