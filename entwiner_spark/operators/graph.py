@@ -254,9 +254,12 @@ class SparkGraph:
         if max_iterations is None:
             max_iterations = 200
         w = self._weight_col(weight)
-        adj = self.edges.select(
-            F.col("_u"), F.col("_v"), w.alias("_w")
-        ).localCheckpoint(eager=False)
+        # cache (not checkpoint) the projected adjacency: a checkpoint
+        # erases the plan's output partitioning, so every iteration's
+        # frontier join would re-shuffle the full edge table; the
+        # cached plan keeps its hashpartitioning(_u) visible and the
+        # big side never exchanges again
+        adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).persist()
 
         schema = T.StructType(
             [
@@ -268,43 +271,79 @@ class SparkGraph:
         frontier = dist
 
         converged = False
+        # single-source start: the frontier is exactly one row, so the
+        # first window always broadcasts; probes re-decide per window
+        frontier_small = True
+        broadcast_frontier_rows = 2_000_000
         for it in range(max_iterations):
-            msgs = (
-                frontier.join(adj, frontier["_n"] == adj["_u"])
-                .select(adj["_v"].alias("_n"), (frontier["dist"] + adj["_w"]).alias("dist"))
-                .groupBy("_n")
-                .agg(F.min("dist").alias("dist"))
+            probe = (it + 1) % check_every == 0 or it == max_iterations - 1
+            # Join-strategy hint, decided from the last probed
+            # frontier size.  The checkpointed frontier has UNKNOWN
+            # stats, so the static planner otherwise broadcasts the
+            # cached ADJACENCY — re-serializing the entire edge table
+            # to every executor every round (measured ~1 s/round at
+            # 200k edges; at cluster scale it would simply OOM).
+            # While the frontier is small (the common wavefront case)
+            # we broadcast IT: the join runs map-side over adj's
+            # cached hashpartitioning(_u) with zero exchanges
+            # (measured 0.2-0.4 s/round vs 1-3 s).  If a probe sees
+            # the frontier above the row cap, fall back to
+            # shuffle_hash built on the frontier: adj still never
+            # moves, only the frontier shuffles.
+            hint = "broadcast" if frontier_small else "shuffle_hash"
+            fr = frontier.select(F.col("_n").alias("_fn"), F.col("dist").alias("_fd")).hint(hint)
+            msgs = fr.join(adj, F.col("_fn") == F.col("_u")).select(
+                F.col("_v").alias("_n"), (F.col("_fd") + F.col("_w")).alias("dist")
             )
-            # ONE full_outer join produces both the merged dist table
-            # and the improved-flag for the next frontier, and ONE
-            # eager checkpoint materializes both (r1 used a left_outer
-            # improve-detection pass PLUS a full_outer merge — double
-            # the joins and actions per round).  The checkpoint also
-            # severs lineage, keeping every iteration's plan flat.
-            imp = F.col("m.dist").isNotNull() & (
-                F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
-            )
+            # ONE union+groupBy both merges messages into dist AND
+            # derives the improved-flag — a single shuffle per round
+            # (r1 used groupBy-min on msgs PLUS a full_outer merge
+            # join: two shuffles and double the stages).  Improvement
+            # detection: min over pre-merge rows only (_new=false);
+            # a node improved iff it had no old dist or the global
+            # min beats it — ties are NOT improvements, so equal-cost
+            # paths can't re-expand forever.  Map-side partial agg
+            # combines messages before the exchange, so at scale the
+            # shuffle carries ~|V| rows, not |msgs|.
             merged = (
-                msgs.alias("m")
-                .join(dist.alias("d"), "_n", "full_outer")
+                dist.select("_n", "dist", F.lit(False).alias("_new"))
+                .unionByName(msgs.select("_n", "dist", F.lit(True).alias("_new")))
+                .groupBy("_n")
+                .agg(
+                    F.min("dist").alias("dist"),
+                    F.min(F.when(~F.col("_new"), F.col("dist"))).alias("_old"),
+                )
                 .select(
                     "_n",
-                    F.when(imp, F.col("m.dist")).otherwise(F.col("d.dist")).alias("dist"),
-                    imp.alias("_imp"),
+                    "dist",
+                    (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).alias("_imp"),
                 )
-                .localCheckpoint(eager=True)
             )
+            # ONE eager checkpoint per round materializes the merge
+            # and severs lineage, keeping every iteration's plan flat.
+            # Two lazier cadences were measured and REJECTED on the
+            # 200k-edge stress: lazy-uncached windows recompute 2^k
+            # subtrees (4x worse), and persist()-ed windows with a
+            # probe-boundary checkpoint pay memory-store overhead for
+            # no job savings (25% worse than eager).
+            merged = merged.localCheckpoint(eager=True)
             dist = merged.select("_n", "dist")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
-            if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            if probe:
                 # convergence probe batched: an empty frontier only
                 # produces empty frontiers, so probing every k-th round
                 # trades ≤k-1 cheap no-op rounds for k-1 fewer driver
                 # actions; bounded (k-hop) runs still expand exactly
-                # max_iterations times regardless of probe cadence
-                if frontier.isEmpty():
+                # max_iterations times regardless of probe cadence.
+                # count() (not isEmpty) doubles as the size signal for
+                # the next window's join-strategy choice — it scans a
+                # just-materialized checkpoint, no shuffle.
+                n_front = frontier.count()
+                frontier_small = n_front < broadcast_frontier_rows
+                if n_front == 0:
                     converged = True
                     break
+        adj.unpersist()
         if not converged and not bounded_by_caller:
             raise RuntimeError(
                 "SSSP hit the 200-iteration safety cap without "
@@ -354,9 +393,10 @@ class SparkGraph:
         if max_iterations is None:
             max_iterations = 200
         w = self._weight_col(weight)
-        adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).localCheckpoint(
-            eager=False
-        )
+        # persist (not checkpoint): keeps hashpartitioning(_u) visible
+        # so the per-round join never moves the adjacency (see
+        # shortest_path_lengths for the measured rationale)
+        adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).persist()
         schema = T.StructType(
             [
                 T.StructField("_n", T.StringType(), False),
@@ -367,39 +407,45 @@ class SparkGraph:
         dist = self.spark.createDataFrame([(source, 0.0, None)], schema)
         frontier = dist
         converged = False
+        frontier_small = True
+        broadcast_frontier_rows = 2_000_000
         for it in range(max_iterations):
-            msgs = (
-                frontier.join(adj, frontier["_n"] == adj["_u"])
-                .select(
-                    adj["_v"].alias("_n"),
-                    (frontier["dist"] + adj["_w"]).alias("dist"),
-                    frontier["_n"].alias("pred"),
-                )
-                .groupBy("_n")
-                .agg(F.min(F.struct("dist", "pred")).alias("best"))
-                .select("_n", F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"))
+            probe = (it + 1) % 3 == 0 or it == max_iterations - 1
+            hint = "broadcast" if frontier_small else "shuffle_hash"
+            fr = frontier.select(F.col("_n").alias("_fn"), F.col("dist").alias("_fd")).hint(hint)
+            msgs = fr.join(adj, F.col("_fn") == F.col("_u")).select(
+                F.col("_v").alias("_n"),
+                (F.col("_fd") + F.col("_w")).alias("dist"),
+                F.col("_fn").alias("pred"),
             )
-            # single fused merge+improve pass (see shortest_path_lengths)
-            imp = F.col("m.dist").isNotNull() & (
-                F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
-            )
+            # fused union+groupBy merge (one shuffle — see
+            # shortest_path_lengths): struct-min over (dist, _new,
+            # pred) picks the best distance and, on exact dist ties,
+            # prefers the OLD row (false < true), so equal-cost
+            # re-discoveries never flag as improvements and the
+            # frontier can't oscillate
             merged = (
-                msgs.alias("m")
-                .join(dist.alias("d"), "_n", "full_outer")
+                dist.select("_n", "dist", F.lit(False).alias("_new"), "pred")
+                .unionByName(msgs.select("_n", "dist", F.lit(True).alias("_new"), "pred"))
+                .groupBy("_n")
+                .agg(F.min(F.struct("dist", "_new", "pred")).alias("best"))
                 .select(
                     "_n",
-                    F.when(imp, F.col("m.dist")).otherwise(F.col("d.dist")).alias("dist"),
-                    F.when(imp, F.col("m.pred")).otherwise(F.col("d.pred")).alias("pred"),
-                    imp.alias("_imp"),
+                    F.col("best.dist").alias("dist"),
+                    F.col("best.pred").alias("pred"),
+                    F.col("best._new").alias("_imp"),
                 )
                 .localCheckpoint(eager=True)
             )
             dist = merged.select("_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
-            if (it + 1) % 3 == 0 or it == max_iterations - 1:
-                if frontier.isEmpty():
+            if probe:
+                n_front = frontier.count()
+                frontier_small = n_front < broadcast_frontier_rows
+                if n_front == 0:
                     converged = True
                     break
+        adj.unpersist()
         if not converged and not bounded_by_caller:
             # mirror shortest_path_lengths: a silently truncated path
             # is worse than an error (ADVICE.md r1)

@@ -99,6 +99,42 @@ def main() -> None:
     out["sssp_edges"] = edges.count()
     out["sssp_sec"] = round(time.time() - t0, 1)
 
+    # --- 10k-node chain: diameter 10,000.  Star-contraction CC must
+    # converge in O(log^2 n) alternating rounds (<30), where one-hop
+    # min-label propagation would need 10,000.
+    log("phase: chain cc (diameter 10k)")
+    cn = 10_000
+    chain = spark.range(cn - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+    )
+    cnodes = spark.range(cn).select(F.col("id").cast("string").alias("_n"))
+    Gc = SparkGraph(cnodes, chain, partitions=32)
+    t0 = time.time()
+    cc = Gc.connected_components(max_iterations=30, strategy="pregel")
+    out["chain_cc_components"] = cc.select("component").distinct().count()
+    out["chain_cc_sec"] = round(time.time() - t0, 1)
+    assert out["chain_cc_components"] == 1, "chain must be one component"
+
+    # --- 2,000-hop route: binary-lifting reconstruction must finish in
+    # ~log2(L) doubling rounds, not one driver collect per hop.  (The
+    # SSSP itself is O(diameter) rounds by nature — here we stress only
+    # the reconstruction, so the predecessor forest is built directly.)
+    log("phase: 2k-hop path reconstruction")
+    pn = 2_000
+    pdist = spark.range(pn).select(
+        F.col("id").cast("string").alias("_n"),
+        F.col("id").cast("double").alias("dist"),
+        F.when(F.col("id") > 0, (F.col("id") - 1).cast("string")).alias("pred"),
+    )
+    pnodes = spark.range(pn).select(F.col("id").cast("string").alias("_n"))
+    Gp = SparkGraph(pnodes, chain, partitions=32)
+    t0 = time.time()
+    path, total = Gp._reconstruct_path(pdist, str(pn - 1))
+    out["path_hops"] = len(path) - 1
+    out["path_sec"] = round(time.time() - t0, 1)
+    assert len(path) == pn and total == float(pn - 1)
+
     print(json.dumps(out))
     spark.stop()
 
