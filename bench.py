@@ -96,6 +96,32 @@ def main() -> None:
         n_upd = 10000
         update_rate = n_upd / (time.time() - t0)
 
+    # forced-pregel SSSP on a 100k-node / ~200k-edge synthetic graph:
+    # the catalog's g_j1_sssp_weighted runs the local fast path at
+    # oracle scale, so this is the only headline signal for the
+    # distributed loop's per-iteration cost (12 bounded iterations)
+    from entwiner_spark.operators.graph import SparkGraph
+
+    n = 100_000
+    base = spark.range(n)
+    e1 = base.filter(F.col("id") < n - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    e2 = base.filter(F.col("id") < n - 1000).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1000).cast("string").alias("_v"),
+        (F.col("id") % 3 + 5).cast("double").alias("w"),
+    )
+    g_edges = e1.unionByName(e2)
+    g_nodes = base.select(F.col("id").cast("string").alias("_n"))
+    g_edges.count()  # materialize generation outside the timed window
+    G = SparkGraph(g_nodes, g_edges, partitions=32)
+    t0 = time.time()
+    G.shortest_path_lengths("0", weight="w", max_iterations=12, strategy="pregel").count()
+    pregel_sec = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -106,6 +132,7 @@ def main() -> None:
                 "sf": sf,
                 "bulk_insert_edges_per_sec": round(insert_rate, 1),
                 "keyed_updates_per_sec": round(update_rate, 1),
+                "pregel_sssp_200k_12iter_sec": pregel_sec,
             }
         )
     )

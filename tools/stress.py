@@ -93,10 +93,12 @@ def main() -> None:
     nodes = base.select(F.col("id").cast("string").alias("_n"))
     log("phase: pregel sssp")
     G = SparkGraph(nodes, edges, partitions=32)
+    # materialize the synthetic edge table outside the timed window so
+    # sssp_sec measures the Pregel loop, not spark.range generation
+    out["sssp_edges"] = edges.count()
     t0 = time.time()
     dist = G.shortest_path_lengths("0", weight="w", max_iterations=12, strategy="pregel")
-    out["sssp_reached_25iter"] = dist.count()
-    out["sssp_edges"] = edges.count()
+    out["sssp_reached_12iter"] = dist.count()
     out["sssp_sec"] = round(time.time() - t0, 1)
 
     # --- 10k-node chain: diameter 10,000.  Star-contraction CC must
