@@ -131,6 +131,43 @@ def _sqlite_type(dtype: str) -> str:
     return _SQLITE_TYPES.get(dtype, "TEXT")
 
 
+def register_gpkg_functions(con: sqlite3.Connection) -> None:
+    """Register the ST_MinX/ST_MaxX/ST_MinY/ST_MaxY/ST_IsEmpty SQL
+    functions the GeoPackage r-tree triggers call, implemented over the
+    GPKG blob codec.
+
+    The spec defines the triggers in terms of these functions; GDAL/
+    Spatialite/QGIS provide them natively, so artifacts we export stay
+    live-indexed under those writers.  Plain sqlite3 connections (like
+    this module's own writer) must call this before inserting into a
+    triggered table, or sqlite raises "no such function: ST_MinX".
+    """
+
+    def _bounds(blob):
+        g = gpkg_blob_to_geometry(blob)
+        if g is None or not g["coordinates"]:
+            return None
+        coords = g["coordinates"] if g["type"] != "Point" else [g["coordinates"]]
+        return coords
+
+    def _mk(idx, fn):
+        def f(blob):
+            coords = _bounds(blob)
+            if coords is None:
+                return None
+            return fn(c[idx] for c in coords)
+
+        return f
+
+    con.create_function("ST_MinX", 1, _mk(0, min), deterministic=True)
+    con.create_function("ST_MaxX", 1, _mk(0, max), deterministic=True)
+    con.create_function("ST_MinY", 1, _mk(1, min), deterministic=True)
+    con.create_function("ST_MaxY", 1, _mk(1, max), deterministic=True)
+    con.create_function(
+        "ST_IsEmpty", 1, lambda b: 1 if _bounds(b) is None else 0, deterministic=True
+    )
+
+
 def write_geopackage(
     df: DataFrame,
     path: str,
@@ -162,6 +199,9 @@ def write_geopackage(
         os.remove(path)
     con = sqlite3.connect(path)
     try:
+        # appends into a table whose r-tree triggers are installed need
+        # the ST_* functions on THIS connection (triggers fire per-row)
+        register_gpkg_functions(con)
         _create_gpkg_skeleton(con, srid)
         col_defs = ", ".join(f'"{c}" {_sqlite_type(types[c])}' for c in cols)
         geom_def = f', "{geom_col}" BLOB' if has_geom else ""
@@ -219,10 +259,12 @@ def add_rtree_index(
     Parity with FeatureTable.add_rtree
     (/root/reference/entwiner/geopackage/feature_table.py:265-414):
     registers the gpkg_rtree_index extension, creates the
-    ``rtree_<table>_<geom>`` virtual table and bulk-seeds it from the
-    geometry blobs.  Returns the number of indexed rows.  The index is
-    a static snapshot (see inline note on triggers) — re-run after
-    modifying the table.
+    ``rtree_<table>_<geom>`` virtual table, bulk-seeds it from the
+    geometry blobs, and installs the spec's six maintenance triggers
+    (insert / 4×update / delete) so the index stays live under any
+    writer that provides the ST_* functions (GDAL/Spatialite natively;
+    plain sqlite3 via ``register_gpkg_functions``).  Returns the number
+    of indexed rows.
 
     Runs driver-side on the exported artifact (the engine itself never
     uses this index — parquet bbox columns are its spatial index).
@@ -263,15 +305,40 @@ def add_rtree_index(
             seed.append((fid, min(xs), max(xs), min(ys), max(ys)))
         con.executemany(f'INSERT OR REPLACE INTO "{rt}" VALUES (?,?,?,?,?)', seed)
 
-        # only the delete trigger is installable: the spec's insert/
-        # update triggers need the ST_MinX.. SQL functions, which exist
-        # in Spatialite but not stdlib sqlite3.  The exported artifact
-        # is therefore a STATICALLY indexed snapshot — writers that
-        # insert/update geometries must re-run add_rtree_index (the
-        # reference keeps it live via Spatialite triggers,
-        # feature_table.py:313-414).
+        # full spec trigger set — live r-tree maintenance, parity with
+        # the reference's six triggers (feature_table.py:313-414).  The
+        # triggers call ST_MinX..ST_IsEmpty: GDAL/Spatialite/QGIS
+        # writers provide those natively; plain-sqlite3 writers (incl.
+        # write_geopackage itself) get them from
+        # register_gpkg_functions(con).
+        gc = f'"{geom_col}"'
+        not_empty = f"(new.{gc} NOT NULL AND NOT ST_IsEmpty(new.{gc}))"
+        is_empty = f"(new.{gc} ISNULL OR ST_IsEmpty(new.{gc}))"
+        upsert = (
+            f'INSERT OR REPLACE INTO "{rt}" VALUES (new.fid, '
+            f"ST_MinX(new.{gc}), ST_MaxX(new.{gc}), "
+            f"ST_MinY(new.{gc}), ST_MaxY(new.{gc}));"
+        )
         con.executescript(
             f"""
+            CREATE TRIGGER IF NOT EXISTS "{rt}_insert" AFTER INSERT ON "{table}"
+              WHEN {not_empty}
+              BEGIN {upsert} END;
+            CREATE TRIGGER IF NOT EXISTS "{rt}_update1" AFTER UPDATE OF "{geom_col}" ON "{table}"
+              WHEN old.fid = new.fid AND {not_empty}
+              BEGIN {upsert} END;
+            CREATE TRIGGER IF NOT EXISTS "{rt}_update2" AFTER UPDATE OF "{geom_col}" ON "{table}"
+              WHEN old.fid = new.fid AND {is_empty}
+              BEGIN DELETE FROM "{rt}" WHERE id = old.fid; END;
+            CREATE TRIGGER IF NOT EXISTS "{rt}_update3" AFTER UPDATE ON "{table}"
+              WHEN old.fid != new.fid AND {not_empty}
+              BEGIN
+                DELETE FROM "{rt}" WHERE id = old.fid;
+                {upsert}
+              END;
+            CREATE TRIGGER IF NOT EXISTS "{rt}_update4" AFTER UPDATE ON "{table}"
+              WHEN old.fid != new.fid AND {is_empty}
+              BEGIN DELETE FROM "{rt}" WHERE id IN (old.fid, new.fid); END;
             CREATE TRIGGER IF NOT EXISTS "{rt}_delete" AFTER DELETE ON "{table}"
               BEGIN DELETE FROM "{rt}" WHERE id = old.fid; END;
             """

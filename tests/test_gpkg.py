@@ -102,3 +102,85 @@ def test_rtree_index_on_export(spark, tiny_edges, tmp_path):
         assert len(hits) == 2
     finally:
         con.close()
+
+
+def test_rtree_triggers_keep_index_live(spark, tiny_edges, tmp_path):
+    """The six spec triggers (reference feature_table.py:313-414)
+    maintain the r-tree through insert/update/delete on any connection
+    that registers the ST_* functions."""
+    from entwiner_spark.functions.wkb import geometry_to_gpkg_blob
+    from entwiner_spark.sources.gpkg import (
+        add_rtree_index,
+        register_gpkg_functions,
+        write_geopackage,
+    )
+
+    path = str(tmp_path / "live.gpkg")
+    write_geopackage(tiny_edges.select("fid", "_u", "_v", "geom"), path, "edges")
+    add_rtree_index(path, "edges")
+    con = sqlite3.connect(path)
+    try:
+        register_gpkg_functions(con)
+        blob = geometry_to_gpkg_blob(
+            {"type": "LineString", "coordinates": [[10.0, 20.0], [11.0, 21.0]]}
+        )
+        # insert trigger adds the new row's bbox
+        con.execute(
+            'INSERT INTO "edges" (fid, _u, _v, geom) VALUES (99, "a", "b", ?)',
+            (blob,),
+        )
+        row = con.execute(
+            "SELECT minx, maxx, miny, maxy FROM rtree_edges_geom WHERE id = 99"
+        ).fetchone()
+        assert row == (10.0, 11.0, 20.0, 21.0)
+        # update trigger rewrites the bbox in place
+        blob2 = geometry_to_gpkg_blob(
+            {"type": "LineString", "coordinates": [[-5.0, -6.0], [-4.0, -5.5]]}
+        )
+        con.execute('UPDATE "edges" SET geom = ? WHERE fid = 99', (blob2,))
+        row = con.execute(
+            "SELECT minx, maxx, miny, maxy FROM rtree_edges_geom WHERE id = 99"
+        ).fetchone()
+        assert row == (-5.0, -4.0, -6.0, -5.5)
+        # NULLing the geometry removes the entry (update2)
+        con.execute('UPDATE "edges" SET geom = NULL WHERE fid = 99')
+        assert (
+            con.execute(
+                "SELECT count(*) FROM rtree_edges_geom WHERE id = 99"
+            ).fetchone()[0]
+            == 0
+        )
+        # delete trigger removes an original row's entry
+        con.execute('DELETE FROM "edges" WHERE fid = 1')
+        assert (
+            con.execute("SELECT count(*) FROM rtree_edges_geom").fetchone()[0] == 7
+        )
+    finally:
+        con.close()
+
+
+def test_rtree_live_through_append_export(spark, tiny_edges, tmp_path):
+    """write_geopackage(append=True) into a triggered table keeps the
+    r-tree current without re-running add_rtree_index."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.sources.gpkg import add_rtree_index, write_geopackage
+
+    path = str(tmp_path / "append.gpkg")
+    first = tiny_edges.select("fid", "_u", "_v", "geom").limit(4)
+    write_geopackage(first, path, "edges")
+    add_rtree_index(path, "edges")
+    rest = (
+        tiny_edges.select("fid", "_u", "_v", "geom")
+        .join(first.select("fid"), "fid", "left_anti")
+        .withColumn("fid", F.col("fid") + 100)
+    )
+    write_geopackage(rest, path, "edges", append=True)
+    con = sqlite3.connect(path)
+    try:
+        assert con.execute('SELECT count(*) FROM "edges"').fetchone()[0] == 8
+        assert (
+            con.execute("SELECT count(*) FROM rtree_edges_geom").fetchone()[0] == 8
+        )
+    finally:
+        con.close()
