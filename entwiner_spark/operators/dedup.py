@@ -10,8 +10,10 @@ shuffle-conscious DataFrame plans:
 - candidate pairs come from a self-equi-join on band keys, which AQE
   can skew-split when a band is hot.
 
-The hash is the md5-prefix 32-bit integer (functions/text.py) so every
-step has a bit-identical DuckDB oracle.
+The default hash is the md5-prefix 32-bit integer (functions/text.py)
+so every step has a bit-identical DuckDB oracle; minhash_signatures
+also offers a JVM-native xxhash64 fast path for production runs (same
+collision behavior, no cross-engine parity).
 """
 
 from __future__ import annotations
@@ -53,16 +55,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature as k scalar columns m0..m{k-1}.
 
     array_min over transformed shingles — order-insensitive, so no
     explode/shuffle; the whole signature is one narrow projection.
-    The expensive md5 shingle hash is materialized ONCE into an
+    The expensive shingle hash is materialized ONCE into an
     intermediate array column and each of the k permutations is a cheap
-    affine transform over it (k-fold md5 saving vs the naive form).
+    affine transform over it (k-fold hash saving vs the naive form).
+
+    ``hash_fn``: ``"md5"`` (default) is the cross-engine hash every
+    DuckDB oracle reproduces bit-for-bit; ``"xxhash64"`` is the
+    JVM-native fast path (~3x cheaper per shingle: one codegen'd hash
+    vs md5 + hex substring + base conversion) for production runs
+    where signatures never leave Spark.  Signature VALUES differ
+    between the two; collision behavior (what LSH consumes) is
+    equivalent.
     """
-    hashed = F.transform(shingles(F.col(text_col), shingle_k), stable_hash32)
+    if hash_fn == "md5":
+        hasher = stable_hash32
+    elif hash_fn == "xxhash64":
+        # fold the 64-bit hash into the same [0, 2^31-1) domain the
+        # affine permutations expect; pmod keeps it non-negative
+        def hasher(c):
+            return F.pmod(F.xxhash64(c), F.lit(MERSENNE_P))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    hashed = F.transform(shingles(F.col(text_col), shingle_k), hasher)
     base = df.select(F.col(id_col), hashed.alias("_hs"))
 
     def perm(a: int, b: int):

@@ -295,3 +295,38 @@ def test_asof_join_tolerance_drops_stale_matches(spark):
     assert out[3] is None
     # all left rows survive (left-join semantics)
     assert len(out) == 4
+
+
+def test_minhash_xxhash64_fast_path(spark, docs):
+    """The xxhash64 variant (JVM-native, no oracle) must behave like
+    minhash for LSH purposes: identical texts collide on every band,
+    signatures stay in the Mersenne domain, and values are stable."""
+    from entwiner_spark.operators.dedup import (
+        MERSENNE_P,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = docs.select("doc_id", "text").filter(F.size(F.split("text", " ")) >= 3)
+    clones = base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    sig = minhash_signatures(base.unionByName(clones), hash_fn="xxhash64")
+    rows = sig.collect()
+    assert all(
+        0 <= r[f"m{i}"] < MERSENNE_P for r in rows for i in range(8)
+    )
+    pairs = lsh_candidate_pairs(sig)
+    n = base.count()
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 10_000).count()
+    assert planted == n
+    # deterministic across runs
+    again = minhash_signatures(base.unionByName(clones), hash_fn="xxhash64").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_minhash_bad_hash_fn_raises(spark, docs):
+    import pytest
+
+    from entwiner_spark.operators.dedup import minhash_signatures
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, hash_fn="sha1")

@@ -71,6 +71,14 @@ def main() -> None:
     out["minhash_docs"] = n_sig
     out["minhash_sec"] = round(time.time() - t0, 1)
 
+    log("phase: minhash xxhash64 fast path")
+    t0 = time.time()
+    sig_fast = minhash_signatures(
+        corpus.filter(F.size(F.split("text", " ")) >= 3), hash_fn="xxhash64"
+    )
+    out["minhash_fast_docs"] = sig_fast.count()
+    out["minhash_fast_sec"] = round(time.time() - t0, 1)
+
     log("phase: lsh")
     t0 = time.time()
     out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
