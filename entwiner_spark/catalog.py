@@ -635,6 +635,50 @@ def g_j1_sssp_weighted(spark, sf_dir):
 
 
 @q(
+    "g_layer_routing",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT u, v, w * (CASE WHEN u % 2 = 0 THEN 1.0 ELSE 3.0 END) AS w
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def g_layer_routing(spark, sf_dir):
+    """Multi-layer routing (§2.13 cost-function surface): edges tagged
+    with a _layer (even-source edges 'sidewalk', odd 'crossing') and a
+    routing profile that penalizes crossings 3x, expressed with
+    layer_cost() — a pure Catalyst CASE * base expression passed as the
+    traversal weight.  Distances stay integer-valued doubles (w 1-7
+    times 1 or 3), so cross-engine equality is exact."""
+    from entwiner_spark.operators.graph import layer_cost
+
+    e = _graph_edges(spark, sf_dir).select(
+        F.col("u").cast("string").alias("_u"),
+        F.col("v").cast("string").alias("_v"),
+        F.col("w"),
+        F.when(F.col("u") % 2 == 0, F.lit("sidewalk"))
+        .otherwise(F.lit("crossing"))
+        .alias("_layer"),
+    )
+    nodes = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, e, partitions=8)
+    cost = layer_cost("w", {"sidewalk": 1.0, "crossing": 3.0})
+    return g.shortest_path_lengths("0", weight=cost).select(
+        F.col("_n").cast("long").alias("node"), F.col("dist")
+    )
+
+
+@q(
     "g_cc_components",
     "SELECT CAST(n_nationkey AS BIGINT) AS node, "
     "CAST(n_nationkey % 2 AS BIGINT) AS component FROM nation",

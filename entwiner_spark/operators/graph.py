@@ -31,6 +31,32 @@ from pyspark.sql import types as T
 from entwiner_spark.operators import spatial
 
 
+def layer_cost(
+    base, multipliers: dict[str, float], default: float = 1.0,
+    layer_col: str = "_layer",
+) -> F.Column:
+    """Cross-layer routing cost: ``base * multiplier(layer)``.
+
+    Multi-layer graphs carry edges from several source layers
+    (``_layer`` = filename stem on ingest, geojson.py); routing
+    profiles weight them differently — e.g. a wheelchair profile
+    penalizing ``crossing`` edges 3x over ``sidewalk`` edges.  This is
+    the reference's callable-cost extension point (README.md:3-7 — the
+    UDF-based graph interpretation that became unweaver) expressed as a
+    pure Catalyst CASE expression: pass the result as ``weight=`` to
+    any SparkGraph traversal; it stays in whole-stage codegen, nothing
+    Python runs per row.
+
+    ``base``: column name or Column for the base cost (e.g.
+    ``"_length"``).  Unlisted layers get ``default``.
+    """
+    b = F.col(base) if isinstance(base, str) else base
+    expr = F.lit(default)
+    for name, m in sorted(multipliers.items()):
+        expr = F.when(F.col(layer_col) == name, F.lit(float(m))).otherwise(expr)
+    return (b.cast("double") * expr).alias("_layer_cost")
+
+
 class SparkGraph:
     """A directed property graph over (nodes_df, edges_df).
 

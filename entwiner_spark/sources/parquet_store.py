@@ -27,12 +27,21 @@ def write_graph_tables(
     nodes: DataFrame | None,
     store_dir: str,
     partitions: int | None = None,
+    layer_partitioned: bool = False,
 ) -> None:
     """Atomic publish of the (edges, nodes) tables to ``store_dir``.
 
     Writes to a sibling temp dir then renames — readers never observe a
     half-written store (the reference achieves this with shutil.move of
     the temp gpkg, build.py:44-47).
+
+    ``layer_partitioned=True`` additionally directory-partitions edges
+    by ``_layer`` (the per-source-file tag from ingest): a multi-layer
+    graph store where layer-filtered reads prune whole directories
+    before any row is scanned, and each layer file keeps the sorted-_u
+    adjacency layout.  Use when layers are few and queries are often
+    layer-scoped (the reference's merged-into-unweaver multi-profile
+    use case); the flat layout remains the default.
     """
     if "://" in store_dir:
         # the rename-based publish is local-filesystem only; object
@@ -50,12 +59,29 @@ def write_graph_tables(
         n = partitions or int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        (
-            edges.repartition(n, "_u")
-            .sortWithinPartitions("_u")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/edges.parquet")
-        )
+        if layer_partitioned:
+            if "_layer" not in edges.columns:
+                raise ValueError(
+                    "layer_partitioned=True requires a _layer column "
+                    "(added by the GeoJSON ingest)"
+                )
+            # tasks hash on _u; each writes one sorted run per layer it
+            # holds -> n files per layer, every file sorted by _u so
+            # parquet min/max stats still prune adjacency lookups
+            (
+                edges.repartition(n, "_u")
+                .sortWithinPartitions("_layer", "_u")
+                .write.mode("overwrite")
+                .partitionBy("_layer")
+                .parquet(f"{tmp}/edges.parquet")
+            )
+        else:
+            (
+                edges.repartition(n, "_u")
+                .sortWithinPartitions("_u")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/edges.parquet")
+            )
         if nodes is not None:
             nodes.repartition(max(1, n // 4), "_n").sortWithinPartitions(
                 "_n"

@@ -253,3 +253,66 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # arrival dropped); the 13:00 window counted both on-time events
     assert rows["2024-01-01T10:00:00"] == 1
     assert rows["2024-01-01T13:00:00"] == 2
+
+
+def test_layer_partitioned_store(spark, tiny_edges, tiny_nodes, tmp_path):
+    """layer_partitioned=True directory-partitions edges on _layer:
+    layer-scoped reads prune whole directories (partition filter, not a
+    row filter) and the roundtrip preserves every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables,
+        write_graph_tables,
+    )
+
+    two_layer = tiny_edges.withColumn(
+        "_layer", F.when(F.col("fid") % 2 == 0, "crossings").otherwise("sidewalks")
+    )
+    store = str(tmp_path / "layered")
+    write_graph_tables(two_layer, tiny_nodes, store, partitions=2,
+                       layer_partitioned=True)
+    assert sorted(
+        d for d in os.listdir(f"{store}/edges.parquet") if d.startswith("_layer=")
+    ) == ["_layer=crossings", "_layer=sidewalks"]
+    edges, _ = read_graph_tables(spark, store)
+    assert edges.count() == tiny_edges.count()
+    one = edges.filter(F.col("_layer") == "sidewalks")
+    # partition pruning: the layer predicate appears as a PartitionFilter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_layer" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_layer_partitioned_requires_layer_column(spark, tiny_edges, tmp_path):
+    import pytest
+
+    from entwiner_spark.sources.parquet_store import write_graph_tables
+
+    with pytest.raises(ValueError, match="_layer"):
+        write_graph_tables(
+            tiny_edges.drop("_layer"), None, str(tmp_path / "x"),
+            layer_partitioned=True,
+        )
+
+
+def test_layer_cost_routing_matches_manual_weight(spark, tiny_edges, tiny_nodes):
+    """layer_cost == hand-built CASE expression: same SSSP distances."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph, layer_cost
+
+    edges = tiny_edges.withColumn(
+        "_layer", F.when(F.col("fid") % 2 == 0, "crossings").otherwise("sidewalks")
+    ).withColumn("_length", F.size(F.col("geom.coordinates")).cast("double"))
+    g = SparkGraph(tiny_nodes, edges)
+    src = edges.orderBy("fid").limit(1).collect()[0]["_u"]
+    cost = layer_cost("_length", {"crossings": 5.0, "sidewalks": 1.0})
+    manual = (
+        F.col("_length")
+        * F.when(F.col("_layer") == "crossings", 5.0).otherwise(1.0)
+    ).cast("double")
+    got = {r["_n"]: r["dist"] for r in g.shortest_path_lengths(src, weight=cost).collect()}
+    want = {r["_n"]: r["dist"] for r in g.shortest_path_lengths(src, weight=manual).collect()}
+    assert got == want and len(got) >= 2
