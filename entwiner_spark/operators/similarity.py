@@ -178,6 +178,98 @@ def ivf_assign(
     return base.select(F.col(id_col), expr.alias("centroid"))
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: Lloyd's k-means as DataFrame ops.
+
+    Replaces the fixed deterministic centroids with data-fitted ones —
+    the quality knob for ivf_assign/ivf_topk recall.  Per iteration:
+
+    - ASSIGN: the same K-distance-columns + least/first-equal argmin
+      expression ivf_assign uses (codegen-safe at K=16+);
+    - UPDATE: per-cluster mean as ``dim`` avg() aggregates in ONE
+      groupBy — no explode, map-side partial aggregation, and the only
+      driver-side data is the (k x dim) centroid matrix per iteration,
+      independent of corpus size.  100 TB-safe by construction.
+
+    Determinism: seeds are k evenly-spaced vectors in id order, and
+    centroids are rounded to ``round_dp`` after every update, so a
+    rerun (or a different partitioning of the same data) converges to
+    identical quantized centroids despite float summation-order
+    differences in avg().  Empty clusters keep their previous centroid.
+    """
+    n = emb.count()
+    if n == 0:
+        raise ValueError("cannot train k-means on an empty DataFrame")
+    k = min(k, n)
+    step = max(1, n // k)
+    w = Window.orderBy(id_col)
+    seed_rows = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % step == 0)
+        .orderBy("_rn")
+        .limit(k)
+        .collect()
+    )
+    cents = [[round(float(x), round_dp) for x in r["_v"]] for r in seed_rows]
+    dim = len(cents[0])
+
+    for _ in range(iterations):
+        v = F.col(vec_col)
+        base = emb.select(
+            F.col(id_col),
+            _as_double(v).alias("_v"),
+            *[l2sq_literal(v, c).alias(f"_d{j}") for j in range(len(cents))
+              for c in [cents[j]]],
+        )
+        # same projection barrier as ivf_assign: stops CollapseProject
+        # from re-inlining every distance chain into the argmin CASE
+        base = base.repartition(F.col(id_col))
+        m = F.least(*[F.col(f"_d{j}") for j in range(len(cents))])
+        expr = None
+        for j in range(len(cents)):
+            cond = F.col(f"_d{j}") == m
+            expr = F.when(cond, F.lit(j)) if expr is None else expr.when(cond, F.lit(j))
+        stats = (
+            base.select(expr.alias("_c"), "_v")
+            .groupBy("_c")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("_v", i + 1)), round_dp).alias(f"a{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in stats:
+            new[r["_c"]] = [float(r[f"a{i}"]) for i in range(dim)]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def wcss(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Within-cluster sum of squares for a centroid set — the k-means
+    objective, for measuring training quality."""
+    v = F.col(vec_col)
+    dists = [l2sq_literal(v, c) for c in centroids]
+    return emb.select(F.least(*dists).alias("_d")).agg(F.sum("_d")).collect()[0][0]
+
+
 def ivf_probe_assign(
     emb: DataFrame,
     centroids: list[list[float]],

@@ -330,3 +330,45 @@ def test_minhash_bad_hash_fn_raises(spark, docs):
 
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_signatures(docs, hash_fn="sha1")
+
+
+def test_kmeans_training_improves_and_is_deterministic(spark):
+    """Lloyd training: WCSS never increases round over round, beats the
+    untrained seed centroids, and reruns produce identical (quantized)
+    centroids."""
+    from entwiner_spark.operators.similarity import kmeans_centroids, wcss
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c0 = kmeans_centroids(emb, k=4, iterations=0)
+    c1 = kmeans_centroids(emb, k=4, iterations=1)
+    c5 = kmeans_centroids(emb, k=4, iterations=5)
+    w0, w1, w5 = (wcss(emb, c) for c in (c0, c1, c5))
+    assert w1 <= w0 * (1 + 1e-9)
+    assert w5 <= w1 * (1 + 1e-9)
+    assert w5 < w0  # training actually moved the centroids
+    assert c5 == kmeans_centroids(emb, k=4, iterations=5)
+    assert all(len(c) == 64 for c in c5)
+
+
+def test_kmeans_trained_centroids_feed_ivf(spark):
+    """Trained centroids drop into the existing IVF ANN path."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=4, iterations=3)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    used = {r["centroid"] for r in assigned.select("centroid").distinct().collect()}
+    assert used <= set(range(4)) and len(used) >= 2
+
+
+def test_kmeans_empty_input_raises(spark):
+    import pytest
+
+    from entwiner_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_centroids(emb, k=4)

@@ -84,6 +84,32 @@ def main() -> None:
     out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
     out["lsh_sec"] = round(time.time() - t0, 1)
 
+    # --- 200k-vector k-means: train the IVF quantizer at scale.  Only
+    # (k x dim) doubles ever reach the driver per iteration.
+    log("phase: kmeans ivf training")
+    from entwiner_spark.operators.similarity import kmeans_centroids, wcss
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    vreps = spark.range(100).select(F.col("id").alias("rep"))
+    big_emb = (
+        emb.crossJoin(vreps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + (F.col("rep") % 7) * F.lit(0.01)
+            ).alias("embedding"),
+        )
+        .repartition(64)
+    )
+    out["kmeans_vectors"] = big_emb.count()
+    t0 = time.time()
+    seed = kmeans_centroids(big_emb, k=8, iterations=0)
+    trained = kmeans_centroids(big_emb, k=8, iterations=3)
+    out["kmeans_sec"] = round(time.time() - t0, 1)
+    w_seed, w_trained = wcss(big_emb, seed), wcss(big_emb, trained)
+    out["kmeans_wcss_gain"] = round(1 - w_trained / w_seed, 3)
+    assert w_trained < w_seed
+
     # --- 2M-edge synthetic graph, forced Pregel SSSP
     n = args.graph_nodes
     base = spark.range(n)
