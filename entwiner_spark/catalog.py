@@ -1121,6 +1121,61 @@ def d4_simhash(spark, sf_dir):
 
 
 @q(
+    "t5_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT)
+             AS n_tokens,
+           round(length(text)
+                 / CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE),
+                 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def t5_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (training-data budgeting): GPT-2-shaped
+    pretokenizer regex — optionally space-prefixed letter/digit/punct
+    runs — restricted to the Java-regex ∩ RE2 subset so Spark and
+    DuckDB tokenize identically.  Pure Catalyst regexp_extract_all;
+    chars-per-token is the standard compression-ratio quality signal."""
+    t = F.col("text")
+    n = TX.bpe_token_count(t)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.length(t) / n.cast("double"), 6).alias("chars_per_token"),
+    )
+
+
+@q(
+    "d4b_simhash_neardup",
+    f"""
+    WITH wh AS (
+      SELECT doc_id, {_H32.format(x="w")} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ), sums AS (
+      SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM wh GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def d4b_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding:
+    the 4-chunk bucket self-join produces EXACTLY the brute-force
+    answer (a pair within distance 3 must agree on one of 4 chunks),
+    so the all-pairs oracle is a true equivalence check, while the
+    Spark plan only ever joins on chunk equality."""
+    return DD.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), bits=16, max_hamming=3
+    )
+
+
+@q(
     "d5_ngram_jaccard_pairs",
     """
     WITH toks AS (

@@ -35,6 +35,19 @@ def word_count(text: Column) -> Column:
     return F.size(words(text))
 
 
+# GPT-2-style pretokenizer shape, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB) support — no lookahead, ASCII classes:
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run.  Token counts approximate BPE pretoken counts for
+# budgeting/filtering (the real subword merge step is model-specific).
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM-token count via the BPE-ish pretokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_sw = F.size(F.filter(words(text), lambda x: F.array_contains(sw, x)))

@@ -180,6 +180,63 @@ def simhash(
     return base.select(F.col(id_col), value.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding makes this a bucket join, not an all-pairs scan:
+    split the ``bits``-bit simhash into ``max_hamming + 1`` chunks — any
+    pair within the distance budget must agree EXACTLY on at least one
+    chunk — so candidates come from a self-equi-join on (band, chunk
+    value) and only the exact ``bit_count(xor)`` refine runs per
+    candidate.  Same shuffle discipline as MinHash-LSH: the banded
+    (id, simhash, band, key) table is narrow, and hot buckets fall
+    under the same AQE-skew/salting mitigation ladder.
+    """
+    if bits <= max_hamming:
+        raise ValueError(
+            f"bits={bits} must exceed max_hamming={max_hamming}: every "
+            "pair would be a candidate"
+        )
+    sh = simhash(df, text_col, id_col, bits)
+    chunks = max_hamming + 1
+    width = bits // chunks
+    keys = []
+    for j in range(chunks):
+        lo = j * width
+        w = bits - lo if j == chunks - 1 else width
+        keys.append(
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
+        )
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    ).localCheckpoint(eager=False)
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -372,3 +372,23 @@ def test_kmeans_empty_input_raises(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty"):
         kmeans_centroids(emb, k=4)
+
+
+def test_simhash_neardup_identical_docs_distance_zero(spark, docs):
+    from entwiner_spark.operators.dedup import simhash_neardup_pairs
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 30)
+    clones = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    pairs = simhash_neardup_pairs(base.unionByName(clones), max_hamming=0)
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 1000)
+    assert planted.count() == 30
+    assert planted.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_simhash_neardup_rejects_degenerate_bands(spark, docs):
+    import pytest
+
+    from entwiner_spark.operators.dedup import simhash_neardup_pairs
+
+    with pytest.raises(ValueError, match="bits"):
+        simhash_neardup_pairs(docs, bits=3, max_hamming=3)
