@@ -1148,6 +1148,35 @@ def t5_bpe_tokens(spark, sf_dir):
 
 
 @q(
+    "t6_length_quantiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(length(text), 0.25), 6) AS p25_chars,
+           round(quantile_cont(length(text), 0.50), 6) AS p50_chars,
+           round(quantile_cont(length(text), 0.90), 6) AS p90_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def t6_length_quantiles(spark, sf_dir):
+    """Distributional corpus profiling: exact per-language length
+    quantiles (linear interpolation — Spark percentile() and DuckDB
+    quantile_cont share the definition, so equality is exact).  At
+    100 TB swap percentile -> approx_percentile (t-digest, mergeable
+    map-side) — same plan shape, bounded error, no per-group sort."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(length(text), 0.25D)"), 6).alias("p25_chars"),
+            F.round(F.expr("percentile(length(text), 0.50D)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(length(text), 0.90D)"), 6).alias("p90_chars"),
+        )
+    )
+
+
+@q(
     "d4b_simhash_neardup",
     f"""
     WITH wh AS (
