@@ -2022,6 +2022,34 @@ def s5b_ivf_topk(spark, sf_dir):
 
 
 @q(
+    "s7_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS raw
+      FROM embeddings
+    ), s2 AS (
+      SELECT vec_id, embedding,
+             round(CASE WHEN raw = 0 THEN 1.0 ELSE raw END, 9) AS scale
+      FROM s
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
+    FROM s2
+    """,
+)
+def s7_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (storage compression for
+    100 TB embedding columns; dequantize = q * scale).  Quantizes off
+    the 9-dp-rounded scale so (scale, q) is self-consistent and the
+    oracle's rounding matches exactly (both engines round half away
+    from zero)."""
+    return SIM.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
     "w4_lag_lead",
     """
     SELECT o_custkey, o_orderkey,

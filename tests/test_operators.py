@@ -392,3 +392,36 @@ def test_simhash_neardup_rejects_degenerate_bands(spark, docs):
 
     with pytest.raises(ValueError, match="bits"):
         simhash_neardup_pairs(docs, bits=3, max_hamming=3)
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values differ from the original by at most scale/2
+    per element, and zero vectors survive (scale 1, all-zero q)."""
+    from entwiner_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(99_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    q = quantize_int8(emb.unionByName(zero))
+    assert q.filter(~F.col("q").cast("array<int>").isNotNull()).count() == 0
+    zrow = q.filter(F.col("vec_id") == 99_999).collect()[0]
+    assert zrow["scale"] == 1.0 and set(zrow["q"]) == {0}
+    back = dequantize_int8(q).withColumnRenamed("embedding", "dq")
+    joined = emb.unionByName(zero).join(back, "vec_id")
+    worst = joined.select(
+        F.array_max(
+            F.zip_with(
+                "embedding", "dq",
+                lambda a, b: F.abs(a.cast("double") - b) ,
+            )
+        ).alias("err"),
+        F.col("vec_id"),
+    ).join(q.select("vec_id", "scale"), "vec_id")
+    assert worst.filter(F.col("err") > F.col("scale") * 0.5000001).count() == 0
+    # int8 range respected
+    assert q.filter(
+        F.exists("q", lambda x: (x > 127) | (x < -127))
+    ).count() == 0
