@@ -1985,6 +1985,34 @@ def s5_ivf_assign(spark, sf_dir):
     return SIM.ivf_assign(emb, _ivf_centroids(spark, sf_dir))
 
 
+_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT vec_id, {k} AS c, d{k} AS dist FROM d" for k in range(_N_CENT)
+)
+
+
+@q(
+    "s5c_ivf_multiprobe",
+    f"""
+    WITH d AS (
+      SELECT vec_id, {_D_COLS}
+      FROM embeddings, {_CENT_FROM}
+    ), u AS ({_PROBE_ARMS})
+    SELECT vec_id, CAST(c AS INT) AS centroid FROM (
+      SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      FROM u
+    ) WHERE rn <= 2
+    """,
+)
+def s5c_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF assignment (probes=2): each vector mapped to its
+    2 nearest coarse centroids — the recall knob for bucket-join ANN.
+    Spark sorts a per-row array of (dist, centroid) structs; the oracle
+    ranks the unioned distance arms — identical (dist, c) tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_probe_assign(emb, _ivf_centroids(spark, sf_dir), probes=2)
+
+
 @q(
     "s5b_ivf_topk",
     f"""

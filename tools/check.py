@@ -48,7 +48,7 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[str, list[str
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", action="append", default=None)
     ap.add_argument("--show-diff", action="store_true")
     args = ap.parse_args()
 
@@ -66,7 +66,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only:
             continue
         t0 = time.time()
         try:
