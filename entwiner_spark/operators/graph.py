@@ -388,7 +388,11 @@ class SparkGraph:
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
 
-        Path reconstruction collects only O(path length) rows.
+        Path reconstruction collects only O(path length) rows.  Both
+        strategies assume non-negative weights (local is Dijkstra; the
+        Pregel loop goal-stops once the frontier cannot improve the
+        target — the standard point-to-point early exit, invalid under
+        negative weights).
         """
         if self._use_local(strategy):
             import heapq
@@ -466,9 +470,27 @@ class SparkGraph:
             dist = merged.select("_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
             if probe:
-                n_front = frontier.count()
-                frontier_small = n_front < broadcast_frontier_rows
-                if n_front == 0:
+                # one aggregate over the just-materialized checkpoint
+                # yields the emptiness check, the broadcast-size
+                # signal, AND the goal-stopping test: with
+                # non-negative weights, once every frontier distance
+                # is >= the target's settled distance, no remaining
+                # expansion can improve the target — stop instead of
+                # flooding the rest of the graph (point-to-point
+                # routes touch a neighborhood, not the whole network)
+                st = merged.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_imp"), 1)), F.lit(0)
+                    ).alias("n_front"),
+                    F.min(F.when(F.col("_imp"), F.col("dist"))).alias("f_min"),
+                    F.min(F.when(F.col("_n") == target, F.col("dist"))).alias(
+                        "t_dist"
+                    ),
+                ).collect()[0]
+                frontier_small = st["n_front"] < broadcast_frontier_rows
+                if st["n_front"] == 0 or (
+                    st["t_dist"] is not None and st["f_min"] >= st["t_dist"]
+                ):
                     converged = True
                     break
         adj.unpersist()

@@ -293,3 +293,17 @@ def test_local_weighted_bounded_raises(uwG):
     with pytest.raises(ValueError, match="local"):
         uwG.shortest_path_lengths("x", weight="_length",
                                   max_iterations=3, strategy="local")
+
+
+def test_pregel_shortest_path_goal_stops_early(uwG):
+    """Point-to-point pregel routing stops once the target settles:
+    same path as local Dijkstra, but fewer iterations than the graph's
+    full eccentricity when the route is short."""
+    edges = uwG.edges
+    u = edges.orderBy("fid").limit(1).collect()[0]["_u"]
+    v = [r["_v"] for r in uwG.successors(u).collect()][0]
+    local = uwG.shortest_path(u, v, weight="_length", strategy="local")
+    pregel = uwG.shortest_path(u, v, weight="_length", strategy="pregel")
+    assert pregel is not None and local is not None
+    assert pregel[0] == local[0]
+    assert abs(pregel[1] - local[1]) < 1e-9
