@@ -27,6 +27,8 @@ from entwiner_spark.functions import geo as G
 from entwiner_spark.functions import text as TX
 from entwiner_spark.operators import dedup as DD
 from entwiner_spark.operators import mutations as MUT
+from entwiner_spark.operators import packing as PACK
+from entwiner_spark.operators import sampling as SAMP
 from entwiner_spark.operators import similarity as SIM
 from entwiner_spark.operators.graph import SparkGraph
 
@@ -1225,6 +1227,117 @@ def d5_ngram_jaccard_pairs(spark, sf_dir):
     """Word-set Jaccard similarity pairs (exact near-dup baseline)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     return DD.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@q(
+    "d7_contamination",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram) AS n_shared_grams,
+           count(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM g c JOIN g b ON c.gram = b.gram
+    WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    GROUP BY c.doc_id
+    """,
+)
+def d7_contamination(spark, sf_dir):
+    """Benchmark-contamination detection (GPT-3/C4-style n-gram
+    decontamination): flag training docs sharing a word n-gram with
+    the benchmark slice (every 50th doc stands in for an eval set).
+    n=3 suits the synthetic small-vocab corpus; production uses 8-13.
+    The benchmark gram table broadcasts, so the 100 TB corpus side
+    never shuffles — one map-side join pass plus the per-doc agg."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return DD.contamination_overlap(corpus, bench, n=3)
+
+
+@q(
+    "samp1_stratified",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 20
+    """,
+)
+def samp1_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 20 docs per language
+    by md5-hash rank (operators/sampling.py).  Reproducible across
+    runs, partitionings, and engines — unlike df.sample(), whose
+    output depends on partition layout.  One shuffle on the stratum."""
+    return SAMP.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_cols=["lang"],
+        n_per_stratum=20,
+        key_col="doc_id",
+    ).select("doc_id", "lang", "rk")
+
+
+@q(
+    "samp2_hash_bernoulli",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2666'
+    """,
+)
+def samp2_hash_bernoulli(spark, sf_dir):
+    """Deterministic Bernoulli sample at fraction 0.15 (threshold
+    0x2666/0x10000): membership is a pure per-row md5-prefix
+    predicate — no shuffle, no state, repeatable, auditable.  The
+    same predicate family powers split_train_holdout (exact
+    complementary train/holdout split)."""
+    return SAMP.hash_sample(
+        _t(spark, sf_dir, "documents"), key_col="doc_id", fraction=0.15
+    ).select("doc_id", "source")
+
+
+@q(
+    "t7_pack_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def t7_pack_chunks(spark, sf_dir):
+    """Context-window packing (streaming chunker): per-language token
+    stream, 256-token windows; chunk_id = floor(start_offset/budget)
+    (operators/packing.py: chunk_by_cumsum).  One window over one
+    shuffle on the stream key.  The exact greedy variant
+    (pack_greedy, applyInPandas per stream) is pytest-verified
+    against a sequential reference — greedy's reset-at-boundary
+    state is not expressible as a closed-form window, so the SQL
+    twin covers the chunker semantics."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.word_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return PACK.chunk_by_cumsum(
+        docs, stream_col="lang", order_col="doc_id", token_col="n_tokens", budget=256
+    )
 
 
 # =====================================================================

@@ -265,3 +265,68 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def word_ngrams(text_col, n: int):
+    """Distinct word n-grams of a text column as array<string>.
+
+    Built with transform(sequence)+slice — per-row array expressions,
+    no intermediate explode, so a 100 TB corpus computes its gram sets
+    inside whole-stage codegen and only explodes where a join needs
+    one gram per row.
+    """
+    w = words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: word n-gram collisions
+    between a training corpus and an evaluation/benchmark set.
+
+    The standard decontamination step for LLM training data: a
+    training document that shares a long-enough word n-gram with a
+    benchmark document is flagged (GPT-3/C4-style 8-13 gram overlap).
+
+    Plan shape: both sides reduce to narrow (id, gram) tables (grams
+    computed per-row, deduped per-doc BEFORE the explode), the
+    benchmark side — typically a few thousand docs — broadcasts, so
+    the corpus never shuffles: flagging 100 TB is one broadcast-join
+    map pass plus the per-doc groupBy.  With a large benchmark set
+    disable the broadcast and the equi-join shuffles on the gram.
+
+    Returns one row per contaminated corpus doc: ``n_shared_grams``
+    (distinct colliding grams) and ``n_benchmark_docs`` (distinct
+    benchmark docs hit).
+    """
+
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+
+    c = gram_rows(corpus, id_col)
+    b = gram_rows(benchmark, "_bench_id")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("_bench_id").alias("n_benchmark_docs"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Corpus curation needs REPRODUCIBLE samples: `df.sample()` depends on
+partition layout and seed plumbing, so two runs over a re-partitioned
+100 TB corpus disagree.  These operators derive membership from a
+cryptographic hash of a key column instead — the sample is a pure
+function of the data, stable across partitioning, cluster size, and
+engine (the md5-prefix trick has a bit-identical DuckDB twin, see
+catalog samp1/samp2).
+
+Reference parity: the reference engine has no sampling surface; these
+are part of the LLM-pipeline superset (SURVEY.md §2.14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_col(key_col: str):
+    """Lowercase md5 hex of the key — identical string in DuckDB."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Exact-size per-stratum sample: the n_per_stratum rows with the
+    smallest md5(key) in each stratum (ties broken by the key itself).
+
+    Hash-rank sampling is uniform within each stratum yet fully
+    deterministic.  One shuffle on the strata columns; rank is a
+    running row_number, so map-side the partition only needs a sort.
+    Skewed strata are ordinary window skew — AQE handles moderate
+    cases; for a pathological stratum pre-filter with hash_sample to
+    ~4x the target size first (two cheap passes beat one skewed sort).
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(_hash_col(key_col), F.col(key_col))
+    out = df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= n_per_stratum
+    )
+    return out if keep_rank else out.drop("rk")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5(key) prefix
+    falls below the fraction threshold.
+
+    Granularity is 1/65536 (first 4 hex chars); membership is a pure
+    per-row predicate — no shuffle, no state, pushdown-friendly — and
+    REPEATABLE: the same row is in the sample on every run and every
+    engine, which is what makes held-out splits auditable.  Fixed-width
+    lowercase hex compares lexicographically as its numeric value, so
+    the engine-portable form is a plain string comparison.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    threshold = format(int(fraction * 65536), "04x")
+    return df.filter(F.substring(_hash_col(key_col), 1, 4) < F.lit(threshold))
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.01
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/holdout split by hashed key: complementary
+    hash_sample predicates, so the two sides partition the corpus
+    exactly (no row in both, none dropped) regardless of partitioning
+    or re-runs."""
+    threshold = format(int(holdout_fraction * 65536), "04x")
+    pred = F.substring(_hash_col(key_col), 1, 4) < F.lit(threshold)
+    return df.filter(~pred), df.filter(pred)

@@ -1,0 +1,147 @@
+"""Tests for the sampling / packing / contamination pipeline operators
+(the LLM-training-data superset, SURVEY.md §2.14)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators import packing as PACK
+from entwiner_spark.operators import sampling as SAMP
+from entwiner_spark.operators.dedup import contamination_overlap, word_ngrams
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9)), f"lang{i % 3}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _greedy_reference(tokens: list[int], budget: int) -> list[int]:
+    ids, chunk, used = [], 0, 0
+    for t in tokens:
+        if used > 0 and used + t > budget:
+            chunk, used = chunk + 1, 0
+        used += t
+        ids.append(chunk)
+    return ids
+
+
+def test_pack_greedy_matches_sequential_reference(spark):
+    rows = [(i, "s", t) for i, t in enumerate([30, 40, 50, 10, 90, 100, 5, 5, 120, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, stream string, n_tokens long")
+    out = (
+        PACK.pack_greedy(df, "stream", "doc_id", "n_tokens", budget=100)
+        .orderBy("doc_id")
+        .collect()
+    )
+    expect = _greedy_reference([30, 40, 50, 10, 90, 100, 5, 5, 120, 7], 100)
+    assert [r.chunk_id for r in out] == expect
+
+
+def test_pack_greedy_oversized_doc_gets_own_chunk(spark):
+    df = spark.createDataFrame(
+        [(0, "s", 500), (1, "s", 10)], "doc_id long, stream string, n_tokens long"
+    )
+    out = PACK.pack_greedy(df, "stream", "doc_id", "n_tokens", 100).orderBy("doc_id")
+    ids = [r.chunk_id for r in out.collect()]
+    assert ids == [0, 1]  # the 500-token doc occupies chunk 0 alone
+
+
+def test_pack_greedy_streams_are_independent(spark):
+    rows = [(i, f"s{i % 2}", 60) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, stream string, n_tokens long")
+    out = PACK.pack_greedy(df, "stream", "doc_id", "n_tokens", 100).collect()
+    per_stream = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        per_stream.setdefault(r.stream, []).append(r.chunk_id)
+    # 3 docs x 60 tokens at budget 100 -> one doc per chunk in each stream
+    assert per_stream == {"s0": [0, 1, 2], "s1": [0, 1, 2]}
+
+
+def test_chunk_by_cumsum_budget_boundaries(spark, docs):
+    toks = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n"))
+    out = PACK.chunk_by_cumsum(toks, "lang", "doc_id", "n", budget=20)
+    rows = out.orderBy("lang", "doc_id").collect()
+    for r in rows:
+        assert r.chunk_id == (r.cum_tokens - r.n) // 20
+    # cum_tokens strictly increasing within each stream
+    by_lang = {}
+    for r in rows:
+        prev = by_lang.get(r.lang, 0)
+        assert r.cum_tokens == prev + r.n
+        by_lang[r.lang] = r.cum_tokens
+
+
+# --------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_exact_size_and_deterministic(spark, docs):
+    a = SAMP.stratified_sample(docs, ["lang"], 5, "doc_id")
+    b = SAMP.stratified_sample(docs.repartition(7), ["lang"], 5, "doc_id")
+    ra = {(r.doc_id, r.rk) for r in a.collect()}
+    rb = {(r.doc_id, r.rk) for r in b.collect()}
+    assert ra == rb  # partitioning-independent
+    counts = {r.lang: r.n for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lang0": 5, "lang1": 5, "lang2": 5}
+
+
+def test_stratified_sample_matches_python_md5_rank(spark, docs):
+    out = SAMP.stratified_sample(docs, ["lang"], 3, "doc_id").collect()
+    local = {}
+    for r in docs.select("doc_id", "lang").collect():
+        local.setdefault(r.lang, []).append(r.doc_id)
+    expect = set()
+    for lang, ids in local.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect |= {(i, lang) for i in ranked[:3]}
+    assert {(r.doc_id, r.lang) for r in out} == expect
+
+
+def test_hash_sample_fraction_bounds(spark, docs):
+    with pytest.raises(ValueError):
+        SAMP.hash_sample(docs, "doc_id", 1.5)
+    assert SAMP.hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert SAMP.hash_sample(docs, "doc_id", 1.0).count() < 60  # '10000' > any 4-hex
+
+
+def test_split_train_holdout_partitions_exactly(spark, docs):
+    train, hold = SAMP.split_train_holdout(docs, "doc_id", holdout_fraction=0.2)
+    n_train, n_hold = train.count(), hold.count()
+    assert n_train + n_hold == 60
+    assert n_hold > 0
+    ids_train = {r.doc_id for r in train.select("doc_id").collect()}
+    ids_hold = {r.doc_id for r in hold.select("doc_id").collect()}
+    assert not ids_train & ids_hold
+
+
+# ---------------------------------------------------------- contamination
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0].g == []
+
+
+def test_contamination_overlap_flags_shared_grams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox runs away")], "doc_id long, text string"
+    )
+    out = contamination_overlap(corpus, bench, n=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    # "quick brown fox" is the single shared 3-gram
+    assert (row.doc_id, row.n_shared_grams, row.n_benchmark_docs) == (1, 1, 1)
