@@ -59,3 +59,32 @@ def test_spatial_bbox_pushed(spark, tiny_edges, tmp_path):
     edges, _ = read_graph_tables(spark, store)
     cand = intersects(edges, (-122.32, -122.31, 47.65, 47.66))
     assert_pushed_filters(cand, "_minx", "_maxx", "_miny", "_maxy")
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """d7: the benchmark gram table broadcasts so the corpus side
+    never shuffles for the join (one map pass + the per-doc agg)."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    lines = plan_summary(catalog.QUERIES["d7_contamination"](spark, SF))
+    assert any("BroadcastHashJoin" in l for l in lines)
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """samp2: membership is a per-row predicate — zero exchanges."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    lines = plan_summary(catalog.QUERIES["samp2_hash_bernoulli"](spark, SF))
+    assert not any("Exchange" in l for l in lines)
+
+
+def test_pack_chunks_single_exchange(spark):
+    """t7: one window over one shuffle on the stream key."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    lines = plan_summary(catalog.QUERIES["t7_pack_chunks"](spark, SF))
+    assert sum("Exchange" in l for l in lines) <= 2  # hashpartition (+AQE read)
+    assert any("Window" in l for l in lines)
