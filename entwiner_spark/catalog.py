@@ -2450,6 +2450,43 @@ def e5_asof_last_view(spark, sf_dir):
     )
 
 
+@q(
+    "e6_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS delay_us,
+           round(b.value, 4) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def e6_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase attribution
+    within 2 h), batch twin of streaming/joins.interval_join.  With
+    watermarks on both streams the closed time-range predicate bounds
+    the join state to O(rate x window); here the batch plan is a
+    single equi-join on user_id with the range as a post-filter."""
+    from entwiner_spark.streaming.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = interval_join(views, purchases, key_col="user_id", max_delay="2 HOUR")
+    return j.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+        F.round("r_value", 4).alias("purchase_value"),
+    )
+
+
 # =====================================================================
 # Round-2 breadth: TPC-H-shaped relational operator coverage
 # =====================================================================

@@ -316,3 +316,57 @@ def test_layer_cost_routing_matches_manual_weight(spark, tiny_edges, tiny_nodes)
     got = {r["_n"]: r["dist"] for r in g.shortest_path_lengths(src, weight=cost).collect()}
     want = {r["_n"]: r["dist"] for r in g.shortest_path_lengths(src, weight=manual).collect()}
     assert got == want and len(got) >= 2
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join over two file streams must agree
+    with the batch twin, and must refuse to run unwatermarked."""
+    import pytest
+
+    from entwiner_spark.streaming.joins import interval_join
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    vdir.mkdir(), pdir.mkdir()
+    views = [
+        {"event_id": i, "user_id": i % 3, "ts": f"2024-01-01T10:{10 + i:02d}:00"}
+        for i in range(5)
+    ]
+    purchases = [
+        {"event_id": 100 + i, "user_id": i % 3, "ts": f"2024-01-01T10:{20 + 2 * i:02d}:00"}
+        for i in range(5)
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    vs = spark.readStream.schema(schema).json(str(vdir))
+    ps = spark.readStream.schema(schema).json(str(pdir))
+
+    with pytest.raises(ValueError, match="watermark"):
+        interval_join(vs, ps, key_col="user_id", max_delay="15 MINUTES")
+
+    j = interval_join(
+        vs, ps, key_col="user_id", max_delay="15 MINUTES", watermark="1 hour"
+    ).select("l_event_id", "r_event_id", "l_user_id")
+    query = (
+        j.writeStream.format("memory").queryName("ij_test").outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        got = spark.sql("SELECT * FROM ij_test").collect()
+    finally:
+        query.stop()
+
+    vb = spark.read.schema(schema).json(str(vdir))
+    pb = spark.read.schema(schema).json(str(pdir))
+    want = interval_join(vb, pb, key_col="user_id", max_delay="15 MINUTES").select(
+        "l_event_id", "r_event_id", "l_user_id"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
