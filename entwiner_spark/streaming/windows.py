@@ -55,3 +55,28 @@ def session_counts(
     return df.groupBy(F.session_window(ts_col, gap).alias("win"), key_col).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in streaming dedup: drop repeat (keys) arrivals, keeping
+    state only for rows younger than the watermark.
+
+    The engine-native complement to stateful.seen_edge_filter (custom
+    applyInPandasWithState): dropDuplicatesWithinWatermark expires its
+    seen-set with the watermark, so state is O(rate x watermark)
+    instead of O(distinct keys ever) — the only safe shape for an
+    unbounded stream.  Batch inputs fall back to plain
+    dropDuplicates, which has the same keep-one contract (streaming
+    keeps the first ARRIVAL; use a row_number window when a specific
+    deterministic winner is required, as ingest.merge_batch does).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

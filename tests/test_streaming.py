@@ -370,3 +370,38 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key across
+    microbatches while the key stays inside the watermark."""
+    from entwiner_spark.streaming.windows import dedup_within_watermark
+
+    ddir = tmp_path / "dd"
+    ddir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "k": "a", "v": 1},
+        {"ts": "2024-01-01T10:01:00", "k": "a", "v": 2},  # dup key
+        {"ts": "2024-01-01T10:02:00", "k": "b", "v": 3},
+    ]
+    (ddir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (ddir / "b2.json").write_text(json.dumps(rows[2]))
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(ddir))
+    dd = dedup_within_watermark(stream, keys=["k"], watermark="1 hour")
+    query = (
+        dd.writeStream.format("memory").queryName("dd_test").outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        got = spark.sql("SELECT k FROM dd_test").collect()
+    finally:
+        query.stop()
+    assert sorted(r.k for r in got) == ["a", "b"]
