@@ -131,6 +131,34 @@ def edges_from_geojson(
         *[F.col(f"_f.properties.{n}").alias(n) for n in prop_fields],
     )
 
+    return edges_from_feature_base(
+        base,
+        paths,
+        prop_fields,
+        precision=precision,
+        changes_sign=changes_sign,
+        add_reverse=add_reverse,
+        with_length=with_length,
+    )
+
+
+def edges_from_feature_base(
+    base: DataFrame,
+    paths: str | list[str],
+    prop_fields: list[str],
+    precision: int = DEFAULT_PRECISION,
+    changes_sign: tuple[str, ...] = (),
+    add_reverse: bool = True,
+    with_length: bool = False,
+) -> DataFrame:
+    """Shared back half of every linear-feature ingest (GeoJSON,
+    shapefile, ...): fid assignment, forward∪reverse projection,
+    node-ID construction, last-write-wins dedup, bbox/length columns.
+
+    ``base`` must carry ``_src``/``_pos`` (file + in-file index),
+    ``_layer``, a ``geom`` struct(type, coordinates) holding a
+    LineString, and the ``prop_fields`` property columns.
+    """
     # Per-file fid offsets: cumulative feature counts in USER path
     # order (write order in the reference's sequential build,
     # /root/reference/entwiner/cli.py:36-41).
