@@ -61,6 +61,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Newer driver parquet surfaces ts as TIMESTAMP_NTZ (timestamp[us]
+    # with no zone); unix_millis/unix_micros and interval arithmetic in
+    # the event queries require TIMESTAMP (LTZ). Session TZ is pinned
+    # UTC above, so this cast is deterministic and oracle-stable.
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1313,9 +1319,11 @@ def samp2_hash_bernoulli(spark, sf_dir):
       FROM documents
     ), c AS (
       SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum_tokens
+             -- DuckDB sum(BIGINT) yields HUGEINT; cast back so the
+             -- driver's value-hash sees the same int64 Spark emits
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, lang, n_tokens, cum_tokens,
@@ -2176,8 +2184,10 @@ def s5b_ivf_topk(spark, sf_dir):
       FROM s
     )
     SELECT vec_id, scale,
-           list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
+           array_to_string(
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)),
+             ',') AS q_csv
     FROM s2
     """,
 )
@@ -2186,8 +2196,12 @@ def s7_quantize_int8(spark, sf_dir):
     100 TB embedding columns; dequantize = q * scale).  Quantizes off
     the 9-dp-rounded scale so (scale, q) is self-consistent and the
     oracle's rounding matches exactly (both engines round half away
-    from zero)."""
-    return SIM.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    from zero).  The library function keeps the array form; the catalog
+    query CSV-encodes it (array_join) because the driver's canonicalizer
+    sorts row values and cannot hash list cells."""
+    return SIM.quantize_int8(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "scale", F.array_join(F.col("q"), ",").alias("q_csv")
+    )
 
 
 @q(

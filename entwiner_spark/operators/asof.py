@@ -50,6 +50,16 @@ def asof_join(
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c != on and c not in by]
+    # unix_micros (tolerance path) rejects TIMESTAMP_NTZ; normalize both
+    # sides up front so NTZ-typed parquet inputs join identically.
+    for side_name in ("left", "right"):
+        df = left if side_name == "left" else right
+        if dict(df.dtypes).get(on) == "timestamp_ntz":
+            df = df.withColumn(on, F.col(on).cast("timestamp"))
+            if side_name == "left":
+                left = df
+            else:
+                right = df
     payload = F.struct(
         F.col(on).alias("_asof_ts"), *[F.col(c) for c in value_cols]
     )

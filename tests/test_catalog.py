@@ -41,6 +41,8 @@ def test_entry_runs(spark):
         "d3_minhash_lsh_pairs",
         "s2_cosine_top10",
         "e3_sessionize",
+        "e5_asof_last_view",
+        "e6_interval_join",
         "mm1_binary_meta",
     ],
 )
@@ -49,6 +51,33 @@ def test_query_runs_at_sf0001(spark, name):
 
     df = catalog.QUERIES[name](spark, SF)
     assert df.limit(5).count() >= 0  # executes without error
+
+
+def test_events_ts_normalized_to_ltz(spark, tmp_path):
+    """The driver's events.parquet surfaces ts as TIMESTAMP_NTZ (no-zone
+    timestamp[us]); _events must normalize it to TIMESTAMP so
+    unix_millis/unix_micros call sites (sessionize, as-of, interval
+    join) keep working.  Regression guard for the round-3 breakage."""
+    import pandas as pd
+    from entwiner_spark.catalog import _events
+
+    ev = _events(spark, SF)
+    assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+
+    # Explicit NTZ fixture, independent of what the driver generated.
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]),
+            "user_id": [1, 1],
+            "event_type": ["view", "purchase"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    ev2 = _events(spark, str(tmp_path))
+    assert dict(ev2.dtypes)["ts"] == "timestamp", ev2.dtypes
 
 
 def test_approx_degree_accuracy(spark):

@@ -1,0 +1,130 @@
+"""OGR ingest paths, exercised with a fake fiona module (GDAL is not
+installed in this environment — the point is the Spark-side plumbing:
+the driver-size guard, the per-file mapInPandas parse, the declared
+schema, and the shared fwd/rev canonicalization)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import types
+
+import pytest
+from pyspark.sql import types as T
+
+COORDS_A = [[-122.31, 47.65], [-122.32, 47.66]]
+COORDS_B = [[-122.33, 47.67], [-122.34, 47.68]]
+
+FAKE_FIONA_SRC = '''
+import builtins
+import json
+
+
+class _Handle:
+    def __init__(self, path):
+        with builtins.open(path) as f:
+            self._data = json.load(f)
+        self.name = self._data.get("name", "layer")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def __iter__(self):
+        return iter(self._data["features"])
+
+
+def open(path):
+    return _Handle(path)
+'''
+
+
+def _feature(coords, **props):
+    return {
+        "geometry": {"type": "LineString", "coordinates": coords},
+        "properties": props,
+    }
+
+
+def _write_layer(path, name, features):
+    path.write_text(json.dumps({"name": name, "features": features}))
+    return str(path)
+
+
+@pytest.fixture()
+def fake_fiona(monkeypatch):
+    mod = types.ModuleType("fiona")
+    exec(FAKE_FIONA_SRC, mod.__dict__)
+    monkeypatch.setitem(sys.modules, "fiona", mod)
+    return mod
+
+
+def test_driver_path_small_file(spark, fake_fiona, tmp_path):
+    from entwiner_spark.sources.ogr import edges_from_ogr
+
+    p = _write_layer(
+        tmp_path / "small.shp.json",
+        "small",
+        [_feature(COORDS_A, length=3.0), _feature(COORDS_B, length=4.0)],
+    )
+    df = edges_from_ogr(spark, p)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 features x fwd+rev
+    assert {"_u", "_v", "geom", "_layer", "length"} <= set(df.columns)
+
+
+def test_driver_path_guard_raises_on_large_input(spark, fake_fiona, tmp_path):
+    """Materializing a big OGR file on the driver is fenced: the guard
+    must raise (pointing at the distributed path), not OOM."""
+    from entwiner_spark.sources.ogr import edges_from_ogr
+
+    p = _write_layer(
+        tmp_path / "big.shp.json",
+        "big",
+        [_feature([[float(i), 0.0], [float(i), 1.0]]) for i in range(5)],
+    )
+    with pytest.raises(ValueError, match="edges_from_ogr_distributed"):
+        edges_from_ogr(spark, p, max_features=3)
+
+
+def test_distributed_path_parses_per_file(spark, fake_fiona, tmp_path):
+    """mapInPandas per-file ingest: fiona opens inside the executor
+    task; nothing is materialized on the driver."""
+    from entwiner_spark.sources.ogr import edges_from_ogr_distributed
+
+    # make the fake importable inside executor workers too
+    fake_path = tmp_path / "fiona.py"
+    fake_path.write_text(FAKE_FIONA_SRC)
+    spark.sparkContext.addPyFile(str(fake_path))
+
+    p1 = _write_layer(
+        tmp_path / "a.json", "a", [_feature(COORDS_A, length=3.0, width=1.0)]
+    )
+    p2 = _write_layer(
+        tmp_path / "b.json",
+        "b",
+        [
+            _feature(COORDS_B, length=4.0),  # width missing -> NULL
+            {"geometry": {"type": "Point", "coordinates": [0.0, 0.0]}, "properties": {}},
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("length", T.DoubleType()),
+            T.StructField("width", T.DoubleType()),
+        ]
+    )
+    df = edges_from_ogr_distributed(spark, [p1, p2], schema, changes_sign=("length",))
+    rows = {(r["_u"], r["_v"]): r for r in df.collect()}
+    assert len(rows) == 4  # 2 LineStrings x fwd+rev; the Point dropped
+    layers = {r["_layer"] for r in rows.values()}
+    assert layers == {"a", "b"}
+    # reverse edge sign-flips length, keeps width
+    fwd = [r for r in rows.values() if r["_layer"] == "a" and r["length"] == 3.0]
+    rev = [r for r in rows.values() if r["_layer"] == "a" and r["length"] == -3.0]
+    assert len(fwd) == 1 and len(rev) == 1
+    assert fwd[0]["width"] == 1.0 and rev[0]["width"] == 1.0
+    # width NULL where the source feature lacked it
+    assert all(r["width"] is None for r in rows.values() if r["_layer"] == "b")
