@@ -25,6 +25,7 @@ from entwiner_spark.sources.parquet_store import (
 )
 from entwiner_spark.operators.graph import SparkGraph
 from entwiner_spark.operators.spatial import dwithin, intersects
+from entwiner_spark.nxview import LazyDiGraphView
 
 __version__ = "0.1.0"
 
@@ -36,6 +37,7 @@ __all__ = [
     "read_graph_tables",
     "write_graph_tables",
     "SparkGraph",
+    "LazyDiGraphView",
     "dwithin",
     "intersects",
     "__version__",

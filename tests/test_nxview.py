@@ -1,0 +1,105 @@
+"""Lazy NetworkX-protocol view (entwiner_spark/nxview.py).
+
+Parity target: the reference's DiGraphDBView — unmodified nx algorithms
+run against the store through the dict protocol
+(/root/reference/entwiner/graphs/digraphdb/__init__.py:16-93;
+README.md:66-74 shows nx.dijkstra_path directly on the DB graph)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from entwiner_spark.exceptions import ImmutableGraphError
+from entwiner_spark.nxview import LazyDiGraphView
+from entwiner_spark.operators.graph import SparkGraph
+from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+
+N1 = "-122.313294, 47.6598762"
+N2 = "-122.3141965, 47.659887"
+
+
+@pytest.fixture(scope="module")
+def sg(spark, tiny_edges, tiny_nodes):
+    return SparkGraph(tiny_nodes, tiny_edges)
+
+
+@pytest.fixture(scope="module")
+def G(sg):
+    return LazyDiGraphView(sg)
+
+
+@pytest.fixture(scope="module")
+def uw(spark):
+    edges = edges_from_geojson(
+        spark, "/root/reference/tests/data/uw.geojson", with_length=True
+    )
+    return SparkGraph(nodes_from_edges(edges), edges).to_in_memory()
+
+
+def test_dict_protocol(G):
+    assert N1 in G
+    assert "nope" not in G
+    assert len(G) == 5
+    assert G.number_of_nodes() == 5
+    # hub node: 4 successors, same 4 predecessors (fwd+rev edges)
+    assert len(G[N2]) == 4
+    assert set(G[N2]) == set(G.pred[N2])
+    assert N2 in G[N1]
+    # edge attrs through the adjacency, reference fixture fid==2 on the
+    # reverse edge of the first feature (tests/test_digraphdbview.py)
+    attrs = G[N1][N2]
+    assert "geom" in attrs
+    # adjacency equivalence G[n] == G.adj[n] == G.succ[n]
+    assert dict(G[N2]) == dict(G.adj[N2]) == dict(G.succ[N2])
+    assert sorted(G.nodes) == sorted(
+        r["_n"] for r in G.sg.nodes.select("_n").collect()
+    )
+    assert G.number_of_edges() == 8
+    assert len(list(G.edges)) == 8
+
+
+def test_missing_node_raises_keyerror(G):
+    with pytest.raises(KeyError):
+        G._succ["nope"]
+    with pytest.raises(KeyError):
+        G.nodes["nope"]
+
+
+def test_unmodified_nx_dijkstra_matches_spark_sssp(uw):
+    """nx.dijkstra_path on the lazy view == SparkGraph.shortest_path."""
+    G = LazyDiGraphView(uw)
+    rows = uw.edges.select("_u", "_v").limit(1).collect()
+    source = rows[0]["_u"]
+    # pick a target a few hops out so the path is non-trivial
+    far = uw.shortest_path_lengths(source, weight="_length").collect()
+    target = max(
+        (r for r in far if r["dist"] is not None), key=lambda r: r["dist"]
+    )["_n"]
+
+    nx_path = nx.dijkstra_path(G, source, target, weight="_length")
+    nx_len = nx.dijkstra_path_length(G, source, target, weight="_length")
+    spark_path, spark_len = uw.shortest_path(source, target, weight="_length")
+    assert nx_len == pytest.approx(spark_len, rel=1e-9)
+    # equal-cost paths may differ; endpoints + cost must match, and the
+    # nx path must be walkable over the edge table
+    assert nx_path[0] == source and nx_path[-1] == target
+    assert spark_path[0] == source and spark_path[-1] == target
+    for u, v in zip(nx_path, nx_path[1:]):
+        assert v in G[u]
+
+
+def test_unmodified_nx_algorithms_run(G):
+    # a couple of stock algorithms exercising iteration + adjacency
+    assert nx.number_weakly_connected_components(G) == 1
+    deg = dict(G.out_degree())
+    assert deg[N2] == 4 and deg[N1] == 1
+
+
+def test_view_is_read_only(G):
+    with pytest.raises(ImmutableGraphError):
+        G.add_edge("a", "b")
+    with pytest.raises(ImmutableGraphError):
+        G.remove_node(N1)
+    with pytest.raises(ImmutableGraphError):
+        G.clear()
