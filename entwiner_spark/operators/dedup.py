@@ -95,13 +95,53 @@ def minhash_signatures(
     return base.select(F.col(id_col), *cols)
 
 
+def _self_join_on_bands(
+    banded: DataFrame, id_col: str, salt: int | None = None
+):
+    """Self-equi-join of a banded (id, band, key, ...) table producing
+    each candidate pair (a.id < b.id) exactly once.
+
+    ``salt=None`` leaves skew to AQE's skew-join split.  With
+    ``salt=S`` the hot-bucket escalation documented in PLANS.md kicks
+    in: the probe side's rows land in a deterministic sub-bucket
+    (``xxhash64(id) % S``) and the build side replicates S-fold, so a
+    bucket of B rows does B²/S work per task instead of B² in one —
+    the replicate-small/salt-big pattern (operators/skew.py) adapted
+    to a self-join.  Every pair still appears exactly once: the a-side
+    row carries one salt value and the b-side copy with that value is
+    unique.
+    """
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if salt is None:
+        return banded.alias("a").join(banded.alias("b"), cond)
+    if salt < 2:
+        raise ValueError(f"salt={salt}: need >= 2 sub-buckets to split a hot band")
+    a = banded.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).alias("a")
+    b = banded.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    ).alias("b")
+    return a.join(b, cond & (F.col("a._salt") == F.col("b._salt")))
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    salt: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Bands of k/bands rows each; band key is the concatenated signature
     slice.  The self-join runs on the tiny (id, band, key) projection.
+    ``salt`` splits hot bands across tasks (see _self_join_on_bands) —
+    the explicit escalation when AQE skew-splitting isn't enough.
     """
     if k % bands != 0:
         raise ValueError(
@@ -123,15 +163,8 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "key")
     ).localCheckpoint(eager=False)
-    a = banded.alias("a")
-    bb = banded.alias("b")
     return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _self_join_on_bands(banded, id_col, salt=salt)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -186,6 +219,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -218,15 +252,9 @@ def simhash_neardup_pairs(
         F.col("simhash"),
         F.posexplode(F.array(*keys)).alias("band", "key"),
     ).localCheckpoint(eager=False)
-    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _self_join_on_bands(banded, id_col, salt=salt)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -39,6 +39,57 @@ def test_minhash_identical_texts_collide(spark, docs):
     assert planted == n
 
 
+def test_lsh_salted_matches_unsalted_on_planted_hot_band(spark, docs):
+    """Hot-band escalation (PLANS.md): a planted hot bucket — 60
+    identical docs whose signatures all share every band key — must
+    yield the IDENTICAL candidate-pair set with and without salting,
+    and the salted plan must actually join on the salt sub-key."""
+    from entwiner_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = docs.select("doc_id", "text").filter(
+        F.size(F.split("text", " ")) >= 3
+    ).limit(40)
+    hot = spark.range(60).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated everywhere").alias("text"),
+    )
+    sig = minhash_signatures(base.unionByName(hot))
+    plain = lsh_candidate_pairs(sig)
+    salted = lsh_candidate_pairs(sig, salt=4)
+    want = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    assert got == want
+    # all 60*59/2 hot-bucket pairs present
+    assert sum(1 for a, b in got if a >= 100_000 and b >= 100_000) == 60 * 59 // 2
+    assert "_salt" in salted._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_simhash_salted_matches_unsalted(spark, docs):
+    from entwiner_spark.operators.dedup import simhash_neardup_pairs
+
+    d = docs.select("doc_id", "text").limit(80)
+    plain = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(d, max_hamming=3).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(d, max_hamming=3, salt=4).collect()
+    }
+    assert salted == plain
+
+
+def test_lsh_salt_validation(spark, docs):
+    from entwiner_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(docs.select("doc_id", "text").limit(5))
+    with pytest.raises(ValueError, match="salt"):
+        lsh_candidate_pairs(sig, salt=1).count()
+
+
 def test_simhash_is_deterministic_and_bounded(spark, docs):
     from entwiner_spark.operators.dedup import simhash
 
