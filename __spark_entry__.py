@@ -34,6 +34,8 @@ _PRIORITY = [
     "e6_interval_join",
     "s7_quantize_int8",
     "t7_pack_chunks",
+    "mm2_frame_sample",
+    "mm3_resize_meta",
 ]
 
 

@@ -1581,6 +1581,63 @@ def mm1_binary_meta(spark, sf_dir):
     )
 
 
+@q(
+    "mm2_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+    ), f AS (
+      SELECT doc_id, L,
+             unnest(range(0, CAST(ceil(L / 64.0) AS BIGINT), 4)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           round(frame_idx * 1000.0 / 30.0, 6) AS ts_ms,
+           least(64, L - frame_idx * 64) AS n_bytes
+    FROM f
+    """,
+)
+def mm2_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque media payloads: every 4th 64-byte
+    frame with byte slice + derived timestamp (multimodal.sample_frames,
+    the real mapInPandas fan-out path — the oracle recomputes the frame
+    arithmetic, the Spark side actually slices the payload bytes inside
+    executor tasks)."""
+    from entwiner_spark.operators import multimodal as MM
+
+    media = MM.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.sample_frames(media, frame_bytes=64, stride=4, fps=30.0).select(
+        "media_id",
+        "frame_idx",
+        F.round(F.col("ts_ms"), 6).alias("ts_ms"),
+        "n_bytes",
+    )
+
+
+@q(
+    "mm3_resize_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+           least(32 * 24 * 3, octet_length(encode(text))) AS n_bytes
+    FROM documents
+    """,
+)
+def mm3_resize_meta(spark, sf_dir):
+    """Resize/resample plumbing: payload truncated to the new pixel
+    budget, meta rewritten (multimodal.resize_media via mapInPandas);
+    the oracle checks the meta/byte-budget arithmetic."""
+    from entwiner_spark.operators import multimodal as MM
+
+    media = MM.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.resize_media(media, width=32, height=24).select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

@@ -46,6 +46,16 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_ms", T.DoubleType(), True),
+        T.StructField("frame_payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
 
 def to_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Wrap an arbitrary binary/string column as the canonical media
@@ -101,3 +111,88 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield out
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+    fps: float = 30.0,
+) -> DataFrame:
+    """Video/audio frame sampling: one output row per sampled frame.
+
+    Partition-parallel mapInPandas — the payload is chunked into
+    fixed-size "frames" and every ``stride``-th frame is emitted with
+    its byte slice and a derived timestamp.  REAL-DECODER SLOT: the
+    fixed-byte chunking stands in for an ffmpeg keyframe/stride
+    extractor; the Spark-side contract (fan-out row shape, binary
+    slices, Arrow batching, no driver materialization) is exactly what
+    a real codec plugs into.  A 100 TB video corpus fans out to frames
+    without any shuffle — the expansion happens inside each task.
+    """
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError(f"frame_bytes={frame_bytes} and stride={stride} must be > 0")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    recs.append(
+                        (int(mid), idx, idx * 1000.0 / fps, chunk, len(chunk))
+                    )
+            if recs:
+                yield pd.DataFrame(
+                    recs,
+                    columns=["media_id", "frame_idx", "ts_ms", "frame_payload", "n_bytes"],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize/resample: returns the canonical media table with updated
+    meta dimensions and a resampled payload.
+
+    REAL-DECODER SLOT: the fake "resample" truncates the payload to the
+    new pixel budget (width*height*channels bytes) — deterministic and
+    SQL-checkable; a real deployment swaps in PIL/ffmpeg scaling.  The
+    plumbing (binary in/out, meta rewrite, Arrow batches, per-partition
+    parallelism) is the production shape.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError(f"width={width} and height={height} must be > 0")
+
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                channels = r.meta["channels"] if r.meta is not None else 3
+                budget = width * height * (channels or 3)
+                payload = None if r.payload is None else bytes(r.payload)[:budget]
+                recs.append(
+                    (
+                        int(r.media_id),
+                        payload,
+                        r.media_type,
+                        {
+                            "n_bytes": 0 if payload is None else len(payload),
+                            "width": width,
+                            "height": height,
+                            "channels": channels,
+                        },
+                    )
+                )
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["media_id", "payload", "media_type", "meta"]
+                )
+
+    return media.mapInPandas(run, out_schema)

@@ -172,6 +172,46 @@ def test_upsert_last_write_wins(spark):
     assert out.filter(F.col("o_orderstatus") == "NEW").count() == 5
 
 
+def test_frame_sampling_slices_and_timestamps(spark):
+    from entwiner_spark.operators.multimodal import sample_frames, to_media_table
+
+    df = spark.createDataFrame(
+        [(1, "a" * 150), (2, "b" * 64), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    media = to_media_table(df, "doc_id", "text")
+    frames = sample_frames(media, frame_bytes=64, stride=2, fps=10.0).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 150 bytes -> frames 0,1,2; stride 2 samples 0 and 2
+    f1 = sorted(by_media[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f1] == [0, 2]
+    assert f1[0]["n_bytes"] == 64 and bytes(f1[0]["frame_payload"]) == b"a" * 64
+    assert f1[1]["n_bytes"] == 150 - 128  # tail frame is short
+    assert f1[1]["ts_ms"] == 2 * 1000.0 / 10.0
+    # exactly one full frame
+    assert [r["frame_idx"] for r in by_media[2]] == [0]
+    # empty and NULL payloads produce no frames
+    assert 3 not in by_media and 4 not in by_media
+
+
+def test_resize_media_truncates_to_pixel_budget(spark):
+    from entwiner_spark.operators.multimodal import resize_media, to_media_table
+
+    df = spark.createDataFrame(
+        [(1, "x" * 5000), (2, "y" * 10)], ["doc_id", "text"]
+    )
+    media = to_media_table(df, "doc_id", "text")
+    out = {r["media_id"]: r for r in resize_media(media, 16, 16).collect()}
+    budget = 16 * 16 * 3
+    assert out[1]["meta"]["width"] == 16 and out[1]["meta"]["height"] == 16
+    assert out[1]["meta"]["n_bytes"] == budget
+    assert len(bytes(out[1]["payload"])) == budget
+    # smaller-than-budget payload passes through whole
+    assert out[2]["meta"]["n_bytes"] == 10
+    assert bytes(out[2]["payload"]) == b"y" * 10
+
+
 def test_multimodal_feature_plumbing(spark, docs):
     from entwiner_spark.operators.multimodal import extract_features, to_media_table
 
