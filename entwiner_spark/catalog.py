@@ -1230,9 +1230,14 @@ def d4b_simhash_neardup(spark, sf_dir):
     """,
 )
 def d5_ngram_jaccard_pairs(spark, sf_dir):
-    """Word-set Jaccard similarity pairs (exact near-dup baseline)."""
+    """Word-set Jaccard similarity pairs — EXACT, via PPJoin-style
+    prefix filtering (dedup.jaccard_pairs_prefix): no cross product;
+    candidates come from a prefix-token equi-join with size pruning,
+    then the exact array_intersect refine.  The all-pairs oracle
+    proves the prefix filter lossless at this scale; the brute
+    ngram_jaccard_pairs remains as the documented baseline."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    return DD.ngram_jaccard_pairs(d, threshold=0.5)
+    return DD.jaccard_pairs_prefix(d, threshold=0.5)
 
 
 @q(

@@ -295,6 +295,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-set Jaccard pairs >= threshold WITHOUT the all-pairs
+    scan — the scale path that replaces ngram_jaccard_pairs' O(n²)
+    cross join (kept as the brute-force baseline it is verified
+    against).
+
+    PPJoin-style prefix filtering: order each token set by a global
+    deterministic order (xxhash64 — uniform, needs no vocabulary
+    pass), keep only the first ``|A| - ceil(t*|A|) + 1`` tokens as the
+    join prefix.  If J(A,B) >= t the intersection has > |A| - prefix_A
+    elements, so at least one must land in the prefix — candidates
+    from the prefix-token equi-join are a provable superset of the
+    answer.  Size filtering (t*|A| <= |B| <= |A|/t) prunes further in
+    the join condition.  The exact array_intersect refine runs only on
+    candidates.  Shuffles: one explode-join on the narrow
+    (id, sz, token) prefix table + two id-joins for the verify — all
+    equi-joins AQE can skew-split; no cross product anywhere.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    toks = (
+        df.select(
+            F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("ws")
+        )
+        .withColumn("sz", F.size("ws"))
+        .filter(F.col("sz") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # canonical global token order: (xxhash64(token), token)
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("ws"),
+                lambda w: F.struct(F.xxhash64(w).alias("h"), w.alias("w")),
+            )
+        ),
+        lambda s: s["w"],
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    )
+    prefix = toks.select(
+        F.col(id_col),
+        F.col("sz"),
+        F.explode(F.slice(ordered, F.lit(1), prefix_len)).alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter: t*|A| <= |B| and t*|B| <= |A|
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+            & (F.col("a.sz") >= t * F.col("b.sz")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    wa = toks.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    wb = toks.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def word_ngrams(text_col, n: int):
     """Distinct word n-grams of a text column as array<string>.
 

@@ -39,6 +39,32 @@ def test_minhash_identical_texts_collide(spark, docs):
     assert planted == n
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
+    """The PPJoin-style prefix-filtered join must equal the O(n²)
+    brute-force baseline exactly — the filter is a provable superset,
+    the refine exact."""
+    from entwiner_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.select("doc_id", "text").limit(150)
+    # plant exact dups so threshold=1.0 has hits
+    clones = d.limit(10).select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+    d = d.unionByName(clones)
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(d, threshold=threshold).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(d, threshold=threshold).collect()
+    }
+    assert fast == brute
+    assert fast  # non-degenerate: the planted dups guarantee pairs
+
+
 def test_lsh_salted_matches_unsalted_on_planted_hot_band(spark, docs):
     """Hot-band escalation (PLANS.md): a planted hot bucket — 60
     identical docs whose signatures all share every band key — must
