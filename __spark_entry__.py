@@ -36,6 +36,7 @@ _PRIORITY = [
     "t7_pack_chunks",
     "mm2_frame_sample",
     "mm3_resize_meta",
+    "d6b_embedding_neardup_lsh",
 ]
 
 

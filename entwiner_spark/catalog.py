@@ -2032,6 +2032,37 @@ def d6_embedding_neardup(spark, sf_dir):
     )
 
 
+_D6B_BUCKET = " + ".join(
+    f"(CASE WHEN ({_plane_dot_sql(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(4)
+)
+
+
+@q(
+    "d6b_embedding_neardup_lsh",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding, CAST({_D6B_BUCKET} AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_D6_DOT}) / (sqrt({_D6_NA}) * sqrt({_D6_NB})), 6) AS cosine
+    FROM bkt a JOIN bkt b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(({_D6_DOT}) / (sqrt({_D6_NA}) * sqrt({_D6_NB})), 6) >= 0.3
+    """,
+)
+def d6b_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup at scale: LSH bucket equi-join (4
+    hyperplanes) + exact cosine refine on candidates only — the scale
+    path that replaces d6's capped all-pairs verify with the same
+    narrow-self-join discipline as MinHash-LSH (similarity.
+    lsh_neardup_pairs).  The oracle recomputes the deterministic
+    bucketing AND refine, so the full pipeline is value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_neardup_pairs(emb, dim=_DIM, planes=4, threshold=0.3)
+
+
 # =====================================================================
 # Coverage batch 3: graph motifs + centrality (J1 depth)
 # =====================================================================

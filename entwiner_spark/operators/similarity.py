@@ -134,6 +134,49 @@ def lsh_buckets(
     return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    planes: int = 4,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH bucket join + exact
+    cosine refine.
+
+    The scale path for d6's all-pairs verify: vectors sharing a
+    random-hyperplane sign bucket are candidates (equi-join on the
+    bucket key — the same narrow-self-join discipline as MinHash-LSH,
+    AQE skew-split / salting applicable), and only candidates pay the
+    exact cosine.  Recall is tunable: fewer planes -> bigger buckets ->
+    higher recall and more refine work.  Deterministic hyperplanes are
+    shared with the SQL oracles, so the full pipeline (bucketing AND
+    refine) is value-checkable cross-engine.
+    """
+    b = lsh_buckets(emb, dim, planes=planes, id_col=id_col, vec_col=vec_col)
+    withb = emb.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("bucket"),
+    )
+    c = withb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket"),
+    )
+    cos = dot_cols(F.col("va"), F.col("vb"), dim) / (
+        norm(F.col("va"), dim) * norm(F.col("vb"), dim)
+    )
+    return (
+        a.join(c, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def l2sq_literal(vec: Column, c: list[float]) -> Column:
     """Squared L2 distance to a literal centroid; left-assoc chain."""
     lit = F.lit([float(x) for x in c])

@@ -39,6 +39,48 @@ def test_minhash_identical_texts_collide(spark, docs):
     assert planted == n
 
 
+def test_lsh_neardup_is_subset_with_exact_cosines_and_full_dup_recall(spark):
+    """LSH-bucketed near-dup: (a) a subset of the brute-force answer
+    with identical cosine values, (b) 100% recall on exact duplicates
+    (identical vectors share every bucket by construction)."""
+    from entwiner_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dups = emb.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(dups)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(allv, dim=64, planes=4, threshold=0.3).collect()
+    }
+    # planted exact dups always recalled at cosine 1.0
+    planted = {(a, b): c for (a, b), c in got.items() if b - a == 10_000}
+    assert len(planted) == 5
+    assert all(c == 1.0 for c in planted.values())
+    # subset of brute force with identical refined values
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from entwiner_spark.operators.similarity import dot_cols, norm
+
+    cos = dot_cols(F.col("va"), F.col("vb"), 64) / (
+        norm(F.col("va"), 64) * norm(F.col("vb"), 64)
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .collect()
+    }
+    assert set(got) <= set(brute)
+    assert all(brute[p] == c for p, c in got.items())
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
 def test_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
     """The PPJoin-style prefix-filtered join must equal the O(n²)
