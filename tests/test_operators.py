@@ -456,6 +456,69 @@ def test_asof_join_tolerance_drops_stale_matches(spark):
     assert len(out) == 4
 
 
+def test_asof_join_property_matches_pandas(spark):
+    """Property check: on randomized (key, ts) tables the union+window
+    as-of join equals pandas merge_asof exactly (backward, inclusive,
+    left-join semantics).  Right side unique on (key, ts) per the
+    operator's tie contract."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entwiner_spark.operators.asof import asof_join
+
+    keys = st.integers(min_value=0, max_value=2)
+    ts = st.integers(min_value=0, max_value=50)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        left=st.lists(st.tuples(keys, ts), min_size=1, max_size=12),
+        right=st.lists(st.tuples(keys, ts), min_size=0, max_size=12, unique=True),
+    )
+    def run(left, right):
+        ldf = spark.createDataFrame(
+            [(i, str(k), t) for i, (k, t) in enumerate(left)],
+            "trade_id long, sym string, ts long",
+        )
+        rdf = spark.createDataFrame(
+            [(str(k), t, float(k * 1000 + t)) for k, t in right],
+            "sym string, ts long, quote double",
+        )
+        got = (
+            asof_join(ldf, rdf, on="ts", by=["sym"])
+            .select("trade_id", "quote")
+            .toPandas()
+            .sort_values("trade_id")
+            .reset_index(drop=True)
+        )
+        if not right:
+            assert got["quote"].isna().all()
+            return
+        lp = pd.DataFrame(
+            [(i, str(k), t) for i, (k, t) in enumerate(left)],
+            columns=["trade_id", "sym", "ts"],
+        )
+        rp = pd.DataFrame(
+            [(str(k), t, float(k * 1000 + t)) for k, t in right],
+            columns=["sym", "ts", "quote"],
+        )
+        want = (
+            pd.merge_asof(
+                lp.sort_values(["ts", "trade_id"]),
+                rp.sort_values("ts"),
+                on="ts",
+                by="sym",
+            )
+            .sort_values("trade_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            got["quote"], want["quote"], check_names=False
+        )
+
+    run()
+
+
 def test_minhash_xxhash64_fast_path(spark, docs):
     """The xxhash64 variant (JVM-native, no oracle) must behave like
     minhash for LSH purposes: identical texts collide on every band,

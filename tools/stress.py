@@ -84,6 +84,19 @@ def main() -> None:
     out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
     out["lsh_sec"] = round(time.time() - t0, 1)
 
+    # --- exact Jaccard at scale: the prefix-filtered join must handle
+    # a corpus where the all-pairs baseline (n²/2 ≈ 5e9 pairs at 100k
+    # docs) is not even startable.  Uses a 100k-doc slice with planted
+    # exact dups so the answer is non-trivial.
+    log("phase: prefix-filtered jaccard")
+    from entwiner_spark.operators.dedup import jaccard_pairs_prefix
+
+    jac_corpus = corpus.filter(F.col("doc_id") % args.doc_replicas < 2)
+    out["jaccard_docs"] = jac_corpus.count()
+    t0 = time.time()
+    out["jaccard_pairs"] = jaccard_pairs_prefix(jac_corpus, threshold=0.8).count()
+    out["jaccard_sec"] = round(time.time() - t0, 1)
+
     # --- 200k-vector k-means: train the IVF quantizer at scale.  Only
     # (k x dim) doubles ever reach the driver per iteration.
     log("phase: kmeans ivf training")
@@ -109,6 +122,19 @@ def main() -> None:
     w_seed, w_trained = wcss(big_emb, seed), wcss(big_emb, trained)
     out["kmeans_wcss_gain"] = round(1 - w_trained / w_seed, 3)
     assert w_trained < w_seed
+
+    # --- LSH-bucketed embedding near-dup over the same 50k vectors:
+    # the bucket equi-join path that replaces the all-pairs verify
+    log("phase: lsh embedding near-dup")
+    from entwiner_spark.operators.similarity import lsh_neardup_pairs
+
+    nd_emb = big_emb.filter(F.col("vec_id") % 2 == 0)
+    out["neardup_vectors"] = nd_emb.count()
+    t0 = time.time()
+    out["neardup_pairs"] = lsh_neardup_pairs(
+        nd_emb, dim=64, planes=8, threshold=0.9
+    ).count()
+    out["neardup_sec"] = round(time.time() - t0, 1)
 
     # --- 2M-edge synthetic graph, forced Pregel SSSP
     n = args.graph_nodes
