@@ -37,6 +37,7 @@ _PRIORITY = [
     "mm2_frame_sample",
     "mm3_resize_meta",
     "d6b_embedding_neardup_lsh",
+    "d5_ngram_jaccard_pairs",  # re-verify: new prefix-filtered impl in r4
 ]
 
 

@@ -15,11 +15,15 @@ build-then-move lifecycle (/root/reference/entwiner/build.py:34-47).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SPATIAL_META = "_spatial_meta.json"
 
 
 def write_graph_tables(
@@ -28,6 +32,7 @@ def write_graph_tables(
     store_dir: str,
     partitions: int | None = None,
     layer_partitioned: bool = False,
+    spatial_cell_deg: float | None = None,
 ) -> None:
     """Atomic publish of the (edges, nodes) tables to ``store_dir``.
 
@@ -42,6 +47,17 @@ def write_graph_tables(
     adjacency layout.  Use when layers are few and queries are often
     layer-scoped (the reference's merged-into-unweaver multi-profile
     use case); the flat layout remains the default.
+
+    ``spatial_cell_deg`` directory-partitions edges by the grid cell of
+    the bbox min-corner (``_scx``/``_scy`` = floor(_minx|_miny / cell))
+    — the storage-layout r-tree analogue (X1) one level above the bbox
+    columns: a ``dwithin``/bbox query prunes whole cell directories
+    before parquet stats even load (see read_edges_dwithin).  The max
+    bbox extents are recorded in ``_spatial_meta.json`` so readers know
+    how far a neighbor cell's edge can reach into the query window.
+    Pick a cell a few times the typical query radius; at 100 TB this
+    bounds a spatial query's input to O(query area), independent of
+    corpus size.  Mutually exclusive with ``layer_partitioned``.
     """
     if "://" in store_dir:
         # the rename-based publish is local-filesystem only; object
@@ -59,7 +75,50 @@ def write_graph_tables(
         n = partitions or int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        if layer_partitioned:
+        if layer_partitioned and spatial_cell_deg is not None:
+            raise ValueError(
+                "layer_partitioned and spatial_cell_deg are mutually "
+                "exclusive partitioning layouts"
+            )
+        if spatial_cell_deg is not None:
+            if spatial_cell_deg <= 0:
+                raise ValueError(f"spatial_cell_deg={spatial_cell_deg} must be > 0")
+            from entwiner_spark.functions.geo import bbox_columns
+
+            if "_minx" not in edges.columns:
+                edges = edges.withColumns(
+                    bbox_columns(F.col("geom.coordinates"))
+                )
+            cell = F.lit(float(spatial_cell_deg))
+            edges = edges.withColumns(
+                {
+                    "_scx": F.floor(F.col("_minx") / cell).cast("int"),
+                    "_scy": F.floor(F.col("_miny") / cell).cast("int"),
+                }
+            )
+            # one tiny agg: readers must expand the query window by the
+            # largest bbox extent to know which neighbor cells to visit
+            ext = edges.agg(
+                F.max(F.col("_maxx") - F.col("_minx")).alias("w"),
+                F.max(F.col("_maxy") - F.col("_miny")).alias("h"),
+            ).collect()[0]
+            (
+                edges.repartition(n, "_u")
+                .sortWithinPartitions("_scx", "_scy", "_u")
+                .write.mode("overwrite")
+                .partitionBy("_scx", "_scy")
+                .parquet(f"{tmp}/edges.parquet")
+            )
+            with open(f"{tmp}/{_SPATIAL_META}", "w") as fh:
+                json.dump(
+                    {
+                        "cell_deg": float(spatial_cell_deg),
+                        "max_w": float(ext["w"] or 0.0),
+                        "max_h": float(ext["h"] or 0.0),
+                    },
+                    fh,
+                )
+        elif layer_partitioned:
             if "_layer" not in edges.columns:
                 raise ValueError(
                     "layer_partitioned=True requires a _layer column "
@@ -103,6 +162,50 @@ def read_graph_tables(
     nodes_path = f"{store_dir}/nodes.parquet"
     nodes = spark.read.parquet(nodes_path) if os.path.exists(nodes_path) else None
     return edges, nodes
+
+
+def read_edges_dwithin(
+    spark: SparkSession,
+    store_dir: str,
+    lon: float,
+    lat: float,
+    distance_m: float,
+    sort: bool = False,
+) -> DataFrame:
+    """``dwithin`` against a spatial-cell-partitioned store with
+    directory-level pruning.
+
+    An edge intersecting the query bbox has its min corner within
+    ``max_w``/``max_h`` (recorded at write time) of the window, so the
+    candidate cells are a closed range of ``_scx``/``_scy`` — a
+    partition filter that skips every other cell directory without
+    touching a row group.  Falls back to a plain scan + dwithin when
+    the store is not spatially partitioned.
+    """
+    import math
+
+    from entwiner_spark.functions.geo import meter_bbox
+    from entwiner_spark.operators.spatial import dwithin
+
+    edges = spark.read.parquet(f"{store_dir}/edges.parquet")
+    meta_path = f"{store_dir}/{_SPATIAL_META}"
+    if not os.path.exists(meta_path):
+        return dwithin(edges, lon, lat, distance_m, sort=sort)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    cell = meta["cell_deg"]
+    minx, maxx, miny, maxy = meter_bbox(lon, lat, distance_m)
+    pruned = edges.filter(
+        F.col("_scx").between(
+            int(math.floor((minx - meta["max_w"]) / cell)),
+            int(math.floor(maxx / cell)),
+        )
+        & F.col("_scy").between(
+            int(math.floor((miny - meta["max_h"]) / cell)),
+            int(math.floor(maxy / cell)),
+        )
+    )
+    return dwithin(pruned, lon, lat, distance_m, sort=sort)
 
 
 def copy_store(spark: SparkSession, src: str, dst: str) -> None:

@@ -285,6 +285,54 @@ def test_layer_partitioned_store(spark, tiny_edges, tiny_nodes, tmp_path):
     assert "PartitionFilters" in plan and "_layer" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_spatial_cell_partitioned_store_prunes_and_matches(spark, tmp_path):
+    """spatial_cell_deg directory-partitions edges on the bbox
+    min-corner grid cell: read_edges_dwithin must (a) return exactly
+    the plain dwithin answer and (b) hit the cell range as a partition
+    filter, not a row filter."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.spatial import dwithin
+    from entwiner_spark.sources.geojson import edges_from_geojson
+    from entwiner_spark.sources.parquet_store import (
+        read_edges_dwithin,
+        write_graph_tables,
+    )
+
+    edges = edges_from_geojson(spark, "/root/reference/tests/data/uw.geojson")
+    store = str(tmp_path / "spatial")
+    write_graph_tables(edges, None, store, partitions=2, spatial_cell_deg=0.001)
+
+    import os
+
+    cells = [d for d in os.listdir(f"{store}/edges.parquet") if d.startswith("_scx=")]
+    assert len(cells) > 1, "uw.geojson must span multiple 0.001-deg cells"
+
+    lon, lat, d = -122.3118108, 47.6611782, 50.0
+    got = read_edges_dwithin(spark, store, lon, lat, d)
+    want = {
+        (r["_u"], r["_v"]) for r in dwithin(edges, lon, lat, d).collect()
+    }
+    assert {(r["_u"], r["_v"]) for r in got.collect()} == want
+    assert want  # non-degenerate
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_scx" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_spatial_cell_conflicts_with_layer_partitioning(spark, tiny_edges, tmp_path):
+    import pytest
+
+    from entwiner_spark.sources.parquet_store import write_graph_tables
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_graph_tables(
+            tiny_edges, None, str(tmp_path / "x"),
+            layer_partitioned=True, spatial_cell_deg=0.001,
+        )
+
+
 def test_layer_partitioned_requires_layer_column(spark, tiny_edges, tmp_path):
     import pytest
 
