@@ -17,6 +17,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -50,6 +51,91 @@ def running_totals(
         outputStructType=f"{key_col} {key_type}, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    key_col: str = "user_id",
+    left_value: str = "value",
+    right_value: str = "value",
+) -> DataFrame:
+    """Streaming as-of enrichment: each left event carries the latest
+    right value at-or-before it — the streaming twin of
+    operators/asof.asof_join (same union+tag design, with the window
+    replaced by per-key engine state).
+
+    Both streams are tagged and unioned (right ``_side=0`` sorts before
+    left at equal timestamps — the inclusive backward match), grouped by
+    key, and a per-key (ts, value) state holds the most recent right
+    row across microbatches.  Within a batch, rows process in
+    ``(ts, _side)`` order, so in-order arrivals reproduce the batch
+    as-of exactly; a right row that ARRIVES after a left event has been
+    emitted cannot retro-match it — the inherent append-mode streaming
+    semantics (the batch operator is the replay/backfill path).
+
+    State per key is ONE (long, double) pair — constant memory, safe at
+    any key cardinality.
+    """
+    l = left.select(
+        F.col(key_col),
+        F.col(on),
+        F.lit(1).alias("_side"),
+        F.col(left_value).cast("double").alias("_v"),
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col(right_value).cast("double").alias("_v"),
+    )
+    u = l.unionByName(r)
+    key_type = left.schema[key_col].dataType.simpleString()
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_us, last_v = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs)).sort_values([on, "_side"], kind="mergesort")
+        out = []
+        # itertuples mangles leading-underscore names; zip the columns
+        for ts, side, v in zip(pdf[on], pdf["_side"], pdf["_v"]):
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
+            if side == 0:
+                if last_us is None or ts_us >= last_us:
+                    last_us, last_v = ts_us, None if pd.isna(v) else float(v)
+            else:
+                out.append(
+                    (
+                        key[0],
+                        ts,
+                        None if pd.isna(v) else float(v),
+                        last_v,
+                        None
+                        if last_us is None
+                        else pd.Timestamp(last_us * 1_000),
+                    )
+                )
+        if last_us is not None:
+            state.update((last_us, last_v))
+        yield pd.DataFrame(
+            out,
+            columns=[key_col, on, left_value, "_asof_value", "_asof_ts"],
+        )
+
+    return u.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, {on} timestamp, {left_value} double, "
+            "_asof_value double, _asof_ts timestamp"
+        ),
+        stateStructType="last_us long, last_v double",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

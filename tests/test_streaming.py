@@ -420,6 +420,90 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """Streaming as-of enrichment must equal the batch as-of join for
+    in-order arrivals, INCLUDING matches across microbatch boundaries
+    (views land in batch 1, purchases in batch 2 -> state carries)."""
+    from entwiner_spark.operators.asof import asof_join
+    from entwiner_spark.streaming.stateful import stream_asof_enrich
+
+    vdir, pdir = tmp_path / "av", tmp_path / "ap"
+    vdir.mkdir(), pdir.mkdir()
+
+    def ev(eid, uid, hhmm, val):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": f"2024-01-01T{hhmm}:00",
+            "value": val,
+        }
+
+    # arrival order respects event time (the operator's stated
+    # contract); user 0 gets NO view in file 2, so their batch-2
+    # purchase must match the batch-1 view via carried state
+    v1 = [ev(1, 0, "10:00", 1.0), ev(2, 1, "10:01", 2.0), ev(3, 0, "10:02", 3.0)]
+    v2 = [ev(4, 1, "10:20", 4.0)]
+    p1 = [ev(101, 0, "10:10", 100.0), ev(102, 1, "10:11", 101.0)]
+    p2 = [ev(103, 0, "10:30", 102.0), ev(104, 1, "10:31", 103.0)]
+    purchases = p1 + p2
+    (vdir / "v1.json").write_text("\n".join(json.dumps(r) for r in v1))
+    (vdir / "v2.json").write_text("\n".join(json.dumps(r) for r in v2))
+    (pdir / "p1.json").write_text("\n".join(json.dumps(r) for r in p1))
+    (pdir / "p2.json").write_text("\n".join(json.dumps(r) for r in p2))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(pdir))
+    )
+    vs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(vdir))
+    )
+    out = stream_asof_enrich(ps, vs, on="ts", key_col="user_id")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("asof_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["ts"].isoformat()): (r["_asof_value"], r["_asof_ts"])
+            for r in spark.sql("SELECT * FROM asof_test").collect()
+        }
+    finally:
+        query.stop()
+
+    from pyspark.sql import functions as F
+
+    vb = (
+        spark.read.schema(schema)
+        .json(str(vdir))
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    )
+    pb = spark.read.schema(schema).json(str(pdir)).select("user_id", "ts", "value")
+    want = {
+        (r["user_id"], r["ts"].isoformat()): (r["view_value"], r["_asof_ts"])
+        for r in asof_join(pb, vb, on="ts", by=["user_id"]).collect()
+    }
+    assert len(got) == len(purchases)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+
+
 def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps one row per key across
     microbatches while the key stays inside the watermark."""
