@@ -38,6 +38,7 @@ _PRIORITY = [
     "mm3_resize_meta",
     "d6b_embedding_neardup_lsh",
     "d5_ngram_jaccard_pairs",  # re-verify: new prefix-filtered impl in r4
+    "w5_distribution_ranks",
 ]
 
 

@@ -2325,6 +2325,34 @@ def w4_lag_lead(spark, sf_dir):
 
 
 @q(
+    "w5_distribution_ranks",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w5_distribution_ranks(spark, sf_dir):
+    """Distribution window functions (§2.5 superset): ntile quartiles +
+    percent_rank + cume_dist per order-status partition.  Deterministic
+    total order via the (price, key) tiebreak; one shuffle on the
+    partition key."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@q(
     "q6_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
