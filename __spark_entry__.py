@@ -39,6 +39,7 @@ _PRIORITY = [
     "d6b_embedding_neardup_lsh",
     "d5_ngram_jaccard_pairs",  # re-verify: new prefix-filtered impl in r4
     "w5_distribution_ranks",
+    "t8_tfidf_top_terms",
 ]
 
 

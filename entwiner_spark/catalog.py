@@ -2325,6 +2325,36 @@ def w4_lag_lead(spark, sf_dir):
 
 
 @q(
+    "t8_tfidf_top_terms",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n FROM documents
+    ), s AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM s
+    ) WHERE rk <= 3
+    """,
+)
+def t8_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (functions/text.tfidf_top_terms)
+    — corpus keyword extraction: one explode, two partial-agg groupBys,
+    a window top-k; smoothing ln((N+1)/(df+1))."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
     "w5_distribution_ranks",
     """
     SELECT o_orderstatus, o_orderkey,

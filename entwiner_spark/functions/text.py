@@ -101,3 +101,49 @@ def shingles(text: Column, k: int = 3) -> Column:
             combined, part, lambda a, b: F.concat(a, F.lit(" "), b)
         )
     return F.when(n >= k, combined).otherwise(F.array().cast("array<string>"))
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Per-document top-k TF-IDF terms — the classic corpus feature-
+    extraction / keyword-scoring step of a training-data pipeline.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) with
+    add-one smoothing; deterministic (score desc, term asc) tiebreak.
+
+    Plan shape at 100 TB: one explode to the narrow (id, term) table,
+    two partial-aggregated groupBys (term counts per doc, doc-frequency
+    per term), a broadcast of the scalar N, and one window for the
+    per-doc top-k — every join an equi-join on the term or id.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
