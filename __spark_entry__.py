@@ -40,6 +40,7 @@ _PRIORITY = [
     "d5_ngram_jaccard_pairs",  # re-verify: new prefix-filtered impl in r4
     "w5_distribution_ranks",
     "t8_tfidf_top_terms",
+    "g_neighbor_jaccard",
 ]
 
 

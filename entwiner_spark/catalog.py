@@ -2325,6 +2325,40 @@ def w4_lag_lead(spark, sf_dir):
 
 
 @q(
+    "g_neighbor_jaccard",
+    f"""
+    WITH edges AS ({_GRAPH_EDGES_SQL}),
+    adj AS (SELECT DISTINCT u, v FROM edges),
+    deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+    pairs AS (
+      SELECT a.u AS u1, b.u AS u2, count(*) AS common
+      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    )
+    SELECT u1, u2, common,
+           round(common / CAST(d1.deg + d2.deg - common AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN deg d1 ON pairs.u1 = d1.u
+    JOIN deg d2 ON pairs.u2 = d2.u
+    """,
+)
+def g_neighbor_jaccard(spark, sf_dir):
+    """Out-neighborhood Jaccard (link-prediction feature) via wedge
+    enumeration — candidates only from the common-successor equi-join,
+    never all pairs (SparkGraph.neighbor_jaccard).  Node ids re-cast to
+    BIGINT and re-oriented numerically: the graph facade keys on
+    strings, where '10' < '2'."""
+    out = _graph_as_spark_graph(spark, sf_dir).neighbor_jaccard()
+    a, b = F.col("u1").cast("bigint"), F.col("u2").cast("bigint")
+    return out.select(
+        F.least(a, b).alias("u1"),
+        F.greatest(a, b).alias("u2"),
+        "common",
+        "jaccard",
+    )
+
+
+@q(
     "t8_tfidf_top_terms",
     """
     WITH t AS (

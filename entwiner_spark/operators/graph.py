@@ -151,6 +151,46 @@ class SparkGraph:
             F.count_distinct("_u").alias("in_degree")
         )
 
+    def neighbor_jaccard(self, min_common: int = 1) -> DataFrame:
+        """Out-neighborhood Jaccard similarity for node pairs sharing at
+        least ``min_common`` successors — the classic link-prediction /
+        role-similarity feature.
+
+        No all-pairs scan: candidate pairs come from the common-
+        neighbor self-equi-join on the successor (wedge enumeration —
+        the same join triangle counting uses), so disconnected
+        neighborhoods never meet.  Returns (u1, u2, common, jaccard)
+        with u1 < u2.  At 100 TB the wedge join is the cost driver —
+        high-degree hubs fan out quadratically; cap or sample hub
+        neighborhoods upstream if the degree distribution is heavy.
+        """
+        adj = self.edges.select("_u", "_v").distinct()
+        a, b = adj.alias("a"), adj.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._v") == F.col("b._v")) & (F.col("a._u") < F.col("b._u")),
+            )
+            .groupBy(F.col("a._u").alias("u1"), F.col("b._u").alias("u2"))
+            .agg(F.count(F.lit(1)).alias("common"))
+            .filter(F.col("common") >= min_common)
+        )
+        deg = adj.groupBy("_u").agg(F.count(F.lit(1)).alias("deg"))
+        return (
+            pairs.join(deg.select(F.col("_u").alias("u1"), F.col("deg").alias("_d1")), "u1")
+            .join(deg.select(F.col("_u").alias("u2"), F.col("deg").alias("_d2")), "u2")
+            .select(
+                "u1",
+                "u2",
+                "common",
+                F.round(
+                    F.col("common")
+                    / (F.col("_d1") + F.col("_d2") - F.col("common")).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
     # ---- spatial passthrough (graphs/digraphdb/__init__.py:84-86) -----
     def edges_dwithin(
         self, lon: float, lat: float, distance: float, sort: bool = False

@@ -307,3 +307,26 @@ def test_pregel_shortest_path_goal_stops_early(uwG):
     assert pregel is not None and local is not None
     assert pregel[0] == local[0]
     assert abs(pregel[1] - local[1]) < 1e-9
+
+
+def test_neighbor_jaccard_matches_python_sets(G, tiny_edges):
+    """Wedge-join neighborhood Jaccard equals the set-math answer."""
+    adj = {}
+    for r in tiny_edges.select("_u", "_v").distinct().collect():
+        adj.setdefault(r["_u"], set()).add(r["_v"])
+    want = {}
+    nodes = sorted(adj)
+    for i, u1 in enumerate(nodes):
+        for u2 in nodes[i + 1 :]:
+            common = len(adj[u1] & adj[u2])
+            if common:
+                want[(u1, u2)] = (
+                    common,
+                    round(common / len(adj[u1] | adj[u2]), 6),
+                )
+    got = {
+        (r["u1"], r["u2"]): (r["common"], r["jaccard"])
+        for r in G.neighbor_jaccard().collect()
+    }
+    assert got == want
+    assert want  # the hub fixture must produce at least one pair
