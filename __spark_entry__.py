@@ -41,6 +41,7 @@ _PRIORITY = [
     "w5_distribution_ranks",
     "t8_tfidf_top_terms",
     "g_neighbor_jaccard",
+    "g_adamic_adar",
 ]
 
 

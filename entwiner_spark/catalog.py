@@ -2359,6 +2359,37 @@ def g_neighbor_jaccard(spark, sf_dir):
 
 
 @q(
+    "g_adamic_adar",
+    f"""
+    WITH edges AS ({_GRAPH_EDGES_SQL}),
+    adj AS (SELECT DISTINCT u, v FROM edges),
+    indeg AS (SELECT v, count(*) AS wdeg FROM adj GROUP BY v),
+    wedges AS (
+      SELECT a.u AS u1, b.u AS u2, a.v AS w
+      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+    )
+    SELECT u1, u2, count(*) AS common,
+           round(sum(1.0 / ln(wdeg)), 6) AS aa_score
+    FROM wedges JOIN indeg ON wedges.w = indeg.v
+    WHERE wdeg > 1
+    GROUP BY u1, u2
+    """,
+)
+def g_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (SparkGraph.adamic_adar): wedge join
+    + inverse-log degree of the shared neighbor; ids re-oriented
+    numerically as in g_neighbor_jaccard."""
+    out = _graph_as_spark_graph(spark, sf_dir).adamic_adar()
+    a, b = F.col("u1").cast("bigint"), F.col("u2").cast("bigint")
+    return out.select(
+        F.least(a, b).alias("u1"),
+        F.greatest(a, b).alias("u2"),
+        "common",
+        "aa_score",
+    )
+
+
+@q(
     "t8_tfidf_top_terms",
     """
     WITH t AS (

@@ -191,6 +191,42 @@ class SparkGraph:
             )
         )
 
+    def adamic_adar(self, min_common: int = 1) -> DataFrame:
+        """Adamic-Adar link-prediction score: sum over common successors
+        w of 1/ln(in_degree(w)) — rare shared neighbors weigh more.
+
+        Same wedge-enumeration shape as neighbor_jaccard, with the
+        shared neighbor's inverse-log in-degree joined onto the wedge
+        before the pair aggregation.  Neighbors with in-degree 1 are
+        excluded (1/ln(1) diverges; a neighbor reachable from only one
+        node cannot be shared anyway).
+        """
+        adj = self.edges.select("_u", "_v").distinct()
+        indeg = adj.groupBy("_v").agg(F.count(F.lit(1)).alias("_wdeg"))
+        a, b = adj.alias("a"), adj.alias("b")
+        wedges = a.join(
+            b,
+            (F.col("a._v") == F.col("b._v")) & (F.col("a._u") < F.col("b._u")),
+        ).select(
+            F.col("a._u").alias("u1"),
+            F.col("b._u").alias("u2"),
+            F.col("a._v").alias("_w"),
+        )
+        return (
+            wedges.join(
+                indeg.filter(F.col("_wdeg") > 1).select(
+                    F.col("_v").alias("_w"), F.col("_wdeg")
+                ),
+                "_w",
+            )
+            .groupBy("u1", "u2")
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.round(F.sum(F.lit(1.0) / F.log(F.col("_wdeg"))), 6).alias("aa_score"),
+            )
+            .filter(F.col("common") >= min_common)
+        )
+
     # ---- spatial passthrough (graphs/digraphdb/__init__.py:84-86) -----
     def edges_dwithin(
         self, lon: float, lat: float, distance: float, sort: bool = False

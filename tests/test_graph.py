@@ -330,3 +330,27 @@ def test_neighbor_jaccard_matches_python_sets(G, tiny_edges):
     }
     assert got == want
     assert want  # the hub fixture must produce at least one pair
+
+
+def test_adamic_adar_matches_python_sets(G, tiny_edges):
+    import math
+
+    adj, indeg = {}, {}
+    for r in tiny_edges.select("_u", "_v").distinct().collect():
+        adj.setdefault(r["_u"], set()).add(r["_v"])
+        indeg[r["_v"]] = indeg.get(r["_v"], 0) + 1
+    want = {}
+    nodes = sorted(adj)
+    for i, u1 in enumerate(nodes):
+        for u2 in nodes[i + 1 :]:
+            shared = [w for w in adj[u1] & adj[u2] if indeg[w] > 1]
+            if shared:
+                want[(u1, u2)] = (
+                    len(shared),
+                    round(sum(1.0 / math.log(indeg[w]) for w in shared), 6),
+                )
+    got = {
+        (r["u1"], r["u2"]): (r["common"], r["aa_score"])
+        for r in G.adamic_adar().collect()
+    }
+    assert got == want and want
