@@ -24,6 +24,14 @@ _KEY_MARKERS = (
     "TakeOrderedAndProject",
     "WholeStageCodegen",
     "Window",
+    # scale red flags: all-pairs joins and Python execution nodes must
+    # be visible to the audit, not silently filtered out
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
 )
 
 

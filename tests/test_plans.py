@@ -88,3 +88,34 @@ def test_pack_chunks_single_exchange(spark):
     lines = plan_summary(catalog.QUERIES["t7_pack_chunks"](spark, SF))
     assert sum("Exchange" in l for l in lines) <= 2  # hashpartition (+AQE read)
     assert any("Window" in l for l in lines)
+
+
+def test_no_cartesian_in_pair_generators(spark):
+    """Every at-scale pair generator must candidate via equi-joins —
+    a CartesianProduct/BroadcastNestedLoop in the plan means the
+    filter degraded to an all-pairs scan."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    for name in (
+        "d5_ngram_jaccard_pairs",
+        "d6b_embedding_neardup_lsh",
+        "d3_minhash_lsh_pairs",
+        "d4b_simhash_neardup",
+        "g_neighbor_jaccard",
+        "g_adamic_adar",
+    ):
+        lines = plan_summary(catalog.QUERIES[name](spark, SF))
+        assert not any(
+            "CartesianProduct" in l or "BroadcastNestedLoop" in l for l in lines
+        ), name
+
+
+def test_frame_sample_has_no_shuffle(spark):
+    """The multimodal frame fan-out happens inside each task."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    lines = plan_summary(catalog.QUERIES["mm2_frame_sample"](spark, SF))
+    assert not any("Exchange" in l for l in lines)
+    assert any("MapInPandas" in l for l in lines)
