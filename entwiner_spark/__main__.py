@@ -22,6 +22,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--precision", type=int, default=7)
     b.add_argument("--changes-sign", action="append", default=[])
     b.add_argument("--gpkg", action="store_true", help="write a GeoPackage instead")
+    b.add_argument(
+        "--spatial-cell-deg",
+        type=float,
+        default=None,
+        help="partition the store by bbox grid cell of this size "
+        "(degrees); dwithin reads then prune whole cell directories",
+    )
     args = ap.parse_args(argv)
 
     if args.cmd == "build":
@@ -60,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from entwiner_spark.sources.parquet_store import write_graph_tables
 
-            write_graph_tables(edges, nodes, out)
+            write_graph_tables(
+                edges, nodes, out, spatial_cell_deg=args.spatial_cell_deg
+            )
         print(f"built {out}: {edges.count()} edges, {nodes.count()} nodes")
         spark.stop()
         return 0

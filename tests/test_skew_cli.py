@@ -46,3 +46,22 @@ def test_cli_build(tmp_path, tiny_geojson):
     import os
 
     assert os.path.exists(f"{out}/edges.parquet")
+
+
+def test_cli_build_spatial_cells(tmp_path, tiny_geojson):
+    out = str(tmp_path / "sstore")
+    res = subprocess.run(
+        [sys.executable, "-m", "entwiner_spark", "build",
+         tiny_geojson, out, "--spatial-cell-deg", "0.0005"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import os
+
+    assert os.path.exists(f"{out}/_spatial_meta.json")
+    assert any(
+        d.startswith("_scx=") for d in os.listdir(f"{out}/edges.parquet")
+    )
