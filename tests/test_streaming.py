@@ -537,3 +537,50 @@ def test_dedup_within_watermark_drops_repeats(spark, tmp_path):
     finally:
         query.stop()
     assert sorted(r.k for r in got) == ["a", "b"]
+
+
+def test_minhash_signatures_stream_equals_batch(spark, tmp_path):
+    """The dedup signature family is stateless per-row expression work,
+    so it runs unchanged on a stream: signatures computed under
+    Structured Streaming must be bit-identical to the batch run —
+    streaming ingest can fingerprint documents on arrival."""
+    from entwiner_spark.operators.dedup import minhash_signatures
+
+    d = tmp_path / "mh"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"alpha beta gamma delta epsilon doc{i} tail"}
+        for i in range(20)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:10]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[10:]))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        minhash_signatures(stream)
+        .writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: tuple(r[f"m{i}"] for i in range(8))
+            for r in spark.sql("SELECT * FROM mh_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: tuple(r[f"m{i}"] for i in range(8))
+        for r in minhash_signatures(
+            spark.read.schema(schema).json(str(d))
+        ).collect()
+    }
+    assert got == want and len(got) == 20
