@@ -42,6 +42,7 @@ _PRIORITY = [
     "t8_tfidf_top_terms",
     "g_neighbor_jaccard",
     "g_adamic_adar",
+    "d8_dedup_clusters",
 ]
 
 

@@ -2325,6 +2325,50 @@ def w4_lag_lead(spark, sf_dir):
 
 
 @q(
+    "d8_dedup_clusters",
+    f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig
+    ),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+    ),
+    walk(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.lab < u.b
+    ),
+    lbl AS (SELECT node, min(lab) AS canonical_id FROM walk GROUP BY node)
+    SELECT node AS doc_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM lbl
+    """,
+)
+def d8_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup decision: MinHash-LSH candidate pairs ->
+    connected components (star contraction) -> numeric-min canonical
+    doc + cluster size per clustered doc (dedup.dedup_clusters).
+    Transitivity is the point: A-B and B-C pairs collapse into one
+    {A,B,C} cluster even though A-C was never a candidate.  The oracle
+    recomputes the clustering as a recursive min-label CTE."""
+    return DD.dedup_clusters(d3_minhash_lsh_pairs(spark, sf_dir))
+
+
+@q(
     "g_neighbor_jaccard",
     f"""
     WITH edges AS ({_GRAPH_EDGES_SQL}),

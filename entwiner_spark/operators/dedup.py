@@ -295,6 +295,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Transitive dedup clustering: candidate pairs -> connected
+    components -> one canonical doc per cluster.
+
+    The step that turns pairwise near-dup evidence (LSH / SimHash /
+    Jaccard pairs) into a keep/drop decision: docs A-B and B-C
+    duplicated pairwise belong to ONE cluster {A,B,C} even if A-C was
+    never a candidate.  Components come from the star-contraction CC
+    (O(log² n) rounds — no path-length dependence on chain-shaped
+    clusters); the canonical id is the numeric minimum per cluster,
+    independent of CC's internal label choice.
+
+    Returns one row per clustered doc: (id, canonical_id,
+    cluster_size).  Docs with no near-dup partner are absent — they
+    keep themselves by definition.
+    """
+    from entwiner_spark.operators.graph import SparkGraph
+
+    e = pairs.select(
+        F.col("id_a").cast("string").alias("_u"),
+        F.col("id_b").cast("string").alias("_v"),
+    )
+    nodes = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    cc = SparkGraph(nodes, e).connected_components(max_iterations=50)
+    m = cc.select(
+        F.col("_n").cast("long").alias(id_col), F.col("component").alias("_comp")
+    )
+    canon = m.groupBy("_comp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return m.join(canon, "_comp").select(id_col, "canonical_id", "cluster_size")
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

@@ -647,3 +647,21 @@ def test_int8_quantize_roundtrip_error_bounded(spark):
     assert q.filter(
         F.exists("q", lambda x: (x > 127) | (x < -127))
     ).count() == 0
+
+
+def test_dedup_clusters_transitive(spark):
+    """A-B and B-C collapse into one cluster with canonical min id;
+    disjoint pairs stay separate; sizes correct."""
+    from entwiner_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 12), (30, 40)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert out == {
+        5: (5, 3), 9: (5, 3), 12: (5, 3),
+        30: (30, 2), 40: (30, 2),
+    }
