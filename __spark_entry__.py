@@ -43,6 +43,7 @@ _PRIORITY = [
     "g_neighbor_jaccard",
     "g_adamic_adar",
     "d8_dedup_clusters",
+    "g_ppr_sources",
 ]
 
 

@@ -708,20 +708,43 @@ def g_cc_components(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iterations: int = 10) -> str:
+def _pagerank_sql(iterations: int = 10, personalized: tuple[int, ...] | None = None) -> str:
     """Unrolled power-iteration oracle: one chained CTE per iteration
     (standard SQL — no recursive-CTE aggregation restrictions), written
     term-for-term against the engine formula
     r' = (1-a)/N + a*(sum(r_u/deg_u) + dangling/N) so every
     floating-point operation matches (in-degree is at most 2 on this
     DAG, and two-term IEEE addition is commutative, so accumulation
-    order cannot diverge)."""
+    order cannot diverge).
+
+    With ``personalized``, teleport + dangling mass go to the source
+    set only and the iteration starts from 1/|S| on the sources —
+    mirroring SparkGraph.pagerank(personalized=...)."""
+    if personalized:
+        s_list = ", ".join(str(s) for s in sorted(personalized))
+        kk = len(personalized)
+        r0 = (
+            f"r0 AS (SELECT n, CASE WHEN n IN ({s_list}) "
+            f"THEN 1.0e0 / {kk} ELSE 0.0e0 END AS r FROM nodes)"
+        )
+        rank_expr = (
+            f"CASE WHEN nodes.n IN ({s_list}) THEN "
+            f"(1.0e0 - 0.85e0) / {kk} "
+            f"+ 0.85e0 * (COALESCE(c.c, 0.0e0) + dang.m / {kk}) "
+            "ELSE 0.85e0 * COALESCE(c.c, 0.0e0) END"
+        )
+    else:
+        r0 = "r0 AS (SELECT n, 1.0e0 / 25 AS r FROM nodes)"
+        rank_expr = (
+            "(1.0e0 - 0.85e0) / 25 "
+            "+ 0.85e0 * (COALESCE(c.c, 0.0e0) + dang.m / 25)"
+        )
     ctes = [
         f"edges AS (SELECT u, v FROM ({_GRAPH_EDGES_SQL}))",
         "nodes AS (SELECT DISTINCT u AS n FROM edges"
         " UNION SELECT DISTINCT v AS n FROM edges)",
         "deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u)",
-        "r0 AS (SELECT n, 1.0e0 / 25 AS r FROM nodes)",
+        r0,
     ]
     for i in range(iterations):
         # MATERIALIZED: each iteration references the previous twice
@@ -730,8 +753,7 @@ def _pagerank_sql(iterations: int = 10) -> str:
         ctes.append(
             f"""r{i + 1} AS MATERIALIZED (
       SELECT nodes.n,
-             (1.0e0 - 0.85e0) / 25
-             + 0.85e0 * (COALESCE(c.c, 0.0e0) + dang.m / 25) AS r
+             {rank_expr} AS r
       FROM nodes
       LEFT JOIN (SELECT e.v AS n, sum(p.r / deg.d) AS c
                  FROM r{i} p JOIN edges e ON e.u = p.n
@@ -755,6 +777,21 @@ def g_pagerank(spark, sf_dir):
     iterations on both engines (closes the r1 `no_oracle` row)."""
     g = _graph_as_spark_graph(spark, sf_dir)
     return g.pagerank(max_iterations=10, tol=0.0).select(
+        F.col("_n").cast("long").alias("node"), F.round("rank", 6).alias("rank")
+    )
+
+
+@q("g_ppr_sources", _pagerank_sql(10, personalized=(0, 7)))
+def g_ppr_sources(spark, sf_dir):
+    """Personalized PageRank from sources {0, 7}: teleport + dangling
+    mass restricted to the source set, iteration seeded at 1/|S| on
+    the sources — ranks measure proximity to the sources (the graph-ML
+    relevance/recommendation feature).  Same unrolled 10-iteration
+    oracle discipline as g_pagerank."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.pagerank(
+        max_iterations=10, tol=0.0, personalized=["0", "7"]
+    ).select(
         F.col("_n").cast("long").alias("node"), F.round("rank", 6).alias("rank")
     )
 

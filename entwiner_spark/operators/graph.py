@@ -762,6 +762,7 @@ class SparkGraph:
         max_iterations: int = 20,
         tol: float = 1e-6,
         strategy: str = "auto",
+        personalized: list[str] | None = None,
     ) -> DataFrame:
         """PageRank over the directed edge set: ``(_n, rank)``.
 
@@ -769,7 +770,15 @@ class SparkGraph:
         (/root/reference/README.md:67) — implemented as iterative
         DataFrame message passing; small graphs run the same formula
         driver-side.
+
+        ``personalized`` restricts the teleport (and dangling-mass
+        redistribution) to the given source set — personalized
+        PageRank, the standard graph-ML relevance/recommendation
+        feature: ranks measure proximity to the sources instead of
+        global importance.
         """
+        S = set(personalized) if personalized else None
+        k = len(S) if S else None
         if self._use_local(strategy):
             triples = self._collect_triples(None)
             node_ids = [r["_n"] for r in self.nodes.select("_n").collect()]
@@ -777,7 +786,10 @@ class SparkGraph:
             out_deg: dict[str, int] = {}
             for u, _, _ in triples:
                 out_deg[u] = out_deg.get(u, 0) + 1
-            ranks = {n: 1.0 / n_nodes for n in node_ids}
+            if S is None:
+                ranks = {n: 1.0 / n_nodes for n in node_ids}
+            else:
+                ranks = {n: (1.0 / k if n in S else 0.0) for n in node_ids}
             for _ in range(max_iterations):
                 contribs: dict[str, float] = {}
                 for u, v, _ in triples:
@@ -786,11 +798,22 @@ class SparkGraph:
                     if u in ranks:
                         contribs[v] = contribs.get(v, 0.0) + ranks[u] / out_deg[u]
                 dangling = sum(r for n, r in ranks.items() if n not in out_deg)
-                new_ranks = {
-                    n: (1 - alpha) / n_nodes
-                    + alpha * (contribs.get(n, 0.0) + dangling / n_nodes)
-                    for n in node_ids
-                }
+                if S is None:
+                    new_ranks = {
+                        n: (1 - alpha) / n_nodes
+                        + alpha * (contribs.get(n, 0.0) + dangling / n_nodes)
+                        for n in node_ids
+                    }
+                else:
+                    new_ranks = {
+                        n: (
+                            (1 - alpha) / k
+                            + alpha * (contribs.get(n, 0.0) + dangling / k)
+                            if n in S
+                            else alpha * contribs.get(n, 0.0)
+                        )
+                        for n in node_ids
+                    }
                 delta = sum(abs(new_ranks[n] - ranks[n]) for n in node_ids)
                 ranks = new_ranks
                 if delta < tol:
@@ -809,7 +832,13 @@ class SparkGraph:
             .join(out, "_u")
             .localCheckpoint(eager=False)
         )
-        ranks = self.nodes.select("_n", F.lit(1.0 / n_nodes).alias("rank"))
+        if S is None:
+            ranks = self.nodes.select("_n", F.lit(1.0 / n_nodes).alias("rank"))
+        else:
+            in_s = F.col("_n").isin(*S)
+            ranks = self.nodes.select(
+                "_n", F.when(in_s, F.lit(1.0 / k)).otherwise(F.lit(0.0)).alias("rank")
+            )
         for it in range(max_iterations):
             contribs = (
                 ranks.join(adj, ranks["_n"] == adj["_u"])
@@ -817,21 +846,25 @@ class SparkGraph:
                 .groupBy("_n")
                 .agg(F.sum("c").alias("c"))
             )
-            # dangling mass redistributed uniformly
+            # dangling mass redistributed uniformly (or to the sources)
             dangling = ranks.join(
                 adj.select("_u").distinct(), ranks["_n"] == F.col("_u"), "left_anti"
             ).agg(F.sum("rank")).collect()[0][0] or 0.0
+            c = F.coalesce(F.col("c"), F.lit(0.0))
+            if S is None:
+                rank_expr = F.lit((1 - alpha) / n_nodes) + F.lit(alpha) * (
+                    c + F.lit(dangling / n_nodes)
+                )
+            else:
+                rank_expr = F.when(
+                    F.col("_n").isin(*S),
+                    F.lit((1 - alpha) / k)
+                    + F.lit(alpha) * (c + F.lit(dangling / k)),
+                ).otherwise(F.lit(alpha) * c)
             new_ranks = (
                 self.nodes.select("_n")
                 .join(contribs, "_n", "left_outer")
-                .select(
-                    "_n",
-                    (
-                        F.lit((1 - alpha) / n_nodes)
-                        + F.lit(alpha)
-                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-                    ).alias("rank"),
-                )
+                .select("_n", rank_expr.alias("rank"))
             ).localCheckpoint(eager=True)
             delta = (
                 new_ranks.alias("a")

@@ -354,3 +354,45 @@ def test_adamic_adar_matches_python_sets(G, tiny_edges):
         for r in G.adamic_adar().collect()
     }
     assert got == want and want
+
+
+def test_personalized_pagerank_matches_reference_iteration(G, tiny_edges):
+    """PPR (teleport + dangling to sources) equals an independent
+    driver-side power iteration, and its mass sums to 1."""
+    sources = [N1, N2]
+    alpha, k = 0.85, len(sources)
+    got = {
+        r["_n"]: r["rank"]
+        for r in G.pagerank(
+            max_iterations=300, tol=1e-12, personalized=sources
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    edges = [(r["_u"], r["_v"]) for r in tiny_edges.select("_u", "_v").collect()]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out_deg = {}
+    for u, _ in edges:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    ranks = {n: (1.0 / k if n in sources else 0.0) for n in nodes}
+    for _ in range(300):
+        contribs = {}
+        for u, v in edges:
+            contribs[v] = contribs.get(v, 0.0) + ranks[u] / out_deg[u]
+        dangling = sum(r for n, r in ranks.items() if n not in out_deg)
+        new = {
+            n: (
+                (1 - alpha) / k + alpha * (contribs.get(n, 0.0) + dangling / k)
+                if n in sources
+                else alpha * contribs.get(n, 0.0)
+            )
+            for n in nodes
+        }
+        if sum(abs(new[n] - ranks[n]) for n in nodes) < 1e-12:
+            ranks = new
+            break
+        ranks = new
+    for n in nodes:
+        assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
+    # proximity: the sources themselves hold the most mass
+    assert max(got, key=got.get) in sources
