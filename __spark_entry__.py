@@ -44,6 +44,7 @@ _PRIORITY = [
     "g_adamic_adar",
     "d8_dedup_clusters",
     "g_ppr_sources",
+    "t9_winnow_fingerprints",
 ]
 
 

@@ -2501,6 +2501,41 @@ def t8_tfidf_top_terms(spark, sf_dir):
 
 
 @q(
+    "t9_winnow_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(0, len(w) - 2),
+                            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+      FROM toks WHERE len(w) >= 3
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(sh, s -> {_H32.format(x="s")}) AS h
+      FROM sh
+    )
+    SELECT doc_id, unnest(
+      CASE WHEN len(h) >= 4 THEN
+        list_distinct(list_transform(range(1, len(h) - 2),
+                                     i -> list_min(h[i:i+3])))
+      ELSE list_distinct(h) END) AS fp
+    FROM hs
+    """,
+)
+def t9_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (k=3-word shingles, window
+    w=4), exploded to (doc_id, fp) rows for the value hash.  The
+    fingerprint computation itself is per-row array expressions
+    (functions/text.winnow_fingerprints)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fp"),
+    )
+
+
+@q(
     "w5_distribution_ranks",
     """
     SELECT o_orderstatus, o_orderkey,

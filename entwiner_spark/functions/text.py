@@ -147,3 +147,28 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash the word k-gram shingles, slide a window of ``w`` hashes, keep
+    each window's minimum, dedupe — a position-robust rolling-hash
+    fingerprint set whose size is ~1/w of the shingle count.  The
+    standard plagiarism/near-dup signature: any shared substring of
+    length >= k + w - 1 words guarantees a shared fingerprint.
+
+    Pure per-row array expressions (no explode, no UDF) — the same
+    100 TB discipline as the MinHash signatures; only the small
+    fingerprint set leaves the row.  Documents with fewer than ``w``
+    shingles keep all their shingle hashes (the degenerate-but-correct
+    guarantee-preserving fallback).
+    """
+    hs = F.transform(shingles(text, k), stable_hash32)
+    n_windows = F.size(hs) - (w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return F.when(F.size(hs) >= w, F.array_distinct(wins)).otherwise(
+        F.array_distinct(hs)
+    )

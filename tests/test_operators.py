@@ -665,3 +665,31 @@ def test_dedup_clusters_transitive(spark):
         5: (5, 3), 9: (5, 3), 12: (5, 3),
         30: (30, 2), 40: (30, 2),
     }
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a >= k+w-1 = 6-word run
+    must share at least one fingerprint; fingerprint sets are ~1/w of
+    the shingle count; disjoint texts share nothing."""
+    from entwiner_spark.functions.text import winnow_fingerprints
+
+    shared = "quick brown foxes jump over lazy"  # 6 words
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta epsilon"),
+            (2, f"one two three {shared} four five"),
+            (3, "completely different words here entirely unrelated text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 6-word run must produce a shared fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    # compression: far fewer fingerprints than shingles (11-word doc -> 9
+    # shingles -> 6 windows, deduped below that)
+    assert 0 < len(out[1]) <= 6
