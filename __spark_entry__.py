@@ -45,6 +45,7 @@ _PRIORITY = [
     "d8_dedup_clusters",
     "g_ppr_sources",
     "t9_winnow_fingerprints",
+    "t10_corpus_filter",
 ]
 
 

@@ -2501,6 +2501,44 @@ def t8_tfidf_top_terms(spark, sf_dir):
 
 
 @q(
+    "t10_corpus_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             round(0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+                   + 2.0 * (len(list_filter(string_split(text, ' '),
+                                            x -> list_contains({_SW_SQL}, x)))
+                            / len(string_split(text, ' ')))
+                   + 0.3 * (CASE WHEN (length(replace(text, ' ', ''))
+                                       / len(string_split(text, ' ')))
+                                      BETWEEN 3.0 AND 8.0
+                                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, n_words, quality,
+           CAST(CASE WHEN n_words >= 10 AND quality >= 0.5
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM scored
+    """,
+)
+def t10_corpus_filter(spark, sf_dir):
+    """The corpus keep/drop decision — the composition every training
+    pipeline ends with: minimum length AND quality threshold, emitted
+    as an auditable flag (not a silent filter) so acceptance rates per
+    source/language can be monitored before the drop."""
+    d = _t(spark, sf_dir, "documents")
+    nw = TX.word_count(F.col("text")).cast("bigint")
+    quality = F.round(TX.quality_score(F.col("text")), 6)
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        quality.alias("quality"),
+        ((nw >= 10) & (quality >= 0.5)).cast("int").alias("keep"),
+    )
+
+
+@q(
     "t9_winnow_fingerprints",
     f"""
     WITH toks AS (
