@@ -81,8 +81,20 @@ def main() -> None:
 
     log("phase: lsh")
     t0 = time.time()
-    out["lsh_pairs"] = lsh_candidate_pairs(sig).count()
+    pairs = lsh_candidate_pairs(sig)
+    out["lsh_pairs"] = pairs.count()
     out["lsh_sec"] = round(time.time() - t0, 1)
+
+    # --- transitive clustering over the full candidate-pair graph:
+    # star-contraction CC on ~1.7M pairs -> canonical per doc
+    log("phase: dedup clusters")
+    from entwiner_spark.operators.dedup import dedup_clusters
+
+    t0 = time.time()
+    clusters = dedup_clusters(pairs)
+    out["cluster_docs"] = clusters.count()
+    out["cluster_count"] = clusters.select("canonical_id").distinct().count()
+    out["cluster_sec"] = round(time.time() - t0, 1)
 
     # --- exact Jaccard at scale: the prefix-filtered join must handle
     # a corpus where the all-pairs baseline (n²/2 ≈ 5e9 pairs at 100k
