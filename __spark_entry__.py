@@ -46,6 +46,7 @@ _PRIORITY = [
     "g_ppr_sources",
     "t9_winnow_fingerprints",
     "t10_corpus_filter",
+    "geo_j6_nearest_edge",
 ]
 
 

@@ -2683,25 +2683,8 @@ _J5_DIST = (
 )
 
 
-@q(
-    "geo_j5_spatial_join",
-    f"""
-    SELECT s_suppkey, p_partkey, round({_J5_DIST}, 3) AS dist_m
-    FROM supplier, part
-    WHERE {_J5_DIST} < 500.0e0
-    """,
-)
-def geo_j5_spatial_join(spark, sf_dir):
-    """Two-table spatial distance join (the reference roadmap's POI x
-    edges shape, /root/reference/TODO.md:49-60): supplier points
-    joined to part polylines within 500 m via the grid-cell bucketed
-    `spatial.spatial_join` — explode covered cells, equi-join on the
-    cell id (hash shuffle, NO cross product), dedupe, exact refine.
-    The oracle is the brute-force cross join with the same term-for-
-    term planar distance, so values verify the bucketing is lossless.
-    """
-    from entwiner_spark.operators.spatial import spatial_join
-
+def _j5_tables(spark, sf_dir):
+    """Supplier points + part polylines shared by the spatial joins."""
     s = _t(spark, sf_dir, "supplier")
     pts = s.select(
         "s_suppkey",
@@ -2729,8 +2712,64 @@ def geo_j5_spatial_join(spark, sf_dir):
             F.array(plon + 0.02, plat),
         ).alias("coordinates"),
     )
+    return pts, lines
+
+
+@q(
+    "geo_j5_spatial_join",
+    f"""
+    SELECT s_suppkey, p_partkey, round({_J5_DIST}, 3) AS dist_m
+    FROM supplier, part
+    WHERE {_J5_DIST} < 500.0e0
+    """,
+)
+def geo_j5_spatial_join(spark, sf_dir):
+    """Two-table spatial distance join (the reference roadmap's POI x
+    edges shape, /root/reference/TODO.md:49-60): supplier points
+    joined to part polylines within 500 m via the grid-cell bucketed
+    `spatial.spatial_join` — explode covered cells, equi-join on the
+    cell id (hash shuffle, NO cross product), dedupe, exact refine.
+    The oracle is the brute-force cross join with the same term-for-
+    term planar distance, so values verify the bucketing is lossless.
+    """
+    from entwiner_spark.operators.spatial import spatial_join
+
+    pts, lines = _j5_tables(spark, sf_dir)
     joined = spatial_join(pts, lines, 500.0, "s_suppkey", "p_partkey")
     return joined.select(
+        "s_suppkey", "p_partkey", F.round("_dist", 3).alias("dist_m")
+    )
+
+
+@q(
+    "geo_j6_nearest_edge",
+    f"""
+    WITH cand AS (
+      SELECT s_suppkey, p_partkey, {_J5_DIST} AS d
+      FROM supplier, part
+      WHERE {_J5_DIST} < 500.0e0
+    ), r AS (
+      SELECT s_suppkey, p_partkey, d,
+             row_number() OVER (PARTITION BY s_suppkey
+                                ORDER BY d, p_partkey) AS rk
+      FROM cand
+    )
+    SELECT s_suppkey, p_partkey, round(d, 3) AS dist_m
+    FROM r WHERE rk = 1
+    """,
+)
+def geo_j6_nearest_edge(spark, sf_dir):
+    """Map-matching primitive (spatial.nearest_edge_join): each point
+    snaps to its single nearest polyline within 500 m — grid-bucketed
+    candidates, per-point rank-1 window with a (distance, key)
+    tiebreak.  The oracle ranks the brute-force candidates by the
+    term-for-term identical raw distance, so IEEE-equal doubles give
+    identical ranks."""
+    from entwiner_spark.operators.spatial import nearest_edge_join
+
+    pts, lines = _j5_tables(spark, sf_dir)
+    out = nearest_edge_join(pts, lines, 500.0, "s_suppkey", "p_partkey")
+    return out.select(
         "s_suppkey", "p_partkey", F.round("_dist", 3).alias("dist_m")
     )
 

@@ -11,7 +11,7 @@ pushdown-friendly scan with no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from entwiner_spark.functions.geo import (
@@ -131,6 +131,47 @@ def spatial_join(
         ),
     ).filter(F.col("_dist") < F.lit(float(max_dist_m)))
     return refined.drop("cx", "cy")
+
+
+def nearest_edge_join(
+    points: DataFrame,
+    lines: DataFrame,
+    max_dist_m: float,
+    point_key: str,
+    line_key: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    coords_col: str = "coordinates",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Map-matching primitive: each point's single nearest linestring
+    within ``max_dist_m`` (snap-GPS-fix-to-edge, POI-to-sidewalk).
+
+    spatial_join generates the grid-bucketed candidates (no cross
+    product), then a per-point window keeps rank 1 by (distance,
+    line key) — deterministic under ties.  Points with no edge in
+    range are absent (filter semantics, like the reference's dwithin).
+    The window partitions by the point key, so no global sort exists
+    and skewed dense cells stay an AQE concern of the join, not the
+    ranking.
+    """
+    cand = spatial_join(
+        points,
+        lines,
+        max_dist_m,
+        point_key,
+        line_key,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        coords_col=coords_col,
+        cell_deg=cell_deg,
+    )
+    w = Window.partitionBy(point_key).orderBy(F.col("_dist").asc(), F.col(line_key).asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
 def bbox_predicate(minx: float, maxx: float, miny: float, maxy: float) -> Column:
