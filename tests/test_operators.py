@@ -718,3 +718,40 @@ def test_nearest_edge_join_one_row_per_point(spark):
     for r in out:
         assert (r["s_suppkey"], r["p_partkey"]) in cand
         assert r["dist_m"] == best_d[r["s_suppkey"]]
+
+
+def test_jaccard_prefix_property_random_docs(spark):
+    """Property check on adversarial inputs (empty docs, single words,
+    heavy repetition, identical docs): prefix-filtered == brute force
+    at several thresholds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entwiner_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff", "g"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=8),
+        threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+    )
+    def run(docs, threshold):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        brute = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs_prefix(df, threshold=threshold).collect()
+        }
+        assert fast == brute
+
+    run()
