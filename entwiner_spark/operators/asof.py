@@ -52,14 +52,12 @@ def asof_join(
         value_cols = [c for c in right.columns if c != on and c not in by]
     # unix_micros (tolerance path) rejects TIMESTAMP_NTZ; normalize both
     # sides up front so NTZ-typed parquet inputs join identically.
-    for side_name in ("left", "right"):
-        df = left if side_name == "left" else right
+    def _norm(df: DataFrame) -> DataFrame:
         if dict(df.dtypes).get(on) == "timestamp_ntz":
-            df = df.withColumn(on, F.col(on).cast("timestamp"))
-            if side_name == "left":
-                left = df
-            else:
-                right = df
+            return df.withColumn(on, F.col(on).cast("timestamp"))
+        return df
+
+    left, right = _norm(left), _norm(right)
     payload = F.struct(
         F.col(on).alias("_asof_ts"), *[F.col(c) for c in value_cols]
     )
