@@ -172,6 +172,14 @@ class LazyDiGraphView(nx.DiGraph):
         self._succ = _OuterAdj(spark_graph, succ=True)
         self._pred = _OuterAdj(spark_graph, succ=False)
         self.__networkx_cache__ = {}
+        # Guard the nx-internal wiring assumption: on nx >= 3.x the
+        # _succ descriptor aliases _adj; if a networkx release changes
+        # that layout, algorithms would silently read the wrong store.
+        if getattr(self, "_adj", None) is not self._succ:
+            raise RuntimeError(
+                "LazyDiGraphView requires networkx >= 3 (_adj must alias "
+                f"_succ; found networkx {nx.__version__})"
+            )
 
     # nx uses len(G) / iter(G) via _node; __contains__ via _node too.
 

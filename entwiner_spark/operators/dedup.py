@@ -313,6 +313,10 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     from entwiner_spark.operators.graph import SparkGraph
 
+    # CC runs over string node labels; remember the caller's id type so
+    # the output casts back to it (hard-coding "long" would NULL out
+    # every id for a string-keyed corpus).
+    _id_type = pairs.schema["id_a"].dataType
     e = pairs.select(
         F.col("id_a").cast("string").alias("_u"),
         F.col("id_b").cast("string").alias("_v"),
@@ -324,7 +328,7 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     cc = SparkGraph(nodes, e).connected_components(max_iterations=50)
     m = cc.select(
-        F.col("_n").cast("long").alias(id_col), F.col("component").alias("_comp")
+        F.col("_n").cast(_id_type).alias(id_col), F.col("component").alias("_comp")
     )
     canon = m.groupBy("_comp").agg(
         F.min(id_col).alias("canonical_id"),
@@ -376,8 +380,16 @@ def jaccard_pairs_prefix(
         ),
         lambda s: s["w"],
     )
+    # Candidate-stage bounds get 1e-9 slack so float rounding can never
+    # drop a boundary pair with J == t (e.g. t=0.55, |A|=20: fl(0.55)*20
+    # is a hair above 11, which would both fail the size filter and
+    # shorten the prefix for an exact-threshold 11-word subset).  The
+    # exact rounded refine below stays the only strict gate.
+    _EPS = 1e-9
     prefix_len = (
-        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(_EPS)).cast("int")
+        + 1
     )
     prefix = toks.select(
         F.col(id_col),
@@ -391,9 +403,9 @@ def jaccard_pairs_prefix(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # size filter: t*|A| <= |B| and t*|B| <= |A|
-            & (F.col("b.sz") >= t * F.col("a.sz"))
-            & (F.col("a.sz") >= t * F.col("b.sz")),
+            # size filter: t*|A| <= |B| and t*|B| <= |A| (epsilon-slack)
+            & (F.col("b.sz") >= t * F.col("a.sz") - F.lit(_EPS))
+            & (F.col("a.sz") >= t * F.col("b.sz") - F.lit(_EPS)),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

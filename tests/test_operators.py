@@ -667,6 +667,53 @@ def test_dedup_clusters_transitive(spark):
     }
 
 
+def test_dedup_clusters_string_ids(spark):
+    """dedup_clusters is generic over the id column type: string ids
+    must round-trip through CC (not get NULLed by a hard-coded numeric
+    cast), with canonical = lexicographic min."""
+    from entwiner_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        ["id_a", "id_b"],
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert out == {
+        "doc-a": ("doc-a", 3), "doc-b": ("doc-a", 3), "doc-c": ("doc-a", 3),
+        "x": ("x", 2), "y": ("x", 2),
+    }
+
+
+def test_jaccard_prefix_boundary_threshold(spark):
+    """Float-boundary regression (ADVICE r4): t=0.55, |A|=20, B an
+    11-word subset has J = 11/20 = 0.55 exactly, but fl(0.55)*20 is a
+    hair above 11 — without epsilon slack the size filter and the
+    shortened prefix both drop the pair before the exact refine."""
+    from entwiner_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    a_words = [f"w{i}" for i in range(20)]
+    b_words = a_words[:11]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        ["doc_id", "text"],
+    )
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(df, threshold=0.55).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.55).collect()
+    }
+    assert fast == brute == {(1, 2, 0.55)}
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee: two docs sharing a >= k+w-1 = 6-word run
     must share at least one fingerprint; fingerprint sets are ~1/w of
