@@ -291,6 +291,66 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert all(r["n_bytes"] > 0 for r in feats)
 
 
+def _pil_or_none():
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_pil_or_none() is None, reason="PIL not installed")
+def test_real_jpeg_decode_and_resize(spark):
+    """When Pillow IS importable, real image types must take the codec
+    path: extract_features returns true (width, height, bands, ...) and
+    resize_media re-encodes at the requested dimensions."""
+    import io
+
+    from entwiner_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        to_media_table,
+    )
+
+    Image = _pil_or_none()
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 20), (200, 10, 10)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    media = to_media_table(
+        spark.createDataFrame([(1, jpeg)], ["doc_id", "payload"]),
+        "doc_id",
+        "payload",
+    ).withColumn("media_type", F.lit("image/jpeg"))
+
+    feat = extract_features(media).collect()[0]
+    assert feat["feature"][:3] == [40.0, 20.0, 3.0]  # true dims + bands
+
+    out = resize_media(media, 8, 8).collect()[0]
+    assert out["meta"]["width"] == 8 and out["meta"]["height"] == 8
+    with Image.open(io.BytesIO(bytes(out["payload"]))) as im:
+        assert im.size == (8, 8) and im.format == "JPEG"
+
+
+def test_real_image_type_without_codec_falls_back(spark):
+    """A real media type on a codec-less worker still produces the
+    deterministic arithmetic output (no crash, oracle-stable shape)."""
+    from entwiner_spark.operators import multimodal as mm
+
+    if _pil_or_none() is not None:
+        pytest.skip("PIL installed; fallback branch not reachable here")
+    media = mm.to_media_table(
+        spark.createDataFrame([(1, "some-binary-ish text")], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+    ).withColumn("media_type", F.lit("image/jpeg"))
+    feat = mm.extract_features(media).collect()[0]
+    assert len(feat["feature"]) == 8
+    out = mm.resize_media(media, 4, 4).collect()[0]
+    assert out["meta"]["width"] == 4
+
+
 def test_ivf_assign_and_topk(spark):
     from pyspark.sql import functions as F
 
