@@ -1,9 +1,14 @@
-"""OGR/fiona ingest gate (Shapefile, GPKG-via-OGR, GML, ...).
+"""OGR ingest gate (Shapefile, GeoPackage, GML, ...).
 
 The reference streams features through fiona
-(/root/reference/entwiner/io.py:33-53).  fiona/GDAL is NOT installed in
-this build environment, so this module is an import-gated adapter with
-TWO paths:
+(/root/reference/entwiner/io.py:33-53).  fiona/GDAL may not be
+installed; this module is an import-gated adapter with a REAL fallback:
+GeoPackage files are read through stdlib sqlite3 + the repo's own WKB
+codec (functions/wkb.py) when fiona is absent, so the most common OGR
+format round-trips end-to-end with no GDAL at all.  Other OGR formats
+(.shp, .gml) genuinely need fiona and raise a clear message without it.
+
+Two read paths:
 
 * ``edges_from_ogr`` — convenience driver-side read for SMALL files
   (schema inferred from the features).  Guarded by ``max_features``:
@@ -42,17 +47,81 @@ _GEOM_TYPE = T.StructType(
 )
 
 
-def _require_fiona():
+def _try_fiona():
     try:
         import fiona
 
         return fiona
-    except ImportError as e:
+    except ImportError:
+        return None
+
+
+def _require_readable(paths: list[str]) -> None:
+    """Driver-side fail-fast: every path must be readable by SOME
+    backend — fiona when importable, else the sqlite GPKG fallback."""
+    if _try_fiona() is not None:
+        return
+    bad = [p for p in paths if not str(p).lower().endswith(".gpkg")]
+    if bad:
         raise UnrecognizedFileFormat(
-            "reading OGR formats requires fiona/GDAL, which is not "
-            "installed; use edges_from_geojson for GeoJSON or "
-            "read_geopackage for .gpkg"
-        ) from e
+            f"{bad[0]}: reading non-GeoPackage OGR formats requires "
+            "fiona/GDAL, which is not installed; use edges_from_geojson "
+            "for GeoJSON — .gpkg files work without fiona via the "
+            "sqlite backend"
+        )
+
+
+def _iter_gpkg_features(path: str) -> Iterator[tuple[str, dict]]:
+    """GeoPackage backend with NO GDAL: stdlib sqlite3 + the repo's WKB
+    codec.  Yields (layer_name, geojson-style feature) for every
+    feature table registered in gpkg_geometry_columns — the same stream
+    fiona.open() would produce for the same file."""
+    import sqlite3  # noqa: PLC0415
+
+    from entwiner_spark.functions.wkb import gpkg_blob_to_geometry
+
+    con = sqlite3.connect(path)
+    con.row_factory = sqlite3.Row
+    try:
+        layers = con.execute(
+            "SELECT table_name, column_name FROM gpkg_geometry_columns"
+        ).fetchall()
+        for lay in layers:
+            table, gcol = lay["table_name"], lay["column_name"]
+            for r in con.execute(f'SELECT * FROM "{table}"'):
+                d = dict(r)
+                geom = gpkg_blob_to_geometry(d.pop(gcol, None))
+                if geom is None:
+                    continue
+                d.pop("fid", None)  # PK is the feature id, not a property
+                yield table, {"geometry": geom, "properties": d}
+    finally:
+        con.close()
+
+
+def _iter_ogr_features(path: str) -> Iterator[tuple[str, dict]]:
+    """Yield (layer, feature) from the right backend: .gpkg always goes
+    through the native sqlite reader (deterministic, zero deps); every
+    other format needs fiona.  Runs INSIDE executor tasks on the
+    distributed path."""
+    if str(path).lower().endswith(".gpkg"):
+        yield from _iter_gpkg_features(path)
+        return
+    fiona = _try_fiona()
+    if fiona is not None:
+        with fiona.open(path) as handle:
+            layer = getattr(handle, "name", "layer")
+            for f in handle:
+                yield layer, {
+                    "geometry": dict(f["geometry"]),
+                    "properties": dict(f["properties"]),
+                }
+        return
+    raise UnrecognizedFileFormat(
+        f"{path}: reading this OGR format requires fiona/GDAL, which is "
+        "not installed; use edges_from_geojson for GeoJSON or a .gpkg "
+        "artifact for the sqlite backend"
+    )
 
 
 def _canonicalize(
@@ -102,34 +171,32 @@ def edges_from_ogr(
     :func:`edges_from_ogr_distributed` (with an explicit property
     schema) for anything large.
     """
-    fiona = _require_fiona()
+    _require_readable([path])
 
     rows = []
-    with fiona.open(path) as handle:
-        layer = getattr(handle, "name", "layer")
-        for f in handle:
-            geom = dict(f["geometry"])
-            if geom["type"] != "LineString":
-                continue
-            if len(rows) >= max_features:
-                raise ValueError(
-                    f"{path}: more than {max_features} LineString features; "
-                    "driver-side materialization would not survive this "
-                    "input — use edges_from_ogr_distributed(paths, "
-                    "prop_schema=...) which parses per-file inside "
-                    "executor tasks"
-                )
-            # keep None-valued properties: every Row must carry the
-            # same field set or createDataFrame misaligns columns
-            # (NULL storage matches reference semantics anyway, P1)
-            props = dict(sorted(dict(f["properties"]).items()))
-            rows.append(
-                Row(
-                    _layer=layer,
-                    geom=Row(type="LineString", coordinates=[list(c) for c in geom["coordinates"]]),
-                    **props,
-                )
+    for layer, f in _iter_ogr_features(path):
+        geom = f["geometry"]
+        if geom["type"] != "LineString":
+            continue
+        if len(rows) >= max_features:
+            raise ValueError(
+                f"{path}: more than {max_features} LineString features; "
+                "driver-side materialization would not survive this "
+                "input — use edges_from_ogr_distributed(paths, "
+                "prop_schema=...) which parses per-file inside "
+                "executor tasks"
             )
+        # keep None-valued properties: every Row must carry the
+        # same field set or createDataFrame misaligns columns
+        # (NULL storage matches reference semantics anyway, P1)
+        props = dict(sorted(f["properties"].items()))
+        rows.append(
+            Row(
+                _layer=layer,
+                geom=Row(type="LineString", coordinates=[list(c) for c in geom["coordinates"]]),
+                **props,
+            )
+        )
     if not rows:
         raise UnrecognizedFileFormat(
             f"{path}: no LineString features found (layer may contain "
@@ -154,7 +221,7 @@ def edges_from_ogr_distributed(
     must know its output schema before reading.  Properties missing
     from a feature come out NULL; extra properties are dropped.
     """
-    _require_fiona()  # fail fast on the driver with the clear message
+    _require_readable(paths)  # fail fast on the driver with a clear message
 
     out_schema = T.StructType(
         [
@@ -168,30 +235,28 @@ def edges_from_ogr_distributed(
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        import fiona
+        from entwiner_spark.sources.ogr import _iter_ogr_features
 
         for pdf in batches:
             for p in pdf["path"]:
-                with fiona.open(p) as handle:
-                    layer = getattr(handle, "name", "layer")
-                    recs = []
-                    for f in handle:
-                        geom = dict(f["geometry"])
-                        if geom["type"] != "LineString":
-                            continue
-                        fp = dict(f["properties"])
-                        recs.append(
-                            {
-                                "_layer": layer,
-                                "geom": {
-                                    "type": "LineString",
-                                    "coordinates": [list(c) for c in geom["coordinates"]],
-                                },
-                                **{k: fp.get(k) for k in prop_names},
-                            }
-                        )
-                    if recs:
-                        yield pd.DataFrame(recs, columns=["_layer", "geom", *prop_names])
+                recs = []
+                for layer, f in _iter_ogr_features(p):
+                    geom = f["geometry"]
+                    if geom["type"] != "LineString":
+                        continue
+                    fp = f["properties"]
+                    recs.append(
+                        {
+                            "_layer": layer,
+                            "geom": {
+                                "type": "LineString",
+                                "coordinates": [list(c) for c in geom["coordinates"]],
+                            },
+                            **{k: fp.get(k) for k in prop_names},
+                        }
+                    )
+                if recs:
+                    yield pd.DataFrame(recs, columns=["_layer", "geom", *prop_names])
 
     files = spark.createDataFrame(
         [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])
