@@ -56,8 +56,11 @@ def minhash_signatures(
     k: int = 8,
     shingle_k: int = 3,
     hash_fn: str = "md5",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document MinHash signature as k scalar columns m0..m{k-1}.
+    ``keep`` passes extra columns through unchanged (e.g. an event-time
+    column a streaming consumer needs for its watermark).
 
     array_min over transformed shingles — order-insensitive, so no
     explode/shuffle; the whole signature is one narrow projection.
@@ -83,7 +86,7 @@ def minhash_signatures(
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     hashed = F.transform(shingles(F.col(text_col), shingle_k), hasher)
-    base = df.select(F.col(id_col), hashed.alias("_hs"))
+    base = df.select(F.col(id_col), *[F.col(c) for c in keep], hashed.alias("_hs"))
 
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
@@ -92,7 +95,26 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("_hs"), perm(a, b))).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_params(k))
     ]
-    return base.select(F.col(id_col), *cols)
+    return base.select(F.col(id_col), *[F.col(c) for c in keep], *cols)
+
+
+def band_keys(k: int, bands: int) -> list:
+    """The LSH band-key expressions over signature columns m0..m{k-1}:
+    ``bands`` concatenated slices of k/bands rows each.  Shared by the
+    batch pair join and the streaming twin so both derive bit-identical
+    bucket keys."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: trailing signature "
+            "rows would be silently ignored, lowering recall"
+        )
+    rows_per_band = k // bands
+    return [
+        F.concat_ws(
+            ":", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
 
 
 def _self_join_on_bands(
@@ -143,18 +165,7 @@ def lsh_candidate_pairs(
     ``salt`` splits hot bands across tasks (see _self_join_on_bands) —
     the explicit escalation when AQE skew-splitting isn't enough.
     """
-    if k % bands != 0:
-        raise ValueError(
-            f"k={k} not divisible by bands={bands}: trailing signature "
-            "rows would be silently ignored, lowering recall"
-        )
-    rows_per_band = k // bands
-    keys = [
-        F.concat_ws(
-            ":", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
-        )
-        for b in range(bands)
-    ]
+    keys = band_keys(k, bands)
     # posexplode over the key array: ONE pass over the signatures
     # produces all bands (a per-band union would re-scan — and
     # re-hash — the corpus once per band); the checkpoint materializes

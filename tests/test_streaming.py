@@ -584,3 +584,64 @@ def test_minhash_signatures_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_lsh_pairs_stream_equals_batch(spark, tmp_path):
+    """Streaming LSH candidate pairs (watermarked stream-stream band
+    self-join + within-watermark dedup) must emit exactly the pair set
+    the batch lsh_candidate_pairs finds on the same documents, each
+    pair exactly once."""
+    from entwiner_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from entwiner_spark.streaming.dedup import stream_lsh_pairs
+
+    d = tmp_path / "lsh_stream"
+    d.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(12):
+        # 4 clone groups of 3 -> guaranteed candidate pairs, plus noise
+        text = f"{base} group{i % 4}"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "ts": f"2026-01-01T00:0{i % 5}:00.000Z",
+            }
+        )
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:6]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[6:]))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        stream_lsh_pairs(stream, time_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT id_a, id_b FROM lsh_stream").collect()
+        ]
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(batch)).collect()
+    }
+    assert len(got) == len(set(got))  # each pair exactly once
+    assert set(got) == want and want  # same set, non-degenerate
