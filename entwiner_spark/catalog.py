@@ -2470,6 +2470,88 @@ def g_adamic_adar(spark, sf_dir):
     )
 
 
+_MOTIF_EDGES_SQL = f"""{_GRAPH_EDGES_SQL}
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 8 AS BIGINT),
+         CAST(n_nationkey % 4 + 1 AS DOUBLE)
+  FROM nation WHERE n_nationkey < 16
+"""
+
+
+def _motif_graph(spark, sf_dir):
+    """The g_* synthetic graph plus a +8 edge family: +1 then +7 (or +7
+    then +1) closes onto +8, so triangles exist and negation is
+    non-degenerate (the base +1/+7 DAG has no triangles at all)."""
+    n = _t(spark, sf_dir, "nation")
+    e3 = n.filter(F.col("n_nationkey") < 16).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 8).cast("long").alias("v"),
+        (F.col("n_nationkey") % 4 + 1).cast("double").alias("w"),
+    )
+    return _graph_as_spark_graph(
+        spark, sf_dir, edges=_graph_edges(spark, sf_dir).unionByName(e3)
+    )
+
+
+@q(
+    "g_motif_ffw_triangle",
+    f"""
+    WITH adj AS ({_MOTIF_EDGES_SQL})
+    SELECT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b,
+           CAST(e2.v AS BIGINT) AS c,
+           round(e1.w + e2.w + e3.w, 6) AS tri_w
+    FROM adj e1
+    JOIN adj e2 ON e2.u = e1.v
+    JOIN adj e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def g_motif_ffw_triangle(spark, sf_dir):
+    """Feed-forward triangle motif via SparkGraph.find binding joins:
+    '(a)-[e]->(b); (b)-[e2]->(c); (a)-[e3]->(c)'.  Three equi-joins of
+    the edge table on bound vertices (wedge-join discipline — never a
+    cross product; asserted in test_plans), named-edge structs carry
+    the weights out."""
+    m = _motif_graph(spark, sf_dir).find(
+        "(a)-[e]->(b); (b)-[e2]->(c); (a)-[e3]->(c)"
+    )
+    return m.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(
+            F.col("e.w") + F.col("e2.w") + F.col("e3.w"), 6
+        ).alias("tri_w"),
+    )
+
+
+@q(
+    "g_motif_open_wedge",
+    f"""
+    WITH adj AS ({_MOTIF_EDGES_SQL})
+    SELECT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b,
+           CAST(e2.v AS BIGINT) AS c
+    FROM adj e1
+    JOIN adj e2 ON e2.u = e1.v
+    WHERE NOT EXISTS (
+      SELECT 1 FROM adj e3 WHERE e3.u = e1.u AND e3.v = e2.v
+    )
+    """,
+)
+def g_motif_open_wedge(spark, sf_dir):
+    """Negated motif: 2-hop paths whose closing edge does NOT exist —
+    '(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)'.  The negation is one
+    LEFT ANTI join against the edge table (NOT EXISTS in the oracle);
+    anonymous edges keep the projection minimal."""
+    m = _motif_graph(spark, sf_dir).find(
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+    )
+    return m.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+    )
+
+
 @q(
     "t8_tfidf_top_terms",
     """

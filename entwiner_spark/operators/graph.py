@@ -227,6 +227,115 @@ class SparkGraph:
             .filter(F.col("common") >= min_common)
         )
 
+    # ---- motif / pattern matching -------------------------------------
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif finding via binding joins.
+
+        Grammar (a subset of GraphFrames'): semicolon-separated edge
+        terms ``(a)-[e]->(b)``; empty parens/brackets are anonymous;
+        ``!(a)-[]->(b)`` negates (the edge must NOT exist — both
+        endpoints must be bound by positive terms, the edge unnamed).
+
+        >>> g.find("(a)-[e]->(b); (b)-[e2]->(c)")        # 2-hop paths
+        >>> g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")  # open wedges
+
+        Returns one STRING column per named vertex (the node id) and
+        one STRUCT column per named edge (the full edge row — access
+        attrs as ``F.col("e.w")``).  Vertex attributes are joined on
+        demand by the caller, keeping the core plan edge-only.
+
+        Plan shape: each positive term is one equi-join of the edge
+        table on the shared bound vertices (wedge-join discipline —
+        same as neighbor_jaccard/triangle_count), each negated term one
+        LEFT ANTI join.  Every non-first positive term MUST share a
+        bound vertex with earlier terms: a disconnected pattern would
+        be a cross product and is rejected — at 100 TB that plan is a
+        bug, not a feature.  AQE handles skewed join keys; hub-degree
+        fan-out is the cost driver exactly as in the wedge operators.
+        """
+        import re
+
+        term_re = re.compile(r"^(!?)\((\w*)\)-\[(\w*)\]->\((\w*)\)$")
+        terms = []
+        for raw in pattern.split(";"):
+            t = raw.strip()
+            if not t:
+                continue
+            m = term_re.match(t)
+            if not m:
+                raise ValueError(
+                    f"unparseable motif term {t!r}; expected "
+                    "'(a)-[e]->(b)' or '!(a)-[]->(b)'"
+                )
+            neg, u, e, v = m.group(1) == "!", m.group(2), m.group(3), m.group(4)
+            if neg and e:
+                raise ValueError(
+                    f"negated term {t!r} cannot bind an edge name: a "
+                    "non-existent edge has no attributes"
+                )
+            terms.append((neg, u or None, e or None, v or None))
+        if not any(not neg for neg, *_ in terms):
+            raise ValueError("pattern needs at least one positive term")
+
+        cur: DataFrame | None = None
+        bound: list[str] = []  # vertex names in first-appearance order
+        edge_names: list[str] = []
+        for i, (neg, u, e, v) in enumerate(terms):
+            uc, vc, ec = f"__u{i}", f"__v{i}", f"__e{i}"
+            t = self.edges.select(
+                F.col("_u").alias(uc),
+                F.col("_v").alias(vc),
+                *([F.struct("*").alias(ec)] if e else []),
+            )
+            if neg:
+                if cur is None or u not in bound or v not in bound:
+                    raise ValueError(
+                        f"negated term !({u})-[]->({v}) requires both "
+                        "endpoints bound by earlier positive terms"
+                    )
+                cur = cur.join(
+                    t,
+                    (F.col(u) == F.col(uc)) & (F.col(v) == F.col(vc)),
+                    "left_anti",
+                )
+                continue
+            if u and v and u == v:
+                t = t.filter(F.col(uc) == F.col(vc))
+            if cur is None:
+                cur = t
+            else:
+                conds = []
+                if u in bound:
+                    conds.append(F.col(u) == F.col(uc))
+                if v in bound:
+                    conds.append(F.col(v) == F.col(vc))
+                if not conds:
+                    raise ValueError(
+                        f"term ({u})-[{e or ''}]->({v}) shares no bound "
+                        "vertex with earlier terms; a disconnected "
+                        "pattern is a cross product — split the query "
+                        "or bind a shared vertex"
+                    )
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                cur = cur.join(t, cond)
+            # install new bindings / drop anonymous columns
+            renames, drops = {}, []
+            for name, col in ((u, uc), (v, vc)):
+                if name and name not in bound:
+                    renames[col] = name
+                    bound.append(name)
+                elif col not in renames:
+                    drops.append(col)
+            if e:
+                if e in edge_names or e in bound:
+                    raise ValueError(f"duplicate element name {e!r}")
+                renames[ec] = e
+                edge_names.append(e)
+            cur = cur.withColumnsRenamed(renames).drop(*drops)
+        return cur.select(*bound, *edge_names)
+
     # ---- spatial passthrough (graphs/digraphdb/__init__.py:84-86) -----
     def edges_dwithin(
         self, lon: float, lat: float, distance: float, sort: bool = False

@@ -396,3 +396,63 @@ def test_personalized_pagerank_matches_reference_iteration(G, tiny_edges):
         assert abs(got[n] - ranks[n]) < 1e-9, (n, got[n], ranks[n])
     # proximity: the sources themselves hold the most mass
     assert max(got, key=got.get) in sources
+
+
+def test_motif_find_patterns(spark):
+    """SparkGraph.find: binding-join motif semantics on a graph with a
+    known triangle; negation removes exactly the closed wedges."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+         ("c", "d", 1.0), ("d", "a", 3.0)],
+        ["_u", "_v", "w"],
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+
+    two_hop = {
+        (r["a"], r["b"], r["c"], r["e"]["w"], r["e2"]["w"])
+        for r in g.find("(a)-[e]->(b); (b)-[e2]->(c)").collect()
+    }
+    assert ("a", "b", "c", 1.0, 2.0) in two_hop and len(two_hop) == 6
+
+    tri = {
+        (r["a"], r["b"], r["c"])
+        for r in g.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)").collect()
+    }
+    assert tri == {("a", "b", "c")}
+
+    openw = {
+        (r["a"], r["b"], r["c"])
+        for r in g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").collect()
+    }
+    assert openw == {(a, b, c) for a, b, c, *_ in two_hop} - tri
+
+
+def test_motif_find_rejects_bad_patterns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph
+
+    edges = spark.createDataFrame([("a", "b", 1.0)], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+
+    with pytest.raises(ValueError, match="disconnected"):
+        g.find("(a)-[]->(b); (c)-[]->(d)")
+    with pytest.raises(ValueError, match="unparseable"):
+        g.find("(a)->(b)")
+    with pytest.raises(ValueError, match="bound by earlier"):
+        g.find("(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="cannot bind an edge"):
+        g.find("(a)-[]->(b); !(a)-[e]->(b)")
+    with pytest.raises(ValueError, match="positive term"):
+        g.find("!(a)-[]->(b)")
+    with pytest.raises(ValueError, match="duplicate element"):
+        g.find("(a)-[e]->(b); (b)-[e]->(c)")

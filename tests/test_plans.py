@@ -119,3 +119,18 @@ def test_frame_sample_has_no_shuffle(spark):
     lines = plan_summary(catalog.QUERIES["mm2_frame_sample"](spark, SF))
     assert not any("Exchange" in l for l in lines)
     assert any("MapInPandas" in l for l in lines)
+
+
+def test_motif_plan_has_no_cartesian(spark):
+    """Motif binding joins must stay equi-joins (wedge discipline):
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+    3-term triangle pattern or the negated open-wedge pattern."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    for q in ("g_motif_ffw_triangle", "g_motif_open_wedge"):
+        lines = plan_summary(catalog.QUERIES[q](spark, SF))
+        assert not any(
+            "CartesianProduct" in l or "BroadcastNestedLoopJoin" in l
+            for l in lines
+        ), q
