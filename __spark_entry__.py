@@ -20,33 +20,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver verifies a subset of the catalog each
-# round, drawing from the head of this dict.  Queries that have never
-# had a driver-green row (q12/q16/q20/q21: implemented + locally
-# checked, never sampled) and this round's fixes (events NTZ, s7 CSV
-# encoding, t7 oracle cast) go first so CORRECTNESS_r04 covers them.
+# round, drawing from the head of this dict.  Round-5 order: (1) q12 —
+# the only never-green query, oracle cast fixed this round; (2) the two
+# new motif queries (never sampled); (3) queries whose implementation
+# changed this round (d5 epsilon bounds, d8 generic id cast, d2/d3
+# minhash keep= passthrough, mm2/mm3 codec-slot rewrite); (4) the
+# stalest cumulative-green rows — queries last driver-sampled in r1/r2
+# — so cumulative claims stay fresh against code drift.
 _PRIORITY = [
     "q12_late_priority",
-    "q16_supplier_cnt",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "e3_sessionize",
-    "e5_asof_last_view",
-    "e6_interval_join",
-    "s7_quantize_int8",
-    "t7_pack_chunks",
+    "g_motif_ffw_triangle",
+    "g_motif_open_wedge",
+    "d5_ngram_jaccard_pairs",
+    "d8_dedup_clusters",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
     "mm2_frame_sample",
     "mm3_resize_meta",
-    "d6b_embedding_neardup_lsh",
-    "d5_ngram_jaccard_pairs",  # re-verify: new prefix-filtered impl in r4
-    "w5_distribution_ranks",
-    "t8_tfidf_top_terms",
-    "g_neighbor_jaccard",
-    "g_adamic_adar",
-    "d8_dedup_clusters",
-    "g_ppr_sources",
-    "t9_winnow_fingerprints",
-    "t10_corpus_filter",
-    "geo_j6_nearest_edge",
+    # stalest driver rows (r1/r2), oldest families first
+    "q1_pricing_summary",
+    "s1_fwd_rev_ingest",
+    "j2_revenue_by_nation",
+    "g_j1_sssp_weighted",
+    "g_j1_bfs_hops",
+    "g_cc_components",
+    "g_a2_out_degree",
+    "g_p5_successors",
+    "geo_a4_linestring_length",
+    "geo_f6_haversine_within",
+    "geo_j3_bbox_count",
+    "geo_o1_knn",
+    "a1_table_counts",
+    "a2_orders_per_customer",
+    "a3_weighted_size",
+    "agg_cube_docs",
+    "agg_rollup_status",
+    "d1_exact_dedup",
+    "d4_simhash",
+    "e1_tumbling_hourly",
+    "e2_sliding_30min",
+    "e4_topk_users",
+    "ev_json_extract",
+    "j_outer_order_counts",
+    "m1_keyed_update",
+    "m2_delete_keys",
+    "mm1_binary_meta",
+    "o1_top10_orders",
+    "p2_point_lookup",
+    "p4_semi_join",
+    "p4b_anti_join",
+    "p7_distinct_pairs",
+    "s2_cosine_top10",
+    "s3_knn_join",
+    "s4_lsh_buckets",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "t1_doc_stats",
+    "t2_stopword_langid",
+    "t3_fingerprint",
+    "t4_quality_score",
+    "u1_union_parties",
+    "u2_last_write_wins",
+    "u3_union_missing_cols",
+    "w1_top3_per_customer",
 ]
 
 

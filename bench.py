@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+try:
+    LOAD_AT_START = round(os.getloadavg()[0], 2)
+except OSError:
+    LOAD_AT_START = None
+
 HEADLINE = [
     "q1_pricing_summary",
     "j2_revenue_by_nation",
@@ -125,6 +130,14 @@ def main() -> None:
     G.shortest_path_lengths("0", weight="w", max_iterations=12, strategy="pregel").count()
     pregel_sec = round(time.time() - t0, 3)
 
+    # concurrent-load marker: headline wall varies ±30% with machine
+    # load (TODO.md); loadavg at start/end makes that noise auditable
+    # when comparing BENCH_rN.json across rounds
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
+
     print(
         json.dumps(
             {
@@ -136,6 +149,8 @@ def main() -> None:
                 "bulk_insert_edges_per_sec": round(insert_rate, 1),
                 "keyed_updates_per_sec": round(update_rate, 1),
                 "pregel_sssp_200k_12iter_sec": pregel_sec,
+                "loadavg_1m_start": LOAD_AT_START,
+                "loadavg_1m_end": load_1m,
             }
         )
     )
