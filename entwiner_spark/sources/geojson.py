@@ -34,8 +34,55 @@ RESERVED_EDGE_COLUMNS = (
 )
 
 
+def _with_string_coords(schema):
+    """Copy of an inferred GeoJSON schema with geometry.coordinates
+    forced to StringType.  Spark's JSON parser hands back the RAW JSON
+    text when the expected type of an array field is string — so a file
+    mixing LineString (array²) and MultiLineString (array³) coordinate
+    nesting, which breaks union inference, parses losslessly; each
+    geometry type is then decoded with ``from_json`` and its exact
+    schema."""
+    from pyspark.sql import types as T
+
+    def fix_geom(geom_t):
+        if not hasattr(geom_t, "names") or "coordinates" not in geom_t.names:
+            return geom_t
+        return T.StructType(
+            [
+                T.StructField("coordinates", T.StringType(), True)
+                if f.name == "coordinates"
+                else f
+                for f in geom_t.fields
+            ]
+        )
+
+    fields = []
+    for f in schema.fields:
+        if f.name == "geometry":
+            fields.append(T.StructField(f.name, fix_geom(f.dataType), True))
+        elif f.name == "features" and hasattr(
+            getattr(f.dataType, "elementType", None), "names"
+        ):
+            el = f.dataType.elementType
+            el2 = T.StructType(
+                [
+                    T.StructField("geometry", fix_geom(sf.dataType), True)
+                    if sf.name == "geometry"
+                    else sf
+                    for sf in el.fields
+                ]
+            )
+            fields.append(T.StructField(f.name, T.ArrayType(el2), True))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def _exploded_features(
-    spark: SparkSession, paths: str | list[str], lines: bool = False
+    spark: SparkSession,
+    paths: str | list[str],
+    lines: bool = False,
+    raw_coords: bool = False,
 ) -> DataFrame:
     """Feature rows (file + in-file index) from either format:
 
@@ -58,11 +105,19 @@ def _exploded_features(
                 f"{paths}: no GeoJSON features found (expected one "
                 "Feature object per line)"
             )
+        if raw_coords:
+            raw = spark.read.schema(_with_string_coords(raw.schema)).json(paths)
         w = Window.partitionBy("_src").orderBy(F.monotonically_increasing_id())
         return raw.select(
             F.input_file_name().alias("_src"), F.struct(*raw.columns).alias("_f")
         ).withColumn("_pos", F.row_number().over(w) - 1)
     raw = spark.read.option("multiLine", "true").json(paths)
+    if raw_coords and "features" in raw.columns:
+        raw = (
+            spark.read.schema(_with_string_coords(raw.schema))
+            .option("multiLine", "true")
+            .json(paths)
+        )
     if "features" not in raw.columns:
         raise UnrecognizedFileFormat(
             f"{paths}: not a GeoJSON FeatureCollection (no 'features' "
@@ -88,6 +143,7 @@ def edges_from_geojson(
     add_reverse: bool = True,
     with_length: bool = False,
     lines: bool = False,
+    split_multilinestrings: bool = False,
 ) -> DataFrame:
     """Ingest GeoJSON FeatureCollection(s) into the canonical edges DF.
 
@@ -97,15 +153,43 @@ def edges_from_geojson(
     negated; ``_layer`` is the source filename stem; node IDs are
     rounded "lon, lat" strings; edges are unique on (_u, _v) with
     last-write-wins (REPLACE INTO semantics, feature_table.py:601-613).
+
+    ``split_multilinestrings=True`` additionally splits every
+    MultiLineString feature into one edge per component LineString —
+    the reference's own unimplemented TODO (io.py:36-37).  Mixed
+    coordinate nesting breaks union schema inference, so this path
+    re-reads with geometry.coordinates as a raw JSON string and decodes
+    each geometry type with its exact schema; the split is a per-row
+    posexplode (no shuffle).  Sub-feature positions cost one per-file
+    window so fids stay unique and ordered.
     """
-    feats = _exploded_features(spark, paths, lines=lines)
-    # degenerate LineStrings (<2 points) are dropped: invalid GeoJSON,
-    # and under ANSI mode an empty coordinates array would abort the
-    # node-ID element_at instead of yielding NULL
-    linestrings = feats.filter(
-        (F.col("_f.geometry.type") == "LineString")
-        & (F.size(F.col("_f.geometry.coordinates")) >= 2)
-    )
+    if split_multilinestrings:
+        feats = _exploded_features(spark, paths, lines=lines, raw_coords=True)
+        cs = F.col("_f.geometry.coordinates")
+        ls = feats.filter(F.col("_f.geometry.type") == "LineString").withColumn(
+            "_coords", F.from_json(cs, "array<array<double>>")
+        )
+        mls = feats.filter(
+            F.col("_f.geometry.type") == "MultiLineString"
+        ).withColumn(
+            "_coords",
+            F.explode(F.from_json(cs, "array<array<array<double>>>")),
+        )
+        linestrings = ls.unionByName(mls).filter(F.size("_coords") >= 2)
+        # re-number sub-features per file so fid assignment stays unique
+        w = Window.partitionBy("_src").orderBy(
+            F.col("_pos"), F.monotonically_increasing_id()
+        )
+        linestrings = linestrings.withColumn("_pos", F.row_number().over(w) - 1)
+    else:
+        # degenerate LineStrings (<2 points) are dropped: invalid
+        # GeoJSON, and under ANSI mode an empty coordinates array would
+        # abort the node-ID element_at instead of yielding NULL
+        feats = _exploded_features(spark, paths, lines=lines)
+        linestrings = feats.filter(
+            (F.col("_f.geometry.type") == "LineString")
+            & (F.size(F.col("_f.geometry.coordinates")) >= 2)
+        ).withColumn("_coords", F.col("_f.geometry.coordinates"))
 
     # Union property schema was inferred by read.json; flatten it.
     # The engine-assigned fid PK is authoritative (a property named
@@ -118,7 +202,6 @@ def edges_from_geojson(
         if hasattr(ptype, "names"):
             prop_fields = [n for n in ptype.names if n not in RESERVED_EDGE_COLUMNS]
 
-    coords = F.col("_f.geometry.coordinates")
     base = linestrings.select(
         "_src",
         "_pos",
@@ -126,7 +209,8 @@ def edges_from_geojson(
             F.regexp_replace("_src", r"^file:/+", "/"), r"([^/]+?)(\.[^./]*)?$", 1
         ).alias("_layer"),
         F.struct(
-            F.lit("LineString").alias("type"), coords.alias("coordinates")
+            F.lit("LineString").alias("type"),
+            F.col("_coords").alias("coordinates"),
         ).alias("geom"),
         *[F.col(f"_f.properties.{n}").alias(n) for n in prop_fields],
     )

@@ -63,3 +63,67 @@ def test_last_write_wins_dedup(spark, tiny_geojson, tmp_path):
     assert edges.count() == 8
     # surviving fids come from the later file (offset 8, fids 9..16)
     assert edges.agg(F.min("fid")).collect()[0][0] > 8
+
+
+def test_multilinestring_split_ingest(spark, tmp_path):
+    """split_multilinestrings=True: each MultiLineString component
+    becomes its own edge (the reference's unimplemented TODO at
+    io.py:36-37); degenerate parts are dropped; fids stay unique; the
+    default path still ignores MultiLineStrings entirely."""
+    import json as _json
+
+    from entwiner_spark.sources.geojson import edges_from_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[0.0, 0.0], [1.0, 0.0]],
+                },
+                "properties": {"kind": "plain", "cost": 2.0},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "MultiLineString",
+                    "coordinates": [
+                        [[2.0, 0.0], [3.0, 0.0], [3.0, 1.0]],
+                        [[4.0, 0.0]],              # degenerate: dropped
+                        [[5.0, 0.0], [6.0, 0.0]],
+                    ],
+                },
+                "properties": {"kind": "multi", "cost": 7.0},
+            },
+        ],
+    }
+    p = tmp_path / "mixed.geojson"
+    p.write_text(_json.dumps(fc))
+
+    # default path: MultiLineString ignored (reference behavior)
+    plain = edges_from_geojson(spark, str(p), add_reverse=False)
+    assert plain.count() == 1
+
+    split = edges_from_geojson(
+        spark, str(p), add_reverse=False, split_multilinestrings=True
+    )
+    rows = {(r["_u"], r["_v"]): r for r in split.collect()}
+    assert len(rows) == 3  # 1 plain + 2 valid MLS parts
+    assert ("2.0, 0.0", "3.0, 1.0") in rows and ("5.0, 0.0", "6.0, 0.0") in rows
+    part = rows[("2.0, 0.0", "3.0, 1.0")]
+    assert part["kind"] == "multi" and part["cost"] == 7.0
+    assert part["geom"]["coordinates"] == [[2.0, 0.0], [3.0, 0.0], [3.0, 1.0]]
+    fids = [r["fid"] for r in rows.values()]
+    assert len(set(fids)) == 3  # unique after sub-feature renumbering
+
+    # fwd+rev over the split parts: 6 edges, reverse coords reversed
+    both = edges_from_geojson(
+        spark, str(p), add_reverse=True, split_multilinestrings=True
+    )
+    assert both.count() == 6
+    rev = {
+        (r["_u"], r["_v"]): r for r in both.collect()
+    }[("3.0, 1.0", "2.0, 0.0")]
+    assert rev["geom"]["coordinates"] == [[3.0, 1.0], [3.0, 0.0], [2.0, 0.0]]
