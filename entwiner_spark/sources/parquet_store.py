@@ -11,6 +11,27 @@ sortWithinPartitions gives parquet min/max stats that prune adjacency
 lookups; bbox columns prune spatial queries.  Publishing goes through a
 temp directory + atomic rename, mirroring the reference's
 build-then-move lifecycle (/root/reference/entwiner/build.py:34-47).
+
+Concurrency contract (single-writer, snapshot-reader):
+- The temp-dir + ``os.replace``-style rename publish means a READER
+  never observes a half-written store: it sees either the previous
+  directory or the new one, never a mix.  Readers that already hold a
+  DataFrame over the old files keep a consistent snapshot until their
+  next re-read (POSIX keeps replaced files readable via open handles
+  on local/NFS-like stores; on object stores the old prefix lives
+  until GC'd).
+- WRITERS are not coordinated: two concurrent publishes to the same
+  store race on the final rename and the loser's output silently
+  wins/loses whole — last-rename-wins, no merge, no corruption.  This
+  matches the reference's model (one process rebuilds the GeoPackage,
+  build.py); run mutations (delta_apply, flush) from a single writer
+  per store.
+- Need multi-writer ACID (concurrent MERGEs, audit history, time
+  travel)?  Swap this module's publish for a transactional table
+  format (Delta Lake / Iceberg ``MERGE INTO``): the operators in
+  operators/mutations.py already express Delta MERGE semantics, so
+  only the write path changes.  Not bundled here because the sandbox
+  ships no Delta/Iceberg jars.
 """
 
 from __future__ import annotations
