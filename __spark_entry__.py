@@ -31,6 +31,7 @@ _PRIORITY = [
     "q12_late_priority",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
+    "d9_embedding_dedup_clusters",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

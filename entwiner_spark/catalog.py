@@ -2406,6 +2406,47 @@ def d8_dedup_clusters(spark, sf_dir):
 
 
 @q(
+    "d9_embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE bkt AS (
+      SELECT vec_id, embedding, CAST({_D6B_BUCKET} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(({_D6_DOT}) / (sqrt({_D6_NA}) * sqrt({_D6_NB})), 6) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+    ),
+    walk(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.lab < u.b
+    ),
+    lbl AS (SELECT node, min(lab) AS canonical_id FROM walk GROUP BY node)
+    SELECT node AS vec_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM lbl
+    """,
+)
+def d9_embedding_dedup_clusters(spark, sf_dir):
+    """SEMANTIC dedup end-to-end: embedding LSH near-dup pairs (d6b's
+    hyperplane buckets + exact cosine refine) -> transitive clustering
+    (star-contraction CC) -> numeric-min canonical vector + cluster
+    size.  The d8 pipeline with cosine evidence instead of MinHash —
+    together they cover both halves of a production dedup stack
+    (surface-form and semantic).  Oracle: same bucket+refine SQL as
+    d6b feeding the recursive min-label walk."""
+    pairs = d6b_embedding_neardup_lsh(spark, sf_dir)
+    return DD.dedup_clusters(pairs, id_col="vec_id")
+
+
+@q(
     "g_neighbor_jaccard",
     f"""
     WITH edges AS ({_GRAPH_EDGES_SQL}),
