@@ -491,11 +491,22 @@ def contamination_overlap(
     b = gram_rows(benchmark, "_bench_id")
     if broadcast_benchmark:
         b = F.broadcast(b)
-    return (
-        c.join(b, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count_distinct("gram").alias("n_shared_grams"),
-            F.count_distinct("_bench_id").alias("n_benchmark_docs"),
+    joined = c.join(b, "gram").groupBy(id_col)
+    if corpus.isStreaming:
+        # Structured Streaming forbids DISTINCT aggregations; the
+        # collect_list + array_distinct form is exact and streaming-
+        # legal (state per contaminated doc = its colliding grams,
+        # bounded by doc length).  Batch keeps count_distinct below —
+        # partial aggregation without materializing gram lists.
+        return joined.agg(
+            F.array_distinct(F.collect_list("gram")).alias("_grams"),
+            F.array_distinct(F.collect_list("_bench_id")).alias("_bids"),
+        ).select(
+            id_col,
+            F.size("_grams").cast("long").alias("n_shared_grams"),
+            F.size("_bids").cast("long").alias("n_benchmark_docs"),
         )
+    return joined.agg(
+        F.count_distinct("gram").alias("n_shared_grams"),
+        F.count_distinct("_bench_id").alias("n_benchmark_docs"),
     )

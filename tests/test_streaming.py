@@ -645,3 +645,55 @@ def test_lsh_pairs_stream_equals_batch(spark, tmp_path):
     }
     assert len(got) == len(set(got))  # each pair exactly once
     assert set(got) == want and want  # same set, non-degenerate
+
+
+def test_contamination_stream_static_equals_batch(spark, tmp_path):
+    """Streaming decontamination with the UNCHANGED batch operator:
+    contamination_overlap is a stream-static broadcast join + per-doc
+    aggregate, both supported by Structured Streaming, so a document
+    stream can be flagged against a static benchmark set on arrival.
+    Complete-mode output must equal the batch run."""
+    from entwiner_spark.operators.dedup import contamination_overlap
+
+    d = tmp_path / "contam"
+    d.mkdir()
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        {"doc_id": 1, "text": f"prefix {bench_text} suffix"},   # contaminated
+        {"doc_id": 2, "text": "completely unrelated words only here"},
+        {"doc_id": 3, "text": bench_text},                       # contaminated
+    ]
+    (d / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    benchmark = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        contamination_overlap(stream, benchmark, n=8)
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_shared_grams"], r["n_benchmark_docs"])
+            for r in spark.sql("SELECT * FROM contam_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_benchmark_docs"])
+        for r in contamination_overlap(batch, benchmark, n=8).collect()
+    }
+    assert got == want
+    assert set(got) == {1, 3} and 2 not in got
