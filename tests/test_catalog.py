@@ -98,3 +98,27 @@ def test_approx_degree_accuracy(spark):
     for r in rows:
         assert r["within_bound"], r
         assert r["exact_custs"] == exact[r["o_orderstatus"]]
+
+
+def test_entry_priority_names_are_valid():
+    """Every name in __spark_entry__._PRIORITY must exist in the
+    catalog — a typo would silently drop the query from the driver's
+    sampled head instead of failing."""
+    import __spark_entry__ as entry
+
+    from entwiner_spark import catalog
+
+    missing = [n for n in entry._PRIORITY if n not in catalog.QUERIES]
+    assert not missing, f"unknown queries in _PRIORITY: {missing}"
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)  # no dups
+
+
+def test_every_query_has_matching_oracle_columns():
+    """queries() and oracle_sql() must expose the same key set; the
+    driver pairs them by name."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) == set(o)  # all queries currently oracle-paired
