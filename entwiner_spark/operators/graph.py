@@ -228,7 +228,7 @@ class SparkGraph:
         )
 
     # ---- motif / pattern matching -------------------------------------
-    def find(self, pattern: str) -> DataFrame:
+    def find(self, pattern: str, vertex_structs: bool = False) -> DataFrame:
         """GraphFrames-style motif finding via binding joins.
 
         Grammar (a subset of GraphFrames'): semicolon-separated edge
@@ -241,8 +241,11 @@ class SparkGraph:
 
         Returns one STRING column per named vertex (the node id) and
         one STRUCT column per named edge (the full edge row — access
-        attrs as ``F.col("e.w")``).  Vertex attributes are joined on
-        demand by the caller, keeping the core plan edge-only.
+        attrs as ``F.col("e.w")``).  The core plan is edge-only;
+        ``vertex_structs=True`` (GraphFrames-shaped output) replaces
+        each vertex id column with a struct of the full node row — one
+        extra equi-join with the node table per named vertex, AQE
+        broadcasts it when small.
 
         Plan shape: each positive term is one equi-join of the edge
         table on the shared bound vertices (wedge-join discipline —
@@ -334,7 +337,20 @@ class SparkGraph:
                 renames[ec] = e
                 edge_names.append(e)
             cur = cur.withColumnsRenamed(renames).drop(*drops)
-        return cur.select(*bound, *edge_names)
+        out = cur.select(*bound, *edge_names)
+        if vertex_structs:
+            for name in bound:
+                n = self.nodes.select(
+                    F.col("_n").alias(f"__k_{name}"),
+                    F.struct("*").alias(f"__s_{name}"),
+                )
+                out = (
+                    out.join(n, F.col(name) == F.col(f"__k_{name}"), "left")
+                    .drop(name, f"__k_{name}")
+                    .withColumnRenamed(f"__s_{name}", name)
+                )
+            out = out.select(*bound, *edge_names)
+        return out
 
     # ---- spatial passthrough (graphs/digraphdb/__init__.py:84-86) -----
     def edges_dwithin(

@@ -456,3 +456,23 @@ def test_motif_find_rejects_bad_patterns(spark):
         g.find("!(a)-[]->(b)")
     with pytest.raises(ValueError, match="duplicate element"):
         g.find("(a)-[e]->(b); (b)-[e]->(c)")
+
+
+def test_motif_find_vertex_structs(spark):
+    """vertex_structs=True returns GraphFrames-shaped output: each
+    named vertex is a struct of the full node row."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0)], ["_u", "_v", "w"]
+    )
+    nodes = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], ["_n", "rank"]
+    )
+    g = SparkGraph(nodes, edges)
+    rows = g.find("(x)-[e]->(y)", vertex_structs=True).collect()
+    got = {(r["x"]["_n"], r["y"]["_n"], r["x"]["rank"], r["y"]["rank"],
+            r["e"]["w"]) for r in rows}
+    assert got == {("a", "b", 10, 20, 1.0), ("b", "c", 20, 30, 2.0)}
