@@ -2661,6 +2661,66 @@ def t10_corpus_filter(spark, sf_dir):
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d\- ]{7,}\d"
+
+
+@q(
+    "t11_pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1 555 ' || doc_id % 10000 ||
+             ' at 10.0.' || doc_id % 256 || '.' || doc_id % 100 AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone
+    FROM aug
+    """,
+)
+def t11_pii_redact(spark, sf_dir):
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    emails / IPv4 / international phone numbers replaced with typed
+    placeholder tokens, plus per-kind audit counts (text.redact_pii /
+    pii_counts).  Patterns live in the Java-regex ∩ RE2 subset so the
+    DuckDB oracle replays them verbatim; deterministic PII is
+    synthesized from doc_id so every row exercises every pattern.
+    Pure regexp expressions — whole-stage codegen, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 "),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    counts = TX.pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id",
+        TX.redact_pii(F.col("text")).alias("clean"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
 @q(
     "t9_winnow_fingerprints",
     f"""

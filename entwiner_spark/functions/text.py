@@ -82,6 +82,35 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+#: PII patterns restricted to the Java-regex ∩ RE2 subset (no
+#: lookarounds/backrefs) so the DuckDB oracles replay them verbatim.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4 addresses / international-format phone
+    numbers with typed placeholder tokens — the standard
+    decontamination/redaction stage of a training-data pipeline.
+    Pure regexp_replace chain: whole-stage codegen, no Python."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (regexp_count), same patterns as
+    :func:`redact_pii` — the audit metric next to the scrub."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 

@@ -145,3 +145,33 @@ def test_contamination_overlap_flags_shared_grams(spark):
     row = out[0]
     # "quick brown fox" is the single shared 3-gram
     assert (row.doc_id, row.n_shared_grams, row.n_benchmark_docs) == (1, 1, 1)
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII kind is replaced with its typed token; clean text
+    passes through; counts match the replacements."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "server at 192.168.0.1 and 10.0.255.7"),
+            (3, "call +1 555 123 4567 today"),
+            (4, "nothing sensitive here at all"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["clean"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("clean"),
+            *[c.alias(n) for n, c in pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert out[2] == ("server at <IP> and <IP>", 0, 2, 0)
+    assert out[3] == ("call <PHONE> today", 0, 0, 1)
+    assert out[4] == ("nothing sensitive here at all", 0, 0, 0)
