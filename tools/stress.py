@@ -209,6 +209,81 @@ def main() -> None:
     out["path_sec"] = round(time.time() - t0, 1)
     assert len(path) == pn and total == float(pn - 1)
 
+    # --- motif binding joins on a triangle-rich ~300k-edge graph:
+    # three equi-joins (triangle) and a LEFT ANTI (negated wedge) must
+    # stay equi-join-shaped (no cartesian) and finish in seconds
+    log("phase: motif finding")
+    e3 = base.filter(F.col("id") < n - 1001).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1001).cast("string").alias("_v"),
+        F.lit(3.0).alias("w"),
+    )
+    tri_edges = edges.unionByName(e3)
+    tri_edges.count()
+    Gm = SparkGraph(nodes, tri_edges, partitions=32)
+    t0 = time.time()
+    out["motif_triangles"] = Gm.find(
+        "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
+    ).count()
+    out["motif_tri_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    out["motif_open_wedges"] = Gm.find(
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+    ).count()
+    out["motif_wedge_sec"] = round(time.time() - t0, 1)
+
+    # --- streaming LSH pairs: 20k mostly-dissimilar docs (500 planted
+    # clones) through the watermarked band self-join; state stays
+    # bucket-sized because the corpus is realistic (an all-same-head
+    # corpus is the documented hot-band degenerate case)
+    log("phase: streaming lsh pairs")
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from entwiner_spark.streaming.dedup import stream_lsh_pairs
+
+    sdir = tempfile.mkdtemp()
+    sn = 20_000
+
+    def _words(i: int) -> str:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return " ".join(
+            f"w{int(h[k * 2 : k * 2 + 3], 16) % 5000}" for k in range(12)
+        )
+
+    with open(f"{sdir}/docs.json", "w") as fh:
+        for i in range(sn):
+            src = i - 10_000 if 10_000 <= i < 10_500 else i
+            ts = f"2026-01-01T00:{(i // 60) % 60:02d}:{i % 60:02d}.000Z"
+            fh.write(
+                json.dumps({"doc_id": i, "text": _words(src), "ts": ts}) + "\n"
+            )
+    sschema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(sschema).json(sdir)
+    q = (
+        stream_lsh_pairs(stream, watermark="2 hours", hash_fn="xxhash64")
+        .writeStream.format("memory")
+        .queryName("stress_lsh")
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.time()
+    q.processAllAvailable()
+    out["stream_lsh_sec"] = round(time.time() - t0, 1)
+    out["stream_lsh_docs"] = sn
+    out["stream_lsh_pairs"] = spark.sql(
+        "SELECT count(*) c FROM stress_lsh"
+    ).collect()[0]["c"]
+    q.stop()
+
     print(json.dumps(out))
     spark.stop()
 
