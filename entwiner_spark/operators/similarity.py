@@ -155,19 +155,29 @@ def lsh_neardup_pairs(
     refine) is value-checkable cross-engine.
     """
     b = lsh_buckets(emb, dim, planes=planes, id_col=id_col, vec_col=vec_col)
-    withb = emb.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
+    # norms are per-VECTOR, so fold them once before the join — inside
+    # the join condition each candidate PAIR would re-fold both sides
+    # (~3x the refine compute at stress scale); the expression is
+    # unchanged, so values stay bit-identical for the oracles
+    withb = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(b, id_col)
+        .withColumn("_nrm", norm(F.col(vec_col), dim))
+    )
     a = withb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("_na"),
         F.col("bucket"),
     )
     c = withb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("_nb"),
         F.col("bucket"),
     )
     cos = dot_cols(F.col("va"), F.col("vb"), dim) / (
-        norm(F.col("va"), dim) * norm(F.col("vb"), dim)
+        F.col("_na") * F.col("_nb")
     )
     return (
         a.join(c, ["bucket"])
