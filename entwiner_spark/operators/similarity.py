@@ -86,10 +86,21 @@ def knn_join(
     keeps per-query heaps — the window is partitioned by query id, so
     no single-partition global sort exists.
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    # norms are per-row: project them below the join, or each of the
+    # |Q| x |corpus| scored pairs re-folds both 64-dim sums (PLANS.md
+    # expression-form rule; bit-identical values either way)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("_cn"),
+    )
     cos = dot_cols(F.col("qv"), F.col("cv"), dim) / (
-        norm(F.col("qv"), dim) * norm(F.col("cv"), dim)
+        F.col("_qn") * F.col("_cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -424,13 +435,18 @@ def ivf_topk(
         id_col, "nid"
     )
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("_qn"),
     ).join(F.broadcast(qa), "qid")
     c = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("_cn"),
     ).join(ca, "nid")
+    # per-row norms below the join (PLANS.md expression-form rule)
     cos = dot_cols(F.col("qv"), F.col("cv"), dim) / (
-        norm(F.col("qv"), dim) * norm(F.col("cv"), dim)
+        F.col("_qn") * F.col("_cn")
     )
     scored = (
         c.join(F.broadcast(q), "centroid")
