@@ -33,6 +33,7 @@ _PRIORITY = [
     "g_motif_open_wedge",
     "d9_embedding_dedup_clusters",
     "t11_pii_redact",
+    "s8_ivf_recall",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

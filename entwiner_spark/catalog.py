@@ -2301,6 +2301,86 @@ def s5b_ivf_topk(spark, sf_dir):
 
 
 @q(
+    "s8_ivf_recall",
+    f"""
+    WITH assign AS ({_IVF_ASSIGN_SQL}),
+    q AS (
+      SELECT e.vec_id AS qid, e.embedding AS qv, a.centroid
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+      WHERE e.vec_id < 20
+    ),
+    c AS (
+      SELECT e.vec_id AS nid, e.embedding AS cv, a.centroid
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    ivf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM (
+          SELECT qid, nid,
+                 round(({_dot_sql("qv", "cv")})
+                       / (sqrt({_dot_sql("qv", "qv")}) * sqrt({_dot_sql("cv", "cv")})), 6)
+                   AS cosine
+          FROM q JOIN c USING (centroid) WHERE qid != nid
+        )
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM (
+          SELECT qx.qid, cx.nid,
+                 round(({_dot_sql("qv", "cv")})
+                       / (sqrt({_dot_sql("qv", "qv")}) * sqrt({_dot_sql("cv", "cv")})), 6)
+                   AS cosine
+          FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id < 20) qx
+          CROSS JOIN (SELECT vec_id AS nid, embedding AS cv FROM embeddings) cx
+          WHERE qid != nid
+        )
+      ) WHERE rank <= 5
+    )
+    SELECT e.qid, CAST(count(i.nid) AS BIGINT) AS n_hits,
+           round(count(i.nid) / 5.0, 6) AS recall
+    FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+    GROUP BY e.qid
+    """,
+)
+def s8_ivf_recall(spark, sf_dir):
+    """ANN self-evaluation: recall@5 of single-probe IVF against the
+    exact brute-force top-5, per query — the metric that justifies the
+    probes/centroids knobs before trusting the scale path.  Brute
+    force runs only on the 20-query EVAL SAMPLE (the standard ANN
+    recall harness shape: sampled queries, full corpus); both rankers
+    share the rounded-cosine + id tiebreak so the intersection is
+    deterministic cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.knn_join(qs, emb, dim=_DIM, k=5).select("qid", "nid")
+    approx = SIM.ivf_topk(qs, emb, cents, dim=_DIM, k=5).select("qid", "nid")
+    hits = (
+        exact.join(approx, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6
+            ).alias("recall"),
+        )
+    )
+
+
+@q(
     "s7_quantize_int8",
     """
     WITH s AS (
