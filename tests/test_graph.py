@@ -476,3 +476,53 @@ def test_motif_find_vertex_structs(spark):
     got = {(r["x"]["_n"], r["y"]["_n"], r["x"]["rank"], r["y"]["rank"],
             r["e"]["w"]) for r in rows}
     assert got == {("a", "b", 10, 20, 1.0), ("b", "c", 20, 30, 2.0)}
+
+
+def test_motif_find_property_random_graphs(spark):
+    """Property check: on random small digraphs, find() for the 2-hop,
+    triangle, and negated-wedge patterns must equal a brute-force
+    Python enumeration of the same pattern."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph
+
+    node = st.sampled_from(["a", "b", "c", "d", "e"])
+    edge = st.tuples(node, node).filter(lambda t: t[0] != t[1])
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges=st.sets(edge, min_size=1, max_size=12))
+    def run(edges):
+        es = sorted(edges)
+        edf = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in es], ["_u", "_v", "w"]
+        )
+        ndf = edf.select(F.col("_u").alias("_n")).union(
+            edf.select("_v")).distinct()
+        g = SparkGraph(ndf, edf)
+        eset = set(es)
+
+        want_2hop = {
+            (a, b, c) for a, b in eset for b2, c in eset if b == b2
+        }
+        got_2hop = {
+            (r["a"], r["b"], r["c"])
+            for r in g.find("(a)-[]->(b); (b)-[]->(c)").collect()
+        }
+        assert got_2hop == want_2hop
+
+        want_tri = {t for t in want_2hop if (t[0], t[2]) in eset}
+        got_tri = {
+            (r["a"], r["b"], r["c"])
+            for r in g.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)").collect()
+        }
+        assert got_tri == want_tri
+
+        got_wedge = {
+            (r["a"], r["b"], r["c"])
+            for r in g.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").collect()
+        }
+        assert got_wedge == want_2hop - want_tri
+
+    run()
