@@ -2741,9 +2741,13 @@ def t10_corpus_filter(spark, sf_dir):
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+\d[\d\- ]{7,}\d"
+# Derive the oracle regexes from the implementation's single source of
+# truth (functions/text.py PII_PATTERNS) so oracle and operator cannot
+# silently diverge when a pattern is tuned.
+_PII_BY_NAME = {name: pat for name, pat, _ in TX.PII_PATTERNS}
+_PII_EMAIL = _PII_BY_NAME["email"]
+_PII_IP = _PII_BY_NAME["ipv4"]
+_PII_PHONE = _PII_BY_NAME["phone"]
 
 
 @q(

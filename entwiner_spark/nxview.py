@@ -95,15 +95,32 @@ class _EdgeDict(MutableMapping):
     def __len__(self) -> int:
         return len(self._load())
 
+    def _fresh(self) -> bool:
+        """True when the snapshot matches the view's current edge plan —
+        the edge provably exists, so the write can skip the existence
+        scan (one Spark job per assignment instead of two)."""
+        return (
+            self._attrs is not None
+            and self._gen == self._view._generation
+        )
+
     def __setitem__(self, k: str, value) -> None:
         if k in _PROTECTED_KEYS:
             return  # PK columns never change via the dict protocol
-        self._view._write_edge_attr(self._u, self._v, k, value)
+        self._view._write_edge_attr(
+            self._u, self._v, k, value, _known_exists=self._fresh()
+        )
 
     def __delitem__(self, k: str) -> None:
         if k in _PROTECTED_KEYS:
             return
-        self._view._write_edge_attr(self._u, self._v, k, None)
+        if k not in self._load():
+            # MutableMapping contract; also prevents a misspelled delete
+            # from installing a permanent void-typed column
+            raise KeyError(k)
+        self._view._write_edge_attr(
+            self._u, self._v, k, None, _known_exists=self._fresh()
+        )
 
     def __repr__(self) -> str:
         return f"_EdgeDict({self._u!r}, {self._v!r}, {dict(self._load())!r})"
@@ -320,10 +337,12 @@ class LazyDiGraphView(nx.DiGraph):
         self._pred._lru.clear()
         self.__networkx_cache__.clear()
 
-    def _write_edge_attr(self, u: str, v: str, key: str, value) -> None:
+    def _write_edge_attr(
+        self, u: str, v: str, key: str, value, _known_exists: bool = False
+    ) -> None:
         from entwiner_spark.operators.mutations import set_edge_attr
 
-        if not self.sg.get_edge(u, v).limit(1).count():
+        if not _known_exists and not self.sg.get_edge(u, v).limit(1).count():
             raise EdgeNotFound(f"({u}, {v})")
         self._swap_edges(set_edge_attr(self.sg.edges, u, v, key, value))
 
@@ -337,7 +356,19 @@ class LazyDiGraphView(nx.DiGraph):
         edges = _normalize_ebunch(ebunch, {})
         if not edges:
             return
-        keys = sorted({k for _, _, d in edges for k in d} - _PROTECTED_KEYS)
+        # Drop keys whose values are all None: schema inference cannot
+        # type them (CANNOT_DETERMINE_TYPE), and under update_columns'
+        # sparse-update semantics a NULL update keeps the old value, so
+        # an all-None column is a no-op anyway (per-edge NULL-clearing
+        # goes through del G[u][v][k], reference delete semantics).
+        keys = sorted(
+            {
+                k
+                for _, _, d in edges
+                for k in d
+                if k not in _PROTECTED_KEYS and d[k] is not None
+            }
+        )
         if not keys:
             return
         rows = [
@@ -365,17 +396,29 @@ class LazyDiGraphView(nx.DiGraph):
         ]
         incoming = self.sg.spark.createDataFrame(rows)
         new_edges = upsert(self.sg.edges, incoming, ["_u", "_v"])
+        # insert only MISSING endpoints: an upsert would replace
+        # existing node rows with attribute-less (_n)-only rows,
+        # destroying node geometry/attrs for every touched endpoint
         node_ids = sorted({n for u, v, _ in edges for n in (u, v)})
-        new_nodes = upsert(
-            self.sg.nodes,
-            self.sg.spark.createDataFrame([(n,) for n in node_ids], ["_n"]),
-            ["_n"],
+        fresh = (
+            self.sg.spark.createDataFrame([(n,) for n in node_ids], ["_n"])
+            .join(self.sg.nodes.select("_n"), "_n", "left_anti")
         )
-        self.sg.nodes = new_nodes
+        self.sg.nodes = self.sg.nodes.unionByName(
+            fresh, allowMissingColumns=True
+        )
         self._swap_edges(new_edges)
 
     def _impl_add_edge(self, u, v, **attr) -> None:
         self._impl_add_edges_from([(u, v, dict(attr))])
+
+    def _impl_add_weighted_edges_from(
+        self, ebunch, weight: str = "weight", **attr
+    ) -> None:
+        # nx semantics: (u, v, w) triples; delegates to the batched add
+        self._impl_add_edges_from(
+            [(u, v, {**attr, weight: w}) for u, v, w in ebunch]
+        )
 
     def _impl_remove_edges_from(self, ebunch) -> None:
         from entwiner_spark.operators.mutations import delete_keys
@@ -406,7 +449,9 @@ class LazyDiGraphView(nx.DiGraph):
     remove_nodes_from = _immutable("remove_nodes_from")
     add_edge = _mutating("add_edge", _impl_add_edge)
     add_edges_from = _mutating("add_edges_from", _impl_add_edges_from)
-    add_weighted_edges_from = _immutable("add_weighted_edges_from")
+    add_weighted_edges_from = _mutating(
+        "add_weighted_edges_from", _impl_add_weighted_edges_from
+    )
     remove_edge = _mutating("remove_edge", _impl_remove_edge)
     remove_edges_from = _mutating("remove_edges_from", _impl_remove_edges_from)
     update_edges = _mutating("update_edges", _impl_update_edges)

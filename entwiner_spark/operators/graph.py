@@ -327,6 +327,10 @@ class SparkGraph:
             renames, drops = {}, []
             for name, col in ((u, uc), (v, vc)):
                 if name and name not in bound:
+                    if name in edge_names:
+                        # would shadow an edge-struct column -> opaque
+                        # AMBIGUOUS_REFERENCE downstream
+                        raise ValueError(f"duplicate element name {name!r}")
                     renames[col] = name
                     bound.append(name)
                 elif col not in renames:

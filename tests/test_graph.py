@@ -526,3 +526,19 @@ def test_motif_find_property_random_graphs(spark):
         assert got_wedge == want_2hop - want_tri
 
     run()
+
+
+def test_motif_find_rejects_vertex_reusing_edge_name(spark):
+    """Review r5: a vertex name colliding with an earlier edge name
+    must raise up front, not fail later with AMBIGUOUS_REFERENCE."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.graph import SparkGraph
+
+    edges = spark.createDataFrame([("a", "b", 1.0)], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    with pytest.raises(ValueError, match="duplicate element"):
+        g.find("(a)-[b]->(c); (c)-[]->(b)")

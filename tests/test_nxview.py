@@ -177,3 +177,51 @@ def test_readonly_default_unchanged(spark, tiny_edges, tiny_nodes):
     assert not isinstance(d, dict) or True  # plain dict on read-only path
     with pytest.raises(ImmutableGraphError):
         G.remove_edge(u, v)
+
+
+def test_mutable_add_edge_preserves_node_attrs(Gmut):
+    """Review r5: adding an edge between EXISTING nodes must not wipe
+    their attributes (geometry) — only genuinely new endpoints are
+    inserted, attribute-less."""
+    G = Gmut
+    u, v, _ = next(iter(G.edges(data=True)))
+    before = {r["_n"]: r.asDict() for r in G.sg.nodes.collect()}
+    assert before[u].get("geom") is not None
+    G.add_edge(u, "9.9, 9.9", hop=1.0)
+    after = {r["_n"]: r.asDict() for r in G.sg.nodes.collect()}
+    assert after[u]["geom"] == before[u]["geom"]  # untouched
+    assert "9.9, 9.9" in after and after["9.9, 9.9"].get("geom") is None
+
+
+def test_mutable_update_edges_all_none_is_noop(Gmut):
+    """Review r5: a batch where an attr carries only Nones must not
+    crash schema inference; under sparse-update semantics it is a
+    no-op (NULL keeps the old value)."""
+    G = Gmut
+    it = iter(G.edges(data=False))
+    (u1, v1), (u2, v2) = next(it), next(it)
+    G.update_edges([(u1, v1, {"cost": None})])  # must not raise
+    # mixed batch: the all-None key for one edge is a no-op, the
+    # concrete value for the other lands
+    G.update_edges([(u1, v1, {"cost": 4.0}), (u2, v2, {"cost": None})])
+    assert G[u1][v1]["cost"] == 4.0
+    assert G[u2][v2]["cost"] is None
+
+
+def test_mutable_del_missing_key_raises(Gmut):
+    """Review r5: deleting a key that does not exist raises KeyError
+    (MutableMapping contract) instead of installing a permanent
+    void-typed column named after the typo."""
+    G = Gmut
+    u, v, d = next(iter(G.edges(data=True)))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        del d["no_such_attr"]
+    assert "no_such_attr" not in G.sg.edges.columns
+
+
+def test_mutable_add_weighted_edges_from(Gmut):
+    G = Gmut
+    G.add_weighted_edges_from([("p1", "p2", 2.5)])
+    assert G["p1"]["p2"]["weight"] == 2.5
