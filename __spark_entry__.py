@@ -34,6 +34,7 @@ _PRIORITY = [
     "d9_embedding_dedup_clusters",
     "t11_pii_redact",
     "s8_ivf_recall",
+    "e7_hourly_unique_users",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

@@ -1595,6 +1595,32 @@ def e4_topk_users(spark, sf_dir):
     )
 
 
+@q(
+    "e7_hourly_unique_users",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def e7_hourly_unique_users(spark, sf_dir):
+    """Windowed EXACT distinct cardinality: unique users per hour —
+    the engagement metric every event pipeline reports.  Exact
+    count_distinct is a two-phase shuffle (partial sets per partition,
+    merge per window); at 100 TB swap in approx_count_distinct (HLL,
+    one pass, mergeable sketches) when a ~2% error is acceptable —
+    the a2b query family covers that escalation."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count_distinct("user_id").alias("unique_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # =====================================================================
 # Multimodal binary columns (SURVEY §2.14) — metadata layer (the decode
 # stub lives in operators/multimodal.py; plumbing tested in pytest)
