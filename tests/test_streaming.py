@@ -697,3 +697,45 @@ def test_contamination_stream_static_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert set(got) == {1, 3} and 2 not in got
+
+
+def test_windowed_unique_users_streaming_escalation(spark, tmp_path):
+    """The documented 100 TB escalation for e7: exact count_distinct is
+    forbidden on streams, approx_count_distinct (mergeable HLL) is the
+    streaming form — same window shape, complete-mode output, and on a
+    low-cardinality window the sketch is exact."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "uu"
+    d.mkdir()
+    rows = [
+        {"user_id": i % 7, "ts": f"2026-01-01T0{h}:00:00.000Z"}
+        for h in range(2)
+        for i in range(20)
+    ]
+    (d / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    agg = stream.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.approx_count_distinct("user_id").alias("unique_users"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("uu_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["window_start"].hour: r["unique_users"]
+            for r in spark.sql("SELECT * FROM uu_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {0: 7, 1: 7}
