@@ -35,6 +35,7 @@ _PRIORITY = [
     "t11_pii_redact",
     "s8_ivf_recall",
     "e7_hourly_unique_users",
+    "t12_unigram_logprob",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

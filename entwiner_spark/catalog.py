@@ -1596,6 +1596,29 @@ def e4_topk_users(spark, sf_dir):
 
 
 @q(
+    "t12_unigram_logprob",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w2 AS (SELECT * FROM w WHERE word != ''),
+    freq AS (SELECT word, count(*) AS wc FROM w2 GROUP BY word),
+    tot AS (SELECT sum(wc) AS tot FROM freq)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(ln(CAST(wc AS DOUBLE) / tot)), 6) AS avg_logprob
+    FROM w2 JOIN freq USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def t12_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality signal: per-doc mean log
+    probability of its words under the corpus unigram distribution
+    (text.unigram_logprob).  Low = gibberish/out-of-domain — the
+    cheap LM-score ranking stage of a training pipeline.  The
+    vocabulary table broadcasts (vocab ≪ corpus at any scale)."""
+    return TX.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "e7_hourly_unique_users",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -111,6 +111,44 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def unigram_logprob(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """CCNet-style unigram LM scoring: per-document mean log
+    probability of its words under the corpus unigram distribution —
+    the cheap "does this read like the corpus" quality signal used to
+    rank training data (low score = gibberish or out-of-domain).
+
+    Plan shape: one explode to (doc, word) rows, a word-frequency
+    aggregate (partial map-side combine), a broadcast-friendly join of
+    the frequency table back onto the word rows, and a per-doc mean.
+    At 100 TB the vocabulary table is the small side (natural-language
+    vocab ≪ corpus) and broadcasts; nothing driver-side.
+
+    Returns (id_col, n_words, avg_logprob) with avg_logprob rounded to
+    6 dp for cross-engine determinism.
+    """
+    from pyspark.sql import functions as F
+
+    w = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("_wc"))
+    total = freq.agg(F.sum("_wc").alias("_tot"))
+    scored = (
+        w.join(F.broadcast(freq), "word")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("_wc").cast("double") / F.col("_tot")).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 

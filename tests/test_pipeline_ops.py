@@ -175,3 +175,21 @@ def test_redact_pii_patterns(spark):
     assert out[2] == ("server at <IP> and <IP>", 0, 2, 0)
     assert out[3] == ("call <PHONE> today", 0, 0, 1)
     assert out[4] == ("nothing sensitive here at all", 0, 0, 0)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computed log probs: freq a=2 b=2 c=1 of 5
+    total; doc1 = mean(ln .4) and doc2 = mean(ln .4, ln .2)."""
+    import math
+
+    from entwiner_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert out[1] == (3, round(math.log(0.4), 6))
+    assert out[2] == (2, round((math.log(0.4) + math.log(0.2)) / 2, 6))
