@@ -36,6 +36,7 @@ _PRIORITY = [
     "s8_ivf_recall",
     "e7_hourly_unique_users",
     "t12_unigram_logprob",
+    "g_clustering_coef",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

@@ -2723,6 +2723,51 @@ def g_motif_open_wedge(spark, sf_dir):
 
 
 @q(
+    "g_clustering_coef",
+    f"""
+    WITH adj0 AS ({_MOTIF_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y
+      FROM adj0 WHERE u != v
+    ),
+    sym AS (SELECT x AS n, y AS m FROM und UNION ALL SELECT y, x FROM und),
+    deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY n),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM und e1 JOIN und e2 ON e2.x = e1.y
+      JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    tri_n AS (
+      SELECT n, count(*) AS t FROM (
+        SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY n
+    )
+    SELECT CAST(d.n AS BIGINT) AS n, CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN tri_n t ON t.n = d.n
+    """,
+)
+def g_clustering_coef(spark, sf_dir):
+    """Local clustering coefficient (undirected) — the classic
+    graph-ML node feature: 2T(n)/(deg(n)(deg(n)-1)) with triangles
+    enumerated once via the ordered wedge join
+    (SparkGraph.clustering_coefficient).  The triangle set is
+    order-convention independent, so the string-keyed facade and the
+    numeric oracle agree exactly."""
+    out = _motif_graph(spark, sf_dir).clustering_coefficient()
+    return out.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("degree").cast("bigint").alias("degree"),
+        "triangles",
+        "clustering_coef",
+    )
+
+
+@q(
     "t8_tfidf_top_terms",
     """
     WITH t AS (

@@ -1027,6 +1027,67 @@ class SparkGraph:
         )
         return tri.select("a", "b", "c").distinct()
 
+    def clustering_coefficient(self) -> DataFrame:
+        """Local clustering coefficient per node (undirected
+        interpretation, the standard graph-ML feature): 2T(n) /
+        (deg(n)·(deg(n)−1)), where T(n) counts undirected triangles
+        through ``n``.
+
+        Plan: canonicalize edges to (min, max) pairs, enumerate each
+        triangle exactly once via the ordered wedge join (x<y<z), then
+        per-node counts.  Same wedge discipline as triangle_count —
+        never all-pairs; hub fan-out is the cost driver.  Returns
+        (_n, degree, triangles, clustering_coef).
+        """
+        und = (
+            self.edges.select(
+                F.least("_u", "_v").alias("x"), F.greatest("_u", "_v").alias("y")
+            )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+        sym = und.select(F.col("x").alias("n"), F.col("y").alias("m")).unionByName(
+            und.select(F.col("y").alias("n"), F.col("x").alias("m"))
+        )
+        deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+        tri = (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e2.x") == F.col("e1.y"))
+            .join(
+                und.alias("e3"),
+                (F.col("e3.x") == F.col("e1.x"))
+                & (F.col("e3.y") == F.col("e2.y")),
+            )
+            .select(
+                F.col("e1.x").alias("a"),
+                F.col("e1.y").alias("b"),
+                F.col("e2.y").alias("c"),
+            )
+        )
+        tri_n = (
+            tri.select(F.col("a").alias("n"))
+            .unionByName(tri.select(F.col("b").alias("n")))
+            .unionByName(tri.select(F.col("c").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        t = F.coalesce(F.col("triangles"), F.lit(0))
+        return (
+            deg.join(tri_n, "n", "left")
+            .select(
+                F.col("n").alias("_n"),
+                "degree",
+                t.cast("long").alias("triangles"),
+                F.round(
+                    F.when(
+                        F.col("degree") >= 2,
+                        2.0 * t / (F.col("degree") * (F.col("degree") - 1)),
+                    ).otherwise(0.0),
+                    6,
+                ).alias("clustering_coef"),
+            )
+        )
+
     def closeness(self, weight=None, strategy: str = "auto") -> DataFrame:
         """Closeness-style centrality: per source node, the sum of
         shortest-path distances to its reachable set and the reach
