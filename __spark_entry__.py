@@ -37,6 +37,7 @@ _PRIORITY = [
     "e7_hourly_unique_users",
     "t12_unigram_logprob",
     "g_clustering_coef",
+    "t13_repetition_ratio",
     "d5_ngram_jaccard_pairs",
     "d8_dedup_clusters",
     "d2_minhash_signatures",

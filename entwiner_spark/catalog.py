@@ -1596,6 +1596,38 @@ def e4_topk_users(spark, sf_dir):
 
 
 @q(
+    "t13_repetition_ratio",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS BIGINT)
+             AS n_bigrams,
+           round(CASE WHEN len(w) >= 2
+                 THEN 1.0 - len(list_distinct(list_transform(
+                        range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2])))
+                      * 1.0 / (len(w) - 1)
+                 ELSE 0.0 END, 6) AS rep_ratio
+    FROM w
+    """,
+)
+def t13_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition rule: fraction of word bigrams that
+    duplicate an earlier bigram (text.repetition_ratio) — boilerplate
+    and degenerate generations score high.  Pure per-row array
+    expressions, zero shuffles beyond the scan."""
+    d = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    total = F.size(w) - 1
+    return d.select(
+        "doc_id",
+        F.when(total > 0, total).otherwise(F.lit(0)).cast("bigint").alias(
+            "n_bigrams"
+        ),
+        TX.repetition_ratio(F.col("text")).alias("rep_ratio"),
+    )
+
+
+@q(
     "t12_unigram_logprob",
     """
     WITH w AS (

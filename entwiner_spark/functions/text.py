@@ -149,6 +149,25 @@ def unigram_logprob(
     )
 
 
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram, ``1 - distinct/total`` (a
+    Gopher-style quality rule — boilerplate and degenerate generations
+    score high).  Pure per-row array expressions: total and distinct
+    gram counts never leave whole-stage codegen, no explode."""
+    w = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    total = F.size(w) - (n - 1)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0,
+        F.round(1.0 - distinct.cast("double") / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 

@@ -193,3 +193,22 @@ def test_unigram_logprob_hand_computed(spark):
     }
     assert out[1] == (3, round(math.log(0.4), 6))
     assert out[2] == (2, round((math.log(0.4) + math.log(0.2)) / 2, 6))
+
+
+def test_repetition_ratio_hand_computed(spark):
+    """'a b a b a' has bigrams [ab, ba, ab, ba] -> 2 distinct of 4 ->
+    ratio 0.5; fully distinct text scores 0; short text scores 0."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo")], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["rr"]
+        for r in df.select(
+            "id", repetition_ratio(F.col("text")).alias("rr")
+        ).collect()
+    }
+    assert out == {1: 0.5, 2: 0.0, 3: 0.0}
