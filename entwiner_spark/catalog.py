@@ -1309,6 +1309,47 @@ def d7_contamination(spark, sf_dir):
 
 
 @q(
+    "d10_dup_ngram_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, len(w) - 2),
+               i -> {_H32.format(x="w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")}))
+               AS gh
+      FROM toks WHERE len(w) >= 3
+    ), dup AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM occ)
+      GROUP BY gh HAVING count(*) >= 2
+    ), agg AS (
+      SELECT o.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM occ o LEFT JOIN dup d USING (gh)
+      GROUP BY o.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+           round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                 THEN coalesce(a.n_dup, 0) * 1.0 / a.n_grams
+                 ELSE 0.0 END, 6) AS dup_frac
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def d10_dup_ngram_coverage(spark, sf_dir):
+    """Cross-document duplicate n-gram span coverage (Lee et al. 2022
+    exact-substring-dedup metric): per doc, the fraction of word
+    3-gram positions whose gram appears in at least one OTHER doc.
+    Grams hash to 32-bit per-row BEFORE the explode, so only narrow
+    (id, hash) rows shuffle; no broadcast assumption on the
+    duplicated-gram set (it is corpus-scale at 100 TB)."""
+    return DD.dup_ngram_coverage(_t(spark, sf_dir, "documents"), n=3)
+
+
+@q(
     "samp1_stratified",
     """
     WITH ranked AS (
@@ -1625,6 +1666,55 @@ def t13_repetition_ratio(spark, sf_dir):
         ),
         TX.repetition_ratio(F.col("text")).alias("rep_ratio"),
     )
+
+
+def _gopher_sql() -> str:
+    """t14 oracle derived from the same text.py constants the Spark
+    side uses (PII_PATTERNS precedent) — thresholds cannot drift."""
+    stoplist = "[" + ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS) + "]"
+    wc = f"(n >= {TX.GOPHER_MIN_WORDS} AND n <= {TX.GOPHER_MAX_WORDS})"
+    wl = f"(mwl >= {TX.GOPHER_MIN_WORD_LEN} AND mwl <= {TX.GOPHER_MAX_WORD_LEN})"
+    st = f"(n_stop >= {TX.GOPHER_MIN_STOPWORDS})"
+    al = f"(alpha_frac >= {TX.GOPHER_MIN_ALPHA_FRAC})"
+    rp = f"(rep <= {TX.GOPHER_MAX_REP_RATIO})"
+    return f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n,
+             length(replace(text, ' ', '')) * 1.0 / len(w) AS mwl,
+             len(list_filter(w, x -> list_contains({stoplist}, x))) AS n_stop,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / len(w) AS alpha_frac,
+             round(CASE WHEN len(w) >= 2
+                   THEN 1.0 - len(list_distinct(list_transform(
+                          range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2])))
+                        * 1.0 / (len(w) - 1)
+                   ELSE 0.0 END, 6) AS rep
+      FROM t
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           {wc} AS flag_word_count,
+           {wl} AS flag_word_len,
+           {st} AS flag_stopwords,
+           {al} AS flag_alpha,
+           {rp} AS flag_repetition,
+           ({wc} AND {wl} AND {st} AND {al} AND {rp}) AS keep
+    FROM m
+    """
+
+
+@q("t14_gopher_rules", _gopher_sql())
+def t14_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality filter (Rae et al. 2021
+    §A.1.1): one boolean per rule (word-count bounds, mean word
+    length, stopword evidence, alphabetic-word fraction, repetition
+    cap) plus the conjunction ``keep``.  Pure per-row Catalyst
+    expressions (functions/text.gopher_quality_flags) — the whole
+    filter is one codegen'd map pass over the scan, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    flags = TX.gopher_quality_flags(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in flags.items()])
 
 
 @q(

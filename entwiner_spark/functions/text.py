@@ -168,6 +168,57 @@ def repetition_ratio(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+#: Gopher-rule thresholds (Rae et al. 2021 §A.1.1, adapted to the
+#: whitespace tokenizer above) — shared with the DuckDB oracles.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_REP_RATIO = 0.2
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules as one boolean column per
+    rule plus the conjunction ``keep`` — the standard rule-based filter
+    stage of a web-scale training pipeline (word-count bounds, mean
+    word length sanity, minimum stopword evidence, alphabetic-word
+    fraction, repetition cap).
+
+    All pure Catalyst expressions over the token array (no explode, no
+    UDF) — the filter runs inside whole-stage codegen on the scan, so
+    at 100 TB it costs one map pass.  Thresholds are module constants
+    shared with the oracle SQL.
+    """
+    w = words(text)
+    n = F.size(w)
+    mwl = avg_word_length(text)
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n
+    )
+    rep = repetition_ratio(text)
+    flags = {
+        "n_words": n.cast("long"),
+        "flag_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "flag_word_len": (mwl >= GOPHER_MIN_WORD_LEN)
+        & (mwl <= GOPHER_MAX_WORD_LEN),
+        "flag_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+        "flag_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "flag_repetition": rep <= GOPHER_MAX_REP_RATIO,
+    }
+    flags["keep"] = (
+        flags["flag_word_count"]
+        & flags["flag_word_len"]
+        & flags["flag_stopwords"]
+        & flags["flag_alpha"]
+        & flags["flag_repetition"]
+    )
+    return flags
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 

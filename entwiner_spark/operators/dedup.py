@@ -510,3 +510,77 @@ def contamination_overlap(
         F.count_distinct("gram").alias("n_shared_grams"),
         F.count_distinct("_bench_id").alias("n_benchmark_docs"),
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate n-gram coverage: per document, the
+    fraction of its word n-gram POSITIONS whose gram also appears in at
+    least one other document — the span-level duplication metric behind
+    exact-substring dedup of training corpora (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb/Gopher report the same statistic).  Unlike d5's
+    set-Jaccard this counts positional occurrences, so boilerplate
+    repeated WITHIN one doc and ACROSS docs weighs accordingly.
+
+    Plan shape at 100 TB: grams are hashed per-row to 32-bit BEFORE the
+    explode, so only narrow (id, gram_hash) rows ever shuffle; the
+    doc-frequency table comes from the deduped (id, gh) pairs with
+    partial map-side aggregation; duplicated positions are marked by a
+    gram-keyed equi-join (both sides partitioned on gh — no broadcast
+    assumption, the duplicated-gram set can be corpus-scale); one final
+    per-doc aggregate.  Docs shorter than ``n`` words surface with
+    n_grams = 0 via the left join from the id spine.
+
+    Returns (id_col, n_grams, n_dup, dup_frac) — dup_frac rounded to
+    6 dp for cross-engine determinism.
+    """
+    w = words(F.col(text_col))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: stable_hash32(F.array_join(F.slice(w, i, n), " ")),
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(w) >= n, gram_hashes).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("gh"),
+    )
+    dup = (
+        occ.distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
+    agg = (
+        occ.join(dup, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_grams"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("_n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_n_grams"), F.lit(0)) > 0,
+                    F.coalesce(F.col("_n_dup"), F.lit(0)).cast("double")
+                    / F.col("_n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

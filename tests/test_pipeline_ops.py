@@ -212,3 +212,54 @@ def test_repetition_ratio_hand_computed(spark):
         ).collect()
     }
     assert out == {1: 0.5, 2: 0.0, 3: 0.0}
+
+
+def test_dup_ngram_coverage_hand_computed(spark):
+    """Docs 1 and 2 share the 3-gram 'a b c' (doc 2 contains it twice
+    positionally); doc 3 shares nothing; doc 4 is too short for any
+    3-gram and must still surface with n_grams = 0."""
+    from entwiner_spark.operators.dedup import dup_ngram_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: abc, bcd
+            (2, "x a b c a b c"),  # grams: xab, abc, bca, cab, abc
+            (3, "p q r s"),        # grams: pqr, qrs (unique)
+            (4, "hi"),             # no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_frac"])
+        for r in dup_ngram_coverage(df, n=3).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (5, 2, 0.4)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each rule trips on a targeted violation; a long normal doc with
+    stopwords keeps all flags true."""
+    from entwiner_spark.functions import text as TX
+
+    good = "the a " + " ".join(f"word{i}" for i in range(58))
+    short = "the a tiny doc"
+    repeated = ("spam ham " * 40).strip()          # bigram rep ratio high
+    longwords = " ".join(["the", "a"] + ["pneumonoultramicroscopic"] * 60)
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, short), (3, repeated), (4, longwords)],
+        ["doc_id", "text"],
+    )
+    flags = TX.gopher_quality_flags(F.col("text"))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["flag_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["flag_repetition"] is False and rows[3]["keep"] is False
+    assert rows[4]["flag_word_len"] is False and rows[4]["keep"] is False
