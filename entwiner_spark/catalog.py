@@ -708,6 +708,85 @@ def g_cc_components(spark, sf_dir):
     )
 
 
+#: g_kcore topology: K8 clique on nodes 0-7 + banded tail 7-24
+#: (u—u+1, u—u+3) — the 4-core is exactly the clique, reached after 4
+#: peel rounds (tail collapses in waves), so the oracle's unrolled
+#: peels exercise real work.  Shared between the Spark builder and
+#: the SQL below.
+_KCORE_EDGES_SQL = """
+  SELECT a.n_nationkey AS u, b.n_nationkey AS v
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  WHERE a.n_nationkey < 8 AND b.n_nationkey < 8
+  UNION ALL
+  SELECT n_nationkey, n_nationkey + 1 FROM nation
+  WHERE n_nationkey BETWEEN 7 AND 23
+  UNION ALL
+  SELECT n_nationkey, n_nationkey + 3 FROM nation
+  WHERE n_nationkey BETWEEN 7 AND 21
+"""
+
+
+def _kcore_sql(k: int, peels: int) -> str:
+    """Unrolled peeling oracle: alive_{i+1} = nodes whose degree within
+    the alive_i-induced subgraph is >= k.  ``peels`` must be >= the
+    actual peel depth (4 on this topology); extra rounds are no-ops at
+    the fixpoint, so slack is safe."""
+    parts = [
+        f"WITH e AS ({_KCORE_EDGES_SQL}),",
+        "ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+        " FROM e WHERE u <> v),",
+        "sym AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),",
+        "alive0 AS (SELECT DISTINCT a AS node FROM sym),",
+    ]
+    for i in range(1, peels + 1):
+        parts.append(
+            f"alive{i} AS (SELECT s.a AS node FROM sym s"
+            f" JOIN alive{i - 1} x ON x.node = s.a"
+            f" JOIN alive{i - 1} y ON y.node = s.b"
+            f" GROUP BY s.a HAVING count(*) >= {k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(s.a AS BIGINT) AS node,"
+        f" CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM sym s JOIN alive{peels} x ON x.node = s.a"
+        f" JOIN alive{peels} y ON y.node = s.b GROUP BY s.a"
+    )
+    return "\n".join(parts)
+
+
+@q("g_kcore", _kcore_sql(k=4, peels=8))
+def g_kcore(spark, sf_dir):
+    """k-core decomposition (k=4) by iterative peeling
+    (SparkGraph.kcore): per-round degree aggregate + two left-semi
+    prunes, localCheckpoint lineage truncation — the standard
+    degeneracy/core-structure feature for graph ML and community
+    pruning.  The oracle unrolls the same peel as chained CTEs."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_nationkey") < 8).select(
+        F.col("n_nationkey").cast("long").alias("u")
+    )
+    b = a.select(F.col("u").alias("v"))
+    clique = a.join(b, F.col("u") < F.col("v"))
+    tail1 = n.filter(F.col("n_nationkey").between(7, 23)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 1).cast("long").alias("v"),
+    )
+    tail2 = n.filter(F.col("n_nationkey").between(7, 21)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 3).cast("long").alias("v"),
+    )
+    edges = (
+        clique.unionByName(tail1)
+        .unionByName(tail2)
+        .withColumn("w", F.lit(1.0))
+    )
+    g = _graph_as_spark_graph(spark, sf_dir, edges=edges)
+    return g.kcore(4).select(
+        F.col("_n").cast("long").alias("node"), "core_degree"
+    )
+
+
 def _pagerank_sql(iterations: int = 10, personalized: tuple[int, ...] | None = None) -> str:
     """Unrolled power-iteration oracle: one chained CTE per iteration
     (standard SQL — no recursive-CTE aggregation restrictions), written

@@ -885,6 +885,83 @@ class SparkGraph:
             )
         )
 
+    def kcore(
+        self, k: int, max_iterations: int = 100, strategy: str = "auto"
+    ) -> DataFrame:
+        """k-core decomposition membership: ``(_n, core_degree)`` for
+        every node of the maximal subgraph (over undirected distinct
+        edges, self-loops dropped) in which all degrees are >= k, with
+        core_degree = the node's degree WITHIN that subgraph.
+
+        Distributed path: iterative peeling — degree per node of the
+        surviving symmetric edge set (one partial-aggregated groupBy),
+        drop nodes below k via two left-semi prunes, localCheckpoint
+        per round to truncate lineage.  Each round removes at least
+        one node or converges, so rounds <= peel depth (the graph
+        degeneracy ordering length), never O(nodes) in practice:
+        cores collapse in waves.  Small graphs use the same peel
+        driver-side.
+        """
+        if k < 1:
+            raise ValueError("kcore requires k >= 1")
+        if self._use_local(strategy):
+            ue = set()
+            for u, v, _ in self._collect_triples(None):
+                if u != v:
+                    ue.add((min(u, v), max(u, v)))
+            alive = {n for pair in ue for n in pair}
+            while True:
+                deg: dict[str, int] = {}
+                for a, b in ue:
+                    if a in alive and b in alive:
+                        deg[a] = deg.get(a, 0) + 1
+                        deg[b] = deg.get(b, 0) + 1
+                new = {n for n in alive if deg.get(n, 0) >= k}
+                if new == alive:
+                    break
+                alive = new
+            schema = T.StructType(
+                [
+                    T.StructField("_n", T.StringType(), False),
+                    T.StructField("core_degree", T.LongType(), False),
+                ]
+            )
+            rows = [(n, deg[n]) for n in sorted(alive)]
+            return self.spark.createDataFrame(rows, schema)
+        ue = (
+            self.edges.select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym = ue.unionByName(
+            ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=True)
+        prev_alive = None
+        deg = None
+        for _ in range(max_iterations):
+            deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
+            alive = deg.filter(F.col("core_degree") >= k).select("a")
+            n_alive = alive.count()
+            if n_alive == prev_alive:
+                break
+            prev_alive = n_alive
+            if n_alive == 0:
+                break
+            sym = (
+                sym.join(alive, "a", "left_semi")
+                .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"kcore did not converge within {max_iterations} peel rounds"
+            )
+        return deg.filter(F.col("core_degree") >= k).select(
+            F.col("a").alias("_n"), F.col("core_degree").cast("long")
+        )
+
     def pagerank(
         self,
         alpha: float = 0.85,

@@ -542,3 +542,45 @@ def test_motif_find_rejects_vertex_reusing_edge_name(spark):
     g = SparkGraph(nodes, edges)
     with pytest.raises(ValueError, match="duplicate element"):
         g.find("(a)-[b]->(c); (c)-[]->(b)")
+
+
+def test_kcore_matches_networkx(spark):
+    """Random-ish graph: local peel == nx.k_core node set and degrees,
+    and the forced-distributed peel == the local peel."""
+    import networkx as nx
+
+    pairs = sorted({(i * 7 % 23, (i * 7 + i % 5 + 1) % 23) for i in range(60)}
+                   - {(i, i) for i in range(23)})
+    edges = spark.createDataFrame(
+        [(str(a), str(b), 1.0) for a, b in pairs], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    for k in (2, 3):
+        got_local = {
+            r["_n"]: r["core_degree"]
+            for r in g.kcore(k, strategy="local").collect()
+        }
+        got_dist = {
+            r["_n"]: r["core_degree"]
+            for r in g.kcore(k, strategy="pregel").collect()
+        }
+        H = nx.k_core(nx.Graph(pairs), k)
+        want = {str(n): d for n, d in H.degree()}
+        assert got_local == want, f"k={k} local"
+        assert got_dist == want, f"k={k} distributed"
+
+
+def test_kcore_empty_core_and_bad_k(spark):
+    """A path graph has no 2-core; k=0 raises."""
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1), 1.0) for i in range(6)], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    assert g.kcore(2, strategy="local").count() == 0
+    assert g.kcore(2, strategy="pregel").count() == 0
+    with pytest.raises(ValueError):
+        g.kcore(0)
