@@ -32,6 +32,7 @@ _PRIORITY = [
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",
+    "g_motif_anchored",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
     "d9_embedding_dedup_clusters",

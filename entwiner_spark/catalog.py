@@ -2896,6 +2896,36 @@ def g_motif_ffw_triangle(spark, sf_dir):
 
 
 @q(
+    "g_motif_anchored",
+    f"""
+    WITH adj AS ({_MOTIF_EDGES_SQL})
+    SELECT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b,
+           CAST(e2.v AS BIGINT) AS c,
+           round(e1.w + e2.w, 6) AS path_w
+    FROM adj e1
+    JOIN adj e2 ON e2.u = e1.v
+    WHERE e1.u = 3
+    """,
+)
+def g_motif_anchored(spark, sf_dir):
+    """Anchored motif: all 2-hop paths FROM node 3 —
+    find('(a)-[e]->(b); (b)-[e2]->(c)', anchors={{'a': '3'}}).  The
+    anchor applies as an equality filter when 'a' first binds, before
+    the second join, so the plan traverses one neighborhood instead of
+    materializing every 2-hop path (the point-query form of motif
+    finding a routing engine actually issues)."""
+    m = _motif_graph(spark, sf_dir).find(
+        "(a)-[e]->(b); (b)-[e2]->(c)", anchors={"a": "3"}
+    )
+    return m.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(F.col("e.w") + F.col("e2.w"), 6).alias("path_w"),
+    )
+
+
+@q(
     "g_motif_open_wedge",
     f"""
     WITH adj AS ({_MOTIF_EDGES_SQL})

@@ -228,7 +228,12 @@ class SparkGraph:
         )
 
     # ---- motif / pattern matching -------------------------------------
-    def find(self, pattern: str, vertex_structs: bool = False) -> DataFrame:
+    def find(
+        self,
+        pattern: str,
+        vertex_structs: bool = False,
+        anchors: dict[str, str] | None = None,
+    ) -> DataFrame:
         """GraphFrames-style motif finding via binding joins.
 
         Grammar (a subset of GraphFrames'): semicolon-separated edge
@@ -246,6 +251,13 @@ class SparkGraph:
         each vertex id column with a struct of the full node row — one
         extra equi-join with the node table per named vertex, AQE
         broadcasts it when small.
+
+        ``anchors={"a": "7"}`` pins named vertices to fixed node ids
+        (GraphFrames' filter-on-id idiom as a first-class argument).
+        Each anchor is applied as an equality filter the moment its
+        vertex is first bound — BEFORE later joins — so an anchored
+        traversal scans one neighborhood, not the whole edge table,
+        and Catalyst pushes the literal predicate into the scan.
 
         Plan shape: each positive term is one equi-join of the edge
         table on the shared bound vertices (wedge-join discipline —
@@ -279,6 +291,14 @@ class SparkGraph:
             terms.append((neg, u or None, e or None, v or None))
         if not any(not neg for neg, *_ in terms):
             raise ValueError("pattern needs at least one positive term")
+        anchors = dict(anchors or {})
+        named = {n for _, u, _, v in terms for n in (u, v) if n}
+        unknown = set(anchors) - named
+        if unknown:
+            raise ValueError(
+                f"anchors for unbound vertex names: {sorted(unknown)}; "
+                f"pattern binds {sorted(named)}"
+            )
 
         cur: DataFrame | None = None
         bound: list[str] = []  # vertex names in first-appearance order
@@ -341,6 +361,9 @@ class SparkGraph:
                 renames[ec] = e
                 edge_names.append(e)
             cur = cur.withColumnsRenamed(renames).drop(*drops)
+            for name in renames.values():
+                if name in anchors:
+                    cur = cur.filter(F.col(name) == F.lit(anchors[name]))
         out = cur.select(*bound, *edge_names)
         if vertex_structs:
             for name in bound:

@@ -584,3 +584,53 @@ def test_kcore_empty_core_and_bad_k(spark):
     assert g.kcore(2, strategy="pregel").count() == 0
     with pytest.raises(ValueError):
         g.kcore(0)
+
+
+def test_motif_anchors_match_post_filter(spark):
+    """Anchored find == unanchored find filtered afterwards, and an
+    unknown anchor name raises."""
+    pairs = [(str(a), str(b), float(a + b)) for a in range(8) for b in range(8)
+             if (a * 3 + b) % 5 == 0 and a != b]
+    edges = spark.createDataFrame(pairs, ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    pat = "(a)-[e]->(b); (b)-[e2]->(c)"
+    want = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in g.find(pat).filter(F.col("a") == "5").collect()
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in g.find(pat, anchors={"a": "5"}).collect()
+    )
+    assert got == want and len(got) > 0
+    # anchor on a later-bound vertex too
+    want_c = sorted(
+        (r["a"], r["c"]) for r in g.find(pat).filter(F.col("c") == "0").collect()
+    )
+    got_c = sorted(
+        (r["a"], r["c"]) for r in g.find(pat, anchors={"c": "0"}).collect()
+    )
+    assert got_c == want_c
+    with pytest.raises(ValueError, match="unbound vertex names"):
+        g.find(pat, anchors={"z": "1"})
+
+
+def test_motif_anchor_filters_before_second_join(spark):
+    """The anchor predicate must sit BELOW the second edge join in the
+    optimized plan (neighborhood scan), not above it (filter-last)."""
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1), 1.0) for i in range(20)], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    plan = (
+        g.find("(a)-[]->(b); (b)-[]->(c)", anchors={"a": "3"})
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_at = plan.index("Join")
+    assert "= 3" in plan[join_at:], (
+        "anchor equality not pushed below the join:\n" + plan
+    )
