@@ -739,3 +739,65 @@ def test_windowed_unique_users_streaming_escalation(spark, tmp_path):
     finally:
         q.stop()
     assert got == {0: 7, 1: 7}
+
+
+def test_ivf_assign_stream_equals_batch(spark, tmp_path):
+    """IVF coarse quantization is stateless per-row scoring against
+    broadcast centroid literals, so the batch operator runs unchanged
+    on a vector stream (the ANN-index ingest path): streaming
+    assignments must equal the batch run exactly.  quantize_int8 rides
+    the same stream to cover the storage path."""
+    from entwiner_spark.operators.similarity import ivf_assign, quantize_int8
+
+    d = tmp_path / "ivf_stream"
+    d.mkdir()
+    rows = [
+        {"vec_id": i, "embedding": [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]}
+        for i in range(30)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:15]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[15:]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    centroids = [[0.1] * 8, [0.5] * 8, [0.9] * 8]
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        ivf_assign(stream, centroids)
+        .writeStream.format("memory")
+        .queryName("ivf_stream")
+        .outputMode("append")
+        .start()
+    )
+    q2 = (
+        quantize_int8(stream)
+        .writeStream.format("memory")
+        .queryName("q8_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q2.processAllAvailable()
+        got = {
+            r["vec_id"]: r["centroid"]
+            for r in spark.sql("SELECT * FROM ivf_stream").collect()
+        }
+        got_q8 = {
+            (r["vec_id"], r["scale"], tuple(r["q"]))
+            for r in spark.sql("SELECT * FROM q8_stream").collect()
+        }
+    finally:
+        q.stop()
+        q2.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {r["vec_id"]: r["centroid"] for r in ivf_assign(batch, centroids).collect()}
+    want_q8 = {
+        (r["vec_id"], r["scale"], tuple(r["q"]))
+        for r in quantize_int8(batch).collect()
+    }
+    assert got == want and len(got) == 30
+    assert got_q8 == want_q8
