@@ -33,6 +33,11 @@ _PRIORITY = [
     "t14_gopher_rules",
     "g_kcore",
     "g_motif_anchored",
+    "samp3_token_budget",
+    "w6_range_interval",
+    "e8_funnel_conversion",
+    "m3_scd2_history",
+    "s9_pq_encode",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
     "d9_embedding_dedup_clusters",

@@ -509,6 +509,55 @@ def m2_delete_keys(spark, sf_dir):
 
 
 @q(
+    "m3_scd2_history",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS island
+      FROM seq
+    ), iv AS (
+      SELECT user_id, island,
+             min(event_type) AS state,
+             min(ts) AS effective_from
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, state, effective_from,
+           lead(effective_from) OVER (
+             PARTITION BY user_id ORDER BY island) AS effective_to
+    FROM iv
+    """,
+)
+def m3_scd2_history(spark, sf_dir):
+    """SCD type-2 history construction (mutations.scd2_history): the
+    per-user event-type change stream collapsed to effectivity
+    intervals (gaps-and-islands: lag + running sum + lead), current
+    interval open-ended (NULL effective_to) — the queryable warehouse
+    form of a keyed-update/CDC log.  One exchange on the key; all
+    three window passes reuse its partitioning."""
+    hist = MUT.scd2_history(
+        _events(spark, sf_dir),
+        key=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "effective_from",
+        "effective_to",
+    )
+
+
+@q(
     "ev_json_extract",
     """
     SELECT event_type,
@@ -1470,6 +1519,36 @@ def samp2_hash_bernoulli(spark, sf_dir):
     return SAMP.hash_sample(
         _t(spark, sf_dir, "documents"), key_col="doc_id", fraction=0.15
     ).select("doc_id", "source")
+
+
+@q(
+    "samp3_token_budget",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, cum_tokens FROM ranked WHERE cum_tokens <= 20000
+    """,
+)
+def samp3_token_budget(spark, sf_dir):
+    """Token-budget corpus mixture sampling (sampling.
+    token_budget_sample): per language, keep docs in deterministic
+    md5-rank order until 20k chars are consumed — the "N tokens per
+    source" mixture-construction step, reproducible across runs,
+    partitionings, and engines.  One shuffle on the group column;
+    the cut is a running-frame cumulative sum."""
+    return SAMP.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang"],
+        token_col="n_chars",
+        budget=20000,
+        key_col="doc_id",
+    ).select("doc_id", "lang", "cum_tokens")
 
 
 @q(
@@ -2664,6 +2743,71 @@ def s7_quantize_int8(spark, sf_dir):
     )
 
 
+# -- s9: product quantization (m=4 subspaces x 16 dims, K=4 codes each,
+#    codebooks = the first 4 embeddings sliced per subspace) --
+_PQ_M, _PQ_K, _PQ_W = 4, 4, 16
+
+
+def _pq_codebooks(spark, sf_dir) -> list[list[list[float]]]:
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    full = [[float(x) for x in r["embedding"]] for r in rows]
+    return [
+        [vec[s * _PQ_W : (s + 1) * _PQ_W] for vec in full]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_sql() -> str:
+    cent_from = ", ".join(
+        f"(SELECT embedding AS c{k} FROM embeddings WHERE vec_id = {k}) t{k}"
+        for k in range(_PQ_K)
+    )
+
+    def chain(s: int, k: int) -> str:
+        lo = s * _PQ_W + 1
+        return " + ".join(
+            f"(CAST(embedding[{i}] AS DOUBLE) - CAST(c{k}[{i}] AS DOUBLE))"
+            f" * (CAST(embedding[{i}] AS DOUBLE) - CAST(c{k}[{i}] AS DOUBLE))"
+            for i in range(lo, lo + _PQ_W)
+        )
+
+    d_cols = ", ".join(
+        f"({chain(s, k)}) AS d{s}_{k}"
+        for s in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    leasts = ", ".join(
+        "least(" + ", ".join(f"d{s}_{k}" for k in range(_PQ_K)) + f") AS m{s}"
+        for s in range(_PQ_M)
+    )
+    codes = ", ".join(
+        "CAST(CASE "
+        + " ".join(f"WHEN d{s}_{k} = m{s} THEN {k}" for k in range(_PQ_K))
+        + f" END AS INT) AS code_{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id, {d_cols}
+      FROM embeddings, {cent_from}
+    )
+    SELECT vec_id, {codes}
+    FROM (SELECT *, {leasts} FROM d)
+    """
+
+
+@q("s9_pq_encode", _pq_sql())
+def s9_pq_encode(spark, sf_dir):
+    """Product-quantization encode (similarity.pq_encode): each vector
+    becomes 4 sub-codes (16-dim subspaces, 4 codes each from the first
+    4 embeddings) — the PQ compression layout of billion-vector ANN.
+    Per-row literal scoring, no joins; the oracle replays the same
+    left-associated distance chains and strict-< argmin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_encode(emb, _pq_codebooks(spark, sf_dir))
+
+
 @q(
     "w4_lag_lead",
     """
@@ -3190,6 +3334,109 @@ def w5_distribution_ranks(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@q(
+    "w6_range_interval",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_10m,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def w6_range_interval(spark, sf_dir):
+    """Time-RANGE window frame (§2.5 superset): per-user trailing
+    10-minute event count + value total — the rate-limiter /
+    rolling-exposure metric shape.  Spark's rangeBetween runs on
+    unix_micros so the frame bound is exact; the value total sums
+    integer cents (round half-up both engines) so accumulation order
+    cannot produce float divergence inside the segment-tree frames.
+    One shuffle on user_id; the frame is a running sort pass."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_10m"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("sum_cents_10m"),
+    )
+
+
+@q(
+    "e8_funnel_conversion",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN next_click <= ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+           round(sum(CASE WHEN next_click <= ts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conv_rate
+    FROM seq WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def e8_funnel_conversion(spark, sf_dir):
+    """Funnel analysis (view → click within 30 min), the standard
+    event-sequence conversion metric: for every view, the next click
+    by the same user comes from one conditional-min window over the
+    ordered event stream (no self-join, no explode) — a single
+    shuffle on user_id, then a per-user aggregate.  The (ts,
+    event_id) tiebreak makes the sequence deterministic."""
+    ev = _events(spark, sf_dir)
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        )
+        .over(w_next)
+        .alias("next_click"),
+    )
+    converted = (
+        F.col("next_click")
+        <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    ).cast("int")
+    return (
+        seq.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(F.coalesce(converted, F.lit(0)))
+            .cast("long")
+            .alias("n_conversions"),
+            F.round(
+                F.sum(F.coalesce(converted, F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conv_rate"),
+        )
     )
 
 

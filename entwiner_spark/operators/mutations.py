@@ -92,3 +92,54 @@ def set_edge_attr(
     return edges.withColumn(
         attr, F.when(hit, F.lit(value)).otherwise(F.col(attr) if attr in edges.columns else F.lit(None))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: list[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history construction: collapse
+    a keyed change stream into effectivity intervals
+    ``(key, state, effective_from, effective_to)`` where consecutive
+    rows with the SAME state merge into one interval (gaps-and-islands)
+    and the current interval has ``effective_to = NULL`` — the standard
+    warehouse history table built from a mutation/CDC log, i.e. the
+    queryable form of the reference's keyed-update stream (M1/M2).
+
+    Plan shape: one shuffle on the key; island detection (lag +
+    conditional running sum), the per-island aggregate, and the
+    effective_to lead all reuse the same key partitioning, so Catalyst
+    plans a single exchange with three window sorts.  Deterministic
+    given a unique tiebreak column for same-timestamp changes.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w_seq = Window.partitionBy(*key).orderBy(*order)
+    changed = (
+        F.lag(F.col(state_col)).over(w_seq).isNull()
+        | (F.lag(F.col(state_col)).over(w_seq) != F.col(state_col))
+    ).cast("int")
+    islands = df.select(
+        *key,
+        F.col(state_col),
+        F.col(ts_col),
+        F.sum(changed).over(w_seq).alias("_island"),
+    )
+    iv = islands.groupBy(*key, "_island").agg(
+        # all rows of an island share the state by construction
+        F.min(state_col).alias(state_col),
+        F.min(ts_col).alias("effective_from"),
+    )
+    w_next = Window.partitionBy(*key).orderBy("_island")
+    return iv.select(
+        *key,
+        state_col,
+        "effective_from",
+        F.lead("effective_from").over(w_next).alias("effective_to"),
+    )

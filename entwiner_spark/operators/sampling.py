@@ -64,6 +64,36 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(F.substring(_hash_col(key_col), 1, 4) < F.lit(threshold))
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    budget: int,
+    key_col: str,
+) -> DataFrame:
+    """Token-budget mixture sampling: within each group (source,
+    language, domain …) keep documents in deterministic md5-rank order
+    until the group's token budget is exhausted — the corpus-mixture
+    construction step ("1B tokens of web, 200M of code") of a training
+    pipeline, made reproducible the same way as stratified_sample.
+
+    A document is kept iff the running token total INCLUDING it stays
+    <= budget (strict cap, no overshoot).  One shuffle on the group
+    columns; the cumulative sum is a running window frame computed in
+    a single sort pass per group.  Emits ``cum_tokens`` so the cut is
+    auditable.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_col(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(F.col(token_col)).over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def split_train_holdout(
     df: DataFrame, key_col: str, holdout_fraction: float = 0.01
 ) -> tuple[DataFrame, DataFrame]:

@@ -459,3 +459,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PQ/IVFPQ): the vector
+    split into ``m = len(codebooks)`` contiguous subvectors, each
+    assigned to the nearest code of its OWN sub-codebook — m small ints
+    replace the full vector, the storage layout that makes
+    billion-vector ANN fit in memory (m=4 bytes vs 256 for 64 float32
+    dims here).
+
+    ``codebooks[s]`` is the list of code subvectors for subspace s;
+    subspace widths come from the code vectors themselves and must sum
+    to the embedding dim.  Same discipline as ivf_assign: codes inlined
+    as broadcast-by-construction literals, distances materialized as
+    columns behind a repartition codegen barrier, strict-< argmin with
+    lowest-index ties (mirrored by the SQL oracle).  Output
+    ``(id, code_0 … code_{m-1})`` — one narrow row per vector, no
+    joins, no shuffle beyond the barrier.
+    """
+    v = F.col(vec_col)
+    base_cols = []
+    offset = 1
+    for s, cb in enumerate(codebooks):
+        width = len(cb[0])
+        if any(len(code) != width for code in cb):
+            raise ValueError(f"codebook {s} has mixed subvector widths")
+        sub = F.slice(v, offset, width)
+        for k, code in enumerate(cb):
+            base_cols.append(l2sq_literal(sub, code).alias(f"_d{s}_{k}"))
+        offset += width
+    base = emb.select(F.col(id_col), *base_cols).repartition(F.col(id_col))
+    outs = []
+    for s, cb in enumerate(codebooks):
+        m = F.least(*[F.col(f"_d{s}_{k}") for k in range(len(cb))])
+        expr = None
+        for k in range(len(cb)):
+            cond = F.col(f"_d{s}_{k}") == m
+            expr = (
+                F.when(cond, F.lit(k))
+                if expr is None
+                else expr.when(cond, F.lit(k))
+            )
+        outs.append(expr.cast("int").alias(f"code_{s}"))
+    return base.select(F.col(id_col), *outs)

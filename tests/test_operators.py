@@ -864,3 +864,28 @@ def test_jaccard_prefix_property_random_docs(spark):
         assert fast == brute
 
     run()
+
+
+def test_pq_encode_codebook_vectors_roundtrip(spark):
+    """Each codebook-source vector must encode to its own index in
+    every subspace; a perturbed copy still maps to the nearest code;
+    mixed subvector widths raise."""
+    import pytest
+
+    from entwiner_spark.operators.similarity import pq_encode
+
+    vecs = [[float((i * 5 + j) % 7) for j in range(8)] for i in range(4)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    near = [x + 0.01 for x in vecs[2]]
+    rows.append((99, near))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = [[v[:4] for v in vecs], [v[4:] for v in vecs]]
+    got = {
+        r["vec_id"]: (r["code_0"], r["code_1"])
+        for r in pq_encode(df, books).collect()
+    }
+    for i in range(4):
+        assert got[i] == (i, i)
+    assert got[99] == (2, 2)
+    with pytest.raises(ValueError, match="mixed subvector widths"):
+        pq_encode(df, [[[0.0] * 4, [0.0] * 3], [[0.0] * 4] * 2])

@@ -263,3 +263,63 @@ def test_gopher_quality_flags_rules(spark):
     assert rows[2]["flag_word_count"] is False and rows[2]["keep"] is False
     assert rows[3]["flag_repetition"] is False and rows[3]["keep"] is False
     assert rows[4]["flag_word_len"] is False and rows[4]["keep"] is False
+
+
+def test_scd2_history_islands_and_open_interval(spark):
+    """A→A→B→A collapses to three intervals; consecutive same-state
+    rows merge; the latest interval is open-ended (NULL)."""
+    from entwiner_spark.operators.mutations import scd2_history
+
+    rows = [
+        ("k1", "A", 1, 10), ("k1", "A", 2, 11), ("k1", "B", 3, 12),
+        ("k1", "A", 4, 13), ("k2", "X", 1, 14),
+    ]
+    df = spark.createDataFrame(rows, "k string, st string, ts long, eid long")
+    out = scd2_history(df, key=["k"], state_col="st", ts_col="ts",
+                       tiebreak_col="eid")
+    got = sorted(
+        (r["k"], r["st"], r["effective_from"], r["effective_to"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("k1", "A", 1, 3), ("k1", "A", 4, None), ("k1", "B", 3, 4),
+        ("k2", "X", 1, None),
+    ]
+
+
+def test_token_budget_sample_strict_cap_and_determinism(spark, docs):
+    """Every kept group total stays within budget, the kept set is the
+    md5-rank prefix, and a rerun returns the identical sample."""
+    from entwiner_spark.operators.sampling import token_budget_sample
+
+    sized = docs.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    out = token_budget_sample(
+        sized, group_cols=["lang"], token_col="n_tokens", budget=40,
+        key_col="doc_id",
+    )
+    rows = out.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in per_lang.items():
+        assert max(x["cum_tokens"] for x in rs) <= 40
+    # deterministic: md5-rank prefix == python reference
+    all_rows = sized.collect()
+    for lang in {r["lang"] for r in all_rows}:
+        ordered = sorted(
+            (r for r in all_rows if r["lang"] == lang),
+            key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+                           r["doc_id"]),
+        )
+        keep, cum = set(), 0
+        for r in ordered:
+            cum += r["n_tokens"]
+            if cum > 40:
+                break
+            keep.add(r["doc_id"])
+        got = {r["doc_id"] for r in rows if r["lang"] == lang}
+        assert got == keep, lang
+    rerun = {r["doc_id"] for r in token_budget_sample(
+        sized, group_cols=["lang"], token_col="n_tokens", budget=40,
+        key_col="doc_id").collect()}
+    assert rerun == {r["doc_id"] for r in rows}
