@@ -38,6 +38,7 @@ _PRIORITY = [
     "e8_funnel_conversion",
     "m3_scd2_history",
     "s9_pq_encode",
+    "g_lpa_communities",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
     "d9_embedding_dedup_clusters",

@@ -757,6 +757,55 @@ def g_cc_components(spark, sf_dir):
     )
 
 
+def _lpa_sql(iterations: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle over the shared
+    graph topology.  Labels are node-id STRINGS (matching SparkGraph's
+    string node ids) so the min-label tiebreak compares identically in
+    both engines; the final projection casts back to BIGINT."""
+    parts = [
+        f"WITH e AS ({_GRAPH_EDGES_SQL}),",
+        "ue AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+        " FROM e WHERE u <> v),",
+        "sym AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),",
+        "lab0 AS (SELECT DISTINCT CAST(a AS VARCHAR) AS node,"
+        " CAST(a AS VARCHAR) AS label FROM sym),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"win{i} AS (SELECT node, label FROM ("
+            f" SELECT CAST(s.a AS VARCHAR) AS node, l.label,"
+            f" row_number() OVER (PARTITION BY s.a"
+            f" ORDER BY count(*) DESC, l.label) AS rn"
+            f" FROM sym s JOIN lab{i - 1} l ON l.node = CAST(s.b AS VARCHAR)"
+            f" GROUP BY s.a, l.label) WHERE rn = 1),"
+        )
+        parts.append(
+            f"lab{i} AS (SELECT p.node,"
+            f" coalesce(w.label, p.label) AS label"
+            f" FROM lab{i - 1} p LEFT JOIN win{i} w ON w.node = p.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS label FROM lab{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@q("g_lpa_communities", _lpa_sql(4))
+def g_lpa_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (SparkGraph.label_propagation, 4 fixed iterations,
+    min-label tiebreak — async LPA is run-dependent and unverifiable).
+    Per iteration one neighbor join + count agg + top-1 window, all
+    keyed on the node id.  The oracle unrolls the same update."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.label_propagation(iterations=4).select(
+        F.col("_n").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 #: g_kcore topology: K8 clique on nodes 0-7 + banded tail 7-24
 #: (u—u+1, u—u+3) — the 4-core is exactly the clique, reached after 4
 #: peel rounds (tail collapses in waves), so the oracle's unrolled

@@ -24,7 +24,7 @@ implementation uses the semantically correct columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -984,6 +984,57 @@ class SparkGraph:
         return deg.filter(F.col("core_degree") >= k).select(
             F.col("a").alias("_n"), F.col("core_degree").cast("long")
         )
+
+    def label_propagation(self, iterations: int = 4) -> DataFrame:
+        """Community detection by synchronous label propagation
+        (Raghavan et al. 2007), made DETERMINISTIC: every node
+        simultaneously adopts the most frequent label among its
+        undirected neighbors, ties broken by minimum label string,
+        for a FIXED number of iterations (async/random-order LPA is
+        run-dependent, which would make results unverifiable).
+        Returns ``(_n, label)``.
+
+        Per iteration: one equi-join of the symmetric edge list with
+        the label table on the neighbor id, one partial-aggregated
+        (node, label) count, one per-node top-1 window, and a left
+        join back so isolated nodes keep their label; localCheckpoint
+        truncates lineage.  All shuffles key on the node id, so the
+        exchanges reuse one partitioning.
+        """
+        ue = (
+            self.edges.select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym = ue.unionByName(
+            ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=True)
+        labels = self.nodes.select(
+            F.col("_n"), F.col("_n").alias("label")
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy("a").orderBy(
+            F.col("cnt").desc(), F.col("label")
+        )
+        for _ in range(iterations):
+            winners = (
+                sym.join(labels, sym["b"] == labels["_n"])
+                .groupBy("a", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("a").alias("_n"), F.col("label").alias("_new"))
+            )
+            labels = (
+                labels.join(winners, "_n", "left")
+                .select(
+                    "_n",
+                    F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return labels
 
     def pagerank(
         self,

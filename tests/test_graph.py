@@ -634,3 +634,41 @@ def test_motif_anchor_filters_before_second_join(spark):
     assert "= 3" in plan[join_at:], (
         "anchor equality not pushed below the join:\n" + plan
     )
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous min-tiebreak LPA == a driver-side simulation of the
+    same update rule; two-community barbell converges to two labels."""
+    import collections
+
+    left = [(str(a), str(b)) for a in range(4) for b in range(4) if a < b]
+    right = [(str(a), str(b)) for a in range(10, 14) for b in range(10, 14)
+             if a < b]
+    bridge = [("3", "10")]
+    pairs = left + right + bridge
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    got = {r["_n"]: r["label"]
+           for r in g.label_propagation(iterations=4).collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n in lab:
+            cnt = collections.Counter(lab[m] for m in adj[n])
+            # most frequent label, min-label tiebreak
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+    assert got == lab
+    # the two cliques end up in internally-uniform communities
+    assert len({got[str(i)] for i in range(3)}) == 1
+    assert len({got[str(i)] for i in range(11, 14)}) == 1
