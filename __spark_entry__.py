@@ -39,6 +39,7 @@ _PRIORITY = [
     "m3_scd2_history",
     "s9_pq_encode",
     "g_lpa_communities",
+    "e9_cohort_retention",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
     "d9_embedding_dedup_clusters",

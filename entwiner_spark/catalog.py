@@ -558,6 +558,52 @@ def m3_scd2_history(spark, sf_dir):
 
 
 @q(
+    "e9_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+               AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def e9_cohort_retention(spark, sf_dir):
+    """Cohort retention analysis: users grouped by first-activity day,
+    activity counted per day offset — the standard retention triangle.
+    Plan shape: one groupBy for the cohort table (small — one row per
+    user, broadcasts), an equi-join back onto events, one aggregate on
+    (cohort, offset).  At 100 TB the first-event table is the only
+    state and it is user-cardinality, not event-cardinality."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            )
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@q(
     "ev_json_extract",
     """
     SELECT event_type,
