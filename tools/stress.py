@@ -232,6 +232,65 @@ def main() -> None:
     ).count()
     out["motif_wedge_sec"] = round(time.time() - t0, 1)
 
+    # --- k-core + LPA on a 200k-node graph: a sparse 2-out tail
+    # (undirected degree ~4) with a planted 10k-node dense block
+    # (4 extra in-block arms, degree ~12).  k=6 must peel the 190k
+    # sparse nodes away in waves and keep EXACTLY the planted block —
+    # survivors + cascade + convergence all forced-distributed
+    log("phase: k-core + lpa 200k")
+    kn = args.graph_nodes * 2
+    kbs = kn // 20
+    kb = spark.range(kn)
+    karms = [
+        kb.select(
+            F.col("id").cast("string").alias("_u"),
+            ((F.col("id") * a + b) % kn).cast("string").alias("_v"),
+            F.lit(1.0).alias("w"),
+        )
+        for a, b in ((37, 11), (101, 7))
+    ]
+    kblk = kb.filter(F.col("id") < kbs)
+    kdense = [
+        kblk.select(
+            F.col("id").cast("string").alias("_u"),
+            ((F.col("id") * 7 + j) % kbs).cast("string").alias("_v"),
+            F.lit(1.0).alias("w"),
+        )
+        for j in (1, 3, 9, 27)
+    ]
+    ke = karms[0]
+    for arm in karms[1:] + kdense:
+        ke = ke.unionByName(arm)
+    ke = ke.filter(F.col("_u") != F.col("_v"))
+    knodes = kb.select(F.col("id").cast("string").alias("_n"))
+    Gk = SparkGraph(knodes, ke, partitions=32)
+    out["kcore_edges"] = ke.count()
+    t0 = time.time()
+    core = Gk.kcore(6, max_iterations=60, strategy="pregel")
+    out["kcore_nodes"] = core.count()
+    out["kcore_sec"] = round(time.time() - t0, 1)
+    assert out["kcore_nodes"] == kbs, "6-core must be the planted block"
+    t0 = time.time()
+    lab = Gk.label_propagation(iterations=4)
+    out["lpa_communities"] = lab.select("label").distinct().count()
+    out["lpa_sec"] = round(time.time() - t0, 1)
+
+    # --- duplicate n-gram span coverage over the 1M-doc corpus: only
+    # narrow (id, gram-hash) rows shuffle; one doc-frequency agg + one
+    # gram-keyed join + one per-doc agg, single pass for the metrics
+    log("phase: dup-ngram coverage 1M docs")
+    from entwiner_spark.operators.dedup import dup_ngram_coverage
+
+    t0 = time.time()
+    cov = dup_ngram_coverage(corpus)
+    m = cov.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dup_frac") > 0).cast("long")).alias("dup"),
+    ).collect()[0]
+    out["dupngram_docs"] = m["n"]
+    out["dupngram_docs_with_dups"] = m["dup"]
+    out["dupngram_sec"] = round(time.time() - t0, 1)
+
     # --- streaming LSH pairs: 20k mostly-dissimilar docs (500 planted
     # clones) through the watermarked band self-join; state stays
     # bucket-sized because the corpus is realistic (an all-same-head
