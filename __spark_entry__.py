@@ -29,6 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # — so cumulative claims stay fresh against code drift.
 _PRIORITY = [
     "q12_late_priority",
+    "t15_bm25_rank",
+    "s10_random_projection",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -1765,6 +1765,24 @@ def s4_lsh_buckets(spark, sf_dir):
     return SIM.lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=_DIM, planes=8)
 
 
+@q(
+    "s10_random_projection",
+    "SELECT vec_id, "
+    + ", ".join(
+        f"round(({_plane_dot_sql(p)}) / sqrt(64.0), 5) AS rp{p}" for p in range(4)
+    )
+    + " FROM embeddings",
+)
+def s10_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 4 dims with the
+    deterministic hyperplane family (integer weights, exact double
+    products).  Pure per-row map over the scan — zero shuffles; the
+    dim-reduction front end for ANN / clustering at 100 TB."""
+    return SIM.random_projection(
+        _t(spark, sf_dir, "embeddings"), dim=_DIM, out_dim=4
+    )
+
+
 # =====================================================================
 # Event streams as batch windows (SURVEY §2.12 superset)
 # =====================================================================
@@ -1955,6 +1973,54 @@ def _gopher_sql() -> str:
            ({wc} AND {wl} AND {st} AND {al} AND {rp}) AS keep
     FROM m
     """
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+
+
+def _bm25_sql(terms: tuple[str, ...] = _BM25_TERMS, k: int = 20) -> str:
+    """BM25 oracle generated from the SAME constants as
+    functions/text.bm25_rank — every literal below is repr()'d from the
+    Python value so both engines parse the identical double."""
+    k1, b = TX.BM25_K1, TX.BM25_B
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(ln((CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * ((tf{i} * {k1 + 1.0!r})"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM base
+    ),
+    scored AS (
+      SELECT doc_id, 0.0 + {contribs} AS raw FROM base, stats
+    )
+    SELECT doc_id, round(raw, 6) AS bm25
+    FROM scored WHERE raw > 0 ORDER BY raw DESC, doc_id LIMIT {k}
+    """
+
+
+@q("t15_bm25_rank", _bm25_sql())
+def t15_bm25_rank(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval for a 3-term query — corpus search
+    / example mining over the documents table.  Per-row array-filter
+    term frequencies (no explode), ONE single-row stats aggregate
+    broadcast back, TakeOrderedAndProject top-k; the contribution
+    chain is the oracle's left-assoc shape so doubles match exactly."""
+    return TX.bm25_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
 
 
 @q("t14_gopher_rules", _gopher_sql())

@@ -309,3 +309,83 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     return F.when(F.size(hs) >= w, F.array_distinct(wins)).otherwise(
         F.array_distinct(hs)
     )
+
+
+# ------------------------------------------------------------------ BM25
+# Okapi BM25 constants, shared with the DuckDB oracle (catalog generates
+# its SQL from these so the two engines can never drift).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    docs,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 ranked retrieval for a literal query-term set — the
+    full-text-search operator of a training-data pipeline (corpus
+    search / example mining), Spark-first:
+
+    - per-document term frequencies via ``size(filter(words, =t))``
+      per-row array expressions — NO explode of the token stream, so
+      the scan never inflates;
+    - corpus stats (N, avgdl, per-term document frequency) are ONE
+      single-row aggregate broadcast back onto the scored scan;
+    - idf uses the +1-smoothed form ``ln((N - df + .5)/(df + .5) + 1)``
+      (always positive, so score 0 ⇔ no term present);
+    - top-k by raw (unrounded) score with id tiebreak compiles to
+      TakeOrderedAndProject — no global sort at 100 TB.
+
+    Score arithmetic is emitted in the exact literal shapes the oracle
+    SQL uses (left-assoc contribution chain seeded at 0.0), so doubles
+    are bit-identical cross-engine before the final 6-dp round.
+    """
+    from functools import reduce
+
+    w = words(F.col(text_col))
+
+    # NB: a two-parameter lambda would be treated by F.filter as
+    # (element, index) — bind the term via a closure factory instead.
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    one_minus_b = 1.0 - b
+    k1_plus_1 = k1 + 1.0
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        tfn = (F.col(f"tf{i}") * k1_plus_1) / (
+            F.col(f"tf{i}") + k1 * (one_minus_b + b * F.col("dl") / F.col("avgdl"))
+        )
+        contribs.append(idf * tfn)
+    score = reduce(lambda a, c: a + c, contribs, F.lit(0.0))
+    return (
+        scored.select(F.col(id_col), score.alias("_raw"))
+        .filter(F.col("_raw") > 0)
+        .orderBy(F.col("_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_raw", 6).alias("bm25"))
+    )

@@ -508,3 +508,36 @@ def pq_encode(
             )
         outs.append(expr.cast("int").alias(f"code_{s}"))
     return base.select(F.col(id_col), *outs)
+
+
+def random_projection(
+    emb: DataFrame,
+    dim: int,
+    out_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection: ``out_dim``
+    coordinates ``rp_p = <vec, h_p> / sqrt(dim)`` over the same
+    deterministic ``hyperplane`` family the LSH operators share with
+    their oracles (integer weights in [-3, 3], so every product is
+    exact in doubles).
+
+    The dimensionality-reduction step in front of ANN / clustering:
+    a 64-dim float vector becomes ``out_dim`` doubles with pairwise
+    distances preserved in expectation.  Pure per-row projection —
+    zero shuffles, whole-stage codegen, trivially scales (the 100 TB
+    plan is a map over the scan).  Output: ``(id, rp0..rp{out_dim-1})``
+    rounded to ``round_dp`` so cross-engine comparison is exact.
+    """
+    v = F.col(vec_col)
+    cols = [
+        F.round(
+            dot_literal(v, [float(x) for x in hyperplane(p, dim)])
+            / F.sqrt(F.lit(float(dim))),
+            round_dp,
+        ).alias(f"rp{p}")
+        for p in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), *cols)

@@ -889,3 +889,70 @@ def test_pq_encode_codebook_vectors_roundtrip(spark):
     assert got[99] == (2, 2)
     with pytest.raises(ValueError, match="mixed subvector widths"):
         pq_encode(df, [[[0.0] * 4, [0.0] * 3], [[0.0] * 4] * 2])
+
+
+def test_random_projection_matches_hand_computed(spark):
+    """rp_p = <vec, hyperplane(p)> / sqrt(dim), rounded — checked
+    against a NumPy computation of the same deterministic planes, and
+    the plan is a pure projection (no exchange)."""
+    import math
+
+    from entwiner_spark.operators.similarity import hyperplane, random_projection
+
+    dim = 8
+    vecs = [(i, [float((i * 5 + j) % 11) - 5.0 for j in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = random_projection(df, dim=dim, out_dim=3, round_dp=5)
+    got = {r["vec_id"]: (r["rp0"], r["rp1"], r["rp2"]) for r in out.collect()}
+    for i, v in vecs:
+        for p in range(3):
+            h = hyperplane(p, dim)
+            want = round(sum(x * w for x, w in zip(v, h)) / math.sqrt(dim), 5)
+            assert abs(got[i][p] - want) < 1e-9, (i, p, got[i][p], want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_rank_matches_hand_computed(spark):
+    """BM25 scores equal a direct Python computation of the Okapi
+    formula on a tiny corpus, ranking puts the term-dense short doc
+    first, and the plan is top-k (TakeOrdered), not a global sort."""
+    import math
+
+    from entwiner_spark.functions.text import BM25_B, BM25_K1, bm25_rank
+
+    corpus = [
+        (0, "spark join spark filter"),
+        (1, "join scan filter merge scan row row group"),
+        (2, "the quick brown fox"),
+        (3, "spark"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ("spark", "merge")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_rank(df, terms, k=10).collect()}
+
+    docs = {i: t.split(" ") for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dfs = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+
+    def score(i):
+        s = 0.0
+        for t in terms:
+            tf = docs[i].count(t)
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(docs[i]) / avgdl)
+            )
+        return s
+
+    want = {i: round(score(i), 6) for i in docs if score(i) > 0}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    # doc 3 (single word == query term) outranks everything
+    assert max(want, key=want.get) == 3
+
+    plan = bm25_rank(df, terms, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
