@@ -31,6 +31,7 @@ _PRIORITY = [
     "q12_late_priority",
     "t15_bm25_rank",
     "s10_random_projection",
+    "g_scc_components",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

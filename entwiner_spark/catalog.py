@@ -803,6 +803,73 @@ def g_cc_components(spark, sf_dir):
     )
 
 
+_SCC_EDGES_SQL = """
+  SELECT CAST(n_nationkey AS BIGINT) AS u,
+         CAST((n_nationkey + 1) % 12 AS BIGINT) AS v
+  FROM nation WHERE n_nationkey < 12
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT),
+         CAST(((n_nationkey - 12 + 1) % 13) + 12 AS BIGINT)
+  FROM nation WHERE n_nationkey >= 12 AND n_nationkey <= 24
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 12 AS BIGINT)
+  FROM nation WHERE n_nationkey IN (3, 5)
+"""
+
+
+@q(
+    "g_scc_components",
+    f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.s, e.v FROM r JOIN e ON e.u = r.d
+    ),
+    mutual AS (
+      SELECT a.s AS x, a.d AS y FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+    ),
+    lab AS (
+      SELECT node, CAST(node AS VARCHAR) AS l FROM nd
+      UNION ALL
+      SELECT x, CAST(y AS VARCHAR) FROM mutual
+    )
+    SELECT node, CAST(min(l) AS BIGINT) AS component FROM lab GROUP BY node
+    """,
+)
+def g_scc_components(spark, sf_dir):
+    """Strongly connected components over two directed cycles (nodes
+    0-11 and 12-24) linked by one-way bridges 3->15 / 5->17 — two
+    SCCs, labels 0 and 12.  The oracle derives mutual reachability
+    from a recursive transitive-closure CTE and takes the min VARCHAR
+    label, matching the engine's string-min component ids exactly (so
+    the check holds on ANY topology, not just this one)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_nationkey") < 12).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        ((F.col("n_nationkey") + 1) % 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    b = n.filter((F.col("n_nationkey") >= 12) & (F.col("n_nationkey") <= 24)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (((F.col("n_nationkey") - 12 + 1) % 13) + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    bridges = n.filter(F.col("n_nationkey").isin(3, 5)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    g = _graph_as_spark_graph(
+        spark, sf_dir, edges=a.unionByName(b).unionByName(bridges)
+    )
+    return g.strongly_connected_components(max_iterations=30).select(
+        F.col("_n").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _lpa_sql(iterations: int = 4) -> str:
     """Unrolled synchronous label-propagation oracle over the shared
     graph topology.  Labels are node-id STRINGS (matching SparkGraph's

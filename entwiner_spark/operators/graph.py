@@ -908,6 +908,172 @@ class SparkGraph:
             )
         )
 
+    def strongly_connected_components(
+        self, max_iterations: int = 50, strategy: str = "auto"
+    ) -> DataFrame:
+        """Strongly connected components of the DIRECTED graph:
+        ``(_n, component)`` with component = min node id (string
+        order, matching connected_components) among mutually
+        reachable nodes.
+
+        Distributed path is FW-BW coloring (Orzan 2004; Slota et al.
+        2014 "BFS and Coloring-Based Parallel Algorithms for SCC"):
+        each outer round (1) propagates the minimum reachable label
+        FORWARD to a fixpoint (join + min-agg per hop, signature-based
+        convergence, localCheckpoint lineage truncation), (2) nodes
+        whose color is their own id are SCC roots — and for c(n)=r
+        every n->..->r path is provably monochrome (any intermediate x
+        has c(x)<=r by r's reachability, and c(x)=c'<r would force
+        c(r)<=c'<r, contradicting rootness), so (3) r's SCC is exactly
+        the color-r nodes that reach r BACKWARD through color-r nodes,
+        found by a reverse membership propagation that never leaves
+        the color class.  Finished SCCs peel off; EVERY current color
+        root peels its SCC each round (the min remaining id is always
+        one), so outer rounds are bounded by the longest root chain —
+        O(log n) expected on web/social topologies, and each inner
+        hop is a partitioned hash join, never an all-pairs closure.
+        Small graphs (every reference workload) use driver-side
+        iterative Kosaraju with identical min-label output.
+        """
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("component", T.StringType(), False),
+            ]
+        )
+        if self._use_local(strategy):
+            adj: dict[str, list[str]] = {}
+            radj: dict[str, list[str]] = {}
+            for r in self.nodes.select("_n").collect():
+                adj.setdefault(r["_n"], [])
+                radj.setdefault(r["_n"], [])
+            for u, v, _ in self._collect_triples(None):
+                adj.setdefault(u, []).append(v)
+                radj.setdefault(v, []).append(u)
+                adj.setdefault(v, [])
+                radj.setdefault(u, [])
+            # pass 1: iterative DFS finish order
+            order: list[str] = []
+            seen: set[str] = set()
+            for s in adj:
+                if s in seen:
+                    continue
+                seen.add(s)
+                stack: list[tuple[str, object]] = [(s, iter(adj[s]))]
+                while stack:
+                    n, it = stack[-1]
+                    nxt = next(it, None)
+                    if nxt is None:
+                        order.append(n)
+                        stack.pop()
+                    elif nxt not in seen:
+                        seen.add(nxt)
+                        stack.append((nxt, iter(adj[nxt])))
+            # pass 2: reverse-graph sweeps in reverse finish order
+            comp: dict[str, str] = {}
+            for s in reversed(order):
+                if s in comp:
+                    continue
+                members = [s]
+                comp[s] = s
+                dfs = [s]
+                while dfs:
+                    n = dfs.pop()
+                    for m in radj.get(n, []):
+                        if m not in comp:
+                            comp[m] = s
+                            members.append(m)
+                            dfs.append(m)
+                label = min(members)
+                for m in members:
+                    comp[m] = label
+            return self.spark.createDataFrame(
+                [(n, comp[n]) for n in comp], schema
+            )
+
+        edges = (
+            self.edges.select("_u", "_v")
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining = (
+            self.nodes.select("_n")
+            .unionByName(self.edges.select(F.col("_u").alias("_n")))
+            .unionByName(self.edges.select(F.col("_v").alias("_n")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        finished: list[DataFrame] = []
+        for _outer in range(max_iterations):
+            if remaining.limit(1).count() == 0:
+                break
+            # ---- forward min-label propagation to fixpoint ----
+            color = remaining.select("_n", F.col("_n").alias("c"))
+            prev_sig = None
+            for _ in range(10 * max_iterations):
+                msgs = edges.join(
+                    color.withColumnRenamed("_n", "_u"), "_u"
+                ).select(F.col("_v").alias("_n"), "c")
+                color = (
+                    color.unionByName(msgs)
+                    .groupBy("_n")
+                    .agg(F.min("c").alias("c"))
+                    .localCheckpoint(eager=True)
+                )
+                row = color.agg(
+                    F.expr("bit_xor(xxhash64(_n, c))").alias("h")
+                ).collect()[0]
+                if row["h"] == prev_sig:
+                    break
+                prev_sig = row["h"]
+            else:
+                raise RuntimeError(
+                    "scc forward propagation did not converge; raise "
+                    "max_iterations"
+                )
+            # ---- backward membership within the color class ----
+            member = color.filter(F.col("c") == F.col("_n")).localCheckpoint(
+                eager=True
+            )
+            prev_n = member.count()
+            while True:
+                cand = (
+                    edges.join(
+                        member.withColumnRenamed("_n", "_v"), "_v"
+                    )
+                    .select(F.col("_u").alias("_n"), "c")
+                    .join(color, ["_n", "c"], "left_semi")
+                )
+                member = (
+                    member.unionByName(cand)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_m = member.count()
+                if n_m == prev_n:
+                    break
+                prev_n = n_m
+            finished.append(member.select("_n", F.col("c").alias("component")))
+            remaining = remaining.join(
+                member.select("_n"), "_n", "left_anti"
+            ).localCheckpoint(eager=True)
+            edges = (
+                edges.join(
+                    member.select(F.col("_n").alias("_u")), "_u", "left_anti"
+                )
+                .join(member.select(F.col("_n").alias("_v")), "_v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                "scc did not finish within max_iterations peeling rounds"
+            )
+        out = finished[0]
+        for part in finished[1:]:
+            out = out.unionByName(part)
+        return out
+
     def kcore(
         self, k: int, max_iterations: int = 100, strategy: str = "auto"
     ) -> DataFrame:

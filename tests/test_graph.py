@@ -672,3 +672,54 @@ def test_label_propagation_matches_python_reference(spark):
     # the two cliques end up in internally-uniform communities
     assert len({got[str(i)] for i in range(3)}) == 1
     assert len({got[str(i)] for i in range(11, 14)}) == 1
+
+
+def test_scc_matches_networkx(spark):
+    """FW-BW coloring SCC (forced distributed) and the local Kosaraju
+    path both equal nx.strongly_connected_components with min-string
+    labels, on a digraph with cycles, chords, and singleton SCCs."""
+    import networkx as nx
+
+    pairs = set()
+    for i in range(40):
+        pairs.add((i, (i * 7 + 3) % 40))
+        if i % 3 == 0:
+            pairs.add((i, (i + 1) % 40))
+        if i % 5 == 0:
+            pairs.add(((i + 13) % 40, i))
+    pairs = sorted((str(u), str(v)) for u, v in pairs if u != v)
+    want = {}
+    for scc in nx.strongly_connected_components(nx.DiGraph(pairs)):
+        lbl = min(scc)
+        for n in scc:
+            want[n] = lbl
+    edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    loc = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(strategy="local").collect()
+    }
+    dist = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(strategy="pregel").collect()
+    }
+    assert loc == want
+    assert dist == want
+
+
+def test_scc_dag_is_all_singletons(spark):
+    """On a DAG every node is its own SCC (both paths)."""
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1), 1.0) for i in range(5)]
+        + [("0", "3", 1.0), ("1", "4", 1.0)],
+        ["_u", "_v", "w"],
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    for strat in ("local", "pregel"):
+        got = {
+            r["_n"]: r["component"]
+            for r in g.strongly_connected_components(strategy=strat).collect()
+        }
+        assert got == {str(i): str(i) for i in range(6)}, strat
