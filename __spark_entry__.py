@@ -32,6 +32,8 @@ _PRIORITY = [
     "t15_bm25_rank",
     "s10_random_projection",
     "g_scc_components",
+    "s11_standardize",
+    "t16_bigram_logprob",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

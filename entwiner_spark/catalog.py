@@ -1850,6 +1850,35 @@ def s10_random_projection(spark, sf_dir):
     )
 
 
+def _standardize_sql(dim: int = _DIM, dp: int = 6) -> str:
+    stat_cols = ", ".join(
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), {dp}) AS m{i}, "
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{i + 1}] AS DOUBLE)), {dp}) AS s{i}"
+        for i in range(dim)
+    )
+    zs = ", ".join(
+        f"CASE WHEN s{i} - m{i} * m{i} <= 0 THEN 0.0"
+        f" ELSE round((CAST(embedding[{i + 1}] AS DOUBLE) - m{i})"
+        f" / sqrt(s{i} - m{i} * m{i}), {dp}) END"
+        for i in range(dim)
+    )
+    return f"""
+    WITH stats AS (SELECT {stat_cols} FROM embeddings)
+    SELECT vec_id, [{zs}] AS z FROM embeddings, stats
+    """
+
+
+@q("s11_standardize", _standardize_sql())
+def s11_standardize(spark, sf_dir):
+    """Per-dimension z-score normalization of the embedding corpus —
+    2*dim aggregate expressions (NO 64x explode), one broadcast stats
+    row, per-row normalized-array projection.  Stats are rounded to
+    6 dp before use so the two engines' aggregation-order ulps cannot
+    leak into the output."""
+    return SIM.standardize(_t(spark, sf_dir, "embeddings"), dim=_DIM)
+
+
 # =====================================================================
 # Event streams as batch windows (SURVEY §2.12 superset)
 # =====================================================================
@@ -2124,6 +2153,36 @@ def t12_unigram_logprob(spark, sf_dir):
     cheap LM-score ranking stage of a training pipeline.  The
     vocabulary table broadcasts (vocab ≪ corpus at any scale)."""
     return TX.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "t16_bigram_logprob",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(ws) - 1),
+                                   i -> ws[i+1] || ' ' || ws[i+2])) AS big
+      FROM w WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT doc_id, big, string_split(big, ' ')[1] AS ctx FROM bg0),
+    bc AS (SELECT big, count(*) AS bc FROM bgc GROUP BY big),
+    cc AS (SELECT ctx, count(*) AS cc FROM bgc GROUP BY ctx),
+    vs AS (SELECT count(DISTINCT word) AS v FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM documents))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bc + 1.0) / (cc + v))), 6) AS avg_logprob
+    FROM bgc JOIN bc USING (big) JOIN cc USING (ctx), vs
+    GROUP BY doc_id
+    """,
+)
+def t16_bigram_logprob(spark, sf_dir):
+    """Laplace-smoothed bigram LM quality score (text.bigram_logprob)
+    — the step up from t12's unigram signal.  One explode to string
+    bigrams (context key is a substring, no second explode), bigram +
+    context count tables broadcast back, exact normalization via
+    context counts.  Same partial-agg 100 TB shape as t12."""
+    return TX.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
 @q(

@@ -389,3 +389,62 @@ def bm25_rank(
         .limit(k)
         .select(F.col(id_col), F.round("_raw", 6).alias("bm25"))
     )
+
+
+def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram LM scoring with Laplace smoothing — the step up from
+    unigram_logprob for ranking training data: per-doc mean
+    ``ln((c(prev,cur) + 1) / (c(prev·) + V))`` where ``c(prev·)`` is
+    the context count (bigrams starting with prev, so probabilities
+    normalize exactly) and ``V`` the distinct-word vocabulary size.
+
+    Plan: one explode to (doc, bigram) rows — the bigram is the
+    plain string "prev cur" so the context key is a substring, no
+    second explode — then two count tables (bigram + context) joined
+    back broadcast (vocab ≪ corpus), a 1-row V aggregate, and a
+    per-doc mean.  Same 100 TB shape as unigram_logprob: partial
+    aggregation everywhere, nothing driver-side.
+    """
+    from pyspark.sql import functions as F
+
+    w = words(F.col(text_col))
+    bg = (
+        docs.filter(F.size(w) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - F.lit(2)),
+                    lambda i: F.concat(
+                        F.element_at(w, i + F.lit(1)),
+                        F.lit(" "),
+                        F.element_at(w, i + F.lit(2)),
+                    ),
+                )
+            ).alias("big"),
+        )
+        .select(
+            F.col(id_col),
+            "big",
+            F.split(F.col("big"), " ").getItem(0).alias("ctx"),
+        )
+    )
+    bc = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
+    cc = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(bc), "big")
+        .join(F.broadcast(cc), "ctx")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("bc") + 1.0) / (F.col("cc") + F.col("v"))).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )

@@ -541,3 +541,57 @@ def random_projection(
         for p in range(out_dim)
     ]
     return emb.select(F.col(id_col), *cols)
+
+
+def standardize(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_dp: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score normalization (the feature-scaling step
+    before k-means / PQ / linear probes): ``z_i = (x_i - mean_i) /
+    std_i`` with population std, zero-variance dims mapped to 0.
+
+    Spark-first shape: per-dim mean and mean-of-squares are computed
+    as ``2*dim`` aggregate expressions over the raw scan — NO explode
+    (the token-stream rule applied to vectors: a 64-dim explode would
+    64x the shuffle input for what one wide aggregate row answers).
+    The single stats row is broadcast back onto the scan and the
+    normalized array is a pure per-row projection — one partial-agg
+    pass + one map pass total at any scale.
+
+    Cross-engine determinism: mean/mean-of-squares are rounded to
+    ``stats_dp`` BEFORE use (aggregation order differs between
+    engines at the last ulp; rounding the stats makes every
+    downstream double bit-identical, not just close), and variance is
+    written explicitly as ``s - m*m`` so both engines share the
+    expression tree.
+    """
+    v = F.col(vec_col)
+
+    def x(i: int) -> Column:
+        return v[i].cast("double")
+
+    stats = emb.agg(
+        *[F.round(F.avg(x(i)), stats_dp).alias(f"m{i}") for i in range(dim)],
+        *[F.round(F.avg(x(i) * x(i)), stats_dp).alias(f"s{i}") for i in range(dim)],
+    )
+    zs = [
+        F.when(
+            F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}") <= 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                (x(i) - F.col(f"m{i}"))
+                / F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}")),
+                round_dp,
+            )
+        )
+        for i in range(dim)
+    ]
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.array(*zs).alias("z")
+    )

@@ -956,3 +956,68 @@ def test_bm25_rank_matches_hand_computed(spark):
     plan = bm25_rank(df, terms, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_standardize_zscores_and_constant_dim(spark):
+    """Standardized dims have ~0 mean and ~1 population std; a
+    constant dimension maps to all-zeros instead of dividing by zero;
+    plan has no Generate (explode) — stats come from one wide agg."""
+    import math
+
+    rows = [(i, [float(i), 7.0, float(i % 3)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from entwiner_spark.operators.similarity import standardize
+
+    out = standardize(df, dim=3)
+    got = {r["vec_id"]: r["z"] for r in out.collect()}
+    n = len(rows)
+    for d in (0, 2):
+        vals = [r[1][d] for r in rows]
+        m = round(sum(vals) / n, 6)
+        s = round(sum(v * v for v in vals) / n, 6)
+        std = math.sqrt(s - m * m)
+        for i, v in rows:
+            want = round((v[d] - m) / std, 6)
+            assert abs(got[i][d] - want) < 1e-9, (i, d)
+    assert all(z[1] == 0.0 for z in got.values())
+    zcol = [z[0] for z in got.values()]
+    assert abs(sum(zcol) / n) < 1e-5
+    assert abs(sum(z * z for z in zcol) / n - 1.0) < 1e-4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Laplace-smoothed bigram logprob equals a direct Python
+    computation on a 3-doc corpus, including normalization via context
+    counts and V from the distinct vocabulary."""
+    import math
+
+    from entwiner_spark.functions.text import bigram_logprob
+
+    corpus = [(0, "a b a b c"), (1, "a b"), (2, "x")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    toks = {i: t.split(" ") for i, t in corpus}
+    bigs, ctxs = {}, {}
+    for ws in toks.values():
+        for p, c in zip(ws, ws[1:]):
+            bigs[(p, c)] = bigs.get((p, c), 0) + 1
+            ctxs[p] = ctxs.get(p, 0) + 1
+    vocab = len({w for ws in toks.values() for w in ws})
+    want = {}
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        lps = [
+            math.log((bigs[(p, c)] + 1.0) / (ctxs[p] + vocab)) for p, c in pairs
+        ]
+        want[i] = (len(pairs), round(sum(lps) / len(lps), 6))
+    assert set(got) == set(want)  # doc 2 (single word) absent
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
