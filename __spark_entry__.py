@@ -34,6 +34,8 @@ _PRIORITY = [
     "g_scc_components",
     "s11_standardize",
     "t16_bigram_logprob",
+    "g_harmonic",
+    "g_topo_levels",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -2797,6 +2797,64 @@ def g_closeness(spark, sf_dir):
     )
 
 
+@q(
+    "g_harmonic",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      SELECT DISTINCT u AS n FROM edges UNION SELECT DISTINCT v FROM edges
+    ),
+    walk(src, node, dist) AS (
+      SELECT n, n, CAST(0 AS DOUBLE) FROM all_nodes
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT src, node, min(dist) AS d FROM walk GROUP BY src, node)
+    SELECT src AS node,
+           round(coalesce(sum(1.0 / d) FILTER (WHERE node != src), 0.0), 6)
+             AS harmonic
+    FROM best GROUP BY src
+    """,
+)
+def g_harmonic(spark, sf_dir):
+    """Harmonic centrality over the weighted DAG — sum of reciprocal
+    shortest-path distances per source (the disconnect-tolerant
+    closeness variant).  6-dp round on both sides absorbs the
+    engines' different summation orders."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.harmonic_centrality(weight="w").select(
+        F.col("_n").cast("long").alias("node"), F.col("harmonic")
+    )
+
+
+@q(
+    "g_topo_levels",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      SELECT DISTINCT u AS n FROM edges UNION SELECT DISTINCT v FROM edges
+    ),
+    roots AS (
+      SELECT n FROM all_nodes WHERE n NOT IN (SELECT v FROM edges)
+    ),
+    walk(node, d) AS (
+      SELECT n, 0 FROM roots
+      UNION ALL
+      SELECT e.v, walk.d + 1 FROM walk JOIN edges e ON e.u = walk.node
+    )
+    SELECT node, CAST(max(d) AS BIGINT) AS level FROM walk GROUP BY node
+    """,
+)
+def g_topo_levels(spark, sf_dir):
+    """Topological layering of the shared DAG: level = longest-path
+    depth from the root = Kahn wave index (dependency-scheduling
+    order).  Oracle = recursive longest-path CTE, valid on any DAG."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.topological_levels().select(
+        F.col("_n").cast("long").alias("node"), F.col("level")
+    )
+
+
 # =====================================================================
 # Coverage batch 4: IVF-flat ANN (the second scale path after LSH)
 # =====================================================================

@@ -1451,6 +1451,149 @@ class SparkGraph:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def harmonic_centrality(self, weight=None, strategy: str = "auto") -> DataFrame:
+        """Harmonic centrality: per source node, ``sum(1/d(s, m))``
+        over its reachable set (the closeness variant that handles
+        disconnected graphs gracefully — unreachable nodes contribute
+        0 instead of poisoning the mean).
+
+        Same execution contract as :meth:`closeness`: exact all-pairs
+        is |V| SSSP runs, so it is local-only by design and raises at
+        scale pointing at the landmark escalation
+        (:meth:`closeness_landmarks` rankings are the sampled
+        substitute).  Output rounded to 6 dp so the DuckDB oracle's
+        different summation order cannot shift the value.
+        """
+        if not self._use_local(strategy):
+            raise ValueError(
+                "exact all-pairs harmonic centrality is O(V) SSSP runs; "
+                "at scale sample landmarks via closeness_landmarks"
+            )
+        import heapq
+
+        adj: dict[str, list[tuple[str, float]]] = {}
+        for u, v, w in self._collect_triples(weight):
+            adj.setdefault(u, []).append((v, w))
+        rows = []
+        for s in [r["_n"] for r in self.nodes.select("_n").collect()]:
+            dist = {s: 0.0}
+            pq = [(0.0, s)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            h = sum(1.0 / d for m, d in dist.items() if m != s and d > 0)
+            rows.append((s, round(float(h), 6)))
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("harmonic", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def topological_levels(
+        self, max_iterations: int = 1000, strategy: str = "auto"
+    ) -> DataFrame:
+        """Topological layering of a DAG: ``(_n, level)`` with level =
+        longest-path distance from any root (zero-in-degree node) —
+        the wave index of Kahn's algorithm, i.e. the earliest parallel
+        scheduling round in which the node's dependencies are all met
+        (dependency-graph scheduling / feature-DAG materialization
+        order).  Raises ValueError on a cyclic graph.
+
+        Distributed path: Kahn peeling — each round the zero-in-degree
+        frontier (one left-anti join against surviving edge targets)
+        takes the current level and its outgoing edges drop out
+        (left-semi prune + localCheckpoint).  Rounds = DAG depth, each
+        a partitioned join — same peel discipline as kcore; at 100 TB
+        depth, not node count, is the wall-clock driver.  Small graphs
+        use driver-side Kahn with identical levels.
+        """
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("level", T.LongType(), False),
+            ]
+        )
+        if self._use_local(strategy):
+            adj: dict[str, list[str]] = {}
+            indeg: dict[str, int] = {}
+            for r in self.nodes.select("_n").collect():
+                adj.setdefault(r["_n"], [])
+                indeg.setdefault(r["_n"], 0)
+            for u, v, _ in self._collect_triples(None):
+                if u == v:
+                    raise ValueError("graph has a cycle (self-loop); "
+                                     "topological levels undefined")
+                adj.setdefault(u, []).append(v)
+                indeg[v] = indeg.get(v, 0) + 1
+                indeg.setdefault(u, 0)
+            level = {}
+            frontier = sorted(n for n, d in indeg.items() if d == 0)
+            lv = 0
+            while frontier:
+                nxt = []
+                for n in frontier:
+                    level[n] = lv
+                    for m in adj.get(n, []):
+                        indeg[m] -= 1
+                        if indeg[m] == 0:
+                            nxt.append(m)
+                frontier = sorted(nxt)
+                lv += 1
+            if len(level) != len(indeg):
+                raise ValueError("graph has a cycle; topological levels "
+                                 "undefined")
+            return self.spark.createDataFrame(list(level.items()), schema)
+
+        edges = (
+            self.edges.select("_u", "_v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining = (
+            self.nodes.select("_n")
+            .unionByName(self.edges.select(F.col("_u").alias("_n")))
+            .unionByName(self.edges.select(F.col("_v").alias("_n")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        parts: list[DataFrame] = []
+        for lv in range(max_iterations):
+            n_remaining = remaining.count()
+            if n_remaining == 0:
+                break
+            frontier = remaining.join(
+                edges.select(F.col("_v").alias("_n")).distinct(),
+                "_n",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            if frontier.limit(1).count() == 0:
+                raise ValueError(
+                    "graph has a cycle; topological levels undefined"
+                )
+            parts.append(frontier.select("_n", F.lit(lv).cast("long").alias("level")))
+            remaining = remaining.join(frontier, "_n", "left_anti").localCheckpoint(
+                eager=True
+            )
+            edges = edges.join(
+                frontier.withColumnRenamed("_n", "_u"), "_u", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                "topological_levels did not finish; raise max_iterations"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def closeness_landmarks(
         self,
         n_landmarks: int = 16,

@@ -723,3 +723,51 @@ def test_scc_dag_is_all_singletons(spark):
             for r in g.strongly_connected_components(strategy=strat).collect()
         }
         assert got == {str(i): str(i) for i in range(6)}, strat
+
+
+def test_harmonic_centrality_matches_networkx(spark):
+    """Outgoing-distance harmonic centrality == networkx on the
+    reversed graph (nx sums over incoming distances)."""
+    import networkx as nx
+
+    pairs = sorted({(str(i), str((i * 3 + 1) % 9)) for i in range(9)}
+                   | {("0", "5"), ("5", "7")})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    got = {r["_n"]: r["harmonic"] for r in g.harmonic_centrality().collect()}
+    want = {
+        n: round(h, 6)
+        for n, h in nx.harmonic_centrality(nx.DiGraph(pairs).reverse()).items()
+    }
+    assert got == want
+
+
+def test_topological_levels_local_and_distributed(spark):
+    """Kahn wave levels equal the longest-path depth on a diamond DAG,
+    local == forced-distributed, and a cycle raises."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "d", 1.0), ("c", "d", 1.0),
+         ("d", "e", 1.0), ("b", "e", 1.0), ("x", "a", 1.0)],
+        ["_u", "_v", "w"],
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    want = {"x": 0, "a": 1, "b": 2, "c": 2, "d": 3, "e": 4}
+    loc = {r["_n"]: r["level"]
+           for r in g.topological_levels(strategy="local").collect()}
+    dist = {r["_n"]: r["level"]
+            for r in g.topological_levels(strategy="pregel").collect()}
+    assert loc == want
+    assert dist == want
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)], ["_u", "_v", "w"]
+    )
+    cg = SparkGraph(cyc.select(F.col("_u").alias("_n")).union(cyc.select("_v")).distinct(), cyc)
+    for strat in ("local", "pregel"):
+        with pytest.raises(ValueError, match="cycle"):
+            cg.topological_levels(strategy=strat)
