@@ -36,6 +36,7 @@ _PRIORITY = [
     "t16_bigram_logprob",
     "g_harmonic",
     "g_topo_levels",
+    "t17_lm_buckets",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

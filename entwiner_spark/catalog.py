@@ -2186,6 +2186,38 @@ def t16_bigram_logprob(spark, sf_dir):
 
 
 @q(
+    "t17_lm_buckets",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w2 AS (SELECT * FROM w WHERE word != ''),
+    freq AS (SELECT word, count(*) AS wc FROM w2 GROUP BY word),
+    tot AS (SELECT sum(wc) AS tot FROM freq),
+    lm AS (
+      SELECT doc_id, round(avg(ln(CAST(wc AS DOUBLE) / tot)), 6) AS avg_logprob
+      FROM w2 JOIN freq USING (word), tot GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS c_hi,
+             round(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS c_lo
+      FROM lm
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= c_hi THEN 'head'
+                WHEN avg_logprob >= c_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm, cuts
+    """,
+)
+def t17_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning by unigram LM score
+    (text.lm_score_buckets): quantile cutoffs as one 2-value
+    percentile aggregate broadcast back (never a global ntile sort);
+    approx_percentile is the documented 100 TB escalation."""
+    return TX.lm_score_buckets(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "e7_hourly_unique_users",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -448,3 +448,38 @@ def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
+
+
+def lm_score_buckets(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style head/middle/tail corpus partitioning: documents are
+    bucketed by their LM quality score at the 2/3 and 1/3 quantile
+    cutoffs ("head" reads most like the reference corpus; CCNet trains
+    preferentially on it and discards/deprioritizes "tail").
+
+    Scale shape: a global ntile would need a single-partition sort, so
+    the cutoffs are computed instead as ONE two-value percentile
+    aggregate (exact here; approx_percentile is the documented 100 TB
+    escalation with the same plan) broadcast back onto the scored
+    docs — bucketing is then a per-row CASE.  Cutoffs are rounded to
+    6 dp (scores already are) so the boundary comparison is
+    bit-identical cross-engine.
+    """
+    from pyspark.sql import functions as F
+
+    lm = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    cuts = lm.agg(
+        F.round(
+            F.expr("percentile(avg_logprob, 0.6666666666666666D)"), 6
+        ).alias("c_hi"),
+        F.round(
+            F.expr("percentile(avg_logprob, 0.3333333333333333D)"), 6
+        ).alias("c_lo"),
+    )
+    return lm.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        F.col("avg_logprob"),
+        F.when(F.col("avg_logprob") >= F.col("c_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

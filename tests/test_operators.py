@@ -1021,3 +1021,24 @@ def test_bigram_logprob_hand_computed(spark):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+def test_lm_score_buckets_thirds_and_boundaries(spark):
+    """Head/middle/tail split: every doc bucketed, head scores >= all
+    middle scores >= all tail scores, and sizes are near-thirds."""
+    from entwiner_spark.functions.text import lm_score_buckets
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % (3 + i % 7)}" for j in range(10)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_score_buckets(df).collect()
+    assert len(out) == 30
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) >= max(by["middle"]) >= max(by["tail"])
+    for b in by.values():
+        assert 5 <= len(b) <= 15

@@ -801,3 +801,47 @@ def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 30
     assert got_q8 == want_q8
+
+
+def test_random_projection_stream_equals_batch(spark, tmp_path):
+    """JL random projection is a stateless per-row map, so the batch
+    operator runs unchanged on a vector stream (embedding-ingest
+    feature path); streaming projections == batch exactly."""
+    from entwiner_spark.operators.similarity import random_projection
+
+    d = tmp_path / "rp_stream"
+    d.mkdir()
+    rows = [
+        {"vec_id": i, "embedding": [((i * 5 + j) % 13) / 4.0 for j in range(8)]}
+        for i in range(24)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:12]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[12:]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        random_projection(stream, dim=8, out_dim=3)
+        .writeStream.format("memory")
+        .queryName("rp_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["vec_id"]: (r["rp0"], r["rp1"], r["rp2"])
+            for r in spark.sql("SELECT * FROM rp_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        r["vec_id"]: (r["rp0"], r["rp1"], r["rp2"])
+        for r in random_projection(batch, dim=8, out_dim=3).collect()
+    }
+    assert got == want and len(got) == 24

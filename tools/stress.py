@@ -343,6 +343,66 @@ def main() -> None:
     ).collect()[0]["c"]
     q.stop()
 
+    # --- SCC on 50k nodes / 1000 interlinked 50-cycles: FW-BW
+    # coloring must peel all 1000 SCCs in <= 4 outer rounds (bridge
+    # chain depth 3; every other cycle roots itself in round 1), with
+    # inner rounds bounded by the within-SCC diameter (50), never the
+    # node count.
+    log("phase: scc 50k")
+    sccn, cyc = 50_000, 50
+    sb = spark.range(sccn)
+    scc_edges = sb.select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") - F.col("id") % cyc + (F.col("id") + 1) % cyc)
+        .cast("string")
+        .alias("_v"),
+    )
+    bridges = spark.range(3).select(
+        (F.col("id") * cyc).cast("string").alias("_u"),
+        ((F.col("id") + 1) * cyc).cast("string").alias("_v"),
+    )
+    scc_all = scc_edges.unionByName(bridges)
+    scc_all.count()
+    Gs = SparkGraph(
+        sb.select(F.col("id").cast("string").alias("_n")), scc_all, partitions=32
+    )
+    t0 = time.time()
+    sccs = Gs.strongly_connected_components(max_iterations=30, strategy="pregel")
+    out["scc_components"] = sccs.select("component").distinct().count()
+    out["scc_sec"] = round(time.time() - t0, 1)
+    assert out["scc_components"] == sccn // cyc, "one SCC per cycle"
+
+    # --- topological levels on a 300k-node 30-deep layered DAG:
+    # Kahn peel rounds = depth (30), each a join over 600k edges.
+    log("phase: topo levels 300k")
+    width, depth = 10_000, 30
+    tb = spark.range(width * depth)
+    lvl = F.expr(f"id div {width}")
+    pos = F.col("id") % width
+    t_e = (
+        tb.filter(lvl < depth - 1)
+        .select(
+            F.col("id").cast("string").alias("_u"),
+            ((lvl + 1) * width + pos).cast("string").alias("_v"),
+        )
+        .unionByName(
+            tb.filter(lvl < depth - 1).select(
+                F.col("id").cast("string").alias("_u"),
+                ((lvl + 1) * width + (pos + 37) % width).cast("string").alias("_v"),
+            )
+        )
+    )
+    t_e.count()
+    Gt = SparkGraph(
+        tb.select(F.col("id").cast("string").alias("_n")), t_e, partitions=32
+    )
+    t0 = time.time()
+    levels = Gt.topological_levels(max_iterations=depth + 2, strategy="pregel")
+    out["topo_nodes"] = levels.count()
+    out["topo_max_level"] = levels.agg(F.max("level")).collect()[0][0]
+    out["topo_sec"] = round(time.time() - t0, 1)
+    assert out["topo_max_level"] == depth - 1
+
     print(json.dumps(out))
     spark.stop()
 
