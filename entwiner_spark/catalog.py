@@ -2218,6 +2218,45 @@ def t17_lm_buckets(spark, sf_dir):
 
 
 @q(
+    "e11_hll_weekly_rollup",
+    """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS bounded_error
+    FROM events GROUP BY 1
+    """,
+)
+def e11_hll_weekly_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct rollup — THE 100 TB architecture for
+    distinct counting: per-day HLL sketches (hll_sketch_agg, one pass,
+    partial-aggregated) merged into weekly estimates (hll_union_agg)
+    WITHOUT touching raw rows again.  The query also computes the
+    exact weekly distinct and asserts the sketch landed within 5%
+    (bounded_error, verified TRUE by the oracle) — so the driver
+    value-checks both the exact path and the sketch's accuracy
+    contract, like a2b does for approx_count_distinct."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week_start")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return weekly_exact.join(weekly_est, "week_start").select(
+        "week_start",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("bounded_error"),
+    )
+
+
+@q(
     "e7_hourly_unique_users",
     """
     SELECT date_trunc('hour', ts) AS window_start,
