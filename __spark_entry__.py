@@ -37,6 +37,8 @@ _PRIORITY = [
     "g_harmonic",
     "g_topo_levels",
     "t17_lm_buckets",
+    "e11_hll_weekly_rollup",
+    "d11_sorted_neighborhood",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -1350,6 +1350,35 @@ def t4_quality_score(spark, sf_dir):
 
 
 @q(
+    "d11_sorted_neighborhood",
+    """
+    WITH t AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS k
+      FROM documents
+    ),
+    b AS (SELECT doc_id, k, substr(k, 1, 8) AS block FROM t),
+    w AS (
+      SELECT doc_id, block,
+             lead(doc_id, 1) OVER (PARTITION BY block ORDER BY k, doc_id) AS n1,
+             lead(doc_id, 2) OVER (PARTITION BY block ORDER BY k, doc_id) AS n2
+      FROM b
+    )
+    SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b, block
+    FROM w WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT least(doc_id, n2), greatest(doc_id, n2), block
+    FROM w WHERE n2 IS NOT NULL
+    """,
+)
+def d11_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (window 3) — the record-linkage
+    candidate generator family next to LSH/SimHash: per-block sorted
+    lead()-chain, no global sort, no self-join
+    (dedup.sorted_neighborhood_pairs)."""
+    return DD.sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "d1_exact_dedup",
     """
     WITH all_docs AS (

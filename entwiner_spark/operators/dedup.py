@@ -584,3 +584,55 @@ def dup_ngram_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    block_prefix: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic record-linkage candidate generator, complementing the
+    hash-family blockers (MinHash-LSH, SimHash bands): records sorted
+    by a normalized key, every pair within a sliding window of
+    ``window`` positions becomes a candidate.
+
+    Spark-first scale shape: a literal global sort would serialize
+    into one partition, so the sort runs WITHIN blocks — the first
+    ``block_prefix`` chars of the key partition the data (records
+    whose keys differ in the prefix can't be near neighbors in the
+    sorted order anyway), the per-block window is a parallel
+    lead()-chain (no self-join), and pairs are canonicalized
+    least/greatest.  Output: ``(id_a, id_b, block)``.
+    """
+    from entwiner_spark.functions.text import normalized_text
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    key = normalized_text(F.col(text_col))
+    b = docs.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.substring(key, 1, block_prefix).alias("block"),
+    )
+    w = Window.partitionBy("block").orderBy("_key", id_col)
+    leads = b.select(
+        F.col(id_col),
+        "block",
+        *[F.lead(F.col(id_col), k).over(w).alias(f"_n{k}") for k in range(1, window)],
+    )
+    parts = [
+        leads.filter(F.col(f"_n{k}").isNotNull()).select(
+            F.least(F.col(id_col), F.col(f"_n{k}")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col(f"_n{k}")).alias("id_b"),
+            "block",
+        )
+        for k in range(1, window)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

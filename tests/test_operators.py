@@ -1042,3 +1042,45 @@ def test_lm_score_buckets_thirds_and_boundaries(spark):
     assert min(by["head"]) >= max(by["middle"]) >= max(by["tail"])
     for b in by.values():
         assert 5 <= len(b) <= 15
+
+
+def test_sorted_neighborhood_pairs_reference(spark):
+    """Window-3 sorted-neighborhood pairs equal a Python reference
+    (per-block sort, adjacent + skip-1 pairs), planted near-identical
+    docs land in the same block, and window<2 raises."""
+    import pytest
+
+    from entwiner_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (0, "alpha beta gamma one"),
+        (1, "alpha beta gamma two"),
+        (2, "alpha beta gamma three"),
+        (3, "zeta omega psi"),
+        (4, "zeta omega chi"),
+        (5, "midway totally different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, window=3).collect()
+    }
+    # Python reference
+    import re
+
+    keyed = [(re.sub(r"\s+", " ", t).lower(), i) for i, t in rows]
+    blocks = {}
+    for k, i in keyed:
+        blocks.setdefault(k[:8], []).append((k, i))
+    want = set()
+    for items in blocks.values():
+        items.sort()
+        for pos, (_, i) in enumerate(items):
+            for off in (1, 2):
+                if pos + off < len(items):
+                    j = items[pos + off][1]
+                    want.add((min(i, j), max(i, j)))
+    assert got == want
+    assert (0, 1) in got and (3, 4) in got
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, window=1)
