@@ -39,6 +39,7 @@ _PRIORITY = [
     "t17_lm_buckets",
     "e11_hll_weekly_rollup",
     "d11_sorted_neighborhood",
+    "samp4_temperature",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -1713,6 +1713,32 @@ def samp2_hash_bernoulli(spark, sf_dir):
 
 
 @q(
+    "samp4_temperature",
+    """
+    WITH stats AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    mn AS (SELECT min(n_s) AS min_n FROM stats),
+    rates AS (
+      SELECT lang, round(pow(n_s / min_n, -0.30000000000000004), 6) AS rate
+      FROM stats, mn
+    )
+    SELECT doc_id, lang, rate
+    FROM documents JOIN rates USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          < floor(rate * 65536)
+    """,
+)
+def samp4_temperature(spark, sf_dir):
+    """Temperature-balanced mixture sampling over the skewed language
+    distribution (en 4x fr at sf0.01): rate_s = (n_s/min_n)^(a-1),
+    a=0.7 — the mT5/XLM-R flattening recipe as a deterministic
+    md5-predicate Bernoulli per group (sampling.temperature_sample).
+    One broadcast rate table; the corpus never shuffles."""
+    return SAMP.temperature_sample(
+        _t(spark, sf_dir, "documents"), group_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "rate")
+
+
+@q(
     "samp3_token_budget",
     """
     WITH ranked AS (

@@ -104,3 +104,40 @@ def split_train_holdout(
     threshold = format(int(holdout_fraction * 65536), "04x")
     pred = F.substring(_hash_col(key_col), 1, 4) < F.lit(threshold)
     return df.filter(~pred), df.filter(pred)
+
+
+def temperature_sample(
+    df: DataFrame, group_col: str, key_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the mT5/XLM-R recipe:
+    sampling share p_s ∝ n_s^alpha, alpha < 1 flattens the source
+    distribution so low-resource groups aren't drowned out).  Realized
+    as a per-group deterministic Bernoulli rate
+    ``rate_s = (n_s / min_n)^(alpha-1)`` — the smallest group keeps
+    everything, larger groups are down-sampled toward the tempered
+    share — using the same md5-prefix membership predicate as
+    hash_sample, so the sample is repeatable and auditable.
+
+    Scale shape: ONE small group-count aggregate broadcast back onto
+    the scan; membership is a per-row predicate (no shuffle of the
+    corpus, no state).  Rates are rounded to 6 dp before the 16-bit
+    threshold compare so both engines make identical keep decisions
+    (pow() may differ in the last ulp across libms).  Output: the
+    kept rows + their group ``rate``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0,1], got {alpha}")
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    mn = stats.agg(F.min("_n_s").alias("_min_n"))
+    rates = stats.crossJoin(F.broadcast(mn)).select(
+        F.col(group_col),
+        F.round(
+            F.pow(F.col("_n_s") / F.col("_min_n"), F.lit(alpha - 1.0)), 6
+        ).alias("rate"),
+    )
+    h16 = F.conv(
+        F.substring(_hash_col(key_col), 1, 4), 16, 10
+    ).cast("long")
+    return df.join(F.broadcast(rates), group_col).filter(
+        h16 < F.floor(F.col("rate") * 65536)
+    )

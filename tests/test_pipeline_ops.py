@@ -323,3 +323,37 @@ def test_token_budget_sample_strict_cap_and_determinism(spark, docs):
         sized, group_cols=["lang"], token_col="n_tokens", budget=40,
         key_col="doc_id").collect()}
     assert rerun == {r["doc_id"] for r in rows}
+
+
+# ------------------------------------------------------- temperature
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    """alpha=0.7 keeps everything in the smallest group, down-samples
+    the biggest toward the tempered share, membership is repeatable,
+    and alpha=1 is a no-op (rate 1 everywhere)."""
+    import hashlib
+
+    rows = [(i, "big" if i < 400 else ("mid" if i < 500 else "small"))
+            for i in range(550)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = SAMP.temperature_sample(df, group_col="grp", key_col="doc_id", alpha=0.7)
+    got = {(r["doc_id"], r["grp"], r["rate"]) for r in out.collect()}
+    counts = {"big": 400, "mid": 100, "small": 50}
+    rates = {g: round((n / 50) ** (-0.3), 6) for g, n in counts.items()}
+    want = set()
+    for i, g in rows:
+        h16 = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        if h16 < int(rates[g] * 65536):
+            want.add((i, g, rates[g]))
+    assert got == want
+    kept = {g: sum(1 for _, gg, _ in got if gg == g) for g in counts}
+    assert kept["small"] == 50                       # smallest keeps all
+    assert kept["big"] < 400 * 0.6                   # big tempered hard
+    # alpha=1 -> uniform rate 1.0, keeps everything
+    out1 = SAMP.temperature_sample(df, group_col="grp", key_col="doc_id", alpha=1.0)
+    assert out1.count() == 550
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        SAMP.temperature_sample(df, group_col="grp", key_col="doc_id", alpha=0.0)
