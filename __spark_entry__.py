@@ -40,6 +40,7 @@ _PRIORITY = [
     "e11_hll_weekly_rollup",
     "d11_sorted_neighborhood",
     "samp4_temperature",
+    "g_walks",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -870,6 +870,53 @@ def g_scc_components(spark, sf_dir):
     )
 
 
+def _walks_sql(length: int = 3) -> str:
+    """Unrolled deterministic-walk oracle: neighbor rank is over the
+    VARCHAR form of v (the engine sorts string node ids), and the hash
+    replays stable_hash32 over the identical concat input."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT u, v FROM ({_GRAPH_EDGES_SQL})),",
+        "adj AS (SELECT u, v,"
+        " row_number() OVER (PARTITION BY u ORDER BY CAST(v AS VARCHAR)) AS rk,"
+        " count(*) OVER (PARTITION BY u) AS deg FROM e),",
+        "nd AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),",
+        "w0 AS (SELECT n AS start, n AS cur FROM nd),",
+    ]
+    for t in range(1, length + 1):
+        hx = h.format(
+            x=f"CAST(w{t - 1}.start AS VARCHAR) || '|{t}|' || "
+            f"CAST(w{t - 1}.cur AS VARCHAR)"
+        )
+        parts.append(
+            f"w{t} AS (SELECT w{t - 1}.start, a.v AS cur FROM w{t - 1}"
+            f" JOIN adj a ON a.u = w{t - 1}.cur"
+            f" AND a.rk = {hx} % a.deg + 1),"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur FROM w{t}" for t in range(length + 1)
+    )
+    return (
+        "\n".join(parts)[:-1]
+        + f" SELECT CAST(start AS BIGINT) AS start, step,"
+        f" CAST(cur AS BIGINT) AS node FROM ({steps})"
+    )
+
+
+@q("g_walks", _walks_sql())
+def g_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk/node2vec sampling
+    stage): 3 steps from every node, next hop = hash-ranked neighbor
+    (SparkGraph.random_walks).  One equi-join per step; the md5 hash
+    IS the sampler, so the oracle replays walks exactly."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.random_walks(length=3).select(
+        F.col("start").cast("long").alias("start"),
+        "step",
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 def _lpa_sql(iterations: int = 4) -> str:
     """Unrolled synchronous label-propagation oracle over the shared
     graph topology.  Labels are node-id STRINGS (matching SparkGraph's

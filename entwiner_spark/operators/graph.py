@@ -1594,6 +1594,63 @@ class SparkGraph:
             out = out.unionByName(p)
         return out
 
+    def random_walks(self, length: int = 3) -> DataFrame:
+        """Deterministic "random" walks from every node — the
+        DeepWalk/node2vec corpus-generation stage made reproducible:
+        at step t from node u on the walk started at s, the next hop
+        is the out-neighbor ranked ``stable_hash32(s|t|u) mod
+        out_deg(u)`` in sorted-neighbor order.  Walks stop early at
+        sinks.  Returns ``(start, step, node)`` including step 0.
+
+        Scale shape: the ranked adjacency (neighbor rank + out-degree
+        via one window over ``_u``) is computed once; each step is ONE
+        equi-join on the current node selecting exactly one neighbor
+        row per live walk (the rank filter is part of the join), so
+        a length-L corpus costs L partitioned joins over |V| walk
+        rows — never a per-walk driver loop, and no RNG state (the
+        hash IS the sampler, which is what makes the walk corpus
+        verifiable and resumable).
+        """
+        from entwiner_spark.functions.text import stable_hash32
+
+        if length < 1:
+            raise ValueError("length must be >= 1")
+        w = Window.partitionBy("_u").orderBy("_v")
+        adj = (
+            self.edges.select("_u", "_v")
+            .distinct()
+            .select(
+                "_u",
+                "_v",
+                F.row_number().over(w).alias("_rk"),
+                F.count(F.lit(1)).over(Window.partitionBy("_u")).alias("_deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = self.nodes.select(
+            F.col("_n").alias("start"), F.col("_n").alias("node")
+        )
+        parts = [cur.select("start", F.lit(0).cast("int").alias("step"), "node")]
+        for t in range(1, length + 1):
+            h = stable_hash32(
+                F.concat(
+                    F.col("start"), F.lit(f"|{t}|"), F.col("node")
+                )
+            )
+            nxt = (
+                cur.join(adj, cur["node"] == adj["_u"])
+                .filter(F.col("_rk") == h % F.col("_deg") + 1)
+                .select("start", F.col("_v").alias("node"))
+            )
+            parts.append(
+                nxt.select("start", F.lit(t).cast("int").alias("step"), "node")
+            )
+            cur = nxt
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def closeness_landmarks(
         self,
         n_landmarks: int = 16,

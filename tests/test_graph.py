@@ -771,3 +771,37 @@ def test_topological_levels_local_and_distributed(spark):
     for strat in ("local", "pregel"):
         with pytest.raises(ValueError, match="cycle"):
             cg.topological_levels(strategy=strat)
+
+
+def test_random_walks_deterministic_and_hash_ranked(spark):
+    """Walks equal a Python replay of the hash-ranked next-hop rule,
+    stop at sinks, and are identical across runs."""
+    import hashlib
+
+    pairs = [("0", "1"), ("0", "2"), ("1", "2"), ("2", "0"), ("2", "3"),
+             ("3", "4")]  # 4 is a sink
+    edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    got = {(r["start"], r["step"], r["node"])
+           for r in g.random_walks(length=4).collect()}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+    want = set()
+    for s in {n for p in pairs for n in p}:
+        cur = s
+        want.add((s, 0, s))
+        for t in range(1, 5):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = int(hashlib.md5(f"{s}|{t}|{cur}".encode()).hexdigest()[:8], 16)
+            cur = nbrs[h % len(nbrs)]
+            want.add((s, t, cur))
+    assert got == want
+    again = {(r["start"], r["step"], r["node"])
+             for r in g.random_walks(length=4).collect()}
+    assert again == got
