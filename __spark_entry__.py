@@ -41,6 +41,7 @@ _PRIORITY = [
     "d11_sorted_neighborhood",
     "samp4_temperature",
     "g_walks",
+    "d12_minhash_calibration",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

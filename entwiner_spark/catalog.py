@@ -1506,6 +1506,113 @@ def d3_minhash_lsh_pairs(spark, sf_dir):
     return DD.lsh_candidate_pairs(sig, k=8, bands=4)
 
 
+_D12_EQ = " + ".join(f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(8))
+
+
+@q(
+    "d12_minhash_calibration",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shs AS (
+      SELECT doc_id,
+             list_transform(range(0, len(w) - 2),
+                            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS sh
+      FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(_minhash_sql_col(i, a, b) for i, (a, b) in enumerate(DD.minhash_params(8)))}
+      FROM (SELECT doc_id, sh FROM shs) sh
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_H32.format(x="s")})) AS hs
+      FROM shs
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ({_D12_EQ}) / 8.0 AS est,
+             len(list_intersect(ha.hs, hb.hs))
+               / len(list_distinct(ha.hs || hb.hs)) AS exact
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      JOIN hs ha ON ha.doc_id = p.id_a
+      JOIN hs hb ON hb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+           round(exact, 6) AS exact_jaccard,
+           round(abs(est - exact), 6) AS abs_err
+    FROM scored
+    """,
+)
+def d12_minhash_calibration(spark, sf_dir):
+    """MinHash calibration eval (the s8-style self-check for the
+    dedup family): for every LSH candidate pair, the signature-based
+    Jaccard estimate (matching-component fraction) next to the EXACT
+    shingle-set Jaccard and their absolute error.  Everything is
+    deterministic (md5 hashing), so the oracle replays estimate AND
+    truth — this is how a pipeline owner validates the k/bands recall
+    trade-off before a 100 TB run.  Pairs and signature columns ride
+    the existing d2/d3 plans; the exact side joins two narrow
+    (id, hashed-shingle-set) projections — never an all-pairs join."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sig = DD.minhash_signatures(d, k=8)
+    pairs = DD.lsh_candidate_pairs(sig, k=8, bands=4)
+    hs = d.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            F.transform(TX.shingles(F.col("text"), 3), TX.stable_hash32)
+        ).alias("hs"),
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)]
+    )
+    hsa = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hsb = hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    eq = reduce(
+        lambda acc, i: acc + (F.col(f"a{i}") == F.col(f"b{i}")).cast("int"),
+        range(1, 8),
+        (F.col("a0") == F.col("b0")).cast("int"),
+    )
+    est = eq / F.lit(8.0)
+    exact = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
+        F.array_union("hs_a", "hs_b")
+    )
+    return (
+        pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .join(hsa, "id_a")
+        .join(hsb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 _SIMHASH_BIT_SUMS = ", ".join(
     f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
 )

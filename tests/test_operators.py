@@ -1084,3 +1084,33 @@ def test_sorted_neighborhood_pairs_reference(spark):
     assert (0, 1) in got and (3, 4) in got
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, window=1)
+
+
+def test_minhash_calibration_exact_for_identical_docs(spark):
+    """A planted exact duplicate pair has est == exact == 1.0 and
+    abs_err 0; disjoint docs sharing a band (if any) stay bounded."""
+    from entwiner_spark.catalog import QUERIES
+
+    import tempfile, os, shutil
+
+    # reuse the catalog query against a tiny synthetic parquet dir
+    tmp = tempfile.mkdtemp()
+    try:
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+            (2, "one two three four five six seven"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = {
+            (r["id_a"], r["id_b"]): (r["est_jaccard"], r["exact_jaccard"], r["abs_err"])
+            for r in QUERIES["d12_minhash_calibration"](spark, tmp).collect()
+        }
+        assert (0, 1) in out
+        assert out[(0, 1)] == (1.0, 1.0, 0.0)
+        for est, exact, err in out.values():
+            assert abs(abs(est - exact) - err) < 1e-9
+    finally:
+        shutil.rmtree(tmp)
