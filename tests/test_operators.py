@@ -1114,3 +1114,33 @@ def test_minhash_calibration_exact_for_identical_docs(spark):
             assert abs(abs(est - exact) - err) < 1e-9
     finally:
         shutil.rmtree(tmp)
+
+
+def test_media_from_binary_files_ingest(spark, tmp_path):
+    """binaryFile ingest: real files on disk become canonical media
+    rows (typed by extension, sized from the reader, payload intact),
+    glob filtering works, and downstream multimodal operators run on
+    the result unchanged."""
+    from entwiner_spark.operators.multimodal import extract_features
+    from entwiner_spark.sources.binary import media_from_binary_files
+
+    d = tmp_path / "media" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes")
+    (d / "b.png").write_bytes(b"\x89PNGfake")
+    (d / "c.bin").write_bytes(b"opaque")
+    media = media_from_binary_files(spark, str(tmp_path / "media"))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.jpg", "b.png", "c.bin"}
+    assert rows["a.jpg"]["media_type"] == "image/jpeg"
+    assert rows["b.png"]["media_type"] == "image/png"
+    assert rows["c.bin"]["media_type"] == "application/octet-stream"
+    assert bytes(rows["a.jpg"]["payload"]) == b"\xff\xd8fakejpegbytes"
+    assert rows["a.jpg"]["meta"]["n_bytes"] == len(b"\xff\xd8fakejpegbytes")
+    assert len({r["media_id"] for r in rows.values()}) == 3
+
+    only_jpg = media_from_binary_files(spark, str(tmp_path / "media"), glob="*.jpg")
+    assert only_jpg.count() == 1
+
+    feats = extract_features(media.drop("path"))
+    assert feats.count() == 3
