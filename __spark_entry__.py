@@ -42,6 +42,7 @@ _PRIORITY = [
     "samp4_temperature",
     "g_walks",
     "d12_minhash_calibration",
+    "g_diameter_lb",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -3108,6 +3108,46 @@ def g_harmonic(spark, sf_dir):
 
 
 @q(
+    "g_diameter_lb",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      SELECT DISTINCT u AS n FROM edges UNION SELECT DISTINCT v FROM edges
+    ),
+    p AS (SELECT min(CAST(n AS VARCHAR)) AS pv FROM all_nodes),
+    w1(node, dist) AS (
+      SELECT CAST(pv AS BIGINT), CAST(0 AS DOUBLE) FROM p
+      UNION ALL
+      SELECT e.v, w1.dist + e.w FROM w1 JOIN edges e ON e.u = w1.node
+    ),
+    b1 AS (SELECT node, min(dist) AS d FROM w1 GROUP BY node),
+    far AS (SELECT node FROM b1 ORDER BY d DESC, CAST(node AS VARCHAR) LIMIT 1),
+    w2(node, dist) AS (
+      SELECT node, CAST(0 AS DOUBLE) FROM far
+      UNION ALL
+      SELECT e.u, w2.dist + e.w FROM w2 JOIN edges e ON e.v = w2.node
+    ),
+    b2 AS (SELECT node, min(dist) AS d FROM w2 GROUP BY node)
+    SELECT CAST((SELECT pv FROM p) AS BIGINT) AS pivot,
+           CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+           (SELECT max(d) FROM b2) AS diameter_lb
+    """,
+)
+def g_diameter_lb(spark, sf_dir):
+    """Double-sweep diameter lower bound over the weighted DAG: two
+    SSSP runs (forward from the min-id pivot, backward into the
+    farthest node) instead of |V| — the scale diagnostic for choosing
+    traversal iteration budgets.  Distances are integer-valued
+    doubles, so reversed-order additions are exact."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.diameter_lower_bound(weight="w").select(
+        F.col("pivot").cast("long").alias("pivot"),
+        F.col("far_node").cast("long").alias("far_node"),
+        F.col("diameter_lb"),
+    )
+
+
+@q(
     "g_topo_levels",
     f"""
     WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),

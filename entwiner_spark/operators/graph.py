@@ -1594,6 +1594,43 @@ class SparkGraph:
             out = out.unionByName(p)
         return out
 
+    def diameter_lower_bound(self, weight=None, strategy: str = "auto") -> DataFrame:
+        """Double-sweep diameter lower bound (Magnien-Latapy-Habib,
+        adapted to digraphs): forward SSSP from the min-id pivot, take
+        the farthest reached node f (max dist, min-id tiebreak), then
+        BACKWARD SSSP into f (SSSP on the reversed edges) — the max
+        distance found is a valid shortest-path length, hence a lower
+        bound on the directed diameter over reachable pairs.  TWO SSSP
+        runs total regardless of |V| (vs |V| runs for the exact
+        diameter), which is why this is the standard scale diagnostic
+        before picking traversal iteration budgets.
+
+        Returns one row ``(pivot, far_node, diameter_lb)``.  The only
+        driver-side values are the pivot id, the argmax row, and the
+        final max — all metadata-sized.
+        """
+        pivot = self.nodes.agg(F.min("_n").alias("p")).collect()[0]["p"]
+        d1 = self.shortest_path_lengths(pivot, weight=weight, strategy=strategy)
+        far = d1.orderBy(F.col("dist").desc(), "_n").limit(1).collect()[0]["_n"]
+        rev = SparkGraph(
+            self.nodes,
+            self.edges.select(
+                F.col("_v").alias("_u"),
+                F.col("_u").alias("_v"),
+                *[c for c in self.edges.columns if c not in ("_u", "_v")],
+            ),
+        )
+        d2 = rev.shortest_path_lengths(far, weight=weight, strategy=strategy)
+        lb = d2.agg(F.max("dist")).collect()[0][0]
+        schema = T.StructType(
+            [
+                T.StructField("pivot", T.StringType(), False),
+                T.StructField("far_node", T.StringType(), False),
+                T.StructField("diameter_lb", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
+
     def random_walks(self, length: int = 3) -> DataFrame:
         """Deterministic "random" walks from every node — the
         DeepWalk/node2vec corpus-generation stage made reproducible:

@@ -805,3 +805,31 @@ def test_random_walks_deterministic_and_hash_ranked(spark):
     again = {(r["start"], r["step"], r["node"])
              for r in g.random_walks(length=4).collect()}
     assert again == got
+
+
+def test_diameter_lower_bound_chain_and_validity(spark):
+    """On a directed chain the double sweep finds the true diameter;
+    on a branchier digraph the bound is a valid shortest-path length
+    (<= true diameter, >= eccentricity of the pivot)."""
+    import networkx as nx
+
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1), 1.0) for i in range(7)], ["_u", "_v", "w"]
+    )
+    nodes = chain.select(F.col("_u").alias("_n")).union(chain.select("_v")).distinct()
+    g = SparkGraph(nodes, chain)
+    row = g.diameter_lower_bound().collect()[0]
+    assert row["pivot"] == "0" and row["far_node"] == "7"
+    assert row["diameter_lb"] == 7.0
+
+    pairs = sorted({(str(i), str((i * 3 + 1) % 11)) for i in range(11)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    e2 = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    n2 = e2.select(F.col("_u").alias("_n")).union(e2.select("_v")).distinct()
+    g2 = SparkGraph(n2, e2)
+    lb = g2.diameter_lower_bound().collect()[0]["diameter_lb"]
+    G = nx.DiGraph(pairs)
+    true_diam = max(
+        d for s in G for d in nx.single_source_shortest_path_length(G, s).values()
+    )
+    assert 0 < lb <= true_diam
