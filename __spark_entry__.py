@@ -43,6 +43,7 @@ _PRIORITY = [
     "g_walks",
     "d12_minhash_calibration",
     "g_diameter_lb",
+    "g_skipgram_pairs",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

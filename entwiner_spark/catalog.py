@@ -917,6 +917,42 @@ def g_walks(spark, sf_dir):
     )
 
 
+@q(
+    "g_skipgram_pairs",
+    f"""
+    WITH wa AS ({_walks_sql()})
+    SELECT a.start, a.node AS center, b.node AS context,
+           CAST(abs(a.step - b.step) AS BIGINT) AS dist
+    FROM wa a JOIN wa b
+      ON a.start = b.start AND a.step != b.step
+         AND abs(a.step - b.step) <= 2
+    """,
+)
+def g_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the walk
+    corpus — the word2vec-style output format of DeepWalk: every
+    ordered pair of walk positions within window 2.  One self-join on
+    the walk id; per-walk fan-out is bounded by length x window, so
+    the pair table is a constant factor of the walk table at any
+    scale."""
+    w = QUERIES["g_walks"](spark, sf_dir)
+    a = w.select(F.col("start"), F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = w.select(F.col("start"), F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "start")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= 2)
+        )
+        .select(
+            "start",
+            "center",
+            "context",
+            F.abs(F.col("sa") - F.col("sb")).cast("long").alias("dist"),
+        )
+    )
+
+
 def _lpa_sql(iterations: int = 4) -> str:
     """Unrolled synchronous label-propagation oracle over the shared
     graph topology.  Labels are node-id STRINGS (matching SparkGraph's
