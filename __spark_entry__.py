@@ -44,6 +44,7 @@ _PRIORITY = [
     "d12_minhash_calibration",
     "g_diameter_lb",
     "g_skipgram_pairs",
+    "e12_ewma",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

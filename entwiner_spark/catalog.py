@@ -2463,6 +2463,36 @@ def t17_lm_buckets(spark, sf_dir):
 
 
 @q(
+    "e12_ewma",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    r(user_id, event_id, rn, y) AS (
+      SELECT user_id, event_id, rn, value FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT ev.user_id, ev.event_id, ev.rn, 0.3 * ev.value + 0.7 * r.y
+      FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, round(y, 6) AS ewma FROM r
+    """,
+)
+def e12_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (alpha=0.3) — the smoothing /
+    anomaly-baseline recurrence that depends on the previous OUTPUT,
+    so no window frame expresses it: the canonical legitimate
+    applyInPandas case (operators/timeseries.ewma — per-key Arrow
+    batch, one shuffle on user_id, literal-order arithmetic matching
+    the recursive-CTE oracle bit-for-bit)."""
+    from entwiner_spark.operators.timeseries import ewma
+
+    return ewma(_events(spark, sf_dir), alpha=0.3)
+
+
+@q(
     "e11_hll_weekly_rollup",
     """
     SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,

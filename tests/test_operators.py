@@ -1144,3 +1144,35 @@ def test_media_from_binary_files_ingest(spark, tmp_path):
 
     feats = extract_features(media.drop("path"))
     assert feats.count() == 3
+
+
+def test_ewma_matches_sequential_reference(spark):
+    """Per-key EWMA equals a sequential Python reference over (ts, id)
+    order across multiple keys, and alpha bounds are enforced."""
+    import pytest
+
+    from entwiner_spark.operators.timeseries import ewma
+
+    rows = []
+    for u in range(3):
+        for t in range(12):
+            rows.append((u, t, t * 1000 + u, float((u * 7 + t * 3) % 10) + 0.25))
+    df = spark.createDataFrame(
+        rows, "user_id long, tick long, event_id long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(df, alpha=0.3).collect()
+    }
+    want = {}
+    for u in range(3):
+        seq = sorted((t, e, v) for (uu, t, e, v) in rows if uu == u)
+        y = None
+        for _, eid, x in seq:
+            y = x if y is None else 0.3 * x + 0.7 * y
+            want[(u, eid)] = round(y, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, alpha=0.0)
