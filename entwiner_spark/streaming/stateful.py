@@ -170,3 +170,54 @@ def seen_edge_filter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.timeseries.ewma`: per-key
+    EWMA carried across microbatches as one scalar of state (last y).
+
+    Within each microbatch the key's rows are folded in (ts, id)
+    order with the SAME literal arithmetic as the batch operator
+    (``y = alpha*x + (1-alpha)*y``), so as long as arrivals respect
+    event order across batches — the normal replay/ingest case — the
+    streaming output equals the batch output row for row (asserted in
+    tests, like stream_asof_enrich).  State is one double per key:
+    constant memory, no timeout needed.
+    """
+    beta = 1.0 - alpha
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        has_y, y = state.get if state.exists else (False, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        ids, outs = [], []
+        for eid, x in zip(rows[id_col], rows[value_col]):
+            x = float(x)
+            y = x if not has_y else alpha * x + beta * y
+            has_y = True
+            ids.append(int(eid))
+            outs.append(y)
+        state.update((has_y, y))
+        yield pd.DataFrame(
+            {key_col: [key[0]] * len(ids), id_col: ids, "ewma": outs}
+        )
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_type}, {id_col} long, ewma double",
+        stateStructType="has_y boolean, y double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

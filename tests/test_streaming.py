@@ -845,3 +845,62 @@ def test_random_projection_stream_equals_batch(spark, tmp_path):
         for r in random_projection(batch, dim=8, out_dim=3).collect()
     }
     assert got == want and len(got) == 24
+
+
+def test_stream_ewma_equals_batch(spark, tmp_path):
+    """Streaming EWMA == batch EWMA row for row, including state
+    carried across microbatches (file 2 continues file 1's series).
+    The batch side is operators/timeseries.ewma on the same data."""
+    from entwiner_spark.operators.timeseries import ewma
+    from entwiner_spark.streaming.stateful import stream_ewma
+
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    rows = []
+    for u in range(3):
+        for t in range(10):
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": t * 100 + u,
+                    "ts": f"2026-01-01T00:{t:02d}:00.000Z",
+                    "value": float((u * 7 + t * 3) % 10) + 0.5,
+                }
+            )
+    ordered = sorted(rows, key=lambda r: r["ts"])
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in ordered[:15]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in ordered[15:]))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): round(r["ewma"], 6)
+            for r in spark.sql("SELECT * FROM ewma_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(batch, alpha=0.3).collect()
+    }
+    assert got == want and len(got) == 30
