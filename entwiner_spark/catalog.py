@@ -12,7 +12,14 @@ Parity rules applied throughout (see SURVEY.md §7 "hard parts"):
   averages to 6 dp);
 - dot products / hashes emitted as explicit left-associated chains so
   both engines add in the same order (bit-identical doubles);
-- the only cross-engine hash used is the md5-prefix 32-bit integer.
+- the only cross-engine hash used is the md5-prefix 32-bit integer;
+- when a DOUBLE lands exactly on a decimal-half at the rounding digit
+  (observed 6/150k rows for the EWMA recurrence), DuckDB's
+  ``round(DOUBLE, n)`` (scaled-binary nearbyint) can disagree with
+  Spark's (HALF_UP over the shortest decimal repr).  The spark-exact
+  oracle idiom is ``CAST(round(CAST(CAST(x AS VARCHAR) AS
+  DECIMAL(38,18)), n) AS DOUBLE)`` — the VARCHAR hop reproduces
+  Spark's shortest-repr semantics bit-for-bit (e12).
 """
 
 from __future__ import annotations
@@ -2477,7 +2484,10 @@ def t17_lm_buckets(spark, sf_dir):
       SELECT ev.user_id, ev.event_id, ev.rn, 0.3 * ev.value + 0.7 * r.y
       FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
     )
-    SELECT user_id, event_id, round(y, 6) AS ewma FROM r
+    SELECT user_id, event_id,
+           CAST(round(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
+             AS ewma
+    FROM r
     """,
 )
 def e12_ewma(spark, sf_dir):

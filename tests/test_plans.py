@@ -134,3 +134,24 @@ def test_motif_plan_has_no_cartesian(spark):
             "CartesianProduct" in l or "BroadcastNestedLoopJoin" in l
             for l in lines
         ), q
+
+
+def test_session2_new_query_plan_shapes(spark):
+    """Round-5 session-2 additions keep their scale contracts:
+    samp4/t16/t17 broadcast their small side (the corpus never
+    shuffles for samp4), d11 has no cartesian, s11 has no explode."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    for name in ("samp4_temperature", "t16_bigram_logprob", "t17_lm_buckets"):
+        lines = plan_summary(catalog.QUERIES[name](spark, SF))
+        assert any(
+            "BroadcastHashJoin" in l or "BroadcastNestedLoopJoin" in l
+            for l in lines
+        ), name
+
+    d11 = plan_summary(catalog.QUERIES["d11_sorted_neighborhood"](spark, SF))
+    assert not any("CartesianProduct" in l for l in d11)
+
+    s11 = plan_summary(catalog.QUERIES["s11_standardize"](spark, SF))
+    assert not any("Generate" in l for l in s11)
