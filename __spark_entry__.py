@@ -45,6 +45,7 @@ _PRIORITY = [
     "g_diameter_lb",
     "g_skipgram_pairs",
     "e12_ewma",
+    "s12_ivfpq_encode",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -3549,6 +3549,72 @@ def s9_pq_encode(spark, sf_dir):
     return SIM.pq_encode(emb, _pq_codebooks(spark, sf_dir))
 
 
+def _ivfpq_sql() -> str:
+    cb_from = ", ".join(
+        f"(SELECT embedding AS cb{k} FROM embeddings WHERE vec_id = {k}) u{k}"
+        for k in range(_PQ_K)
+    )
+    res = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) - (CASE "
+        + " ".join(
+            f"WHEN centroid = {k} THEN CAST(c{k}[{i}] AS DOUBLE)"
+            for k in range(_N_CENT)
+        )
+        + " END)"
+        for i in range(1, _DIM + 1)
+    )
+
+    def chain(s: int, k: int) -> str:
+        lo = s * _PQ_W + 1
+        return " + ".join(
+            f"(r[{j}] - CAST(cb{k}[{j}] AS DOUBLE))"
+            f" * (r[{j}] - CAST(cb{k}[{j}] AS DOUBLE))"
+            for j in range(lo, lo + _PQ_W)
+        )
+
+    e_cols = ", ".join(
+        f"({chain(s, k)}) AS e{s}_{k}" for s in range(_PQ_M) for k in range(_PQ_K)
+    )
+    leasts = ", ".join(
+        "least(" + ", ".join(f"e{s}_{k}" for k in range(_PQ_K)) + f") AS m{s}"
+        for s in range(_PQ_M)
+    )
+    codes = ", ".join(
+        "CAST(CASE "
+        + " ".join(f"WHEN e{s}_{k} = m{s} THEN {k}" for k in range(_PQ_K))
+        + f" END AS INT) AS code_{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {_D_COLS} FROM embeddings, {_CENT_FROM}
+    ),
+    a AS (
+      SELECT vec_id, embedding, CAST({_ARGMIN_CASE} AS INT) AS centroid
+      FROM (SELECT {_LEAST} AS _m, * FROM d)
+    ),
+    r AS (
+      SELECT vec_id, centroid, [{res}] AS r FROM a, {_CENT_FROM}
+    ),
+    pqd AS (SELECT vec_id, centroid, {e_cols} FROM r, {cb_from})
+    SELECT vec_id, centroid, {codes}
+    FROM (SELECT *, {leasts} FROM pqd)
+    """
+
+
+@q("s12_ivfpq_encode", _ivfpq_sql())
+def s12_ivfpq_encode(spark, sf_dir):
+    """IVF-PQ residual encode (similarity.ivfpq_encode): nearest of 8
+    coarse centroids + 4 sub-codes over the RESIDUAL x - centroid —
+    the billion-vector ANN index layout (coarse partition + compressed
+    residual).  Pure per-row literal arithmetic staged behind codegen
+    barriers; the oracle replays every chain and CASE in order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_encode(
+        emb, _ivf_centroids(spark, sf_dir), _pq_codebooks(spark, sf_dir)
+    )
+
+
 @q(
     "w4_lag_lead",
     """

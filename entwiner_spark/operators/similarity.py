@@ -595,3 +595,78 @@ def standardize(
     return emb.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), F.array(*zs).alias("z")
     )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ residual encode (Jégou et al.): assign each vector to
+    its nearest coarse centroid, then product-quantize the RESIDUAL
+    ``x - centroid`` — the index layout that makes billion-vector ANN
+    fit in memory (coarse partition id + m sub-codes per vector).
+
+    Three projections with repartition codegen barriers (the
+    ivf_assign/pq_encode discipline — CollapseProject would otherwise
+    re-inline every distance chain into least() and each equality
+    test, blowing the codegen size limit):
+      1. K coarse distances as columns;
+      2. argmin centroid + residual ARRAY via a per-element CASE over
+         the centroid literals;
+      3. per-subspace PQ distance chains over residual slices,
+         least + first-equal argmin.
+    All per-row literal arithmetic — no joins, no shuffle beyond the
+    barriers; the SQL oracle replays every chain in the same order.
+    Output: ``(id, centroid, code_0..code_{m-1})``.
+    """
+    n_k = len(centroids)
+    dim = len(centroids[0])
+    v = F.col(vec_col)
+    base = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+    ).repartition(F.col(id_col))
+    m = F.least(*[F.col(f"_d{k}") for k in range(n_k)])
+    ci = None
+    for k in range(n_k):
+        cond = F.col(f"_d{k}") == m
+        ci = F.when(cond, F.lit(k)) if ci is None else ci.when(cond, F.lit(k))
+    res_elems = []
+    for i in range(dim):
+        sel = None
+        for k in range(n_k):
+            sel = (
+                F.when(F.col("centroid") == k, F.lit(float(centroids[k][i])))
+                if sel is None
+                else sel.when(F.col("centroid") == k, F.lit(float(centroids[k][i])))
+            )
+        res_elems.append(F.col("_v")[i].cast("double") - sel)
+    staged = base.select(
+        F.col(id_col), ci.cast("int").alias("centroid"), F.col("_v")
+    ).repartition(F.col(id_col))
+    resid = staged.select(
+        F.col(id_col), F.col("centroid"), F.array(*res_elems).alias("_r")
+    ).repartition(F.col(id_col))
+    offset, d_cols = 1, []
+    for s, cb in enumerate(codebooks):
+        width = len(cb[0])
+        sub = F.slice(F.col("_r"), offset, width)
+        for k, code in enumerate(cb):
+            d_cols.append(l2sq_literal(sub, code).alias(f"_e{s}_{k}"))
+        offset += width
+    pqd = resid.select(F.col(id_col), F.col("centroid"), *d_cols).repartition(
+        F.col(id_col)
+    )
+    outs = []
+    for s, cb in enumerate(codebooks):
+        ms = F.least(*[F.col(f"_e{s}_{k}") for k in range(len(cb))])
+        expr = None
+        for k in range(len(cb)):
+            cond = F.col(f"_e{s}_{k}") == ms
+            expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+        outs.append(expr.cast("int").alias(f"code_{s}"))
+    return pqd.select(F.col(id_col), F.col("centroid"), *outs)

@@ -1176,3 +1176,34 @@ def test_ewma_matches_sequential_reference(spark):
         assert abs(got[k] - want[k]) < 1e-9, k
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, alpha=0.0)
+
+
+def test_ivfpq_encode_matches_numpy_reference(spark):
+    """IVF-PQ residual encode == a NumPy reference (nearest centroid,
+    residual, per-subspace nearest code with first-match ties)."""
+    from entwiner_spark.operators.similarity import ivfpq_encode
+
+    dim, n = 8, 40
+    cents = [[float(k)] * dim for k in range(3)]
+    codebooks = [
+        [[0.0] * 4, [1.0] * 4, [-1.0] * 4],   # subspace 0 (dims 0-3)
+        [[0.5] * 4, [2.0] * 4],               # subspace 1 (dims 4-7)
+    ]
+    rows = [
+        (i, [((i * 3 + j) % 7) / 2.0 for j in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["centroid"], r["code_0"], r["code_1"])
+        for r in ivfpq_encode(df, cents, codebooks).collect()
+    }
+    for i, v in rows:
+        d = [sum((x - c) ** 2 for x, c in zip(v, ck)) for ck in cents]
+        ci = d.index(min(d))
+        resid = [x - cents[ci][j] for j, x in enumerate(v)]
+        codes = []
+        for s, cb in enumerate(codebooks):
+            sub = resid[s * 4 : (s + 1) * 4]
+            e = [sum((x - c) ** 2 for x, c in zip(sub, code)) for code in cb]
+            codes.append(e.index(min(e)))
+        assert got[i] == (ci, codes[0], codes[1]), i
