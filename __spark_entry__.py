@@ -46,6 +46,7 @@ _PRIORITY = [
     "g_skipgram_pairs",
     "e12_ewma",
     "s12_ivfpq_encode",
+    "g_node2vec_walks",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -960,6 +960,70 @@ def g_skipgram_pairs(spark, sf_dir):
     )
 
 
+def _node2vec_sql(length: int = 3, p: float = 2.0, q: float = 0.5) -> str:
+    """Unrolled node2vec-walk oracle: per step, candidate weights via
+    CASE (return / prev-neighbor / far), per-walk window cumsum in
+    VARCHAR id order, hash-fraction roulette threshold, min-VARCHAR
+    crossing pick — each expression mirroring the engine exactly
+    (weights are exact binary doubles, so sums match in any order)."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT u, v FROM ({_GRAPH_EDGES_SQL})),",
+        "nd AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),",
+        "st0 AS (SELECT n AS start, CAST(NULL AS BIGINT) AS prev, n AS cur"
+        " FROM nd),",
+    ]
+    for t in range(1, length + 1):
+        hx = h.format(
+            x=f"CAST(start AS VARCHAR) || '|{t}|' || CAST(cur AS VARCHAR)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT s.start, s.prev, s.cur, e.v AS x,"
+            f" CASE WHEN s.prev IS NULL THEN CAST(1.0 AS DOUBLE)"
+            f" WHEN e.v = s.prev THEN CAST({1.0 / p!r} AS DOUBLE)"
+            f" WHEN EXISTS (SELECT 1 FROM e e2 WHERE e2.u = s.prev"
+            f" AND e2.v = e.v) THEN CAST(1.0 AS DOUBLE)"
+            f" ELSE CAST({1.0 / q!r} AS DOUBLE) END AS w"
+            f" FROM st{t - 1} s JOIN e ON e.u = s.cur),"
+        )
+        parts.append(
+            f"k{t} AS (SELECT start, cur, x,"
+            f" sum(w) OVER (PARTITION BY start ORDER BY CAST(x AS VARCHAR)"
+            f" ROWS UNBOUNDED PRECEDING) AS cum,"
+            f" ({hx} / 4294967296.0) * sum(w) OVER (PARTITION BY start) AS thr"
+            f" FROM c{t}),"
+        )
+        parts.append(
+            f"st{t} AS (SELECT start, max(cur) AS prev,"
+            f" CAST(min(CAST(x AS VARCHAR)) AS BIGINT) AS cur"
+            f" FROM k{t} WHERE cum > thr GROUP BY start),"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur FROM st{t}" for t in range(length + 1)
+    )
+    return (
+        "\n".join(parts)[:-1]
+        + f" SELECT CAST(start AS BIGINT) AS start, step,"
+        f" CAST(cur AS BIGINT) AS node FROM ({steps})"
+    )
+
+
+@q("g_node2vec_walks", _node2vec_sql())
+def g_node2vec_walks(spark, sf_dir):
+    """node2vec biased walks (p=2 return penalty, q=1/2 DFS bias) —
+    the 2nd-order walk corpus behind node2vec embeddings, made
+    deterministic via hash-fraction roulette over exact-binary
+    weights (SparkGraph.node2vec_walks).  Per step: one candidate
+    equi-join, one prev-neighbor LEFT join, one per-walk window
+    cumsum, one crossing min-agg."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.node2vec_walks(length=3).select(
+        F.col("start").cast("long").alias("start"),
+        "step",
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 def _lpa_sql(iterations: int = 4) -> str:
     """Unrolled synchronous label-propagation oracle over the shared
     graph topology.  Labels are node-id STRINGS (matching SparkGraph's

@@ -1688,6 +1688,93 @@ class SparkGraph:
             out = out.unionByName(p)
         return out
 
+    def node2vec_walks(
+        self, length: int = 3, p: float = 2.0, q: float = 0.5
+    ) -> DataFrame:
+        """Deterministic node2vec walks (Grover & Leskovec 2016): the
+        2nd-order biased walk where the next hop x from cur (given the
+        previous node) is weighted 1/p if x == prev (return), 1 if x
+        neighbors prev (BFS-ish), 1/q otherwise (DFS-ish) — realized
+        as a deterministic ROULETTE: candidates ordered by id
+        accumulate weight, and the hash fraction
+        ``stable_hash32(start|t|cur)/2^32`` of the total picks the
+        first crossing.  Step 1 (no prev) is uniform.  With the
+        default p=2, q=1/2 the weights are {0.5, 1, 2} — exact binary
+        doubles, so cumulative sums and the threshold compare are
+        bit-identical in any engine (the property that makes the walk
+        corpus verifiable).
+
+        Scale shape per step: one equi-join for candidates, one LEFT
+        join flagging prev-neighborship, one per-walk window cumsum,
+        one min-agg picking the crossing — all partitioned on the
+        walk id; no RNG state, no driver loops.  Returns
+        ``(start, step, node)``.
+        """
+        from entwiner_spark.functions.text import stable_hash32
+
+        if length < 1:
+            raise ValueError("length must be >= 1")
+        if p <= 0 or q <= 0:
+            raise ValueError("p and q must be positive")
+        adj = (
+            self.edges.select("_u", "_v").distinct().localCheckpoint(eager=True)
+        )
+        cur = self.nodes.select(
+            F.col("_n").alias("start"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("_n").alias("node"),
+        )
+        parts = [cur.select("start", F.lit(0).cast("int").alias("step"), "node")]
+        wwin = (
+            Window.partitionBy("start")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        twin = Window.partitionBy("start")
+        for t in range(1, length + 1):
+            cand = cur.join(
+                adj.withColumnRenamed("_u", "node"), "node"
+            ).select("start", "prev", "node", F.col("_v").alias("x"))
+            nbr = adj.select(
+                F.col("_u").alias("prev"), F.col("_v").alias("x"), F.lit(1).alias("_nb")
+            )
+            cand = cand.join(nbr, ["prev", "x"], "left_outer")
+            w = (
+                F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("_nb").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            frac = stable_hash32(
+                F.concat(F.col("start"), F.lit(f"|{t}|"), F.col("node"))
+            ) / F.lit(4294967296.0)
+            scored = cand.select(
+                "start",
+                "node",
+                "x",
+                F.sum(w).over(wwin).alias("_cum"),
+                (frac * F.sum(w).over(twin)).alias("_thr"),
+            )
+            nxt = (
+                scored.filter(F.col("_cum") > F.col("_thr"))
+                .groupBy("start")
+                .agg(F.min("x").alias("_x"), F.first("node").alias("_pv"))
+                .select(
+                    "start",
+                    F.col("_pv").alias("prev"),
+                    F.col("_x").alias("node"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            parts.append(
+                nxt.select("start", F.lit(t).cast("int").alias("step"), "node")
+            )
+            cur = nxt
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
     def closeness_landmarks(
         self,
         n_landmarks: int = 16,

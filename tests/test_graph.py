@@ -833,3 +833,50 @@ def test_diameter_lower_bound_chain_and_validity(spark):
         d for s in G for d in nx.single_source_shortest_path_length(G, s).values()
     )
     assert 0 < lb <= true_diam
+
+
+def test_node2vec_walks_match_python_reference(spark):
+    """Deterministic node2vec roulette == a sequential Python replay
+    (return penalty p=2, DFS bias q=1/2), including the uniform first
+    step and sink termination."""
+    import hashlib
+
+    pairs = [("0", "1"), ("0", "2"), ("1", "2"), ("1", "3"), ("2", "0"),
+             ("2", "3"), ("3", "0"), ("3", "4"), ("4", "1")]
+    edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    got = {(r["start"], r["step"], r["node"])
+           for r in g.node2vec_walks(length=3).collect()}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+    es = set(pairs)
+    want = set()
+    for s in {n for pr in pairs for n in pr}:
+        prev, cur = None, s
+        want.add((s, 0, s))
+        for t in range(1, 4):
+            cands = adj.get(cur)
+            if not cands:
+                break
+            cums, total = [], 0.0
+            for x in cands:
+                if prev is None:
+                    w = 1.0
+                elif x == prev:
+                    w = 0.5
+                elif (prev, x) in es:
+                    w = 1.0
+                else:
+                    w = 2.0
+                total += w
+                cums.append(total)
+            h = int(hashlib.md5(f"{s}|{t}|{cur}".encode()).hexdigest()[:8], 16)
+            thr = (h / 4294967296.0) * total
+            pick = next(x for x, c in zip(cands, cums) if c > thr)
+            prev, cur = cur, pick
+            want.add((s, t, cur))
+    assert got == want
