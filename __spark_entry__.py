@@ -47,6 +47,7 @@ _PRIORITY = [
     "e12_ewma",
     "s12_ivfpq_encode",
     "g_node2vec_walks",
+    "g_feature_prop",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

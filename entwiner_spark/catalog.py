@@ -960,6 +960,63 @@ def g_skipgram_pairs(spark, sf_dir):
     )
 
 
+def _feature_prop_sql(rounds: int = 2) -> str:
+    """Unrolled SGC-style propagation: h_{t+1}(n) = avg of h_t over
+    in-neighbors, carrying h_t(n) where a node has no in-edges."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT u, v FROM ({_GRAPH_EDGES_SQL})),",
+        "nd AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),",
+        "h0 AS (SELECT n, CAST(n AS DOUBLE) AS h FROM nd),",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"a{t} AS (SELECT e.v AS n, avg(p.h) AS h"
+            f" FROM e JOIN h{t - 1} p ON p.n = e.u GROUP BY e.v),"
+        )
+        parts.append(
+            f"h{t} AS (SELECT nd.n, coalesce(a{t}.h, h{t - 1}.h) AS h"
+            f" FROM nd LEFT JOIN a{t} ON a{t}.n = nd.n"
+            f" JOIN h{t - 1} ON h{t - 1}.n = nd.n),"
+        )
+    return (
+        "\n".join(parts)[:-1]
+        + f" SELECT n AS node, round(h, 6) AS feature FROM h{rounds}"
+    )
+
+
+@q("g_feature_prop", _feature_prop_sql())
+def g_feature_prop(spark, sf_dir):
+    """GNN preprocessing (SGC, Wu et al. 2019): 2 rounds of
+    mean-over-in-neighbors feature propagation — the smoothing that
+    turns raw node features into GCN-equivalent inputs without any
+    training.  Per round: ONE edge join + partial-agg mean + left
+    join back onto the node spine (isolated nodes carry their
+    feature); at 100 TB this is the LPA plan shape with doubles."""
+    e = _graph_edges(spark, sf_dir).select(
+        F.col("u").cast("long"), F.col("v").cast("long")
+    ).distinct()
+    nd = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    h = nd.select("n", F.col("n").cast("double").alias("h"))
+    for _ in range(2):
+        agg = (
+            e.join(h.withColumnRenamed("n", "u"), "u")
+            .groupBy(F.col("v").alias("n"))
+            .agg(F.avg("h").alias("_ah"))
+        )
+        h = (
+            nd.join(agg, "n", "left_outer")
+            .join(h.withColumnRenamed("h", "_ph"), "n")
+            .select("n", F.coalesce(F.col("_ah"), F.col("_ph")).alias("h"))
+        )
+    return h.select(
+        F.col("n").alias("node"), F.round("h", 6).alias("feature")
+    )
+
+
 def _node2vec_sql(length: int = 3, p: float = 2.0, q: float = 0.5) -> str:
     """Unrolled node2vec-walk oracle: per step, candidate weights via
     CASE (return / prev-neighbor / far), per-walk window cumsum in

@@ -880,3 +880,39 @@ def test_node2vec_walks_match_python_reference(spark):
             prev, cur = cur, pick
             want.add((s, t, cur))
     assert got == want
+
+
+def test_feature_prop_hand_computed(spark):
+    """Two rounds of mean-over-in-neighbors propagation on a 3-node
+    line 0->1->2 with features = node id: the catalog query logic,
+    checked by hand (isolated-source carry, per-round means)."""
+    from entwiner_spark.catalog import QUERIES
+    import os, tempfile, shutil
+
+    tmp = tempfile.mkdtemp()
+    try:
+        # the catalog builds its graph from nation; write a tiny nation
+        spark.createDataFrame(
+            [(i, f"n{i}", 0, "") for i in range(25)],
+            "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+        ).write.parquet(os.path.join(tmp, "nation.parquet"))
+        got = {
+            r["node"]: r["feature"]
+            for r in QUERIES["g_feature_prop"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp)
+    # replicate: edges u->u+1 (u<24), u->u+7 (u<=17), h0 = id
+    edges = [(u, u + 1) for u in range(24)] + [(u, u + 7) for u in range(18)]
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: float(n) for n in nodes}
+    for _ in range(2):
+        nxt = {}
+        for n in nodes:
+            ins = [h[u] for (u, v) in edges if v == n]
+            nxt[n] = sum(ins) / len(ins) if ins else h[n]
+        h = nxt
+    want = {n: round(h[n], 6) for n in nodes}
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
