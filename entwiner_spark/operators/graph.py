@@ -1069,6 +1069,8 @@ class SparkGraph:
             raise RuntimeError(
                 "scc did not finish within max_iterations peeling rounds"
             )
+        if not finished:  # empty graph
+            return self.spark.createDataFrame([], schema)
         out = finished[0]
         for part in finished[1:]:
             out = out.unionByName(part)
@@ -1589,6 +1591,8 @@ class SparkGraph:
             raise RuntimeError(
                 "topological_levels did not finish; raise max_iterations"
             )
+        if not parts:  # empty graph
+            return self.spark.createDataFrame([], schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

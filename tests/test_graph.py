@@ -916,3 +916,22 @@ def test_feature_prop_hand_computed(spark):
     assert set(got) == set(want)
     for n in want:
         assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_scc_and_topo_empty_graph(spark):
+    """Empty graphs return empty results instead of crashing on both
+    distributed paths."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("_u", T.StringType()),
+            T.StructField("_v", T.StringType()),
+            T.StructField("w", T.DoubleType()),
+        ]
+    )
+    edges = spark.createDataFrame([], schema)
+    nodes = edges.select(F.col("_u").alias("_n")).distinct()
+    g = SparkGraph(nodes, edges)
+    assert g.strongly_connected_components(strategy="pregel").count() == 0
+    assert g.topological_levels(strategy="pregel").count() == 0
