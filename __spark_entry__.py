@@ -48,6 +48,7 @@ _PRIORITY = [
     "s12_ivfpq_encode",
     "g_node2vec_walks",
     "g_feature_prop",
+    "geo_s13_simplify",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -1397,6 +1397,63 @@ _SUP_LAT = "(45.0e0 + ((s_suppkey // 3) % 100) * 1.0e-2)"
 
 
 @q(
+    "geo_s13_simplify",
+    f"""
+    WITH p AS (
+      SELECT s_suppkey,
+             [[{_SUP_LON}, {_SUP_LAT} + 0.0],
+              [{_SUP_LON} + 0.01, {_SUP_LAT} + 1.0e-9],
+              [{_SUP_LON} + 0.02, {_SUP_LAT} + 0.0],
+              [{_SUP_LON} + 0.03, {_SUP_LAT} + 0.01],
+              [{_SUP_LON} + 0.04, {_SUP_LAT} + 0.0]] AS c
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           list_transform(
+             list_filter(range(1, len(c) + 1),
+               i -> i = 1 OR i = len(c) OR
+                 abs((c[i][1] - c[i-1][1]) * (c[i+1][2] - c[i-1][2])
+                     - (c[i+1][1] - c[i-1][1]) * (c[i][2] - c[i-1][2]))
+                 * 0.5 >= 1e-06),
+             i -> c[i]) AS simplified,
+           CAST(len(list_filter(range(1, len(c) + 1),
+               i -> i = 1 OR i = len(c) OR
+                 abs((c[i][1] - c[i-1][1]) * (c[i+1][2] - c[i-1][2])
+                     - (c[i+1][1] - c[i-1][1]) * (c[i][2] - c[i-1][2]))
+                 * 0.5 >= 1e-06)) AS BIGINT) AS n_kept
+    FROM p
+    """,
+)
+def geo_s13_simplify(spark, sf_dir):
+    """Polyline simplification (one-pass Visvalingam area filter,
+    geo.simplify_area_filter): a 5-point zigzag per supplier with one
+    near-collinear jitter vertex — the filter drops exactly it.  Pure
+    Catalyst filter/transform over the coords array; the ingest-time
+    geometry cleanup a road-network store wants before storage."""
+    s = _t(spark, sf_dir, "supplier")
+    lon = F.lit(-120.0) + (F.col("s_suppkey") % 100) * 0.01
+    lat = (
+        F.lit(45.0)
+        + ((F.col("s_suppkey") - F.col("s_suppkey") % 3) / F.lit(3)).cast("long")
+        % 100
+        * 0.01
+    )
+    coords = F.array(
+        F.array(lon, lat + 0.0),
+        F.array(lon + 0.01, lat + 1.0e-9),
+        F.array(lon + 0.02, lat + 0.0),
+        F.array(lon + 0.03, lat + 0.01),
+        F.array(lon + 0.04, lat + 0.0),
+    )
+    simplified = G.simplify_area_filter(coords, 1e-06)
+    return s.select(
+        "s_suppkey",
+        simplified.alias("simplified"),
+        F.size(simplified).cast("long").alias("n_kept"),
+    )
+
+
+@q(
     "geo_a4_linestring_length",
     f"""
     SELECT s_suppkey,

@@ -120,3 +120,34 @@ def meter_bbox(lon: float, lat: float, distance_m: float) -> tuple[float, float,
     dlat = distance_m / M_PER_DEG
     dlon = distance_m / (M_PER_DEG * max(math.cos(math.radians(lat)), 1e-12))
     return (lon - dlon, lon + dlon, lat - dlat, lat + dlat)
+
+
+def simplify_area_filter(coords: Column, tol: float) -> Column:
+    """One-pass Visvalingam-style polyline simplification: drop every
+    INTERIOR point whose effective-triangle area against its original
+    neighbors is below ``tol`` (endpoints always survive).  The
+    classic iterative VW recomputes areas after each removal and needs
+    a per-row loop; this single pass is the standard cheap
+    pre-simplification at ingest (kills jitter/collinear vertices) and
+    stays a pure Catalyst expression — filter + transform over an
+    index sequence, zero UDFs, zero shuffles, oracle-twinnable.
+    """
+    n = F.size(coords)
+
+    def x(i):
+        return F.element_at(F.element_at(coords, i), 1)
+
+    def y(i):
+        return F.element_at(F.element_at(coords, i), 2)
+
+    def area2(i):
+        return F.abs(
+            (x(i) - x(i - 1)) * (y(i + 1) - y(i - 1))
+            - (x(i + 1) - x(i - 1)) * (y(i) - y(i - 1))
+        ) * F.lit(0.5)
+
+    keep = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1)) | (i == n) | (area2(i) >= F.lit(tol)),
+    )
+    return F.transform(keep, lambda i: F.element_at(coords, i))

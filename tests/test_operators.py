@@ -1207,3 +1207,24 @@ def test_ivfpq_encode_matches_numpy_reference(spark):
             e = [sum((x - c) ** 2 for x, c in zip(sub, code)) for code in cb]
             codes.append(e.index(min(e)))
         assert got[i] == (ci, codes[0], codes[1]), i
+
+
+def test_simplify_area_filter_drops_jitter_keeps_kinks(spark):
+    """Area-filter simplification: endpoints always kept, the
+    near-collinear jitter vertex dropped, real kinks kept, 2-point
+    lines untouched, and the plan stays UDF-free (no BatchEvalPython)."""
+    from entwiner_spark.functions.geo import simplify_area_filter
+
+    rows = [
+        (0, [[0.0, 0.0], [1.0, 1e-12], [2.0, 0.0], [3.0, 1.0], [4.0, 0.0]]),
+        (1, [[0.0, 0.0], [5.0, 5.0]]),
+    ]
+    df = spark.createDataFrame(rows, "fid long, coords array<array<double>>")
+    out = df.select(
+        "fid", simplify_area_filter(F.col("coords"), 1e-6).alias("s")
+    )
+    got = {r["fid"]: r["s"] for r in out.collect()}
+    assert got[0] == [[0.0, 0.0], [2.0, 0.0], [3.0, 1.0], [4.0, 0.0]]
+    assert got[1] == [[0.0, 0.0], [5.0, 5.0]]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
