@@ -49,6 +49,7 @@ _PRIORITY = [
     "g_node2vec_walks",
     "g_feature_prop",
     "geo_s13_simplify",
+    "d13_er_pipeline",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -1647,6 +1647,105 @@ def d11_sorted_neighborhood(spark, sf_dir):
 
 
 @q(
+    "d13_er_pipeline",
+    f"""
+    WITH RECURSIVE ad AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS k
+      FROM ad
+    ),
+    b AS (SELECT doc_id, k, substr(k, 1, 8) AS block FROM t),
+    w AS (
+      SELECT doc_id, block,
+             lead(doc_id, 1) OVER (PARTITION BY block ORDER BY k, doc_id) AS n1,
+             lead(doc_id, 2) OVER (PARTITION BY block ORDER BY k, doc_id) AS n2
+      FROM b
+    ),
+    pr AS (
+      SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b
+      FROM w WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT least(doc_id, n2), greatest(doc_id, n2)
+      FROM w WHERE n2 IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS wd FROM ad),
+    shs AS (
+      SELECT doc_id,
+             list_transform(range(0, len(wd) - 2),
+                            i -> wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3]) AS sh
+      FROM toks WHERE len(wd) >= 3
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_H32.format(x="s")})) AS hs
+      FROM shs
+    ),
+    ref AS (
+      SELECT p.id_a, p.id_b
+      FROM pr p JOIN hs ha ON ha.doc_id = p.id_a
+                JOIN hs hb ON hb.doc_id = p.id_b
+      WHERE len(list_intersect(ha.hs, hb.hs))
+            / len(list_distinct(ha.hs || hb.hs)) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM ref UNION SELECT id_b, id_a FROM ref
+    ),
+    walk(node, lab) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.lab < u.b
+    ),
+    lbl AS (SELECT node, min(lab) AS canonical_id FROM walk GROUP BY node)
+    SELECT node AS doc_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM lbl
+    """,
+)
+def d13_er_pipeline(spark, sf_dir):
+    """End-to-end entity resolution in ONE plan: sorted-neighborhood
+    blocking (d11) -> exact shingle-Jaccard refine at 0.5 (the d12
+    truth side) -> transitive star-contraction clusters with canonical
+    keep ids (d8) — the full ER pipeline a corpus owner runs, each
+    stage the already-verified operator.  Clones planted as in d1 so
+    the decision is non-trivial; the oracle recomputes every stage."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    alld = d.unionByName(clones)
+    pairs = DD.sorted_neighborhood_pairs(alld).select("id_a", "id_b")
+    hs = alld.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(TX.shingles(F.col("text"), 3), TX.stable_hash32)
+        ).alias("hs"),
+    )
+    refined = (
+        pairs.join(
+            hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb")),
+            "id_b",
+        )
+        .filter(
+            F.size(F.array_intersect("ha", "hb"))
+            / F.size(F.array_union("ha", "hb"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    return DD.dedup_clusters(refined)
+
+
+@q(
     "d1_exact_dedup",
     """
     WITH all_docs AS (
