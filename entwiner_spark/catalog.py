@@ -2708,9 +2708,10 @@ def t12_unigram_logprob(spark, sf_dir):
 def t16_bigram_logprob(spark, sf_dir):
     """Laplace-smoothed bigram LM quality score (text.bigram_logprob)
     — the step up from t12's unigram signal.  One explode to string
-    bigrams (context key is a substring, no second explode), bigram +
-    context count tables broadcast back, exact normalization via
-    context counts.  Same partial-agg 100 TB shape as t12."""
+    bigrams (context key is a substring, no second explode); the
+    context table broadcasts, the bigram table's join is the
+    planner's choice (its cardinality grows with the corpus).  Same
+    partial-agg 100 TB shape as t12."""
     return TX.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 

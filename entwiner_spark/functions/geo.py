@@ -150,4 +150,8 @@ def simplify_area_filter(coords: Column, tol: float) -> Column:
         F.sequence(F.lit(1), n),
         lambda i: (i == F.lit(1)) | (i == n) | (area2(i) >= F.lit(tol)),
     )
-    return F.transform(keep, lambda i: F.element_at(coords, i))
+    # n < 2 has nothing to simplify — and F.sequence(1, 0) would yield
+    # the DESCENDING [1, 0], feeding index 0 into element_at (crash)
+    return F.when(n < 2, coords).otherwise(
+        F.transform(keep, lambda i: F.element_at(coords, i))
+    )

@@ -400,10 +400,12 @@ def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
 
     Plan: one explode to (doc, bigram) rows — the bigram is the
     plain string "prev cur" so the context key is a substring, no
-    second explode — then two count tables (bigram + context) joined
-    back broadcast (vocab ≪ corpus), a 1-row V aggregate, and a
-    per-doc mean.  Same 100 TB shape as unigram_logprob: partial
-    aggregation everywhere, nothing driver-side.
+    second explode — then a bigram count table joined back (planner's
+    choice: distinct-bigram cardinality grows with the corpus, so it
+    is NOT force-broadcast), a context count table and 1-row V
+    aggregate that DO broadcast (contexts = unigram vocab ≪ corpus),
+    and a per-doc mean.  Partial aggregation everywhere, nothing
+    driver-side.
     """
     from pyspark.sql import functions as F
 
@@ -435,8 +437,11 @@ def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
         docs.select(F.explode(words(F.col(text_col))).alias("word"))
         .agg(F.countDistinct("word").alias("v"))
     )
+    # bc grows ~linearly with corpus size (distinct bigrams), so its
+    # join is left to the planner (AQE picks broadcast only while it
+    # fits); cc (contexts = unigram vocab) and the 1-row V do broadcast
     scored = (
-        bg.join(F.broadcast(bc), "big")
+        bg.join(bc, "big")
         .join(F.broadcast(cc), "ctx")
         .join(F.broadcast(vocab))
         .select(

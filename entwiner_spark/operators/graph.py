@@ -1005,8 +1005,9 @@ class SparkGraph:
             .localCheckpoint(eager=True)
         )
         finished: list[DataFrame] = []
+        done = remaining.limit(1).count() == 0
         for _outer in range(max_iterations):
-            if remaining.limit(1).count() == 0:
+            if done:
                 break
             # ---- forward min-label propagation to fixpoint ----
             color = remaining.select("_n", F.col("_n").alias("c"))
@@ -1065,6 +1066,11 @@ class SparkGraph:
                 .join(member.select(F.col("_n").alias("_v")), "_v", "left_anti")
                 .localCheckpoint(eager=True)
             )
+            # probe completion HERE so a graph whose peel depth equals
+            # max_iterations finishes instead of tripping the for-else
+            done = remaining.limit(1).count() == 0
+            if done:
+                break
         else:
             raise RuntimeError(
                 "scc did not finish within max_iterations peeling rounds"
@@ -1490,14 +1496,19 @@ class SparkGraph:
                         dist[v] = nd
                         heapq.heappush(pq, (nd, v))
             h = sum(1.0 / d for m, d in dist.items() if m != s and d > 0)
-            rows.append((s, round(float(h), 6)))
+            rows.append((s, float(h)))
         schema = T.StructType(
             [
                 T.StructField("_n", T.StringType(), False),
                 T.StructField("harmonic", T.DoubleType(), False),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        # round JVM-side: Python round() half-evens and can disagree
+        # with the oracle engines at a decimal half boundary (the e12
+        # class documented in catalog.py's preamble)
+        return self.spark.createDataFrame(rows, schema).select(
+            "_n", F.round("harmonic", 6).alias("harmonic")
+        )
 
     def topological_levels(
         self, max_iterations: int = 1000, strategy: str = "auto"
@@ -1567,9 +1578,9 @@ class SparkGraph:
             .localCheckpoint(eager=True)
         )
         parts: list[DataFrame] = []
+        done = remaining.limit(1).count() == 0
         for lv in range(max_iterations):
-            n_remaining = remaining.count()
-            if n_remaining == 0:
+            if done:
                 break
             frontier = remaining.join(
                 edges.select(F.col("_v").alias("_n")).distinct(),
@@ -1587,6 +1598,11 @@ class SparkGraph:
             edges = edges.join(
                 frontier.withColumnRenamed("_n", "_u"), "_u", "left_anti"
             ).localCheckpoint(eager=True)
+            # probe completion HERE so a depth-N DAG finishes with
+            # max_iterations == N instead of tripping the for-else
+            done = remaining.limit(1).count() == 0
+            if done:
+                break
         else:
             raise RuntimeError(
                 "topological_levels did not finish; raise max_iterations"
@@ -1613,7 +1629,16 @@ class SparkGraph:
         driver-side values are the pivot id, the argmax row, and the
         final max — all metadata-sized.
         """
+        schema = T.StructType(
+            [
+                T.StructField("pivot", T.StringType(), False),
+                T.StructField("far_node", T.StringType(), False),
+                T.StructField("diameter_lb", T.DoubleType(), False),
+            ]
+        )
         pivot = self.nodes.agg(F.min("_n").alias("p")).collect()[0]["p"]
+        if pivot is None:  # empty graph
+            return self.spark.createDataFrame([], schema)
         d1 = self.shortest_path_lengths(pivot, weight=weight, strategy=strategy)
         far = d1.orderBy(F.col("dist").desc(), "_n").limit(1).collect()[0]["_n"]
         rev = SparkGraph(
@@ -1626,13 +1651,6 @@ class SparkGraph:
         )
         d2 = rev.shortest_path_lengths(far, weight=weight, strategy=strategy)
         lb = d2.agg(F.max("dist")).collect()[0][0]
-        schema = T.StructType(
-            [
-                T.StructField("pivot", T.StringType(), False),
-                T.StructField("far_node", T.StringType(), False),
-                T.StructField("diameter_lb", T.DoubleType(), False),
-            ]
-        )
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
     def random_walks(self, length: int = 3) -> DataFrame:

@@ -40,10 +40,12 @@ def ewma(
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0,1], got {alpha}")
     beta = 1.0 - alpha
+    # derive key/id types from the input so non-long keys (e.g. a
+    # string lang column) survive the Arrow round-trip
     schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("ewma", T.DoubleType()),
         ]
     )

@@ -214,10 +214,13 @@ def stream_ewma(
         )
 
     key_type = events.schema[key_col].dataType.simpleString()
-    return events.groupBy(key_col).applyInPandasWithState(
+    raw = events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=f"{key_col} {key_type}, {id_col} long, ewma double",
         stateStructType="has_y boolean, y double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # round exactly like the batch operator (JVM-side F.round) so
+    # stream == batch holds on the raw outputs, not modulo rounding
+    return raw.select(key_col, id_col, F.round("ewma", 6).alias("ewma"))

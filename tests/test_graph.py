@@ -935,3 +935,34 @@ def test_scc_and_topo_empty_graph(spark):
     g = SparkGraph(nodes, edges)
     assert g.strongly_connected_components(strategy="pregel").count() == 0
     assert g.topological_levels(strategy="pregel").count() == 0
+
+
+def test_exact_iteration_budgets_finish(spark):
+    """Regression (review finding): peel loops must finish when the
+    graph's depth EQUALS max_iterations — completion is probed after
+    each round, not at the top of the next."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    assert (
+        g.topological_levels(max_iterations=3, strategy="pregel").count() == 3
+    )
+    assert (
+        g.strongly_connected_components(max_iterations=3, strategy="pregel").count()
+        == 3
+    )
+    # empty graph: diameter_lower_bound returns empty, not a crash
+    from pyspark.sql import types as T
+
+    eschema = T.StructType(
+        [
+            T.StructField("_u", T.StringType()),
+            T.StructField("_v", T.StringType()),
+            T.StructField("w", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], eschema)
+    ge = SparkGraph(empty.select(F.col("_u").alias("_n")).distinct(), empty)
+    assert ge.diameter_lower_bound().count() == 0

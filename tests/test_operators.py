@@ -1228,3 +1228,32 @@ def test_simplify_area_filter_drops_jitter_keeps_kinks(spark):
     assert got[1] == [[0.0, 0.0], [5.0, 5.0]]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_ewma_string_key_and_empty_coords_simplify(spark):
+    """Regression (review findings): ewma works with a non-long key
+    column; simplify_area_filter returns degenerate polylines
+    unchanged instead of crashing on the descending-sequence trap."""
+    from entwiner_spark.functions.geo import simplify_area_filter
+    from entwiner_spark.operators.timeseries import ewma
+
+    rows = [("de", 0, 100, 1.0), ("de", 1, 101, 3.0), ("fr", 0, 200, 5.0)]
+    df = spark.createDataFrame(
+        rows, "lang string, tick long, event_id long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    got = {
+        (r["lang"], r["event_id"]): r["ewma"]
+        for r in ewma(df, alpha=0.5, key_col="lang").collect()
+    }
+    assert got == {("de", 100): 1.0, ("de", 101): 2.0, ("fr", 200): 5.0}
+
+    gdf = spark.createDataFrame(
+        [(0, []), (1, [[1.0, 2.0]])], "fid long, coords array<array<double>>"
+    )
+    out = {
+        r["fid"]: r["s"]
+        for r in gdf.select(
+            "fid", simplify_area_filter(F.col("coords"), 1e-6).alias("s")
+        ).collect()
+    }
+    assert out == {0: [], 1: [[1.0, 2.0]]}

@@ -893,7 +893,7 @@ def test_stream_ewma_equals_batch(spark, tmp_path):
     try:
         q.processAllAvailable()
         got = {
-            (r["user_id"], r["event_id"]): round(r["ewma"], 6)
+            (r["user_id"], r["event_id"]): r["ewma"]
             for r in spark.sql("SELECT * FROM ewma_stream").collect()
         }
     finally:
