@@ -50,6 +50,7 @@ _PRIORITY = [
     "g_feature_prop",
     "geo_s13_simplify",
     "d13_er_pipeline",
+    "t18_kl_divergence",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -2662,6 +2662,72 @@ def t14_gopher_rules(spark, sf_dir):
 
 
 @q(
+    "t18_kl_divergence",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w2 AS (SELECT * FROM w WHERE word != ''),
+    cl AS (SELECT lang, word, count(*) AS c_lw FROM w2 GROUP BY lang, word),
+    cw AS (SELECT word, count(*) AS c_w FROM w2 GROUP BY word),
+    nl AS (SELECT lang, count(*) AS n_l FROM w2 GROUP BY lang),
+    tot AS (SELECT count(*) AS n, count(DISTINCT word) AS v FROM w2),
+    g0 AS (
+      SELECT nl.lang, nl.n_l, cw.word, cw.c_w, tot.n, tot.v
+      FROM nl CROSS JOIN cw CROSS JOIN tot
+    ),
+    grid AS (
+      SELECT g0.lang, g0.word, g0.c_w, g0.n_l, g0.n, g0.v,
+             coalesce(cl.c_lw, 0) AS c_lw
+      FROM g0 LEFT JOIN cl ON cl.lang = g0.lang AND cl.word = g0.word
+    )
+    SELECT lang,
+           round(sum(((c_lw + 1) / (n_l + v))
+                     * ln(((c_lw + 1) / (n_l + v))
+                          / ((c_w + 1) / (n + v)))), 6) AS kl
+    FROM grid GROUP BY lang
+    """,
+)
+def t18_kl_divergence(spark, sf_dir):
+    """Per-language KL divergence vs the whole corpus over
+    Laplace-smoothed unigram distributions — THE domain-shift /
+    contamination diagnostic for a corpus slice ("does this source
+    still look like the rest?").  One explode, three partial-agg
+    count tables, a langs x vocab grid (|langs| small — broadcast
+    side), per-lang sum.  6-dp round absorbs cross-engine
+    aggregation-order ulps (sums of thousands of ~1e-3 terms)."""
+    w = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(TX.words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    cl = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c_lw"))
+    cw = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    nl = w.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = w.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("word").alias("v")
+    )
+    grid = (
+        cw.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+        .join(cl, ["lang", "word"], "left_outer")
+        .select(
+            "lang",
+            "word",
+            "c_w",
+            "n_l",
+            "n",
+            "v",
+            F.coalesce(F.col("c_lw"), F.lit(0)).alias("c_lw"),
+        )
+    )
+    p = (F.col("c_lw") + 1) / (F.col("n_l") + F.col("v"))
+    q_ = (F.col("c_w") + 1) / (F.col("n") + F.col("v"))
+    return grid.groupBy("lang").agg(
+        F.round(F.sum(p * F.log(p / q_)), 6).alias("kl")
+    )
+
+
+@q(
     "t12_unigram_logprob",
     """
     WITH w AS (

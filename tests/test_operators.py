@@ -1257,3 +1257,43 @@ def test_ewma_string_key_and_empty_coords_simplify(spark):
         ).collect()
     }
     assert out == {0: [], 1: [[1.0, 2.0]]}
+
+
+def test_kl_divergence_identical_slice_is_minimal(spark):
+    """A slice distributed like the corpus has near-zero KL; a
+    disjoint-vocabulary slice has much larger KL; values match a
+    direct Python computation."""
+    import math
+    import os, shutil, tempfile
+
+    from entwiner_spark.catalog import QUERIES
+
+    tmp = tempfile.mkdtemp()
+    try:
+        rows = (
+            [(i, "a b c d", "same", "s", 4) for i in range(10)]
+            + [(100 + i, "a b c d", "mirror", "s", 4) for i in range(10)]
+            + [(200 + i, "x y z w", "other", "s", 4) for i in range(10)]
+        )
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["lang"]: r["kl"] for r in QUERIES["t18_kl_divergence"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp)
+    # python reference
+    corpus = {"a": 20, "b": 20, "c": 20, "d": 20, "x": 10, "y": 10, "z": 10, "w": 10}
+    n, v = sum(corpus.values()), len(corpus)
+    def kl(counts):
+        nl = sum(counts.values())
+        s = 0.0
+        for wd in corpus:
+            p = (counts.get(wd, 0) + 1) / (nl + v)
+            q = (corpus[wd] + 1) / (n + v)
+            s += p * math.log(p / q)
+        return round(s, 6)
+    want_same = kl({"a": 10, "b": 10, "c": 10, "d": 10})
+    want_other = kl({"x": 10, "y": 10, "z": 10, "w": 10})
+    assert abs(got["same"] - want_same) < 1e-6
+    assert abs(got["other"] - want_other) < 1e-6
+    assert got["other"] > got["same"]
