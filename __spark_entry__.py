@@ -51,6 +51,7 @@ _PRIORITY = [
     "geo_s13_simplify",
     "d13_er_pipeline",
     "t18_kl_divergence",
+    "e13_anomaly_zscore",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -2847,6 +2847,64 @@ def e12_ewma(spark, sf_dir):
 
 
 @q(
+    "e13_anomaly_zscore",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             round(avg(value) OVER win, 6) AS m,
+             round(avg(value * value) OVER win, 6) AS s,
+             count(*) OVER win AS n_prev
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n_prev >= 5 AND s - m * m > 0
+                THEN round((value - m) / sqrt(s - m * m), 6)
+                ELSE 0.0 END AS z,
+           (CASE WHEN n_prev >= 5 AND s - m * m > 0
+                 THEN abs((value - m) / sqrt(s - m * m)) > 3.0
+                 ELSE FALSE END) AS is_anomaly
+    FROM w
+    """,
+)
+def e13_anomaly_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly detection: each event scored
+    against its user's previous <=10 events (mean/std via the explicit
+    sqrt(E[x^2]-E[x]^2) form, stats rounded to 6 dp BEFORE use so
+    cross-engine frame-order ulps can't leak — the s11 discipline).
+    Warm-up (<5 priors) and zero-variance windows emit z=0.  One hash
+    exchange on user_id; the anomaly flag every metrics pipeline
+    ships."""
+    ev = _events(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    m = F.round(F.avg("value").over(win), 6)
+    s = F.round(F.avg(F.col("value") * F.col("value")).over(win), 6)
+    n_prev = F.count(F.lit(1)).over(win)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        m.alias("m"),
+        s.alias("s"),
+        n_prev.alias("n_prev"),
+    )
+    var = F.col("s") - F.col("m") * F.col("m")
+    z = (F.col("value") - F.col("m")) / F.sqrt(var)
+    ok = (F.col("n_prev") >= 5) & (var > 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.when(ok, F.round(z, 6)).otherwise(F.lit(0.0)).alias("z"),
+        (ok & (F.abs(z) > 3.0)).alias("is_anomaly"),
+    )
+
+
+@q(
     "e11_hll_weekly_rollup",
     """
     SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
