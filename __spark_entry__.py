@@ -52,6 +52,7 @@ _PRIORITY = [
     "d13_er_pipeline",
     "t18_kl_divergence",
     "e13_anomaly_zscore",
+    "t19_pipeline_e2e",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -4428,6 +4428,102 @@ _PII_IP = _PII_BY_NAME["ipv4"]
 _PII_PHONE = _PII_BY_NAME["phone"]
 
 
+def _pipeline_e2e_sql(budget: int = 256) -> str:
+    """t19 oracle: the full preprocessing pipeline recomputed stage by
+    stage from the same constants as the operators (gopher thresholds,
+    PII patterns, BPE pretokenizer, fingerprint normalization)."""
+    stoplist = "[" + ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS) + "]"
+    keep = (
+        f"(n >= {TX.GOPHER_MIN_WORDS} AND n <= {TX.GOPHER_MAX_WORDS})"
+        f" AND (mwl >= {TX.GOPHER_MIN_WORD_LEN} AND mwl <= {TX.GOPHER_MAX_WORD_LEN})"
+        f" AND (n_stop >= {TX.GOPHER_MIN_STOPWORDS})"
+        f" AND (alpha_frac >= {TX.GOPHER_MIN_ALPHA_FRAC})"
+        f" AND (rep <= {TX.GOPHER_MAX_REP_RATIO})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n,
+             length(replace(text, ' ', '')) * 1.0 / len(w) AS mwl,
+             len(list_filter(w, x -> list_contains({stoplist}, x))) AS n_stop,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / len(w) AS alpha_frac,
+             round(CASE WHEN len(w) >= 2
+                   THEN 1.0 - len(list_distinct(list_transform(
+                          range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2])))
+                        * 1.0 / (len(w) - 1)
+                   ELSE 0.0 END, 6) AS rep
+      FROM t
+    ),
+    kept AS (
+      SELECT t.doc_id, t.lang, t.text
+      FROM t JOIN m USING (doc_id) WHERE {keep}
+    ),
+    ded AS (
+      SELECT min(doc_id) AS doc_id FROM kept
+      GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+    ),
+    docs2 AS (SELECT k.doc_id, k.lang, k.text FROM kept k JOIN ded USING (doc_id)),
+    toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_tokens
+      FROM docs2
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum
+      FROM toks
+    )
+    SELECT lang, CAST(floor((cum - n_tokens) / {float(budget)!r}) AS BIGINT)
+             AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY lang, chunk_id
+    """
+
+
+@q("t19_pipeline_e2e", _pipeline_e2e_sql())
+def t19_pipeline_e2e(spark, sf_dir):
+    """The WHOLE preprocessing pipeline as one plan — what a corpus
+    owner actually ships: Gopher rule filter (t14) -> exact dedup
+    keep-min (d1) -> PII redaction (t11) -> BPE-ish token count (t5)
+    -> per-language context-window packing (t7) -> per-chunk corpus
+    stats.  Every stage is the already-verified operator composed
+    unchanged; Catalyst fuses the filter/redact/count stages into one
+    codegen'd pass over the scan, so the pipeline costs one scan, one
+    dedup shuffle, and one packing window at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(TX.gopher_quality_flags(F.col("text"))["keep"]).select(
+        "doc_id", "lang", "text"
+    )
+    fp_min = kept.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs2 = kept.join(fp_min.select("doc_id"), "doc_id", "left_semi")
+    toks = docs2.select(
+        "doc_id",
+        "lang",
+        TX.bpe_token_count(TX.redact_pii(F.col("text")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    packed = PACK.chunk_by_cumsum(toks, "lang", "doc_id", "n_tokens", 256)
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
 @q(
     "t11_pii_redact",
     f"""
