@@ -155,3 +155,18 @@ def test_session2_new_query_plan_shapes(spark):
 
     s11 = plan_summary(catalog.QUERIES["s11_standardize"](spark, SF))
     assert not any("Generate" in l for l in s11)
+
+
+def test_composed_pipelines_plan_shapes(spark):
+    """d13/t19 composed pipelines keep their contracts: no cartesian
+    anywhere, and t19's filter/redact/count stages fuse into scan-side
+    projections (no Python eval in the plan)."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    d13 = plan_summary(catalog.QUERIES["d13_er_pipeline"](spark, SF))
+    assert not any("CartesianProduct" in l for l in d13)
+
+    t19 = plan_summary(catalog.QUERIES["t19_pipeline_e2e"](spark, SF))
+    assert not any("CartesianProduct" in l for l in t19)
+    assert not any("BatchEvalPython" in l for l in t19)

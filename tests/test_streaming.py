@@ -904,3 +904,63 @@ def test_stream_ewma_equals_batch(spark, tmp_path):
         for r in ewma(batch, alpha=0.3).collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_quality_redact_tokenize_stream_equals_batch(spark, tmp_path):
+    """The t19 map stages (Gopher keep flag, PII redaction, BPE token
+    count) are stateless per-row expressions, so they run UNCHANGED on
+    a document stream — streaming output == batch exactly.  (The
+    packing stage is stateful and stays batch/foreachBatch.)"""
+    from entwiner_spark.functions.text import (
+        bpe_token_count,
+        gopher_quality_flags,
+        redact_pii,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(
+             ["the quick brown fox jumps over it and on a for is to of in"]
+             * 5
+         ) + f" mail u{i}@x.io"}
+        for i in range(20)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:10]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[10:]))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def stage(df):
+        return df.select(
+            "doc_id",
+            gopher_quality_flags(F.col("text"))["keep"].alias("keep"),
+            bpe_token_count(redact_pii(F.col("text"))).alias("n_tokens"),
+        )
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        stage(stream)
+        .writeStream.format("memory")
+        .queryName("t19_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["keep"], r["n_tokens"])
+            for r in spark.sql("SELECT * FROM t19_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        r["doc_id"]: (r["keep"], r["n_tokens"]) for r in stage(batch).collect()
+    }
+    assert got == want and len(got) == 20
