@@ -403,6 +403,37 @@ def main() -> None:
     out["topo_sec"] = round(time.time() - t0, 1)
     assert out["topo_max_level"] == depth - 1
 
+
+    # --- t19 end-to-end preprocessing pipeline over the replicated
+    # corpus: filter + dedup + redact + tokenize + pack in one plan.
+    # The map stages must fuse into the scan (one pass); wall-clock is
+    # dominated by the dedup shuffle + packing window.
+    log("phase: preprocessing pipeline 1M docs")
+    from entwiner_spark.functions import text as TXs
+    from entwiner_spark.operators import packing as PACKs
+
+    lang_docs = corpus.withColumn("lang", (F.col("doc_id") % 5).cast("string"))
+    kept = lang_docs.filter(
+        TXs.gopher_quality_flags(F.col("text"))["keep"]
+    ).select("doc_id", "lang", "text")
+    fp_min = kept.groupBy(TXs.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs2 = kept.join(fp_min.select("doc_id"), "doc_id", "left_semi")
+    toks = docs2.select(
+        "doc_id",
+        "lang",
+        TXs.bpe_token_count(TXs.redact_pii(F.col("text")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    packed = PACKs.chunk_by_cumsum(toks, "lang", "doc_id", "n_tokens", 2048)
+    t0 = time.time()
+    out["pipeline_chunks"] = (
+        packed.groupBy("lang", "chunk_id").count().count()
+    )
+    out["pipeline_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
     spark.stop()
 
