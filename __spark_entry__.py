@@ -53,6 +53,7 @@ _PRIORITY = [
     "t18_kl_divergence",
     "e13_anomaly_zscore",
     "t19_pipeline_e2e",
+    "ev2_json_schema",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

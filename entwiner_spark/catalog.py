@@ -611,6 +611,37 @@ def e9_cohort_retention(spark, sf_dir):
 
 
 @q(
+    "ev2_json_schema",
+    """
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+    FROM events GROUP BY event_type
+    """,
+)
+def ev2_json_schema(spark, sf_dir):
+    """Schema-ENFORCED JSON parsing (the Spark-native path next to
+    ev_json_extract's ad-hoc get_json_object): ``from_json`` with a
+    declared struct type parses once per row into a typed column —
+    the per-field malformed-row count (`n_bad`) is the data-quality
+    audit a pipeline runs before trusting a semi-structured feed.
+    One codegen'd parse + one partial-agg groupBy."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.min(F.col("p.k")).alias("k_min"),
+        F.max(F.col("p.k")).alias("k_max"),
+        F.sum(F.col("p.k").isNull().cast("bigint")).alias("n_bad"),
+    )
+
+
+@q(
     "ev_json_extract",
     """
     SELECT event_type,
