@@ -29,7 +29,43 @@ def main(argv: list[str] | None = None) -> int:
         help="partition the store by bbox grid cell of this size "
         "(degrees); dwithin reads then prune whole cell directories",
     )
+    qp = sub.add_parser(
+        "query", help="run a named catalog query against a testdata dir"
+    )
+    qp.add_argument("name", help="query name (see `list`)")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--out", default=None, help="write result parquet here")
+    qp.add_argument("--show", type=int, default=20, help="rows to print")
+    sub.add_parser("list", help="list all catalog query names")
     args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from entwiner_spark.catalog import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
+    if args.cmd == "query":
+        from entwiner_spark.catalog import QUERIES
+
+        if args.name not in QUERIES:
+            import difflib
+
+            near = difflib.get_close_matches(args.name, QUERIES, n=3)
+            hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+            ap.error(f"unknown query {args.name!r}{hint}")
+        from entwiner_spark.session import get_spark
+
+        spark = get_spark(f"entwiner-query-{args.name}")
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}: {df.count()} rows")
+        else:
+            df.show(args.show, truncate=False)
+        spark.stop()
+        return 0
 
     if args.cmd == "build":
         *sources, out = args.inputs

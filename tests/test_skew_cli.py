@@ -65,3 +65,32 @@ def test_cli_build_spatial_cells(tmp_path, tiny_geojson):
     assert any(
         d.startswith("_scx=") for d in os.listdir(f"{out}/edges.parquet")
     )
+
+
+def test_cli_query_and_list(spark, capsys, tmp_path):
+    """`query` runs any catalog entry (writing parquet with --out),
+    `list` enumerates all names, unknown names get a suggestion."""
+    import pytest
+
+    from entwiner_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "a1_table_counts" in names and len(names) >= 150
+
+    out = str(tmp_path / "q_out")
+    assert (
+        main(
+            ["query", "o2_first_row", "--sf-dir", "/root/testdata/sf0.001",
+             "--out", out]
+        )
+        == 0
+    )
+    # main() stops the (shared) session; read the artifact engine-free
+    import duckdb
+
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 1
+
+    with pytest.raises(SystemExit):
+        main(["query", "a1_table_count"])  # typo -> suggestion + exit 2
+    assert "did you mean" in capsys.readouterr().err
