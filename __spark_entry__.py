@@ -54,6 +54,7 @@ _PRIORITY = [
     "e13_anomaly_zscore",
     "t19_pipeline_e2e",
     "ev2_json_schema",
+    "g_msf",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

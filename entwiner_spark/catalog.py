@@ -941,6 +941,52 @@ def _walks_sql(length: int = 3) -> str:
     )
 
 
+@q(
+    "g_msf",
+    """
+    SELECT CAST(least(CAST(n_nationkey AS VARCHAR),
+                      CAST(n_nationkey + 1 AS VARCHAR)) AS BIGINT) AS u,
+           CAST(greatest(CAST(n_nationkey AS VARCHAR),
+                         CAST(n_nationkey + 1 AS VARCHAR)) AS BIGINT) AS v,
+           CAST(1.0 AS DOUBLE) + n_nationkey * CAST(0.001 AS DOUBLE) AS w
+    FROM nation WHERE n_nationkey < 24
+    """,
+)
+def g_msf(spark, sf_dir):
+    """Minimum spanning forest (Borůvka distributed / Kruskal local,
+    SparkGraph.minimum_spanning_forest) over chain edges (w ~ 1,
+    all distinct) plus heavy chords (w >= 100): by the cut property
+    the MSF is EXACTLY the 24 chain edges, so the oracle is the
+    closed-form chain listing (the g_cc_components precedent — the
+    general algorithm is verified against networkx in
+    tests/test_graph.py; this row pins the engine's output values).
+    Pair canonicalization is string least/greatest, mirrored by the
+    oracle's VARCHAR comparison."""
+    n = _t(spark, sf_dir, "nation")
+    chain = n.filter(F.col("n_nationkey") < 24).select(
+        F.col("n_nationkey").cast("string").alias("_u"),
+        (F.col("n_nationkey") + 1).cast("string").alias("_v"),
+        (F.lit(1.0) + F.col("n_nationkey") * 0.001).alias("w"),
+    )
+    chords = n.filter(F.col("n_nationkey") <= 17).select(
+        F.col("n_nationkey").cast("string").alias("_u"),
+        (F.col("n_nationkey") + 7).cast("string").alias("_v"),
+        (F.lit(100.0) + F.col("n_nationkey")).alias("w"),
+    )
+    e = chain.unionByName(chords)
+    nodes = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, e, partitions=8)
+    return g.minimum_spanning_forest().select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("w"),
+    )
+
+
 @q("g_walks", _walks_sql())
 def g_walks(spark, sf_dir):
     """Deterministic random-walk corpus (DeepWalk/node2vec sampling

@@ -1653,6 +1653,146 @@ class SparkGraph:
         lb = d2.agg(F.max("dist")).collect()[0][0]
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
+    def minimum_spanning_forest(
+        self, weight: str = "w", max_rounds: int = 40, strategy: str = "auto"
+    ) -> DataFrame:
+        """Minimum spanning forest over the UNDIRECTED view of the
+        edges (Borůvka): each round every component picks its minimum
+        outgoing edge — ties broken by (weight, u, v) so the result is
+        deterministic even with equal weights — the picked edges join
+        the forest, components contract, repeat.  Components halve (or
+        better) per round, so O(log n) rounds; each is one join +
+        min-struct agg + a component relabel via the star-contraction
+        CC, never anything quadratic.  Returns forest edges
+        ``(u, v, w)`` with u < v.
+
+        Small graphs use driver-side Kruskal with the same tiebreak,
+        so both paths emit identical forests.
+        """
+        und = (
+            self.edges.select(
+                F.least("_u", "_v").alias("u"),
+                F.greatest("_u", "_v").alias("v"),
+                self._weight_col(weight).alias("w"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+        )
+        if self._use_local(strategy):
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            forest = []
+            for r in sorted(
+                und.collect(), key=lambda r: (r["w"], r["u"], r["v"])
+            ):
+                ru, rv = find(r["u"]), find(r["v"])
+                if ru != rv:
+                    parent[ru] = rv
+                    forest.append((r["u"], r["v"], float(r["w"])))
+            schema = T.StructType(
+                [
+                    T.StructField("u", T.StringType(), False),
+                    T.StructField("v", T.StringType(), False),
+                    T.StructField("w", T.DoubleType(), False),
+                ]
+            )
+            return self.spark.createDataFrame(forest, schema)
+
+        comp = (
+            und.select(F.col("u").alias("_n"))
+            .unionByName(und.select(F.col("v").alias("_n")))
+            .distinct()
+            .select("_n", F.col("_n").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        live = und.localCheckpoint(eager=True)
+        picked: list[DataFrame] = []
+        for _ in range(max_rounds):
+            lab = (
+                live.join(
+                    comp.select(F.col("_n").alias("u"), F.col("c").alias("cu")),
+                    "u",
+                )
+                .join(
+                    comp.select(F.col("_n").alias("v"), F.col("c").alias("cv")),
+                    "v",
+                )
+                .filter(F.col("cu") != F.col("cv"))
+                .localCheckpoint(eager=True)
+            )
+            if lab.limit(1).count() == 0:
+                break
+            # min outgoing edge per component, deterministic tiebreak
+            cand = lab.select(F.col("cu").alias("comp"), "u", "v", "w").unionByName(
+                lab.select(F.col("cv").alias("comp"), "u", "v", "w")
+            )
+            sel = (
+                cand.groupBy("comp")
+                .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+                .select(
+                    F.col("m.u").alias("u"),
+                    F.col("m.v").alias("v"),
+                    F.col("m.w").alias("w"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            picked.append(sel)
+            # contract: CC over the picked edges on COMPONENT labels
+            sel_lab = (
+                sel.join(
+                    comp.select(F.col("_n").alias("u"), F.col("c").alias("cu")),
+                    "u",
+                )
+                .join(
+                    comp.select(F.col("_n").alias("v"), F.col("c").alias("cv")),
+                    "v",
+                )
+                .select(F.col("cu").alias("_u"), F.col("cv").alias("_v"))
+            )
+            cnodes = comp.select(F.col("c").alias("_n")).distinct()
+            cgraph = SparkGraph(
+                cnodes,
+                sel_lab.withColumn("w", F.lit(1.0)),
+            )
+            relab = cgraph.connected_components(strategy="pregel")
+            comp = (
+                comp.join(
+                    relab.select(
+                        F.col("_n").alias("c"), F.col("component").alias("c2")
+                    ),
+                    "c",
+                )
+                .select("_n", F.col("c2").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            live = lab.select("u", "v", "w").localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                "minimum_spanning_forest did not converge; raise max_rounds"
+            )
+        if not picked:
+            schema = T.StructType(
+                [
+                    T.StructField("u", T.StringType(), False),
+                    T.StructField("v", T.StringType(), False),
+                    T.StructField("w", T.DoubleType(), False),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = picked[0]
+        for p in picked[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
     def random_walks(self, length: int = 3) -> DataFrame:
         """Deterministic "random" walks from every node — the
         DeepWalk/node2vec corpus-generation stage made reproducible:

@@ -966,3 +966,54 @@ def test_exact_iteration_budgets_finish(spark):
     empty = spark.createDataFrame([], eschema)
     ge = SparkGraph(empty.select(F.col("_u").alias("_n")).distinct(), empty)
     assert ge.diameter_lower_bound().count() == 0
+
+
+def test_minimum_spanning_forest_matches_networkx(spark):
+    """Borůvka (forced distributed) and local Kruskal both equal
+    networkx's MST on distinct weights, and equal EACH OTHER under
+    all-equal weights (the deterministic (w, u, v) tiebreak)."""
+    import networkx as nx
+
+    pairs = sorted({(str(i % 13), str((i * 5 + 2) % 13)) for i in range(40)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    weighted = [
+        (u, v, 1.0 + ((int(u) * 17 + int(v) * 31) % 97) / 7.0) for u, v in pairs
+    ]
+    edges = spark.createDataFrame(weighted, ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+
+    G = nx.Graph()
+    for u, v, w in weighted:
+        if not G.has_edge(u, v) or G[u][v]["weight"] > w:
+            G.add_edge(u, v, weight=w)
+    want = {
+        (min(u, v), max(u, v), G[u][v]["weight"])
+        for u, v in nx.minimum_spanning_tree(G).edges()
+    }
+    loc = {
+        (r["u"], r["v"], r["w"])
+        for r in g.minimum_spanning_forest(strategy="local").collect()
+    }
+    dist = {
+        (r["u"], r["v"], r["w"])
+        for r in g.minimum_spanning_forest(strategy="pregel").collect()
+    }
+    assert loc == want
+    assert dist == want
+
+    flat = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    gf = SparkGraph(
+        flat.select(F.col("_u").alias("_n")).union(flat.select("_v")).distinct(),
+        flat,
+    )
+    tie_loc = {
+        (r["u"], r["v"]) for r in gf.minimum_spanning_forest(strategy="local").collect()
+    }
+    tie_dist = {
+        (r["u"], r["v"])
+        for r in gf.minimum_spanning_forest(strategy="pregel").collect()
+    }
+    assert tie_dist == tie_loc
+    n_comp = nx.number_connected_components(nx.Graph(pairs))
+    assert len(tie_loc) == gf.order() - n_comp  # spanning forest size
