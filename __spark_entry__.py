@@ -55,6 +55,7 @@ _PRIORITY = [
     "t19_pipeline_e2e",
     "ev2_json_schema",
     "g_msf",
+    "samp5_weighted",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

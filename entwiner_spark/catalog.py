@@ -2290,6 +2290,30 @@ def samp4_temperature(spark, sf_dir):
 
 
 @q(
+    "samp5_weighted",
+    """
+    SELECT doc_id, n_chars, round(k, 6) AS priority FROM (
+      SELECT doc_id, n_chars,
+             round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS BIGINT) + 0.5) / 65536.0,
+                       1.0 / n_chars), 9) AS k
+      FROM documents)
+    ORDER BY k DESC, doc_id LIMIT 25
+    """,
+)
+def samp5_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    top-25 docs by priority u^(1/n_chars) — longer docs win
+    proportionally more often, membership deterministic
+    (sampling.weighted_sample).  Per-row expression +
+    TakeOrderedAndProject; priorities rounded 9 dp pre-compare so
+    cross-libm pow ulps can't flip the selection."""
+    return SAMP.weighted_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=25
+    )
+
+
+@q(
     "samp3_token_budget",
     """
     WITH ranked AS (

@@ -141,3 +141,36 @@ def temperature_sample(
     return df.join(F.broadcast(rates), group_col).filter(
         h16 < F.floor(F.col("rate") * 65536)
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): each row gets priority
+    ``u^(1/weight)`` with ``u`` the md5-derived uniform fraction, and
+    the top-k priorities are the sample — heavier rows win
+    proportionally more often, yet membership is repeatable and
+    auditable like every sampler here.
+
+    Priorities are rounded to 9 dp BEFORE the ordering compare
+    (pow() may differ in the last ulp across libms — the samp4
+    discipline) with the key as tiebreak, so both engines select the
+    identical k rows.  Plan: pure per-row expression +
+    TakeOrderedAndProject — no shuffle, no RNG state.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h16 = F.conv(F.substring(_hash_col(key_col), 1, 4), 16, 10).cast("long")
+    frac = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    pri = F.round(F.pow(frac, F.lit(1.0) / F.col(weight_col)), 9)
+    return (
+        df.select(F.col(key_col), F.col(weight_col), pri.alias("_k"))
+        .orderBy(F.col("_k").desc(), key_col)
+        .limit(k)
+        .select(
+            F.col(key_col),
+            F.col(weight_col),
+            F.round("_k", 6).alias("priority"),
+        )
+    )

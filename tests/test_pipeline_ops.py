@@ -357,3 +357,31 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         SAMP.temperature_sample(df, group_col="grp", key_col="doc_id", alpha=0.0)
+
+
+def test_weighted_sample_reference_and_bias(spark):
+    """A-Res weighted sampling equals a Python replay, and across the
+    id space, heavy rows appear in the sample far more often than
+    light ones (weight bias sanity)."""
+    import hashlib
+
+    rows = [(i, 1000 if i % 10 == 0 else 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = [
+        (r["doc_id"], r["wt"])
+        for r in SAMP.weighted_sample(df, weight_col="wt", k=20, key_col="doc_id").collect()
+    ]
+
+    def pri(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        return round(((h + 0.5) / 65536.0) ** (1.0 / w), 9)
+
+    want = sorted(rows, key=lambda r: (-pri(*r), r[0]))[:20]
+    assert sorted(got) == sorted(want)
+    heavy = sum(1 for _, w in got if w == 1000)
+    assert heavy >= 10  # 10% of rows are heavy but dominate the sample
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k"):
+        SAMP.weighted_sample(df, weight_col="wt", k=0)
