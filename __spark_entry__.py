@@ -56,6 +56,7 @@ _PRIORITY = [
     "ev2_json_schema",
     "g_msf",
     "samp5_weighted",
+    "x5_zorder_values",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

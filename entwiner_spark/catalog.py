@@ -2947,6 +2947,50 @@ def e12_ewma(spark, sf_dir):
     return ewma(_events(spark, sf_dir), alpha=0.3)
 
 
+def _zorder_sql(bits: int = 10) -> str:
+    """Morton-code oracle generated with the same normalize + bit
+    expressions as operators/layout.zorder_value."""
+    n = 1 << bits
+
+    def norm(c: str, lo: float, hi: float) -> str:
+        return (
+            f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - {float(lo)!r})"
+            f" / {float(hi) - float(lo)!r} * {float(n)!r}) AS BIGINT),"
+            f" 0), {n - 1})"
+        )
+
+    nx = norm("user_id", 0.0, 1500.0)
+    ny = norm("value", 0.0, 500.0)
+    parts = []
+    for b in range(bits):
+        parts.append(f"((({nx} >> {b}) & 1) << {2 * b})")
+        parts.append(f"((({ny} >> {b}) & 1) << {2 * b + 1})")
+    return (
+        "SELECT event_id, CAST(" + " + ".join(parts) + " AS BIGINT) AS zv"
+        " FROM events"
+    )
+
+
+@q("x5_zorder_values", _zorder_sql())
+def x5_zorder_values(spark, sf_dir):
+    """Morton (Z-order) codes over (user_id, value) — the
+    multi-dimensional clustering key behind operators/layout
+    .zorder_layout: files sorted by this value cover compact (x, y)
+    rectangles, so parquet min/max stats prune range filters on
+    EITHER column (the Delta OPTIMIZE ZORDER BY trick as a pure
+    expression; clustering effect pytest-asserted on real files).
+    Pure integer/bitwise codegen — zero shuffles here."""
+    from entwiner_spark.operators.layout import zorder_value
+
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        zorder_value(
+            F.col("user_id"), F.col("value"), 0.0, 1500.0, 0.0, 500.0
+        ).alias("zv"),
+    )
+
+
 @q(
     "e13_anomaly_zscore",
     """

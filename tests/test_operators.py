@@ -1297,3 +1297,54 @@ def test_kl_divergence_identical_slice_is_minimal(spark):
     assert abs(got["same"] - want_same) < 1e-6
     assert abs(got["other"] - want_other) < 1e-6
     assert got["other"] > got["same"]
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover compact (x, y) rectangles: the summed
+    per-file span of BOTH columns is far below the unsorted layout's,
+    so parquet min/max stats prune range filters on either column.
+    zorder_value is deterministic and interleaves correctly."""
+    import os
+
+    from entwiner_spark.operators.layout import zorder_layout, zorder_value
+
+    df = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.expr("id div 64")).cast("double").alias("y"),
+    )
+    # hand-check the Morton code on a tiny case: x=3 (0b11), y=1 (0b01)
+    # over [0,64) at 6 bits -> nx=3, ny=1 -> interleave = 0b0111 = 7
+    row = (
+        spark.range(1)
+        .select(
+            zorder_value(
+                F.lit(3.0), F.lit(1.0), 0.0, 64.0, 0.0, 64.0, bits=6
+            ).alias("zv")
+        )
+        .collect()[0]
+    )
+    assert row["zv"] == 7
+
+    def file_spans(path):
+        d = spark.read.parquet(path).withColumn(
+            "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        spans = d.groupBy("f").agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        r = spans.agg(F.sum("sx"), F.sum("sy")).collect()[0]
+        return float(r[0]), float(r[1])
+
+    base = os.path.join(str(tmp_path), "plain")
+    df.orderBy(F.md5(F.col("rid").cast("string"))).repartition(16).write.parquet(base)
+    zpath = os.path.join(str(tmp_path), "zorder")
+    zorder_layout(df, "x", "y", 0.0, 64.0, 0.0, 64.0, partitions=16).write.parquet(
+        zpath
+    )
+    px, py = file_spans(base)
+    zx, zy = file_spans(zpath)
+    # plain random layout: every file spans ~the full range on both
+    # axes; z-order must cut the combined span at least 2x on each
+    assert zx < px / 2 and zy < py / 2, (px, py, zx, zy)
