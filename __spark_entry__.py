@@ -57,6 +57,7 @@ _PRIORITY = [
     "g_msf",
     "samp5_weighted",
     "x5_zorder_values",
+    "g_isochrone",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -776,6 +776,34 @@ def g_j1_sssp_weighted(spark, sf_dir):
 
 
 @q(
+    "g_isochrone",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+    SELECT node, dist FROM best WHERE dist <= 12.0
+    """,
+)
+def g_isochrone(spark, sf_dir):
+    """Isochrone / accessibility set: every node reachable from the
+    origin within a 12-unit cost budget — THE sidewalk-network
+    analysis the reference exists for (how far can a wheelchair user
+    travel in N minutes?).  SSSP + a budget filter; at scale the
+    Pregel loop can stop early once the frontier minimum exceeds the
+    budget."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return (
+        g.shortest_path_lengths("0", weight="w")
+        .filter(F.col("dist") <= 12.0)
+        .select(F.col("_n").cast("long").alias("node"), F.col("dist"))
+    )
+
+
+@q(
     "g_layer_routing",
     f"""
     WITH RECURSIVE edges AS (
