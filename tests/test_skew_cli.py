@@ -67,30 +67,30 @@ def test_cli_build_spatial_cells(tmp_path, tiny_geojson):
     )
 
 
-def test_cli_query_and_list(spark, capsys, tmp_path):
+def test_cli_query_and_list(tmp_path):
     """`query` runs any catalog entry (writing parquet with --out),
-    `list` enumerates all names, unknown names get a suggestion."""
-    import pytest
+    `list` enumerates all names, unknown names get a suggestion.
+    Run as subprocesses (like the build tests) so the CLI's
+    spark.stop() cannot kill the shared test session."""
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "entwiner_spark", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
 
-    from entwiner_spark.__main__ import main
-
-    assert main(["list"]) == 0
-    names = capsys.readouterr().out.split()
+    res = run("list")
+    assert res.returncode == 0
+    names = res.stdout.split()
     assert "a1_table_counts" in names and len(names) >= 150
 
     out = str(tmp_path / "q_out")
-    assert (
-        main(
-            ["query", "o2_first_row", "--sf-dir", "/root/testdata/sf0.001",
-             "--out", out]
-        )
-        == 0
-    )
-    # main() stops the (shared) session; read the artifact engine-free
+    res = run("query", "o2_first_row", "--sf-dir", "/root/testdata/sf0.001",
+              "--out", out)
+    assert res.returncode == 0, res.stderr[-2000:]
     import duckdb
 
     assert duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 1
 
-    with pytest.raises(SystemExit):
-        main(["query", "a1_table_count"])  # typo -> suggestion + exit 2
-    assert "did you mean" in capsys.readouterr().err
+    res = run("query", "a1_table_count")  # typo
+    assert res.returncode != 0
+    assert "did you mean" in res.stderr
