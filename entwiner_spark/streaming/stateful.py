@@ -224,3 +224,72 @@ def stream_ewma(
     # round exactly like the batch operator (JVM-side F.round) so
     # stream == batch holds on the raw outputs, not modulo rounding
     return raw.select(key_col, id_col, F.round("ewma", 6).alias("ewma"))
+
+
+def stream_anomaly_zscore(
+    events: DataFrame,
+    window: int = 10,
+    min_prev: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the e13 trailing-window z-score: per key the
+    state is the last ``window`` values (a bounded deque — constant
+    memory per key), each arriving event is scored against the stats
+    of its predecessors using the SAME rounded-stats arithmetic as the
+    batch query, so in-order arrival gives stream == batch row for
+    row.
+    """
+    import math
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        ids, zs, flags = [], [], []
+        for eid, x in zip(rows[id_col], rows[value_col]):
+            x = float(x)
+            prev = hist[-window:]
+            n_prev = len(prev)
+            if n_prev >= min_prev:
+                m = round(sum(prev) / n_prev, 6)
+                s = round(sum(v * v for v in prev) / n_prev, 6)
+                var = s - m * m
+                if var > 0:
+                    z_raw = (x - m) / math.sqrt(var)
+                    z, flag = round(z_raw, 6), abs(z_raw) > 3.0
+                else:
+                    z, flag = 0.0, False
+            else:
+                z, flag = 0.0, False
+            ids.append(int(eid))
+            zs.append(z)
+            flags.append(flag)
+            hist.append(x)
+        state.update((hist[-window:],))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ids),
+                id_col: ids,
+                "z": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, {id_col} long, z double, is_anomaly boolean"
+        ),
+        stateStructType="hist array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -964,3 +964,80 @@ def test_quality_redact_tokenize_stream_equals_batch(spark, tmp_path):
         r["doc_id"]: (r["keep"], r["n_tokens"]) for r in stage(batch).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_stream_anomaly_zscore_equals_batch(spark, tmp_path):
+    """Streaming trailing-window z-scores == the e13 batch logic row
+    for row across microbatches (bounded deque state carried)."""
+    from pyspark.sql import Window
+
+    from entwiner_spark.streaming.stateful import stream_anomaly_zscore
+
+    d = tmp_path / "anom_stream"
+    d.mkdir()
+    rows = []
+    for u in range(2):
+        for t in range(14):
+            v = float((u * 3 + t * 7) % 11) + 0.25 + (3000.0 if t == 12 else 0.0)
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": t * 100 + u,
+                    "ts": f"2026-01-01T00:{t:02d}:00.000Z",
+                    "value": v,
+                }
+            )
+    ordered = sorted(rows, key=lambda r: r["ts"])
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in ordered[:14]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in ordered[14:]))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_anomaly_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("anom_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): (r["z"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM anom_stream").collect()
+        }
+    finally:
+        q.stop()
+    # batch twin: the e13 expressions over the same frame
+    ev = spark.read.schema(schema).json(str(d))
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    m = F.round(F.avg("value").over(win), 6)
+    s = F.round(F.avg(F.col("value") * F.col("value")).over(win), 6)
+    n_prev = F.count(F.lit(1)).over(win)
+    base = ev.select(
+        "user_id", "event_id", "value",
+        m.alias("m"), s.alias("s"), n_prev.alias("n_prev"),
+    )
+    var = F.col("s") - F.col("m") * F.col("m")
+    z = (F.col("value") - F.col("m")) / F.sqrt(var)
+    ok = (F.col("n_prev") >= 5) & (var > 0)
+    want = {
+        (r["user_id"], r["event_id"]): (r["z"], r["is_anomaly"])
+        for r in base.select(
+            "user_id", "event_id",
+            F.when(ok, F.round(z, 6)).otherwise(F.lit(0.0)).alias("z"),
+            (ok & (F.abs(z) > 3.0)).alias("is_anomaly"),
+        ).collect()
+    }
+    assert got == want and len(got) == 28
+    assert any(flag for _, flag in got.values())  # the planted spike fires
