@@ -58,6 +58,7 @@ _PRIORITY = [
     "samp5_weighted",
     "x5_zorder_values",
     "g_isochrone",
+    "g_ktruss",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -969,6 +969,95 @@ def _walks_sql(length: int = 3) -> str:
     )
 
 
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled k-truss peel oracle: per round recompute every edge's
+    common-neighbor count via two symmetric joins and keep support >=
+    k-2 (edges with NO common neighbor have no support row and drop at
+    the inner join).  Node ids are single digits, so the engine's
+    string least/greatest pair canonicalization equals numeric
+    order."""
+    parts = [
+        """WITH e0 AS (
+      SELECT CAST(a.n_nationkey AS BIGINT) AS a, CAST(b.n_nationkey AS BIGINT) AS b
+      FROM nation a JOIN nation b
+        ON a.n_nationkey < b.n_nationkey AND b.n_nationkey < 6
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 1 AS BIGINT)
+      FROM nation WHERE n_nationkey >= 5 AND n_nationkey <= 7
+    ),"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"sym{t - 1} AS (SELECT a, b FROM e{t - 1}"
+            f" UNION ALL SELECT b, a FROM e{t - 1}),"
+        )
+        parts.append(
+            f"sup{t} AS (SELECT e.a, e.b, count(*) AS c FROM e{t - 1} e"
+            f" JOIN sym{t - 1} s1 ON s1.a = e.a"
+            f" JOIN sym{t - 1} s2 ON s2.a = e.b AND s2.b = s1.b"
+            f" GROUP BY e.a, e.b),"
+        )
+        parts.append(
+            f"e{t} AS (SELECT e.a, e.b FROM e{t - 1} e"
+            f" JOIN sup{t} s ON s.a = e.a AND s.b = e.b WHERE s.c >= {k - 2}),"
+        )
+    parts.append(
+        f"symF AS (SELECT a, b FROM e{rounds} UNION ALL"
+        f" SELECT b, a FROM e{rounds})"
+    )
+    return (
+        "\n".join(parts)
+        + f"""
+    SELECT e.a AS u, e.b AS v, CAST(count(*) AS BIGINT) AS support
+    FROM e{rounds} e
+    JOIN symF s1 ON s1.a = e.a
+    JOIN symF s2 ON s2.a = e.b AND s2.b = s1.b
+    GROUP BY e.a, e.b
+    """
+    )
+
+
+@q("g_ktruss", _ktruss_sql())
+def g_ktruss(spark, sf_dir):
+    """4-truss over a K6 clique + degree-1 tail (SparkGraph.ktruss):
+    every clique edge closes 4 triangles and survives; the tail has
+    support 0 and peels in round one.  Distributed path is the wedge
+    -join support count + peel per round (the kcore discipline);
+    both paths == networkx k_truss in tests."""
+    n = _t(spark, sf_dir, "nation")
+    small = n.filter(F.col("n_nationkey") < 6).select(
+        F.col("n_nationkey").cast("long").alias("key")
+    )
+    clique = (
+        small.alias("x")
+        .join(small.alias("y"), F.col("x.key") < F.col("y.key"))
+        .select(
+            F.col("x.key").cast("string").alias("_u"),
+            F.col("y.key").cast("string").alias("_v"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    tail = n.filter(
+        (F.col("n_nationkey") >= 5) & (F.col("n_nationkey") <= 7)
+    ).select(
+        F.col("n_nationkey").cast("string").alias("_u"),
+        (F.col("n_nationkey") + 1).cast("string").alias("_v"),
+        F.lit(1.0).alias("w"),
+    )
+    e = clique.unionByName(tail)
+    nodes = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, e, partitions=8)
+    return g.ktruss(4).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("support"),
+    )
+
+
 @q(
     "g_msf",
     """

@@ -1653,6 +1653,97 @@ class SparkGraph:
         lb = d2.agg(F.max("dist")).collect()[0][0]
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
+    def ktruss(
+        self, k: int, max_iterations: int = 100, strategy: str = "auto"
+    ) -> DataFrame:
+        """k-truss subgraph over the undirected distinct edges: the
+        maximal subgraph in which every edge closes at least ``k-2``
+        triangles (edge "support") — the cohesive-community cousin of
+        k-core that ignores degree-inflating hubs.  Returns surviving
+        edges ``(u, v, support)`` with u < v and support measured in
+        the final subgraph.
+
+        Distributed path: iterative peel — per round ONE wedge join
+        computes each edge's common-neighbor count (the triangle_count
+        discipline: join only where neighborhoods overlap, never
+        all-pairs), edges below ``k-2`` drop, localCheckpoint truncates
+        lineage; rounds are bounded by the peel depth exactly like
+        kcore.  Small graphs run the same peel driver-side.
+        """
+        if k < 3:
+            raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+        und = (
+            self.edges.select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        if self._use_local(strategy):
+            edges = {(r["a"], r["b"]) for r in und.collect()}
+            while True:
+                nbrs: dict[str, set] = {}
+                for a, b in edges:
+                    nbrs.setdefault(a, set()).add(b)
+                    nbrs.setdefault(b, set()).add(a)
+                sup = {
+                    (a, b): len(nbrs[a] & nbrs[b]) for a, b in edges
+                }
+                keep = {e for e in edges if sup[e] >= k - 2}
+                if keep == edges:
+                    break
+                edges = keep
+            schema = T.StructType(
+                [
+                    T.StructField("u", T.StringType(), False),
+                    T.StructField("v", T.StringType(), False),
+                    T.StructField("support", T.LongType(), False),
+                ]
+            )
+            return self.spark.createDataFrame(
+                [(a, b, sup[(a, b)]) for a, b in edges], schema
+            )
+
+        live = und.localCheckpoint(eager=True)
+        for _ in range(max_iterations):
+            sym = live.unionByName(
+                live.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            n1 = sym.select(F.col("a"), F.col("b").alias("x"))
+            n2 = sym.select(F.col("a").alias("b"), F.col("b").alias("x"))
+            sup = (
+                live.join(n1, "a")
+                .join(n2, ["b", "x"])
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support"))
+            )
+            scored = live.join(sup, ["a", "b"], "left_outer").select(
+                "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+            )
+            keep = scored.filter(F.col("support") >= k - 2).localCheckpoint(
+                eager=True
+            )
+            n_keep = keep.count()
+            if n_keep == live.count():
+                return keep.select(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("support").cast("long").alias("support"),
+                )
+            live = keep.select("a", "b").localCheckpoint(eager=True)
+            if n_keep == 0:
+                schema = T.StructType(
+                    [
+                        T.StructField("u", T.StringType(), False),
+                        T.StructField("v", T.StringType(), False),
+                        T.StructField("support", T.LongType(), False),
+                    ]
+                )
+                return self.spark.createDataFrame([], schema)
+        raise RuntimeError(
+            "ktruss did not converge within max_iterations; raise it"
+        )
+
     def minimum_spanning_forest(
         self, weight: str = "w", max_rounds: int = 40, strategy: str = "auto"
     ) -> DataFrame:

@@ -1017,3 +1017,32 @@ def test_minimum_spanning_forest_matches_networkx(spark):
     assert tie_dist == tie_loc
     n_comp = nx.number_connected_components(nx.Graph(pairs))
     assert len(tie_loc) == gf.order() - n_comp  # spanning forest size
+
+
+def test_ktruss_matches_networkx(spark):
+    """Local and forced-distributed k-truss both equal nx.k_truss edge
+    sets on a clique+tail and on a random graph; k<3 raises."""
+    import networkx as nx
+    import pytest
+
+    pairs = [(str(i), str(j)) for i in range(6) for j in range(i + 1, 6)]
+    pairs += [("5", "6"), ("6", "7"), ("7", "8")]
+    pairs += sorted({(str(i % 9 + 10), str((i * 5 + 2) % 9 + 10)) for i in range(25)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    for k in (3, 4):
+        want = {
+            (min(u, v), max(u, v)) for u, v in nx.k_truss(nx.Graph(pairs), k).edges()
+        }
+        loc = {
+            (r["u"], r["v"]) for r in g.ktruss(k, strategy="local").collect()
+        }
+        dist = {
+            (r["u"], r["v"]) for r in g.ktruss(k, strategy="pregel").collect()
+        }
+        assert loc == want, k
+        assert dist == want, k
+    with pytest.raises(ValueError, match="k must be"):
+        g.ktruss(2)
