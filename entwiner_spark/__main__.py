@@ -61,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
         df = QUERIES[args.name](spark, args.sf_dir)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
-            print(f"wrote {args.out}: {df.count()} rows")
+            # count from the written files (footer scan), not by
+            # re-executing a possibly-iterative query plan
+            n = spark.read.parquet(args.out).count()
+            print(f"wrote {args.out}: {n} rows")
         else:
             df.show(args.show, truncate=False)
         spark.stop()

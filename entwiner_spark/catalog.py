@@ -613,14 +613,18 @@ def e9_cohort_retention(spark, sf_dir):
 @q(
     "ev2_json_schema",
     """
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_min,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_max,
-           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-                              IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
-    FROM events GROUP BY event_type
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+    FROM p GROUP BY event_type
     """,
 )
 def ev2_json_schema(spark, sf_dir):
@@ -1032,25 +1036,19 @@ def g_ktruss(spark, sf_dir):
         small.alias("x")
         .join(small.alias("y"), F.col("x.key") < F.col("y.key"))
         .select(
-            F.col("x.key").cast("string").alias("_u"),
-            F.col("y.key").cast("string").alias("_v"),
+            F.col("x.key").alias("u"),
+            F.col("y.key").alias("v"),
             F.lit(1.0).alias("w"),
         )
     )
     tail = n.filter(
         (F.col("n_nationkey") >= 5) & (F.col("n_nationkey") <= 7)
     ).select(
-        F.col("n_nationkey").cast("string").alias("_u"),
-        (F.col("n_nationkey") + 1).cast("string").alias("_v"),
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 1).cast("long").alias("v"),
         F.lit(1.0).alias("w"),
     )
-    e = clique.unionByName(tail)
-    nodes = (
-        e.select(F.col("_u").alias("_n"))
-        .unionByName(e.select(F.col("_v").alias("_n")))
-        .distinct()
-    )
-    g = SparkGraph(nodes, e, partitions=8)
+    g = _graph_as_spark_graph(spark, sf_dir, edges=clique.unionByName(tail))
     return g.ktruss(4).select(
         F.col("u").cast("long").alias("u"),
         F.col("v").cast("long").alias("v"),
@@ -1081,22 +1079,16 @@ def g_msf(spark, sf_dir):
     oracle's VARCHAR comparison."""
     n = _t(spark, sf_dir, "nation")
     chain = n.filter(F.col("n_nationkey") < 24).select(
-        F.col("n_nationkey").cast("string").alias("_u"),
-        (F.col("n_nationkey") + 1).cast("string").alias("_v"),
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 1).cast("long").alias("v"),
         (F.lit(1.0) + F.col("n_nationkey") * 0.001).alias("w"),
     )
     chords = n.filter(F.col("n_nationkey") <= 17).select(
-        F.col("n_nationkey").cast("string").alias("_u"),
-        (F.col("n_nationkey") + 7).cast("string").alias("_v"),
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 7).cast("long").alias("v"),
         (F.lit(100.0) + F.col("n_nationkey")).alias("w"),
     )
-    e = chain.unionByName(chords)
-    nodes = (
-        e.select(F.col("_u").alias("_n"))
-        .unionByName(e.select(F.col("_v").alias("_n")))
-        .distinct()
-    )
-    g = SparkGraph(nodes, e, partitions=8)
+    g = _graph_as_spark_graph(spark, sf_dir, edges=chain.unionByName(chords))
     return g.minimum_spanning_forest().select(
         F.col("u").cast("long").alias("u"),
         F.col("v").cast("long").alias("v"),

@@ -1705,6 +1705,7 @@ class SparkGraph:
             )
 
         live = und.localCheckpoint(eager=True)
+        n_live = live.count()
         for _ in range(max_iterations):
             sym = live.unionByName(
                 live.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1724,13 +1725,12 @@ class SparkGraph:
                 eager=True
             )
             n_keep = keep.count()
-            if n_keep == live.count():
+            if n_keep == n_live:
                 return keep.select(
                     F.col("a").alias("u"),
                     F.col("b").alias("v"),
                     F.col("support").cast("long").alias("support"),
                 )
-            live = keep.select("a", "b").localCheckpoint(eager=True)
             if n_keep == 0:
                 schema = T.StructType(
                     [
@@ -1740,6 +1740,9 @@ class SparkGraph:
                     ]
                 )
                 return self.spark.createDataFrame([], schema)
+            # keep is already checkpointed; reuse it (one copy per round)
+            live = keep.select("a", "b")
+            n_live = n_keep
         raise RuntimeError(
             "ktruss did not converge within max_iterations; raise it"
         )
@@ -1854,7 +1857,9 @@ class SparkGraph:
                 cnodes,
                 sel_lab.withColumn("w", F.lit(1.0)),
             )
-            relab = cgraph.connected_components(strategy="pregel")
+            # the contracted graph shrinks to <= one node per component
+            # — let the size-adaptive dispatch pick union-find locally
+            relab = cgraph.connected_components(strategy="auto")
             comp = (
                 comp.join(
                     relab.select(

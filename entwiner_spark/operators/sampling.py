@@ -161,6 +161,15 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # u^(1/w) is only a sampling priority for POSITIVE weights: w < 0
+    # inverts the ranking (frac^negative > 1) and w = 0 NULLs the row.
+    # One cheap narrow-column action up front beats silent nonsense.
+    wmin = df.agg(F.min(F.col(weight_col))).collect()[0][0]
+    if wmin is not None and wmin <= 0:
+        raise ValueError(
+            f"weighted_sample requires positive weights; min({weight_col}) "
+            f"= {wmin}"
+        )
     h16 = F.conv(F.substring(_hash_col(key_col), 1, 4), 16, 10).cast("long")
     frac = (h16 + F.lit(0.5)) / F.lit(65536.0)
     pri = F.round(F.pow(frac, F.lit(1.0) / F.col(weight_col)), 9)

@@ -385,3 +385,11 @@ def test_weighted_sample_reference_and_bias(spark):
 
     with pytest.raises(ValueError, match="k"):
         SAMP.weighted_sample(df, weight_col="wt", k=0)
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 5), (1, -2)], "doc_id long, wt long")
+    with pytest.raises(ValueError, match="positive weights"):
+        SAMP.weighted_sample(df, weight_col="wt", k=1)
