@@ -1046,3 +1046,50 @@ def test_ktruss_matches_networkx(spark):
         assert dist == want, k
     with pytest.raises(ValueError, match="k must be"):
         g.ktruss(2)
+
+
+def test_msf_weight_optimality_property(spark):
+    """Hypothesis: on random small weighted graphs the forest's total
+    weight equals networkx's MST weight (forests compared by weight —
+    the unique-optimum check that holds even with ties), and the
+    forest is acyclic with n - n_components edges."""
+    import networkx as nx
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(raw=st.lists(edge, min_size=1, max_size=16))
+    def run(raw):
+        pairs = {}
+        for u, v, w in raw:
+            if u == v:
+                continue
+            key = (str(min(u, v)), str(max(u, v)))
+            pairs[key] = min(pairs.get(key, 99), float(w))
+        if not pairs:
+            return
+        edges = spark.createDataFrame(
+            [(u, v, w) for (u, v), w in pairs.items()], ["_u", "_v", "w"]
+        )
+        nodes = edges.select(F.col("_u").alias("_n")).union(
+            edges.select("_v")
+        ).distinct()
+        g = SparkGraph(nodes, edges)
+        forest = g.minimum_spanning_forest(strategy="local").collect()
+        G = nx.Graph()
+        for (u, v), w in pairs.items():
+            G.add_edge(u, v, weight=w)
+        want_weight = sum(
+            d["weight"]
+            for _, _, d in nx.minimum_spanning_tree(G).edges(data=True)
+        )
+        assert sum(r["w"] for r in forest) == want_weight
+        F_nx = nx.Graph((r["u"], r["v"]) for r in forest)
+        assert not list(nx.cycle_basis(F_nx))
+        assert len(forest) == G.number_of_nodes() - nx.number_connected_components(G)
+
+    run()

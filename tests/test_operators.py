@@ -1348,3 +1348,47 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     # plain random layout: every file spans ~the full range on both
     # axes; z-order must cut the combined span at least 2x on each
     assert zx < px / 2 and zy < py / 2, (px, py, zx, zy)
+
+
+def test_simplify_area_filter_properties(spark):
+    """Hypothesis: for arbitrary small polylines and tolerances,
+    simplification (a) preserves endpoints, (b) emits a subsequence of
+    the input, (c) is monotone in tolerance (higher tol keeps a subset
+    of what lower tol keeps — one-pass areas are fixed, so the kept
+    index set can only shrink)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entwiner_spark.functions.geo import simplify_area_filter
+
+    coord = st.floats(
+        min_value=-50.0, max_value=50.0, allow_nan=False, allow_infinity=False
+    )
+    point = st.tuples(coord, coord).map(list)
+    line = st.lists(point, min_size=0, max_size=8)
+
+    @settings(max_examples=12, deadline=None)
+    @given(coords=line, tol=st.sampled_from([0.0, 1e-6, 0.5, 10.0]))
+    def run(coords, tol):
+        df = spark.createDataFrame(
+            [(0, coords)], "fid long, coords array<array<double>>"
+        )
+        lo = df.select(
+            simplify_area_filter(F.col("coords"), tol).alias("s")
+        ).collect()[0]["s"]
+        hi = df.select(
+            simplify_area_filter(F.col("coords"), tol * 10 + 1.0).alias("s")
+        ).collect()[0]["s"]
+        if len(coords) < 2:
+            assert lo == coords
+            return
+        assert lo[0] == coords[0] and lo[-1] == coords[-1]
+        # subsequence of the input
+        it = iter(coords)
+        assert all(any(p == q for q in it) for p in lo)
+        # monotone: the higher-tolerance result is a subset (as index
+        # sets; compare as multisets of points, both subsequences)
+        it2 = iter(lo)
+        assert all(any(p == q for q in it2) for p in hi)
+
+    run()
