@@ -59,6 +59,7 @@ _PRIORITY = [
     "x5_zorder_values",
     "g_isochrone",
     "g_ktruss",
+    "t20_split_leakage",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

@@ -2288,6 +2288,45 @@ def d7_contamination(spark, sf_dir):
 
 
 @q(
+    "t20_split_leakage",
+    """
+    WITH split AS (
+      SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2666'
+               AS is_holdout
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, is_holdout, string_split(text, ' ') AS ws FROM split
+    ), g AS (
+      SELECT DISTINCT doc_id, is_holdout,
+             array_to_string(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, is_holdout, ws,
+                   unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram) AS n_shared_grams,
+           count(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM g c JOIN g b ON c.gram = b.gram
+    WHERE NOT c.is_holdout AND b.is_holdout
+    GROUP BY c.doc_id
+    """,
+)
+def t20_split_leakage(spark, sf_dir):
+    """Train/holdout leakage audit — the composition every eval
+    pipeline needs: split_train_holdout's md5 predicate carves the
+    holdout (15%), then contamination_overlap flags every TRAIN doc
+    sharing a word 3-gram with it (samp2's split + d7's
+    decontamination, unchanged).  Holdout gram table broadcasts; the
+    train side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    train, holdout = SAMP.split_train_holdout(
+        docs, key_col="doc_id", holdout_fraction=0.15
+    )
+    return DD.contamination_overlap(train, holdout, n=3)
+
+
+@q(
     "d10_dup_ngram_coverage",
     f"""
     WITH toks AS (

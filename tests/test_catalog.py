@@ -122,3 +122,14 @@ def test_every_query_has_matching_oracle_columns():
     o = entry.oracle_sql()
     assert set(o) <= set(q)
     assert set(q) == set(o)  # all queries currently oracle-paired
+
+
+def test_registered_name_matches_function_name():
+    """Guard against the decorator-stacking trap: inserting a new @q
+    block between an existing @q(...) call and its def silently
+    re-registers the OLD name onto the NEW function.  Every registered
+    name must equal its function's __name__."""
+    from entwiner_spark.catalog import QUERIES
+
+    bad = [(n, f.__name__) for n, f in QUERIES.items() if f.__name__ != n]
+    assert not bad, bad
