@@ -60,6 +60,7 @@ _PRIORITY = [
     "g_isochrone",
     "g_ktruss",
     "t20_split_leakage",
+    "t21_feature_hashing",
     "d10_dup_ngram_coverage",
     "t14_gopher_rules",
     "g_kcore",

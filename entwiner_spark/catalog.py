@@ -2976,6 +2976,69 @@ def t18_kl_divergence(spark, sf_dir):
     )
 
 
+_FH_DIM = 16
+_FH_H = _H32.format(x="word")
+
+
+@q(
+    "t21_feature_hashing",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w2 AS (SELECT * FROM w WHERE word != ''),
+    tf AS (SELECT doc_id, word, count(*) AS c FROM w2 GROUP BY doc_id, word),
+    dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM w2),
+    wt AS (
+      SELECT tf.doc_id,
+             tf.c * ln((n + 1.0) / (df + 1.0)) AS wgt,
+             {_FH_H} % {_FH_DIM} AS j
+      FROM tf JOIN dfq USING (word), nn
+    )
+    SELECT doc_id,
+           {", ".join(f"round(coalesce(sum(CASE WHEN j = {i} THEN wgt END), 0.0), 6) AS h{i}" for i in range(_FH_DIM))}
+    FROM wt GROUP BY doc_id
+    """,
+)
+def t21_feature_hashing(spark, sf_dir):
+    """Feature-hashing (hashing-trick) vectorizer: each document
+    becomes a fixed {_FH_DIM}-dim TF-IDF-weighted vector with bucket
+    j = hash(term) mod dim — the vocabulary-free text-to-vector
+    bridge (sklearn HashingVectorizer semantics) that feeds documents
+    into the similarity/clustering operators without a fitted vocab
+    table.  One explode, two partial-agg count tables, conditional
+    sums per bucket — no pivot, no vocabulary state, any corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(TX.words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    dfq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    nn = w.agg(F.countDistinct("doc_id").alias("n"))
+    wt = (
+        tf.join(F.broadcast(dfq), "word")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id",
+            (
+                F.col("c")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+            ).alias("wgt"),
+            (TX.stable_hash32(F.col("word")) % _FH_DIM).alias("j"),
+        )
+    )
+    return wt.groupBy("doc_id").agg(
+        *[
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("j") == i, F.col("wgt"))), F.lit(0.0)),
+                6,
+            ).alias(f"h{i}")
+            for i in range(_FH_DIM)
+        ]
+    )
+
+
 @q(
     "t12_unigram_logprob",
     """
