@@ -434,6 +434,64 @@ def main() -> None:
     )
     out["pipeline_sec"] = round(time.time() - t0, 1)
 
+
+    # --- Boruvka MSF on a 120k-node / ~240k-edge weighted graph:
+    # rounds halve components; per-round CC on the contracted graph
+    # dispatches size-adaptively.  Must emit exactly a spanning tree.
+    log("phase: minimum spanning forest 120k")
+    mn = 120_000
+    mb = spark.range(mn)
+    mchain = mb.filter(F.col("id") < mn - 1).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1).cast("string").alias("_v"),
+        (F.col("id") % 97 + 1 + (F.col("id") % 7) * 0.01).alias("w"),
+    )
+    mchords = mb.filter(F.col("id") < mn - 1000).select(
+        F.col("id").cast("string").alias("_u"),
+        (F.col("id") + 1000).cast("string").alias("_v"),
+        (F.col("id") % 89 + 50 + (F.col("id") % 11) * 0.01).alias("w"),
+    )
+    me = mchain.unionByName(mchords)
+    me.count()
+    Gmsf = SparkGraph(
+        mb.select(F.col("id").cast("string").alias("_n")), me, partitions=32
+    )
+    t0 = time.time()
+    msf = Gmsf.minimum_spanning_forest(strategy="pregel")
+    out["msf_edges"] = msf.count()
+    out["msf_sec"] = round(time.time() - t0, 1)
+    assert out["msf_edges"] == mn - 1
+
+    # --- 5-truss on 216k edges: a 2000-node circulant community
+    # (d=1..8, triangle-rich) embedded in a 100k-node sparse tail.
+    # The peel must drop the 200k tail edges and keep the community.
+    log("phase: k-truss 216k edges")
+    tb = spark.range(100_000)
+    tarms = [
+        tb.select(F.col("id").cast("string").alias("_u"),
+                  ((F.col("id") * a + c) % 100_000).cast("string").alias("_v"),
+                  F.lit(1.0).alias("w"))
+        for a, c in ((37, 11), (101, 7))
+    ]
+    tblk = tb.filter(F.col("id") < 2000)
+    tdense = [
+        tblk.select(F.col("id").cast("string").alias("_u"),
+                    ((F.col("id") + d) % 2000).cast("string").alias("_v"),
+                    F.lit(1.0).alias("w"))
+        for d in range(1, 9)
+    ]
+    te = tarms[0]
+    for a in tarms[1:] + tdense:
+        te = te.unionByName(a)
+    te.count()
+    Gt5 = SparkGraph(
+        tb.select(F.col("id").cast("string").alias("_n")), te, partitions=32
+    )
+    t0 = time.time()
+    out["ktruss_edges"] = Gt5.ktruss(5, strategy="pregel").count()
+    out["ktruss_sec"] = round(time.time() - t0, 1)
+    assert out["ktruss_edges"] >= 15000
+
     print(json.dumps(out))
     spark.stop()
 
