@@ -20,97 +20,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver verifies a subset of the catalog each
-# round, drawing from the head of this dict.  Round-5 order: (1) q12 —
-# the only never-green query, oracle cast fixed this round; (2) the two
-# new motif queries (never sampled); (3) queries whose implementation
-# changed this round (d5 epsilon bounds, d8 generic id cast, d2/d3
-# minhash keep= passthrough, mm2/mm3 codec-slot rewrite); (4) the
-# stalest cumulative-green rows — queries last driver-sampled in r1/r2
-# — so cumulative claims stay fresh against code drift.
+# round, drawing from the head of this dict.  Round-6 order: (1) the
+# three queries never driver-sampled in rounds 1-5 (they sat at
+# positions 51-53, one past the 50-query cut); (2) s11/geo_s13, the
+# r5 driver-red rows, now emitting string-serialized (scaled-int)
+# outputs instead of raw arrays; (3) queries whose implementation or
+# oracle changed this round (g_harmonic oracle d>0 guard, samp5
+# lazy-validation rewrite, g_msf pointer-jump relabel, g_ktruss
+# degree-oriented wedges, g_scc trivial-SCC trim); (4) the 47 rows
+# last driver-sampled in round 1, then round 3 — so cumulative claims
+# stay fresh against code drift.
 _PRIORITY = [
-    "q12_late_priority",
-    "t15_bm25_rank",
-    "s10_random_projection",
-    "g_scc_components",
-    "s11_standardize",
-    "t16_bigram_logprob",
-    "g_harmonic",
-    "g_topo_levels",
-    "t17_lm_buckets",
-    "e11_hll_weekly_rollup",
-    "d11_sorted_neighborhood",
-    "samp4_temperature",
-    "g_walks",
-    "d12_minhash_calibration",
-    "g_diameter_lb",
-    "g_skipgram_pairs",
-    "e12_ewma",
-    "s12_ivfpq_encode",
-    "g_node2vec_walks",
-    "g_feature_prop",
-    "geo_s13_simplify",
-    "d13_er_pipeline",
-    "t18_kl_divergence",
-    "e13_anomaly_zscore",
-    "t19_pipeline_e2e",
-    "ev2_json_schema",
-    "g_msf",
-    "samp5_weighted",
-    "x5_zorder_values",
-    "g_isochrone",
-    "g_ktruss",
-    "t20_split_leakage",
-    "t21_feature_hashing",
-    "d10_dup_ngram_coverage",
-    "t14_gopher_rules",
-    "g_kcore",
-    "g_motif_anchored",
-    "samp3_token_budget",
-    "w6_range_interval",
-    "e8_funnel_conversion",
-    "m3_scd2_history",
-    "s9_pq_encode",
-    "g_lpa_communities",
-    "e9_cohort_retention",
-    "g_motif_ffw_triangle",
-    "g_motif_open_wedge",
-    "d9_embedding_dedup_clusters",
-    "t11_pii_redact",
-    "s8_ivf_recall",
-    "e7_hourly_unique_users",
     "t12_unigram_logprob",
     "g_clustering_coef",
     "t13_repetition_ratio",
-    "d5_ngram_jaccard_pairs",
-    "d8_dedup_clusters",
-    "d2_minhash_signatures",
-    "d3_minhash_lsh_pairs",
-    "mm2_frame_sample",
-    "mm3_resize_meta",
-    # stalest driver rows (r1/r2), oldest families first
-    "q1_pricing_summary",
-    "s1_fwd_rev_ingest",
-    "j2_revenue_by_nation",
-    "g_j1_sssp_weighted",
-    "g_j1_bfs_hops",
-    "g_cc_components",
-    "g_a2_out_degree",
-    "g_p5_successors",
-    "geo_a4_linestring_length",
-    "geo_f6_haversine_within",
-    "geo_j3_bbox_count",
-    "geo_o1_knn",
+    "s11_standardize",
+    "geo_s13_simplify",
+    "g_harmonic",
+    "samp5_weighted",
+    "g_msf",
+    "g_ktruss",
+    "g_scc_components",
     "a1_table_counts",
     "a2_orders_per_customer",
     "a3_weighted_size",
     "agg_cube_docs",
     "agg_rollup_status",
     "d1_exact_dedup",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
     "d4_simhash",
     "e1_tumbling_hourly",
     "e2_sliding_30min",
     "e4_topk_users",
     "ev_json_extract",
+    "g_a2_out_degree",
+    "g_cc_components",
+    "g_j1_bfs_hops",
+    "g_j1_sssp_weighted",
+    "g_p5_successors",
+    "geo_a4_linestring_length",
+    "geo_f6_haversine_within",
+    "geo_j3_bbox_count",
+    "geo_o1_knn",
+    "j2_revenue_by_nation",
     "j_outer_order_counts",
     "m1_keyed_update",
     "m2_delete_keys",
@@ -120,6 +73,8 @@ _PRIORITY = [
     "p4_semi_join",
     "p4b_anti_join",
     "p7_distinct_pairs",
+    "q1_pricing_summary",
+    "s1_fwd_rev_ingest",
     "s2_cosine_top10",
     "s3_knn_join",
     "s4_lsh_buckets",
@@ -133,6 +88,24 @@ _PRIORITY = [
     "u2_last_write_wins",
     "u3_union_missing_cols",
     "w1_top3_per_customer",
+    "g_betweenness",
+    "geo_j5_spatial_join",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_histogram",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
 ]
 
 

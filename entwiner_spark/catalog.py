@@ -1593,21 +1593,26 @@ _SUP_LAT = "(45.0e0 + ((s_suppkey // 3) % 100) * 1.0e-2)"
               [{_SUP_LON} + 0.03, {_SUP_LAT} + 0.01],
               [{_SUP_LON} + 0.04, {_SUP_LAT} + 0.0]] AS c
       FROM supplier
+    ),
+    k AS (
+      SELECT s_suppkey,
+             list_transform(
+               list_filter(range(1, len(c) + 1),
+                 i -> i = 1 OR i = len(c) OR
+                   abs((c[i][1] - c[i-1][1]) * (c[i+1][2] - c[i-1][2])
+                       - (c[i+1][1] - c[i-1][1]) * (c[i][2] - c[i-1][2]))
+                   * 0.5 >= 1e-06),
+               i -> c[i]) AS kept
+      FROM p
     )
     SELECT s_suppkey,
-           list_transform(
-             list_filter(range(1, len(c) + 1),
-               i -> i = 1 OR i = len(c) OR
-                 abs((c[i][1] - c[i-1][1]) * (c[i+1][2] - c[i-1][2])
-                     - (c[i+1][1] - c[i-1][1]) * (c[i][2] - c[i-1][2]))
-                 * 0.5 >= 1e-06),
-             i -> c[i]) AS simplified,
-           CAST(len(list_filter(range(1, len(c) + 1),
-               i -> i = 1 OR i = len(c) OR
-                 abs((c[i][1] - c[i-1][1]) * (c[i+1][2] - c[i-1][2])
-                     - (c[i+1][1] - c[i-1][1]) * (c[i][2] - c[i-1][2]))
-                 * 0.5 >= 1e-06)) AS BIGINT) AS n_kept
-    FROM p
+           array_to_string(
+             list_transform(kept, pt ->
+               CAST(CAST(round(pt[1] * 1e7) AS BIGINT) AS VARCHAR) || ',' ||
+               CAST(CAST(round(pt[2] * 1e7) AS BIGINT) AS VARCHAR)),
+             ';') AS simplified,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k
     """,
 )
 def geo_s13_simplify(spark, sf_dir):
@@ -1615,7 +1620,13 @@ def geo_s13_simplify(spark, sf_dir):
     geo.simplify_area_filter): a 5-point zigzag per supplier with one
     near-collinear jitter vertex — the filter drops exactly it.  Pure
     Catalyst filter/transform over the coords array; the ingest-time
-    geometry cleanup a road-network store wants before storage."""
+    geometry cleanup a road-network store wants before storage.
+
+    Driver-facing output serializes the kept polyline as
+    ``lon7,lat7;...`` scaled-1e7 integer strings (NOT a raw array
+    column: the driver's pandas canonicalizer cannot hash list cells —
+    CORRECTNESS_r05 err trace).  Scaled-int text is repr-stable across
+    both engines, unlike double->VARCHAR."""
     s = _t(spark, sf_dir, "supplier")
     lon = F.lit(-120.0) + (F.col("s_suppkey") % 100) * 0.01
     lat = (
@@ -1632,9 +1643,20 @@ def geo_s13_simplify(spark, sf_dir):
         F.array(lon + 0.04, lat + 0.0),
     )
     simplified = G.simplify_area_filter(coords, 1e-06)
+    ser = F.concat_ws(
+        ";",
+        F.transform(
+            simplified,
+            lambda p: F.concat_ws(
+                ",",
+                F.round(p[0] * 1e7).cast("long").cast("string"),
+                F.round(p[1] * 1e7).cast("long").cast("string"),
+            ),
+        ),
+    )
     return s.select(
         "s_suppkey",
-        simplified.alias("simplified"),
+        ser.alias("simplified"),
         F.size(simplified).cast("long").alias("n_kept"),
     )
 
@@ -2642,8 +2664,14 @@ def _standardize_sql(dim: int = _DIM, dp: int = 6) -> str:
         for i in range(dim)
     )
     return f"""
-    WITH stats AS (SELECT {stat_cols} FROM embeddings)
-    SELECT vec_id, [{zs}] AS z FROM embeddings, stats
+    WITH stats AS (SELECT {stat_cols} FROM embeddings),
+    zl AS (SELECT vec_id, [{zs}] AS z FROM embeddings, stats)
+    SELECT vec_id,
+           array_to_string(
+             list_transform(z, x ->
+               CAST(CAST(round(x * 1e{dp}) AS BIGINT) AS VARCHAR)),
+             ',') AS z
+    FROM zl
     """
 
 
@@ -2653,8 +2681,19 @@ def s11_standardize(spark, sf_dir):
     2*dim aggregate expressions (NO 64x explode), one broadcast stats
     row, per-row normalized-array projection.  Stats are rounded to
     6 dp before use so the two engines' aggregation-order ulps cannot
-    leak into the output."""
-    return SIM.standardize(_t(spark, sf_dir, "embeddings"), dim=_DIM)
+    leak into the output.
+
+    Driver-facing output serializes z as comma-joined scaled-1e6
+    integers (arrays are unhashable for the driver canonicalizer;
+    scaled-int text is repr-stable where double->string is not)."""
+    df = SIM.standardize(_t(spark, sf_dir, "embeddings"), dim=_DIM)
+    z_ser = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("z"), lambda x: F.round(x * 1e6).cast("long").cast("string")
+        ),
+    )
+    return df.select("vec_id", z_ser.alias("z"))
 
 
 # =====================================================================
@@ -3925,7 +3964,7 @@ def g_closeness(spark, sf_dir):
     ),
     best AS (SELECT src, node, min(dist) AS d FROM walk GROUP BY src, node)
     SELECT src AS node,
-           round(coalesce(sum(1.0 / d) FILTER (WHERE node != src), 0.0), 6)
+           round(coalesce(sum(1.0 / d) FILTER (WHERE node != src AND d > 0), 0.0), 6)
              AS harmonic
     FROM best GROUP BY src
     """,

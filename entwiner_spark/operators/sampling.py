@@ -163,16 +163,23 @@ def weighted_sample(
         raise ValueError("k must be >= 1")
     # u^(1/w) is only a sampling priority for POSITIVE weights: w < 0
     # inverts the ranking (frac^negative > 1) and w = 0 NULLs the row.
-    # One cheap narrow-column action up front beats silent nonsense.
-    wmin = df.agg(F.min(F.col(weight_col))).collect()[0][0]
-    if wmin is not None and wmin <= 0:
-        raise ValueError(
-            f"weighted_sample requires positive weights; min({weight_col}) "
-            f"= {wmin}"
-        )
+    # Validate LAZILY inside the plan (raise_error fires on the first
+    # bad row during the one real pass) — the old eager min() action
+    # doubled the scan cost of every call.
+    w = F.when(
+        F.col(weight_col) <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample requires positive weights; {weight_col} = "
+                ),
+                F.col(weight_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(weight_col))
     h16 = F.conv(F.substring(_hash_col(key_col), 1, 4), 16, 10).cast("long")
     frac = (h16 + F.lit(0.5)) / F.lit(65536.0)
-    pri = F.round(F.pow(frac, F.lit(1.0) / F.col(weight_col)), 9)
+    pri = F.round(F.pow(frac, F.lit(1.0) / w), 9)
     return (
         df.select(F.col(key_col), F.col(weight_col), pri.alias("_k"))
         .orderBy(F.col("_k").desc(), key_col)

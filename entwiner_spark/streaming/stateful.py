@@ -206,17 +206,20 @@ def stream_ewma(
             x = float(x)
             y = x if not has_y else alpha * x + beta * y
             has_y = True
-            ids.append(int(eid))
+            ids.append(eid)
             outs.append(y)
         state.update((has_y, y))
         yield pd.DataFrame(
             {key_col: [key[0]] * len(ids), id_col: ids, "ewma": outs}
         )
 
+    # id type mirrors the input schema (like key_col) so string event
+    # ids that work in the batch twin work here too
     key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
     raw = events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} {key_type}, {id_col} long, ewma double",
+        outputStructType=f"{key_col} {key_type}, {id_col} {id_type}, ewma double",
         stateStructType="has_y boolean, y double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -269,7 +272,7 @@ def stream_anomaly_zscore(
                     z, flag = 0.0, False
             else:
                 z, flag = 0.0, False
-            ids.append(int(eid))
+            ids.append(eid)
             zs.append(z)
             flags.append(flag)
             hist.append(x)
@@ -284,10 +287,11 @@ def stream_anomaly_zscore(
         )
 
     key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} {key_type}, {id_col} long, z double, is_anomaly boolean"
+            f"{key_col} {key_type}, {id_col} {id_type}, z double, is_anomaly boolean"
         ),
         stateStructType="hist array<double>",
         outputMode="append",

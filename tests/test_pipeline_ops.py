@@ -388,8 +388,10 @@ def test_weighted_sample_reference_and_bias(spark):
 
 
 def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """Validation is lazy (raise_error inside the plan — no extra scan):
+    the bad weight surfaces as a runtime error at action time."""
     import pytest
 
     df = spark.createDataFrame([(0, 5), (1, -2)], "doc_id long, wt long")
-    with pytest.raises(ValueError, match="positive weights"):
-        SAMP.weighted_sample(df, weight_col="wt", k=1)
+    with pytest.raises(Exception, match="positive weights"):
+        SAMP.weighted_sample(df, weight_col="wt", k=1).collect()

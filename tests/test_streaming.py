@@ -906,6 +906,63 @@ def test_stream_ewma_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 30
 
 
+def test_stream_ewma_string_event_id(spark, tmp_path):
+    """The streaming twin derives the id column's output type from the
+    input schema (like the batch operator and the key column) — string
+    event ids that work in batch ewma must work here too (regression:
+    the output schema used to hardcode ``event_id long``)."""
+    from entwiner_spark.operators.timeseries import ewma
+    from entwiner_spark.streaming.stateful import stream_ewma
+
+    d = tmp_path / "ewma_sid"
+    d.mkdir()
+    rows = [
+        {
+            "user_id": "u1",
+            "event_id": f"ev-{t:03d}",
+            "ts": f"2026-01-01T00:{t:02d}:00.000Z",
+            "value": float(t * 3 % 10) + 0.5,
+        }
+        for t in range(8)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:4]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[4:]))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_sid_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_sid_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(batch, alpha=0.3).collect()
+    }
+    assert got == want and len(got) == 8
+
+
 def test_quality_redact_tokenize_stream_equals_batch(spark, tmp_path):
     """The t19 map stages (Gopher keep flag, PII redaction, BPE token
     count) are stateless per-row expressions, so they run UNCHANGED on

@@ -12,6 +12,11 @@ numeric-class divergence:
 - DuckDB HUGEINT / UHUGEINT anywhere (Spark has no int128 -> always a
   driver hash risk): fix the oracle with CAST(... AS BIGINT).
 - int-vs-float / decimal-vs-double class mismatches between the sides.
+- ANY nested (array/struct/map) output column, on either side, for
+  every query in ``queries()`` (oracled or not): the driver's pandas
+  canonicalizer sorts the frame and dies on unhashable list cells
+  (s11/geo_s13 in CORRECTNESS_r05).  Serialize nested outputs to a
+  deterministic string (scaled-int concat_ws / to_json) instead.
 
 Run: python tools/typecheck.py  (sf dir only affects data, not types).
 """
@@ -110,15 +115,6 @@ def main() -> int:
     for name, fn in qs.items():
         if args.only and name not in args.only:
             continue
-        if name not in oracles:
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            dtypes = {c: duck_class(str(t)) for c, t in zip(rel.columns, rel.types)}
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
         try:
             schema = fn(spark, args.sf_dir).schema
             stypes = {f.name: spark_class(f.dataType) for f in schema.fields}
@@ -126,15 +122,35 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        checked += 1
         problems = []
-        for c, dc in dtypes.items():
-            if dc == "hugeint":
-                problems.append(f"{c}: DuckDB HUGEINT (cast oracle to BIGINT)")
-            sc = stypes.get(c)
-            if sc is not None and dc not in ("hugeint",) and sc != dc:
-                # decimal-vs-float is the other known hash-divergence class
-                problems.append(f"{c}: spark={sc} duck={dc}")
+        # nested Spark outputs break the driver canonicalizer even on
+        # rows-only (no-oracle) checks — guard every query
+        for c, sc in stypes.items():
+            if sc == "nested":
+                problems.append(
+                    f"{c}: nested Spark output (driver canonicalizer cannot "
+                    "hash list cells — serialize to string)"
+                )
+        if name in oracles:
+            try:
+                rel = con.sql(oracles[name])
+                dtypes = {
+                    c: duck_class(str(t)) for c, t in zip(rel.columns, rel.types)
+                }
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {e}")
+                failures += 1
+                continue
+            checked += 1
+            for c, dc in dtypes.items():
+                if dc == "hugeint":
+                    problems.append(f"{c}: DuckDB HUGEINT (cast oracle to BIGINT)")
+                if dc == "nested":
+                    problems.append(f"{c}: nested oracle output (serialize)")
+                sc = stypes.get(c)
+                if sc is not None and dc not in ("hugeint", "nested") and sc != dc:
+                    # decimal-vs-float is the other known hash-divergence class
+                    problems.append(f"{c}: spark={sc} duck={dc}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
