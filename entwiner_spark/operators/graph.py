@@ -402,6 +402,12 @@ class SparkGraph:
     #: envelope fits here; the Pregel path is for graphs that don't).
     LOCAL_THRESHOLD = 100_000
 
+    #: separate (higher) bound for driver-side LABEL tables: a relabel
+    #: row is two short strings (~100 B), so 500k rows is ~50 MB — a
+    #: cheap collect that replaces O(log depth) distributed self-joins.
+    #: Edge lists hit LOCAL_THRESHOLD long before labels hit this.
+    RELABEL_LOCAL_THRESHOLD = 500_000
+
     def _edge_count(self) -> int:
         if not hasattr(self, "_cached_edge_count"):
             self._cached_edge_count = self.edges.count()
@@ -1663,12 +1669,15 @@ class SparkGraph:
         edges ``(u, v, support)`` with u < v and support measured in
         the final subgraph.
 
-        Distributed path: iterative peel — per round ONE wedge join
-        computes each edge's common-neighbor count (the triangle_count
-        discipline: join only where neighborhoods overlap, never
-        all-pairs), edges below ``k-2`` drop, localCheckpoint truncates
-        lineage; rounds are bounded by the peel depth exactly like
-        kcore.  Small graphs run the same peel driver-side.
+        Distributed path: iterative peel — per round each triangle is
+        enumerated ONCE via the degree-oriented wedge join (edges point
+        low-(degree,id) -> high, wedges fan out only from the low end,
+        so wedge volume is sum-of-C(outdeg,2) with outdeg ~ O(sqrt(m))
+        instead of sum-of-deg — hub skew capped), then exploded to its
+        three edges and counted; edges below ``k-2`` drop,
+        localCheckpoint truncates lineage; rounds are bounded by the
+        peel depth exactly like kcore.  Small graphs run the same peel
+        driver-side.
         """
         if k < 3:
             raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
@@ -1707,14 +1716,63 @@ class SparkGraph:
         live = und.localCheckpoint(eager=True)
         n_live = live.count()
         for _ in range(max_iterations):
+            # degree-(re)oriented triangle enumeration on the current
+            # subgraph: each triangle found exactly once from its
+            # lowest-(degree,id) corner, then charged to all 3 edges
             sym = live.unionByName(
                 live.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            n1 = sym.select(F.col("a"), F.col("b").alias("x"))
-            n2 = sym.select(F.col("a").alias("b"), F.col("b").alias("x"))
+            deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            ed = live.join(
+                deg.select(F.col("a"), F.col("d").alias("da")), "a"
+            ).join(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b"
+            )
+            lower_is_a = F.struct(F.col("da"), F.col("a")) < F.struct(
+                F.col("db"), F.col("b")
+            )
+            oriented = ed.select(
+                F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+                F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+                F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("dd"),
+            )
+            w1 = oriented.select(
+                "src", F.col("dst").alias("y"), F.col("dd").alias("dy")
+            )
+            w2 = oriented.select(
+                "src", F.col("dst").alias("z"), F.col("dd").alias("dz")
+            )
+            tri = (
+                w1.join(w2, "src")
+                .filter(F.struct("dy", "y") < F.struct("dz", "z"))
+                .join(
+                    oriented.select(
+                        F.col("src").alias("y"), F.col("dst").alias("z")
+                    ),
+                    ["y", "z"],
+                )
+                .select(F.col("src").alias("x"), "y", "z")
+            )
             sup = (
-                live.join(n1, "a")
-                .join(n2, ["b", "x"])
+                tri.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.least("x", "y").alias("a"),
+                                F.greatest("x", "y").alias("b"),
+                            ),
+                            F.struct(
+                                F.least("x", "z").alias("a"),
+                                F.greatest("x", "z").alias("b"),
+                            ),
+                            F.struct(
+                                F.least("y", "z").alias("a"),
+                                F.greatest("y", "z").alias("b"),
+                            ),
+                        )
+                    ).alias("e")
+                )
+                .select("e.a", "e.b")
                 .groupBy("a", "b")
                 .agg(F.count(F.lit(1)).alias("support"))
             )
@@ -1756,8 +1814,11 @@ class SparkGraph:
         deterministic even with equal weights — the picked edges join
         the forest, components contract, repeat.  Components halve (or
         better) per round, so O(log n) rounds; each is one join +
-        min-struct agg + a component relabel via the star-contraction
-        CC, never anything quadratic.  Returns forest edges
+        min-struct agg + a pointer-jumping relabel (the pick relation
+        is a pseudoforest whose only cycles are mutual-min 2-cycles,
+        so hooking the larger label under the smaller and squaring
+        pointers converges in O(log depth) self-joins — no nested CC
+        run), never anything quadratic.  Returns forest edges
         ``(u, v, w)`` with u < v.
 
         Small graphs use driver-side Kruskal with the same tiebreak,
@@ -1824,50 +1885,118 @@ class SparkGraph:
             )
             if lab.limit(1).count() == 0:
                 break
-            # min outgoing edge per component, deterministic tiebreak
-            cand = lab.select(F.col("cu").alias("comp"), "u", "v", "w").unionByName(
-                lab.select(F.col("cv").alias("comp"), "u", "v", "w")
-            )
-            sel = (
-                cand.groupBy("comp")
-                .agg(F.min(F.struct("w", "u", "v")).alias("m"))
-                .select(
-                    F.col("m.u").alias("u"),
-                    F.col("m.v").alias("v"),
-                    F.col("m.w").alias("w"),
+            # min outgoing edge per component, deterministic tiebreak;
+            # carry the OTHER endpoint's component so the pick doubles
+            # as the contraction pointer
+            cand = lab.select(
+                F.col("cu").alias("comp"), "u", "v", "w",
+                F.col("cv").alias("other"),
+            ).unionByName(
+                lab.select(
+                    F.col("cv").alias("comp"), "u", "v", "w",
+                    F.col("cu").alias("other"),
                 )
-                .distinct()
+            )
+            selc = (
+                cand.groupBy("comp")
+                .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))
                 .localCheckpoint(eager=True)
             )
-            picked.append(sel)
-            # contract: CC over the picked edges on COMPONENT labels
-            sel_lab = (
-                sel.join(
-                    comp.select(F.col("_n").alias("u"), F.col("c").alias("cu")),
-                    "u",
+            sel = selc.select(
+                F.col("m.u").alias("u"),
+                F.col("m.v").alias("v"),
+                F.col("m.w").alias("w"),
+            ).distinct()
+            picked.append(sel.localCheckpoint(eager=True))
+            # contract: every active component points at its pick's
+            # other endpoint.  The pick relation is a pseudoforest
+            # whose only cycles are mutual-min 2-cycles (strict
+            # (w,u,v) total order), so no full CC run is needed.
+            # Size-adaptive like every iterative op here: label tables
+            # under LOCAL_THRESHOLD relabel via ONE collect +
+            # union-find (per-round job overhead dwarfs the work);
+            # larger ones hook the larger label under the smaller and
+            # square pointers — O(log depth) self-joins.
+            n_active = selc.count()
+            if n_active <= self.RELABEL_LOCAL_THRESHOLD:
+                pairs = selc.select(
+                    F.col("comp").alias("c"), F.col("m.other").alias("p")
+                ).collect()
+                parent: dict[str, str] = {}
+
+                def _find(x: str) -> str:
+                    parent.setdefault(x, x)
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in pairs:
+                    rc, rp = _find(r["c"]), _find(r["p"])
+                    if rc != rp:
+                        # deterministic root: smaller label wins
+                        if rc < rp:
+                            parent[rp] = rc
+                        else:
+                            parent[rc] = rp
+                ptr = self.spark.createDataFrame(
+                    [(x, _find(x)) for x in parent],
+                    T.StructType(
+                        [
+                            T.StructField("c", T.StringType(), False),
+                            T.StructField("p", T.StringType(), False),
+                        ]
+                    ),
                 )
-                .join(
-                    comp.select(F.col("_n").alias("v"), F.col("c").alias("cv")),
-                    "v",
+            else:
+                ptr = selc.select(
+                    F.col("comp").alias("c"), F.col("m.other").alias("p")
                 )
-                .select(F.col("cu").alias("_u"), F.col("cv").alias("_v"))
-            )
-            cnodes = comp.select(F.col("c").alias("_n")).distinct()
-            cgraph = SparkGraph(
-                cnodes,
-                sel_lab.withColumn("w", F.lit(1.0)),
-            )
-            # the contracted graph shrinks to <= one node per component
-            # — let the size-adaptive dispatch pick union-find locally
-            relab = cgraph.connected_components(strategy="auto")
+                ptr = (
+                    ptr.alias("x")
+                    .join(
+                        ptr.select(
+                            F.col("c").alias("p"), F.col("p").alias("pp")
+                        ),
+                        "p",
+                    )
+                    .select(
+                        "c",
+                        F.when(
+                            F.col("pp") == F.col("c"), F.least("c", "p")
+                        ).otherwise(F.col("p")).alias("p"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                for _ in range(max_rounds):
+                    j = (
+                        ptr.join(
+                            ptr.select(
+                                F.col("c").alias("p"), F.col("p").alias("pp")
+                            ),
+                            "p",
+                        )
+                        .select(
+                            "c",
+                            F.col("pp").alias("p"),
+                            (F.col("p") != F.col("pp")).alias("_moved"),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    ptr = j.select("c", "p")
+                    if j.filter(F.col("_moved")).limit(1).count() == 0:
+                        break
+                else:
+                    raise RuntimeError(
+                        "minimum_spanning_forest relabel did not converge"
+                    )
             comp = (
                 comp.join(
-                    relab.select(
-                        F.col("_n").alias("c"), F.col("component").alias("c2")
-                    ),
+                    ptr.select(F.col("c"), F.col("p").alias("c2")),
                     "c",
+                    "left",
                 )
-                .select("_n", F.col("c2").alias("c"))
+                .select("_n", F.coalesce("c2", "c").alias("c"))
                 .localCheckpoint(eager=True)
             )
             live = lab.select("u", "v", "w").localCheckpoint(eager=True)
