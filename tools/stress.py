@@ -19,6 +19,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--doc-replicas", type=int, default=20)
     ap.add_argument("--graph-nodes", type=int, default=100_000)
+    ap.add_argument(
+        "--xl",
+        action="store_true",
+        help="run the 1M+-edge graph phases (MSF 1M nodes / 2M edges, "
+        "k-truss 1M+ edges) — several extra minutes",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -528,6 +534,70 @@ def main() -> None:
     # every edge closes a triangle (hub-spoke via the ring, ring via
     # the step-2 chord), so the full 3*hn edges survive the 3-truss
     assert out["ktruss_hub_edges"] == 3 * hn
+
+    if args.xl:
+        # --- XL MSF: 1M nodes / ~2M weighted edges.  Round 0 relabels
+        # 1M component labels (> RELABEL_LOCAL_THRESHOLD) so the
+        # distributed pointer-jump path is exercised for real; later
+        # rounds drop under the threshold and go driver-side.
+        log("phase: XL minimum spanning forest 1M nodes / 2M edges")
+        xn = 1_000_000
+        xb = spark.range(xn)
+        xchain = xb.filter(F.col("id") < xn - 1).select(
+            F.col("id").cast("string").alias("_u"),
+            (F.col("id") + 1).cast("string").alias("_v"),
+            (F.col("id") % 97 + 1 + (F.col("id") % 7) * 0.01).alias("w"),
+        )
+        xchords = xb.filter(F.col("id") < xn - 1000).select(
+            F.col("id").cast("string").alias("_u"),
+            (F.col("id") + 1000).cast("string").alias("_v"),
+            (F.col("id") % 89 + 50 + (F.col("id") % 11) * 0.01).alias("w"),
+        )
+        xe = xchain.unionByName(xchords)
+        xe.count()
+        Gx = SparkGraph(
+            xb.select(F.col("id").cast("string").alias("_n")), xe, partitions=64
+        )
+        t0 = time.time()
+        out["msf_xl_edges"] = Gx.minimum_spanning_forest(
+            strategy="pregel"
+        ).count()
+        out["msf_xl_sec"] = round(time.time() - t0, 1)
+        assert out["msf_xl_edges"] == xn - 1
+
+        # --- XL 5-truss: ~1.06M edges (500k-node 2-arm sparse tail +
+        # the 2000-node circulant community).
+        log("phase: XL k-truss 1M+ edges")
+        kn = 500_000
+        kb = spark.range(kn)
+        karms = [
+            kb.select(
+                F.col("id").cast("string").alias("_u"),
+                ((F.col("id") * a + c) % kn).cast("string").alias("_v"),
+                F.lit(1.0).alias("w"),
+            )
+            for a, c in ((37, 11), (101, 7))
+        ]
+        kblk = kb.filter(F.col("id") < 2000)
+        kdense = [
+            kblk.select(
+                F.col("id").cast("string").alias("_u"),
+                ((F.col("id") + d) % 2000).cast("string").alias("_v"),
+                F.lit(1.0).alias("w"),
+            )
+            for d in range(1, 9)
+        ]
+        ke = karms[0]
+        for a in karms[1:] + kdense:
+            ke = ke.unionByName(a)
+        ke.count()
+        Gk = SparkGraph(
+            kb.select(F.col("id").cast("string").alias("_n")), ke, partitions=64
+        )
+        t0 = time.time()
+        out["ktruss_xl_edges"] = Gk.ktruss(5, strategy="pregel").count()
+        out["ktruss_xl_sec"] = round(time.time() - t0, 1)
+        assert out["ktruss_xl_edges"] >= 15000
 
     print(json.dumps(out))
     spark.stop()
