@@ -41,6 +41,9 @@ _PRIORITY = [
     "g_msf",
     "g_ktruss",
     "g_scc_components",
+    "d14_semdedup",
+    "d15_dsir_weights",
+    "s13_ivfpq_search",
     "a1_table_counts",
     "a2_orders_per_customer",
     "a3_weighted_size",

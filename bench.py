@@ -130,6 +130,19 @@ def main() -> None:
     G.shortest_path_lengths("0", weight="w", max_iterations=12, strategy="pregel").count()
     pregel_sec = round(time.time() - t0, 3)
 
+    # composed-pipeline extras (NOT part of the frozen 16-query
+    # headline): the two multi-stage catalog pipelines most like
+    # production jobs, tracked round-over-round like pregel_sssp
+    pipeline_extras: dict[str, float] = {}
+    for name in ("t19_pipeline_e2e", "d13_er_pipeline"):
+        try:
+            catalog.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+            t0 = time.time()
+            catalog.QUERIES[name](spark, SF_DIR).collect()
+            pipeline_extras[f"{name}_sec"] = round(time.time() - t0, 3)
+        except Exception:
+            pipeline_extras[f"{name}_sec"] = None
+
     # concurrent-load marker: headline wall varies ±30% with machine
     # load (TODO.md); loadavg at start/end makes that noise auditable
     # when comparing BENCH_rN.json across rounds
@@ -149,6 +162,7 @@ def main() -> None:
                 "bulk_insert_edges_per_sec": round(insert_rate, 1),
                 "keyed_updates_per_sec": round(update_rate, 1),
                 "pregel_sssp_200k_12iter_sec": pregel_sec,
+                **pipeline_extras,
                 "loadavg_1m_start": LOAD_AT_START,
                 "loadavg_1m_end": load_1m,
             }

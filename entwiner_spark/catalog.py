@@ -6256,6 +6256,169 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+
+# =====================================================================
+# Round-6 additions: SemDeDup + DSIR (training-data curation tier)
+# =====================================================================
+
+_SD_TAU = 0.35  # calibrated so the synthetic corpus yields drops (cf. d6)
+
+
+@q(
+    "d14_semdedup",
+    f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {_D_COLS}
+      FROM embeddings, {_CENT_FROM}
+    ),
+    a AS (
+      SELECT vec_id, embedding, CAST({_ARGMIN_CASE} AS INT) AS centroid,
+             _m AS dc
+      FROM (SELECT vec_id, embedding, {_LEAST} AS _m, * FROM d)
+    ),
+    r AS (
+      SELECT vec_id, embedding, centroid,
+             row_number() OVER (PARTITION BY centroid
+                                ORDER BY dc, vec_id) AS crank
+      FROM a
+    ),
+    dup AS (
+      SELECT DISTINCT x.vec_id AS vid
+      FROM r x JOIN r y
+        ON x.centroid = y.centroid AND y.crank < x.crank
+      WHERE round(({_dot_sql("x.embedding", "y.embedding")})
+                  / (sqrt({_dot_sql("x.embedding", "x.embedding")})
+                     * sqrt({_dot_sql("y.embedding", "y.embedding")})), 6)
+            >= {_SD_TAU}
+    )
+    SELECT r.vec_id, r.centroid, CAST(r.crank AS BIGINT) AS crank,
+           (dup.vid IS NULL) AS kept
+    FROM r LEFT JOIN dup ON r.vec_id = dup.vid
+    """,
+)
+def d14_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (similarity.semdedup, Abbas et al.
+    2023): coarse-cluster the embedding corpus (8 fixed centroids —
+    the s5 IVF discipline), rank members by distance-to-centroid, and
+    drop vectors whose cosine to ANY earlier-ranked cluster member is
+    >= tau (first-ranked-wins, fully deterministic).  Pairwise work
+    never leaves a cluster — the IVF trick applied to dedup, which is
+    what makes semantic dedup viable at 100 TB.  tau is calibrated to
+    the synthetic corpus (cf. d6) so the query exercises both kept
+    and dropped rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup(emb, _ivf_centroids(spark, sf_dir), tau=_SD_TAU)
+
+
+_DSIR_B = 64
+_DSIR_H = _H32.format(x="word")
+
+
+@q(
+    "d15_dsir_weights",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wb AS (
+      SELECT doc_id, tgt, {_DSIR_H} % {_DSIR_B} AS b
+      FROM w WHERE word != ''
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM wb GROUP BY b),
+    tgtc AS (SELECT b, count(*) AS ct FROM wb WHERE tgt GROUP BY b),
+    tots AS (
+      SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS r,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgtc) AS t
+    ),
+    lr AS (
+      SELECT raw.b,
+             ln((coalesce(ct, 0) + 1.0) / (t + {_DSIR_B}))
+             - ln((cr + 1.0) / (r + {_DSIR_B})) AS lr
+      FROM raw LEFT JOIN tgtc ON raw.b = tgtc.b, tots
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(lr), 6) AS dsir_weight
+    FROM wb JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def d15_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (text.dsir_weights, Xie et al. 2023):
+    hashed-unigram LMs over the English slice (target) vs the whole
+    corpus (raw); every document scores the mean log-likelihood ratio
+    of its tokens — the importance-resampling signal that tilts a raw
+    crawl toward the target distribution.  The 64-bucket log-ratio
+    table broadcasts at any corpus size; the per-doc mean is the only
+    real shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.dsir_weights(d, F.col("lang") == "en", buckets=_DSIR_B)
+
+
+
+def _s13_adc_sql() -> str:
+    def sub_chain(s: int) -> str:
+        lo = s * _PQ_W
+        return " + ".join(
+            f"(CAST(qv[{lo + i}] AS DOUBLE) - CAST(cv[{lo + i}] AS DOUBLE)"
+            f" - CAST(v{s}[{lo + i}] AS DOUBLE))"
+            f" * (CAST(qv[{lo + i}] AS DOUBLE) - CAST(cv[{lo + i}] AS DOUBLE)"
+            f" - CAST(v{s}[{lo + i}] AS DOUBLE))"
+            for i in range(1, _PQ_W + 1)
+        )
+
+    dist = " + ".join(f"({sub_chain(s)})" for s in range(_PQ_M))
+    return f"""
+    WITH enc AS ({_ivfpq_sql()}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+    cdf AS (SELECT vec_id AS centroid, embedding AS cv FROM embeddings
+            WHERE vec_id < {_N_CENT}),
+    cb AS (SELECT vec_id AS code, embedding AS cbv FROM embeddings
+           WHERE vec_id < {_PQ_K}),
+    j AS (
+      SELECT e.vec_id AS nid, q.qid, q.qv, c.cv,
+             b0.cbv AS v0, b1.cbv AS v1, b2.cbv AS v2, b3.cbv AS v3
+      FROM enc e
+      JOIN cdf c ON c.centroid = e.centroid
+      JOIN cb b0 ON b0.code = e.code_0
+      JOIN cb b1 ON b1.code = e.code_1
+      JOIN cb b2 ON b2.code = e.code_2
+      JOIN cb b3 ON b3.code = e.code_3
+      CROSS JOIN q
+      WHERE q.qid != e.vec_id
+    ),
+    scored AS (SELECT qid, nid, round({dist}, 6) AS adc_dist FROM j)
+    SELECT qid, nid, rank, adc_dist FROM (
+      SELECT qid, nid, adc_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """
+
+
+@q("s13_ivfpq_search", _s13_adc_sql())
+def s13_ivfpq_search(spark, sf_dir):
+    """IVF-PQ ADC search (similarity.ivfpq_topk — the composed query
+    the s12 encode exists for): the corpus is touched ONLY through its
+    compressed (centroid, 4 sub-codes) encoding; each of 4 query
+    vectors ranks the whole corpus by asymmetric distance to the
+    reconstruction centroid + code and keeps the top-2.  Three tiny
+    broadcast sides (centroids, per-subspace codebooks, queries) joined
+    onto the encoded corpus; one per-query window is the only shuffle.
+    The oracle replays encode AND search with the identical
+    subspace-summation association."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 4),
+        emb,
+        _ivf_centroids(spark, sf_dir),
+        _pq_codebooks(spark, sf_dir),
+        k=2,
+    )
+
+
 # =====================================================================
 # Driver-verification rotation
 # =====================================================================

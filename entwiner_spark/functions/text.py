@@ -488,3 +488,73 @@ def lm_score_buckets(docs, text_col: str = "text", id_col: str = "doc_id"):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def dsir_weights(
+    docs,
+    target_filter,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    fit hashed-unigram bag-of-words models on the TARGET slice
+    (``target_filter``, e.g. the high-quality / in-domain subset) and
+    on the RAW corpus, then weight every document by the mean
+    log-likelihood ratio of its tokens — the importance signal that
+    resamples a raw crawl toward the target distribution.
+
+    Tokens hash to ``buckets`` feature ids (hashing trick — no
+    vocabulary state), both models are Laplace-smoothed
+    ``(count + 1) / (total + buckets)``, and the per-doc weight is
+    ``avg over tokens of ln(p_target(b)/p_raw(b))`` rounded to 6 dp.
+
+    Plan shape: one explode to (doc, bucket) rows feeds BOTH count
+    aggregates (each collapses to ``buckets`` rows via map-side
+    partial aggregation), the log-ratio table broadcasts (64 rows at
+    any corpus size), and the per-doc mean is the only real shuffle.
+    Returns ``(id_col, n_words, dsir_weight)``; positive weight =
+    looks more like the target than the raw corpus.
+    """
+    from pyspark.sql import functions as F
+
+    w = docs.select(
+        F.col(id_col),
+        target_filter.alias("_tgt"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    wb = w.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        (stable_hash32(F.col("word")) % buckets).alias("_b"),
+    )
+    raw = wb.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt = wb.filter(F.col("_tgt")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    totals = raw.agg(F.sum("_cr").alias("_r")).crossJoin(
+        tgt.agg(F.sum("_ct").alias("_t"))
+    )
+    lr = (
+        raw.join(tgt, "_b", "left_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1.0)
+                    / (F.col("_t") + buckets)
+                )
+                - F.log((F.col("_cr") + 1.0) / (F.col("_r") + buckets))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        wb.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(F.avg("_lr"), 6).alias("dsir_weight"),
+        )
+    )

@@ -670,3 +670,161 @@ def ivfpq_encode(
             expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
         outs.append(expr.cast("int").alias(f"code_{s}"))
     return pqd.select(F.col(id_col), F.col("centroid"), *outs)
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings to coarse centroids, then
+    WITHIN each cluster drop vectors that are near-duplicates of a
+    better-ranked member.  This is the deterministic
+    first-ranked-wins variant: members rank by (distance to own
+    centroid, id) and a vector is dropped when its cosine to ANY
+    earlier-ranked cluster member is >= ``tau`` — so the member
+    closest to the centroid always survives and the output is
+    replayable (no RNG, no iteration order dependence).
+
+    Scale shape: the O(n^2) similarity work is confined within
+    clusters (the IVF trick applied to dedup — pair volume is
+    sum-of-C(cluster_size, 2), tunable via the centroid count);
+    centroid distances are inlined-literal chains per row, the
+    pairwise stage is one equi-join on the cluster id, and no stage
+    ever compares vectors across clusters.  Output
+    ``(id, centroid, crank, kept)`` — the training-data curation
+    decision per vector, joinable back to the documents table.
+    """
+    n_k = len(centroids)
+    dim = len(centroids[0])
+    v = F.col(vec_col)
+    base = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+    ).repartition(F.col(id_col))
+    m = F.least(*[F.col(f"_d{k}") for k in range(n_k)])
+    ci = None
+    for k in range(n_k):
+        cond = F.col(f"_d{k}") == m
+        ci = F.when(cond, F.lit(k)) if ci is None else ci.when(cond, F.lit(k))
+    a = base.select(
+        F.col(id_col),
+        ci.cast("int").alias("centroid"),
+        m.alias("_dc"),
+        F.col("_v"),
+    )
+    w = Window.partitionBy("centroid").orderBy("_dc", id_col)
+    ranked = a.withColumn("crank", F.row_number().over(w))
+    x = ranked.select(
+        "centroid",
+        F.col(id_col).alias("_xid"),
+        F.col("_v").alias("_xv"),
+        F.col("crank").alias("_xr"),
+    )
+    y = ranked.select(
+        "centroid",
+        F.col("_v").alias("_yv"),
+        F.col("crank").alias("_yr"),
+    )
+    cos = dot_cols(F.col("_xv"), F.col("_yv"), dim) / (
+        norm(F.col("_xv"), dim) * norm(F.col("_yv"), dim)
+    )
+    dup = (
+        x.join(y, "centroid")
+        .filter(F.col("_yr") < F.col("_xr"))
+        .filter(F.round(cos, 6) >= tau)
+        .select(F.col("_xid"))
+        .distinct()
+    )
+    return (
+        ranked.join(dup, ranked[id_col] == dup["_xid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("centroid"),
+            F.col("crank").cast("long").alias("crank"),
+            F.col("_xid").isNull().alias("kept"),
+        )
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ADC search (Jégou et al. — asymmetric distance
+    computation): the corpus exists ONLY as its compressed IVF-PQ
+    encoding (coarse centroid id + m sub-codes, via
+    :func:`ivfpq_encode`); each query's approximate distance to a
+    corpus vector is computed against the RECONSTRUCTION
+    ``centroid + code`` without ever touching the original corpus
+    vector — the query path that serves billion-vector ANN from the
+    compressed index alone.
+
+    ``adc_dist(q, x) = sum_s ||(q - cent_cx)_sub_s - codebook_s[code_s]||^2``
+
+    Plan shape: the encode is the s12 per-row literal pipeline; the
+    search joins the encoded corpus to THREE tiny broadcast sides
+    (centroid table, per-subspace code tables, the query set) and
+    ranks with one per-query window — the only shuffle.  Returns
+    ``(qid, nid, rank, adc_dist)`` with rank <= k, deterministic via
+    6-dp rounding before the (adc_dist, nid) ordering.
+    """
+    spark = corpus.sparkSession
+    enc = ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col)
+    # materialize the index: a repartition barrier is NOT enough here —
+    # the optimizer still traverses the combined encode+search tree
+    # (hundreds of literal distance chains x five joins) and OOMs.
+    # Severing the plan mirrors the real IVF-PQ lifecycle anyway: the
+    # compressed index is BUILT once and PERSISTED, then every query
+    # serves against the materialized codes, never the encode plan.
+    enc = enc.withColumnRenamed(id_col, "nid").localCheckpoint(eager=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, _cv array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    j = enc.join(F.broadcast(cdf), "centroid").crossJoin(F.broadcast(q))
+    for s, cb in enumerate(codebooks):
+        sdf = spark.createDataFrame(
+            [(ki, [float(x) for x in code]) for ki, code in enumerate(cb)],
+            f"code_{s} int, _cb{s} array<double>",
+        )
+        j = j.join(F.broadcast(sdf), f"code_{s}")
+    r = F.zip_with(
+        F.col("_qv"), F.col("_cv"), lambda a, b: a.cast("double") - b
+    )
+    total = None
+    off = 1
+    for s, cb in enumerate(codebooks):
+        width = len(cb[0])
+        sub = F.slice(r, off, width)
+        ds = F.aggregate(
+            F.zip_with(
+                sub, F.col(f"_cb{s}"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = ds if total is None else total + ds
+        off += width
+    scored = (
+        j.filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(total, 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "nid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adc_dist")
+    )

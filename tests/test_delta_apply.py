@@ -64,3 +64,64 @@ def test_apply_geojson_delta(spark, tiny_edges, tiny_nodes, tmp_path):
     assert del_v not in ids  # only the deleted edge touched it
     # untouched edges intact
     assert edges.filter(F.col("surface").isNull()).count() == 4
+
+
+def test_sequential_interleaved_writers_last_write_wins(
+    spark, tiny_edges, tiny_nodes, tmp_path
+):
+    """Two writers applying deltas back-to-back (the supported
+    single-writer-at-a-time discipline — PLANS.md 'Concurrent-writer
+    semantics'): call 2 reads call 1's published store, so the merge
+    is serializable and the LAST write's attributes win on a shared
+    (_u, _v) key; a later delete removes an earlier upsert."""
+    from entwiner_spark.sources.delta_apply import apply_geojson_delta
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables,
+        write_graph_tables,
+    )
+
+    store = str(tmp_path / "store")
+    write_graph_tables(tiny_edges, tiny_nodes, store, partitions=2)
+
+    # writer A: set surface=gravel on feature 0, add a new feature X
+    delta_a = {
+        "type": "FeatureCollection",
+        "features": [
+            _feature(TINY_COORDS[0], {"surface": "gravel"}),
+            _feature(
+                [[-122.320, 47.661], [-122.321, 47.662]], {"surface": "newA"}
+            ),
+        ],
+    }
+    # writer B (later): overwrite feature 0's surface, delete X
+    delta_b = {
+        "type": "FeatureCollection",
+        "features": [
+            _feature(TINY_COORDS[0], {"surface": "asphalt"}),
+            _feature(
+                [[-122.320, 47.661], [-122.321, 47.662]], {"_deleted": True}
+            ),
+        ],
+    }
+    pa, pb = tmp_path / "a.geojson", tmp_path / "b.geojson"
+    pa.write_text(json.dumps(delta_a))
+    pb.write_text(json.dumps(delta_b))
+
+    sa = apply_geojson_delta(spark, store, str(pa))
+    assert sa["upserted"] == 4 and sa["deleted"] == 0 and sa["edges"] == 10
+
+    sb = apply_geojson_delta(spark, store, str(pb))
+    # B saw A's publish: its upsert replaced A's surface value in
+    # place (edge count unchanged by the upsert) and its delete
+    # removed the X edges A added
+    assert sb["upserted"] == 2 and sb["deleted"] == 2 and sb["edges"] == 8
+
+    edges, nodes = read_graph_tables(spark, store)
+    surf = {
+        r["surface"]
+        for r in edges.filter(F.col("surface").isNotNull()).collect()
+    }
+    assert surf == {"asphalt"}  # B's value won; A's gravel/newA gone
+    assert edges.count() == 8
+    ids = {r["_n"] for r in nodes.collect()}
+    assert "-122.32, 47.661" not in ids  # X's orphaned endpoints pruned

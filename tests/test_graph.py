@@ -725,6 +725,31 @@ def test_scc_dag_is_all_singletons(spark):
         assert got == {str(i): str(i) for i in range(6)}, strat
 
 
+def test_scc_long_trivial_chain_within_max_iterations(spark):
+    """A directed chain of singleton SCCs with ASCENDING ids is the
+    FW-BW worst case (one root peels per round); the trim prepass
+    drains it without consuming outer rounds, so max_iterations=3
+    still completes (regression: used to RuntimeError when the
+    condensation path outran max_iterations).  A 2-cycle is appended
+    so one genuine FW-BW round still runs after trim."""
+    n = 40
+    rows = [(f"{i:03d}", f"{i + 1:03d}", 1.0) for i in range(n - 1)]
+    # tail 2-cycle: chain end feeds a nontrivial SCC {900, 901}
+    rows += [(f"{n - 1:03d}", "900", 1.0), ("900", "901", 1.0), ("901", "900", 1.0)]
+    edges = spark.createDataFrame(rows, ["_u", "_v", "w"])
+    nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
+    g = SparkGraph(nodes, edges)
+    got = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(
+            max_iterations=3, strategy="pregel"
+        ).collect()
+    }
+    want = {f"{i:03d}": f"{i:03d}" for i in range(n)}
+    want.update({"900": "900", "901": "900"})
+    assert got == want
+
+
 def test_harmonic_centrality_matches_networkx(spark):
     """Outgoing-distance harmonic centrality == networkx on the
     reversed graph (nx sums over incoming distances)."""

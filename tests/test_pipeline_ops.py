@@ -395,3 +395,177 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     df = spark.createDataFrame([(0, 5), (1, -2)], "doc_id long, wt long")
     with pytest.raises(Exception, match="positive weights"):
         SAMP.weighted_sample(df, weight_col="wt", k=1).collect()
+
+
+def test_semdedup_reference(spark):
+    """similarity.semdedup == a Python replay of the first-ranked-wins
+    rule on a hand-built corpus with exact duplicates, near-duplicates
+    and orthogonal vectors split across two clusters."""
+    import math
+
+    from entwiner_spark.operators.similarity import semdedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],     # cluster 0 keeper
+        1: [1.0, 0.0, 0.0, 0.0],     # exact dup of 0 -> dropped
+        2: [0.9, 0.1, 0.0, 0.0],     # near 0 -> dropped
+        3: [0.6, 0.0, 0.8, 0.0],     # cluster 0 but dissimilar -> kept
+        4: [0.0, 1.0, 0.0, 0.0],     # cluster 1 keeper
+        5: [0.0, 0.95, 0.05, 0.0],   # near 4 -> dropped
+        6: [0.0, 0.5, 0.0, 0.86],    # cluster 1, dissimilar -> kept
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    tau = 0.95
+    got = {
+        r["vec_id"]: (r["centroid"], r["crank"], r["kept"])
+        for r in semdedup(df, cents, tau=tau).collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    assign = {
+        i: min(range(2), key=lambda k: (l2(v, cents[k]), k))
+        for i, v in vecs.items()
+    }
+    want = {}
+    for c in (0, 1):
+        members = sorted(
+            (i for i in vecs if assign[i] == c),
+            key=lambda i: (l2(vecs[i], cents[assign[i]]), i),
+        )
+        for r, i in enumerate(members, start=1):
+            dropped = any(
+                cos(vecs[i], vecs[j]) >= tau for j in members[: r - 1]
+            )
+            want[i] = (c, r, not dropped)
+    assert got == want
+    # the spot checks the fixture was built for
+    assert not got[1][2] and not got[2][2] and not got[5][2]
+    assert got[0][2] and got[3][2] and got[4][2] and got[6][2]
+
+
+def test_dsir_weights_reference(spark):
+    """text.dsir_weights == a Python replay of the hashed-unigram
+    importance-ratio model, and target-looking docs score higher than
+    raw-looking ones."""
+    import hashlib
+    import math
+
+    from entwiner_spark.functions.text import dsir_weights
+
+    rows = [
+        (0, "alpha beta alpha gamma", True),
+        (1, "alpha beta beta", True),
+        (2, "delta epsilon zeta", False),
+        (3, "delta delta epsilon", False),
+        (4, "alpha beta gamma", False),  # raw doc that LOOKS like target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_hq boolean")
+    B = 16
+    got = {
+        r["doc_id"]: (r["n_words"], r["dsir_weight"])
+        for r in dsir_weights(
+            df, F.col("is_hq"), buckets=B
+        ).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    toks = {i: t.split(" ") for i, t, _ in rows}
+    raw_c: dict = {}
+    tgt_c: dict = {}
+    for i, t, hq in rows:
+        for w in toks[i]:
+            b = bucket(w)
+            raw_c[b] = raw_c.get(b, 0) + 1
+            if hq:
+                tgt_c[b] = tgt_c.get(b, 0) + 1
+    R = sum(raw_c.values())
+    T = sum(tgt_c.values())
+
+    def lr(b):
+        return math.log((tgt_c.get(b, 0) + 1.0) / (T + B)) - math.log(
+            (raw_c[b] + 1.0) / (R + B)
+        )
+
+    want = {
+        i: (
+            len(toks[i]),
+            round(sum(lr(bucket(w)) for w in toks[i]) / len(toks[i]), 6),
+        )
+        for i, _, _ in rows
+    }
+    assert got == want
+    # doc 4 shares the target vocabulary -> outscores the delta docs
+    assert got[4][1] > got[2][1] and got[4][1] > got[3][1]
+
+
+def test_ivfpq_topk_adc_reference(spark):
+    """ADC search == Python replay on a corpus built exactly from
+    centroid+code reconstructions (so the 'approximate' distance is
+    the true distance to each reconstruction and fully checkable)."""
+    import math
+
+    from entwiner_spark.operators.similarity import ivfpq_topk
+
+    cents = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+    # 2 subspaces of width 2, 2 codes each
+    cbs = [
+        [[0.0, 0.0], [1.0, 2.0]],
+        [[0.0, 0.0], [3.0, 1.0]],
+    ]
+    recon = {}
+    vecs = {}
+    vid = 10
+    for c in (0, 1):
+        for k0 in (0, 1):
+            for k1 in (0, 1):
+                v = [
+                    cents[c][0] + cbs[0][k0][0],
+                    cents[c][1] + cbs[0][k0][1],
+                    cents[c][2] + cbs[1][k1][0],
+                    cents[c][3] + cbs[1][k1][1],
+                ]
+                vecs[vid] = v
+                recon[vid] = v  # corpus == its own reconstruction
+                vid += 1
+    # two query vectors, NOT in the corpus id space overlap check
+    queries = {0: [0.5, 0.5, 0.5, 0.5], 1: [10.5, 11.5, 12.5, 9.5]}
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["qid"], r["rank"]): (r["nid"], r["adc_dist"])
+        for r in ivfpq_topk(qdf, corpus, cents, cbs, k=3).collect()
+    }
+
+    def l2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    want = {}
+    for qid, qv in queries.items():
+        ranked = sorted(
+            ((l2(qv, recon[n]), n) for n in vecs), key=lambda t: t
+        )[:3]
+        for r, (d, n) in enumerate(ranked, start=1):
+            want[(qid, r)] = (n, d)
+    assert got == want

@@ -1098,3 +1098,72 @@ def test_stream_anomaly_zscore_equals_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 28
     assert any(flag for _, flag in got.values())  # the planted spike fires
+
+
+def test_stream_unigram_score_equals_batch(spark, tmp_path):
+    """Frozen-LM document scoring is stateless per row, so the doc
+    stream scores exactly like the same docs in batch (same function,
+    same static LM row) — and matches a hand-computed value.  The LM
+    is fit on a REFERENCE corpus, the stream brings new docs incl. an
+    out-of-vocabulary word."""
+    import math
+
+    from entwiner_spark.streaming.text import (
+        reference_unigram_lm,
+        stream_unigram_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "a a b"), (101, "b c")], ["doc_id", "text"]
+    )
+    lm = reference_unigram_lm(ref).localCheckpoint(eager=True)
+
+    d = tmp_path / "docs_lm_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 0, "text": "a b"},
+        {"doc_id": 1, "text": "c c a"},
+        {"doc_id": 2, "text": "a novel b"},  # 'novel' is OOV
+        {"doc_id": 3, "text": "b"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_unigram_score(stream, lm)
+        .writeStream.format("memory")
+        .queryName("lm_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_words"], r["avg_logprob"])
+            for r in spark.sql("SELECT * FROM lm_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        r["doc_id"]: (r["n_words"], r["avg_logprob"])
+        for r in stream_unigram_score(batch, lm).collect()
+    }
+    assert got == want and len(got) == 4
+    # hand check: reference freq a=2 b=2 c=1 of 5; doc 2 = (ln.4 +
+    # OOV(-20) + ln.4)/3
+    la, lc = math.log(0.4), math.log(0.2)
+    assert got[0] == (2, round((la + la) / 2, 6))
+    assert got[1] == (3, round((lc + lc + la) / 3, 6))
+    assert got[2] == (3, round((la - 20.0 + la) / 3, 6))
+    assert got[3] == (1, round(la, 6))
