@@ -322,6 +322,41 @@ class LazyDiGraphView(nx.DiGraph):
         graphs/digraphdb/__init__.py:132)."""
         return self._mutable
 
+    def iter_edges(self):
+        """Generator of ``(u, v, d)`` with ``d`` a PLAIN dict — the
+        reference's fast bulk-read path that skips the database-synced
+        edge mapping (graphs/digraphdb/__init__.py:68-82).  Streams
+        via ``toLocalIterator`` (one partition in driver memory at a
+        time), so it walks edge tables far larger than the driver —
+        unlike ``.edges``, which goes through the point-lookup
+        protocol."""
+        for row in self.sg.edges.toLocalIterator():
+            yield (
+                row["_u"],
+                row["_v"],
+                _edge_attrs(row, ("_u", "_v")),
+            )
+
+    @classmethod
+    def create_graph(cls, spark, path: str | None = None, mutable: bool = True):
+        """Create a view over a NEW empty graph (parity:
+        DiGraphDB.create_graph, graphs/digraphdb/__init__.py:135-137 —
+        there it initializes the SQLite tables; here the canonical
+        empty edge/node DataFrames, optionally published to ``path``
+        as a parquet store)."""
+        from entwiner_spark.operators.graph import SparkGraph
+        from entwiner_spark.schemas import EDGES_BASE_SCHEMA, NODES_SCHEMA
+
+        edges = spark.createDataFrame([], EDGES_BASE_SCHEMA)
+        nodes = spark.createDataFrame([], NODES_SCHEMA)
+        if path is not None:
+            from entwiner_spark.sources.parquet_store import (
+                write_graph_tables,
+            )
+
+            write_graph_tables(edges, nodes, path, partitions=1)
+        return cls(SparkGraph(nodes, edges), mutable=mutable)
+
     # ---- write plumbing (mutable views only) --------------------------
 
     def _swap_edges(self, new_edges) -> None:

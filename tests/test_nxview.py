@@ -225,3 +225,35 @@ def test_mutable_add_weighted_edges_from(Gmut):
     G = Gmut
     G.add_weighted_edges_from([("p1", "p2", 2.5)])
     assert G["p1"]["p2"]["weight"] == 2.5
+
+
+def test_iter_edges_plain_dicts(spark, tiny_edges, tiny_nodes):
+    """iter_edges streams (u, v, plain-dict) rows — the reference's
+    bulk-read fast path (digraphdb/__init__.py:68-82) — and agrees
+    with the edge table."""
+    from entwiner_spark.nxview import LazyDiGraphView
+    from entwiner_spark.operators.graph import SparkGraph
+
+    G = LazyDiGraphView(SparkGraph(tiny_nodes, tiny_edges))
+    got = list(G.iter_edges())
+    assert len(got) == tiny_edges.count()
+    for u, v, d in got:
+        assert isinstance(d, dict) and "_u" not in d and "_v" not in d
+    assert {(u, v) for u, v, _ in got} == {
+        (r["_u"], r["_v"]) for r in tiny_edges.collect()
+    }
+
+
+def test_create_graph_empty_then_mutable(spark, tmp_path):
+    """create_graph parity: a fresh empty graph accepts batched edge
+    writes and persists; with path= it publishes an empty store."""
+    from entwiner_spark.nxview import LazyDiGraphView
+    from entwiner_spark.sources.parquet_store import read_graph_tables
+
+    store = str(tmp_path / "newstore")
+    G = LazyDiGraphView.create_graph(spark, path=store)
+    edges, nodes = read_graph_tables(spark, store)
+    assert edges.count() == 0
+    assert G.size() == 0
+    G.add_edges_from([("a", "b", {"cost": 1.0}), ("b", "c", {"cost": 2.0})])
+    assert G.size() == 2 and G["a"]["b"]["cost"] == 1.0
