@@ -170,3 +170,26 @@ def test_composed_pipelines_plan_shapes(spark):
     t19 = plan_summary(catalog.QUERIES["t19_pipeline_e2e"](spark, SF))
     assert not any("CartesianProduct" in l for l in t19)
     assert not any("BatchEvalPython" in l for l in t19)
+
+
+def test_round6_additions_plan_shapes(spark):
+    """Round-6 additions keep their scale contracts: semdedup's
+    pairwise stage is an equi-join on the cluster id (never a
+    cartesian across clusters); DSIR's log-ratio table and the
+    ivfpq-search centroid/codebook/query sides all broadcast."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    d14 = plan_summary(catalog.QUERIES["d14_semdedup"](spark, SF))
+    assert not any("CartesianProduct" in l for l in d14)
+
+    d15 = plan_summary(catalog.QUERIES["d15_dsir_weights"](spark, SF))
+    assert any("BroadcastHashJoin" in l for l in d15)
+    assert not any("CartesianProduct" in l for l in d15)
+
+    s13 = plan_summary(catalog.QUERIES["s13_ivfpq_search"](spark, SF))
+    assert any(
+        "BroadcastHashJoin" in l or "BroadcastNestedLoopJoin" in l
+        for l in s13
+    )
+    assert not any("CartesianProduct" in l for l in s13)
