@@ -27,9 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # outputs instead of raw arrays; (3) queries whose implementation or
 # oracle changed this round (g_harmonic oracle d>0 guard, samp5
 # lazy-validation rewrite, g_msf pointer-jump relabel, g_ktruss
-# degree-oriented wedges, g_scc trivial-SCC trim); (4) the 47 rows
-# last driver-sampled in round 1, then round 3 — so cumulative claims
-# stay fresh against code drift.
+# degree-oriented wedges, g_scc trivial-SCC trim); (4) the round-6
+# additions (d14 SemDeDup, d15 DSIR, s13 IVF-PQ ADC search); (5) the
+# 47 rows last driver-sampled in round 1, then round 3 — so
+# cumulative claims stay fresh against code drift.
 _PRIORITY = [
     "t12_unigram_logprob",
     "g_clustering_coef",

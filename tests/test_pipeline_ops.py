@@ -569,3 +569,67 @@ def test_ivfpq_topk_adc_reference(spark):
         for r, (d, n) in enumerate(ranked, start=1):
             want[(qid, r)] = (n, d)
     assert got == want
+
+
+def test_semdedup_properties(spark):
+    """Hypothesis: for arbitrary small vector sets, (a) exactly one
+    member per non-empty cluster is always kept (the rank-1 member has
+    no earlier neighbor); (b) every dropped vector has an
+    earlier-ranked cluster member with cosine >= tau; (c) every kept
+    vector has none — the greedy rule replayed from scratch."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entwiner_spark.operators.similarity import semdedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    comp = st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+    )
+    # keep vectors away from the zero vector so cosine is defined
+    vec = st.tuples(comp, comp, comp).map(
+        lambda t: [t[0] + 0.25, t[1] + 0.25, t[2]]
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(vs=st.lists(vec, min_size=1, max_size=8), tau=st.sampled_from([0.5, 0.9]))
+    def run(vs, tau):
+        vecs = dict(enumerate(vs))
+        df = spark.createDataFrame(
+            list(vecs.items()), "vec_id long, embedding array<double>"
+        )
+        rows = semdedup(df, cents, tau=tau).collect()
+        got = {r["vec_id"]: (r["centroid"], r["crank"], r["kept"]) for r in rows}
+
+        def l2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        def cos(a, b):
+            return round(
+                sum(x * y for x, y in zip(a, b))
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b))
+                ),
+                6,
+            )
+
+        assign = {
+            i: min(range(2), key=lambda k: (l2(v, cents[k]), k))
+            for i, v in vecs.items()
+        }
+        for c in set(assign.values()):
+            members = sorted(
+                (i for i in vecs if assign[i] == c),
+                key=lambda i: (l2(vecs[i], cents[c]), i),
+            )
+            assert got[members[0]][2] is True  # rank-1 always kept
+            for r, i in enumerate(members, start=1):
+                has_near = any(
+                    cos(vecs[i], vecs[j]) >= tau for j in members[: r - 1]
+                )
+                assert got[i] == (c, r, not has_near)
+
+    run()
