@@ -21,3 +21,9 @@ class ImmutableGraphError(Exception):
 
 class UnrecognizedFileFormat(ValueError):
     """Raised for unreadable ingest inputs (reference exceptions.py)."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised by the versioned store when a writer's base version is
+    no longer current at publish time (optimistic concurrency: re-read
+    the store, re-apply the merge, retry)."""

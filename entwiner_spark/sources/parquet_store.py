@@ -234,3 +234,122 @@ def copy_store(spark: SparkSession, src: str, dst: str) -> None:
     the destination gets fresh stats/layout."""
     edges, nodes = read_graph_tables(spark, src)
     write_graph_tables(edges, nodes, dst)
+
+
+# --------------------------------------------------------------------
+# Versioned store: optimistic concurrency + snapshot reads on local FS
+# --------------------------------------------------------------------
+#
+# The plain write_graph_tables publish is last-rename-wins: a second
+# simultaneous writer silently erases the first one's merge, and a
+# reader that resolved file paths before the swap can fail mid-scan
+# (PLANS.md "Concurrent-writer semantics").  The versioned layout
+# fixes both with nothing but POSIX primitives — the miniature form of
+# what a Delta/Iceberg transaction log provides:
+#
+#     <store>/v1/edges.parquet ...     immutable once published
+#     <store>/v2/edges.parquet ...
+#     <store>/_latest                  text file holding "2"
+#
+# - Publish = write v{n+1} fully, then os.replace() the pointer file:
+#   readers resolve the pointer first, so they always scan a COMPLETE
+#   immutable version — no rmtree window, and long scans keep reading
+#   their resolved version even after later publishes (snapshot
+#   isolation by immutability).
+# - Lost updates become DETECTED conflicts: a writer passes the
+#   version it read as ``base_version``; if the pointer moved, publish
+#   raises ConcurrentWriteError and the caller re-reads + re-merges
+#   (the optimistic-retry loop Delta's ConcurrentAppendException
+#   drives).  NOTE: detection is check-then-rename, not a file lock —
+#   it closes the read-modify-write races that matter in practice
+#   (two merges seconds apart), not adversarial same-instant races.
+# - ``vacuum_versions`` deletes all but the newest ``keep`` versions
+#   once no reader needs them (the Delta VACUUM analogue).
+
+_LATEST = "_latest"
+
+
+def _read_pointer(store_dir: str) -> int:
+    try:
+        with open(os.path.join(store_dir, _LATEST)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def write_graph_tables_versioned(
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    store_dir: str,
+    base_version: int | None = None,
+    partitions: int | None = None,
+) -> int:
+    """Publish a new immutable version; returns its number.
+
+    ``base_version`` (from :func:`read_graph_tables_versioned`) arms
+    conflict detection: publish refuses with ConcurrentWriteError when
+    the store advanced past it, instead of silently dropping the other
+    writer's merge.
+    """
+    from entwiner_spark.exceptions import ConcurrentWriteError
+
+    if "://" in store_dir:
+        raise ValueError(
+            f"{store_dir}: versioned store is local-filesystem only"
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    current = _read_pointer(store_dir)
+    if base_version is not None and current != base_version:
+        raise ConcurrentWriteError(
+            f"store {store_dir} is at v{current}, writer based on "
+            f"v{base_version}: re-read and re-apply the merge"
+        )
+    new_v = current + 1
+    vdir = os.path.join(store_dir, f"v{new_v}")
+    # build the version dir via the existing atomic publish (temp +
+    # rename), so a crashed writer leaves only ignorable temp litter
+    write_graph_tables(edges, nodes, vdir, partitions=partitions)
+    # re-check THEN swing the pointer (optimistic commit point)
+    if base_version is not None and _read_pointer(store_dir) != base_version:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"store {store_dir} advanced during publish; v{new_v} aborted"
+        )
+    fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, os.path.join(store_dir, _LATEST))
+    return new_v
+
+
+def read_graph_tables_versioned(
+    spark: SparkSession, store_dir: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame | None, int]:
+    """Load ``(edges, nodes, version)`` — the newest version, or a
+    pinned older one (time travel over un-vacuumed versions)."""
+    v = version if version is not None else _read_pointer(store_dir)
+    if v < 1:
+        raise FileNotFoundError(f"{store_dir}: no published version")
+    edges, nodes = read_graph_tables(spark, os.path.join(store_dir, f"v{v}"))
+    return edges, nodes, v
+
+
+def vacuum_versions(store_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` versions; returns the
+    removed version numbers.  Run only when no reader still holds a
+    DataFrame over an old version's files."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    current = _read_pointer(store_dir)
+    removed = []
+    for name in sorted(os.listdir(store_dir)):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v <= current - keep:
+            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+            removed.append(v)
+    return removed

@@ -1167,3 +1167,62 @@ def test_stream_unigram_score_equals_batch(spark, tmp_path):
     assert got[1] == (3, round((lc + lc + la) / 3, 6))
     assert got[2] == (3, round((la - 20.0 + la) / 3, 6))
     assert got[3] == (1, round(la, 6))
+
+
+def test_versioned_store_conflict_snapshot_vacuum(spark, tiny_edges, tiny_nodes):
+    """Versioned store: (a) publish bumps the pointer; (b) a writer
+    based on a stale version gets ConcurrentWriteError instead of
+    silently erasing the other merge; (c) a pinned old version stays
+    readable after later publishes (snapshot/time travel); (d) vacuum
+    removes only versions older than keep."""
+    import tempfile
+
+    import pytest
+
+    from entwiner_spark.exceptions import ConcurrentWriteError
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables_versioned,
+        vacuum_versions,
+        write_graph_tables_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        store = f"{d}/vstore"
+        v1 = write_graph_tables_versioned(
+            tiny_edges, tiny_nodes, store, partitions=2
+        )
+        assert v1 == 1
+        edges, _, v = read_graph_tables_versioned(spark, store)
+        assert v == 1 and edges.count() == 8
+
+        # two writers read v1; writer A publishes first
+        a_base = b_base = v
+        mutated = tiny_edges.withColumn("cost", F.lit(1.0))
+        v2 = write_graph_tables_versioned(
+            mutated, tiny_nodes, store, base_version=a_base, partitions=2
+        )
+        assert v2 == 2
+        # writer B's publish from the stale base is refused
+        with pytest.raises(ConcurrentWriteError, match="re-read"):
+            write_graph_tables_versioned(
+                tiny_edges.limit(2), tiny_nodes, store,
+                base_version=b_base, partitions=2,
+            )
+        # latest reflects only A's merge
+        edges2, _, v = read_graph_tables_versioned(spark, store)
+        assert v == 2 and "cost" in edges2.columns
+
+        # pinned old version still readable (snapshot)
+        old, _, ov = read_graph_tables_versioned(spark, store, version=1)
+        assert ov == 1 and "cost" not in old.columns and old.count() == 8
+
+        # third publish, then vacuum keep=2 removes only v1
+        v3 = write_graph_tables_versioned(
+            mutated, tiny_nodes, store, base_version=2, partitions=2
+        )
+        assert v3 == 3
+        assert vacuum_versions(store, keep=2) == [1]
+        edges3, _, v = read_graph_tables_versioned(spark, store)
+        assert v == 3 and edges3.count() == 8
+        with pytest.raises(Exception):
+            read_graph_tables_versioned(spark, store, version=1)[0].count()
