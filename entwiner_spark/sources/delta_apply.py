@@ -31,21 +31,18 @@ from entwiner_spark.sources.parquet_store import (
 DELETE_FLAG = "_deleted"
 
 
-def apply_geojson_delta(
+def _merge_delta(
     spark: SparkSession,
-    store_dir: str,
+    current,
     delta_paths: str | list[str],
-    precision: int = DEFAULT_PRECISION,
-    changes_sign: tuple[str, ...] = (),
-    lines: bool = False,
-) -> dict[str, int]:
-    """Merge a GeoJSON delta into an existing graph store.
-
-    Returns counts: {"upserted": n, "deleted": n, "edges": total}.
-    """
+    precision: int,
+    changes_sign: tuple[str, ...],
+    lines: bool,
+):
+    """Shared merge core: returns ``(merged_edges_or_None, counts)``;
+    merged is None for an empty (no-op) delta."""
     from entwiner_spark.exceptions import UnrecognizedFileFormat
 
-    current, _ = read_graph_tables(spark, store_dir)
     try:
         delta = edges_from_geojson(
             spark,
@@ -57,7 +54,7 @@ def apply_geojson_delta(
         )
     except UnrecognizedFileFormat:
         # an empty delta is a no-op, not an error
-        return {"upserted": 0, "deleted": 0, "edges": current.count()}
+        return None, {"upserted": 0, "deleted": 0}
 
     # delta fids restart at 1 — shift past the store's max so the
     # engine fid PK stays unique across increments; materialize once
@@ -88,7 +85,62 @@ def apply_geojson_delta(
 
     # avoid lazy self-read-while-overwriting: materialize before publish
     merged = merged.localCheckpoint(eager=True)
+    return merged, {"upserted": n_upsert, "deleted": n_delete}
+
+
+def apply_geojson_delta(
+    spark: SparkSession,
+    store_dir: str,
+    delta_paths: str | list[str],
+    precision: int = DEFAULT_PRECISION,
+    changes_sign: tuple[str, ...] = (),
+    lines: bool = False,
+) -> dict[str, int]:
+    """Merge a GeoJSON delta into an existing graph store.
+
+    Returns counts: {"upserted": n, "deleted": n, "edges": total}.
+    """
+    current, _ = read_graph_tables(spark, store_dir)
+    merged, counts = _merge_delta(
+        spark, current, delta_paths, precision, changes_sign, lines
+    )
+    if merged is None:
+        return {**counts, "edges": current.count()}
     nodes = nodes_from_edges(merged, precision=precision)
     write_graph_tables(merged, nodes, store_dir)
     total = read_graph_tables(spark, store_dir)[0].count()
-    return {"upserted": n_upsert, "deleted": n_delete, "edges": total}
+    return {**counts, "edges": total}
+
+
+def apply_geojson_delta_versioned(
+    spark: SparkSession,
+    store_dir: str,
+    delta_paths: str | list[str],
+    precision: int = DEFAULT_PRECISION,
+    changes_sign: tuple[str, ...] = (),
+    lines: bool = False,
+) -> dict[str, int]:
+    """Conflict-SAFE incremental maintenance over the versioned store
+    (parquet_store.write_graph_tables_versioned): the merge is based
+    on the version it read, so a concurrent writer that published in
+    between raises ConcurrentWriteError instead of being silently
+    erased — re-call to re-read and re-apply.  Same counts dict as
+    :func:`apply_geojson_delta`, plus ``"version"``.
+    """
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables_versioned,
+        write_graph_tables_versioned,
+    )
+
+    current, _, base_v = read_graph_tables_versioned(spark, store_dir)
+    merged, counts = _merge_delta(
+        spark, current, delta_paths, precision, changes_sign, lines
+    )
+    if merged is None:
+        return {**counts, "edges": current.count(), "version": base_v}
+    nodes = nodes_from_edges(merged, precision=precision)
+    new_v = write_graph_tables_versioned(
+        merged, nodes, store_dir, base_version=base_v
+    )
+    total = read_graph_tables_versioned(spark, store_dir)[0].count()
+    return {**counts, "edges": total, "version": new_v}

@@ -125,3 +125,52 @@ def test_sequential_interleaved_writers_last_write_wins(
     assert edges.count() == 8
     ids = {r["_n"] for r in nodes.collect()}
     assert "-122.32, 47.661" not in ids  # X's orphaned endpoints pruned
+
+
+def test_apply_geojson_delta_versioned_conflict(
+    spark, tiny_edges, tiny_nodes, tmp_path
+):
+    """Versioned incremental maintenance: the merge publishes against
+    the version it read; after an interleaved publish the stale merge
+    raises ConcurrentWriteError instead of silently erasing it."""
+    import pytest
+
+    from entwiner_spark.exceptions import ConcurrentWriteError
+    from entwiner_spark.sources.delta_apply import (
+        apply_geojson_delta_versioned,
+    )
+    from entwiner_spark.sources.parquet_store import (
+        read_graph_tables_versioned,
+        write_graph_tables_versioned,
+    )
+
+    store = str(tmp_path / "vstore")
+    write_graph_tables_versioned(tiny_edges, tiny_nodes, store, partitions=2)
+
+    delta = {
+        "type": "FeatureCollection",
+        "features": [_feature(TINY_COORDS[0], {"surface": "gravel"})],
+    }
+    p = tmp_path / "d.geojson"
+    p.write_text(json.dumps(delta))
+    stats = apply_geojson_delta_versioned(spark, store, str(p))
+    assert stats["version"] == 2 and stats["upserted"] == 2
+    edges, _, v = read_graph_tables_versioned(spark, store)
+    assert v == 2 and edges.filter(F.col("surface") == "gravel").count() == 2
+
+    # interleave: another writer publishes v3 while our next merge is
+    # notionally in flight — simulate by publishing from v2, then
+    # attempting a versioned apply whose read raced (we re-point the
+    # store AFTER the function read it by calling with a store that
+    # advances mid-call is not injectable here, so assert the
+    # primitive: a publish from a stale base refuses)
+    write_graph_tables_versioned(
+        edges, tiny_nodes, store, base_version=2, partitions=2
+    )  # v3
+    with pytest.raises(ConcurrentWriteError):
+        write_graph_tables_versioned(
+            tiny_edges, tiny_nodes, store, base_version=2, partitions=2
+        )
+    # the versioned apply still works against the current head
+    stats2 = apply_geojson_delta_versioned(spark, store, str(p))
+    assert stats2["version"] == 4
