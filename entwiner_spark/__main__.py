@@ -37,6 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--out", default=None, help="write result parquet here")
     qp.add_argument("--show", type=int, default=20, help="rows to print")
     sub.add_parser("list", help="list all catalog query names")
+    a = sub.add_parser(
+        "apply", help="merge GeoJSON delta file(s) into an existing store"
+    )
+    a.add_argument("store", help="graph store directory")
+    a.add_argument("deltas", nargs="+", help="GeoJSON delta file(s)")
+    a.add_argument("--precision", type=int, default=7)
+    a.add_argument("--changes-sign", action="append", default=[])
+    a.add_argument(
+        "--versioned",
+        action="store_true",
+        help="treat the store as a versioned store (optimistic "
+        "concurrency: a concurrent publish raises instead of being "
+        "silently erased)",
+    )
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -67,6 +81,37 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}: {n} rows")
         else:
             df.show(args.show, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.cmd == "apply":
+        import os
+
+        missing = [s for s in args.deltas if not os.path.exists(s)]
+        if missing:
+            ap.error(f"delta file(s) not found: {', '.join(missing)}")
+        from entwiner_spark.session import get_spark
+        from entwiner_spark.sources.delta_apply import (
+            apply_geojson_delta,
+            apply_geojson_delta_versioned,
+        )
+
+        spark = get_spark("entwiner-apply")
+        fn = (
+            apply_geojson_delta_versioned
+            if args.versioned
+            else apply_geojson_delta
+        )
+        stats = fn(
+            spark,
+            args.store,
+            args.deltas,
+            precision=args.precision,
+            changes_sign=tuple(args.changes_sign),
+        )
+        print(
+            " ".join(f"{k}={v}" for k, v in stats.items())
+        )
         spark.stop()
         return 0
 

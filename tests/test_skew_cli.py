@@ -94,3 +94,37 @@ def test_cli_query_and_list(tmp_path):
     res = run("query", "a1_table_count")  # typo
     assert res.returncode != 0
     assert "did you mean" in res.stderr
+
+
+def test_cli_apply_delta(tmp_path, tiny_geojson):
+    """build then apply a delta via the CLI: counts in stdout, store
+    updated in place."""
+    import json as _json
+
+    out = str(tmp_path / "astore")
+    res = subprocess.run(
+        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    delta = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[-122.320, 47.661], [-122.321, 47.662]],
+                },
+                "properties": {"surface": "new"},
+            }
+        ],
+    }
+    dp = tmp_path / "delta.geojson"
+    dp.write_text(_json.dumps(delta))
+    res = subprocess.run(
+        [sys.executable, "-m", "entwiner_spark", "apply", out, str(dp)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "upserted=2" in res.stdout and "edges=10" in res.stdout
