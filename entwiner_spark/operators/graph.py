@@ -1062,18 +1062,25 @@ class SparkGraph:
             if done:
                 break
             # ---- forward min-label propagation to fixpoint ----
+            # hops are batched like SSSP's check_every: run 3 lazy
+            # expand+min rounds, then ONE checkpoint + signature probe
+            # — a diameter-D fixpoint costs ~D/3 driver actions
+            # instead of 2D (this inner loop is one job per hop and
+            # dominated the 50k-cycle stress at 82-91 s)
             color = remaining.select("_n", F.col("_n").alias("c"))
             prev_sig = None
+            hop_batch = 3
             for _ in range(10 * max_iterations):
-                msgs = edges.join(
-                    color.withColumnRenamed("_n", "_u"), "_u"
-                ).select(F.col("_v").alias("_n"), "c")
-                color = (
-                    color.unionByName(msgs)
-                    .groupBy("_n")
-                    .agg(F.min("c").alias("c"))
-                    .localCheckpoint(eager=True)
-                )
+                for _hop in range(hop_batch):
+                    msgs = edges.join(
+                        color.withColumnRenamed("_n", "_u"), "_u"
+                    ).select(F.col("_v").alias("_n"), "c")
+                    color = (
+                        color.unionByName(msgs)
+                        .groupBy("_n")
+                        .agg(F.min("c").alias("c"))
+                    )
+                color = color.localCheckpoint(eager=True)
                 row = color.agg(
                     F.expr("bit_xor(xxhash64(_n, c))").alias("h")
                 ).collect()[0]
@@ -1091,18 +1098,18 @@ class SparkGraph:
             )
             prev_n = member.count()
             while True:
-                cand = (
-                    edges.join(
-                        member.withColumnRenamed("_n", "_v"), "_v"
+                # same hop batching as the forward pass: 3 lazy
+                # reverse expansions per checkpoint + count
+                for _hop in range(hop_batch):
+                    cand = (
+                        edges.join(
+                            member.withColumnRenamed("_n", "_v"), "_v"
+                        )
+                        .select(F.col("_u").alias("_n"), "c")
+                        .join(color, ["_n", "c"], "left_semi")
                     )
-                    .select(F.col("_u").alias("_n"), "c")
-                    .join(color, ["_n", "c"], "left_semi")
-                )
-                member = (
-                    member.unionByName(cand)
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
+                    member = member.unionByName(cand).distinct()
+                member = member.localCheckpoint(eager=True)
                 n_m = member.count()
                 if n_m == prev_n:
                     break
