@@ -6339,7 +6339,7 @@ _DSIR_H = _H32.format(x="word")
       FROM raw LEFT JOIN tgtc ON raw.b = tgtc.b, tots
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           round(avg(lr), 6) AS dsir_weight
+           (round(avg(lr), 6) + 0.0) AS dsir_weight
     FROM wb JOIN lr USING (b)
     GROUP BY doc_id
     """,

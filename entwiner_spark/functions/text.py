@@ -555,6 +555,9 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.round(F.avg("_lr"), 6).alias("dsir_weight"),
+            # + 0.0 collapses IEEE negative zero (a mean of tiny
+            # negative ratios can round to -0.0 in one engine and 0.0
+            # in the other — the s1 gradient idiom)
+            (F.round(F.avg("_lr"), 6) + F.lit(0.0)).alias("dsir_weight"),
         )
     )

@@ -51,6 +51,14 @@ def main() -> int:
     ap.add_argument("--only", action="append", default=None)
     ap.add_argument("--show-diff", action="store_true")
     args = ap.parse_args()
+    if args.only:
+        # accept comma-separated lists; refuse silently-matching-nothing
+        args.only = [n for part in args.only for n in part.split(",") if n]
+        import __spark_entry__ as _em
+
+        unknown = [n for n in args.only if n not in _em.queries()]
+        if unknown:
+            ap.error(f"unknown query name(s) in --only: {', '.join(unknown)}")
 
     import __spark_entry__ as entry_mod
     from entwiner_spark.session import get_spark
@@ -65,9 +73,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if args.only and name not in args.only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir)
@@ -111,7 +121,7 @@ def main() -> int:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
-          f"({len(qs)} queries, {len(oracles)} with oracles)")
+          f"({checked} checked of {len(qs)} queries, {len(oracles)} with oracles)")
     spark.stop()
     return 1 if failures else 0
 

@@ -97,6 +97,10 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", action="append", default=None)
     args = ap.parse_args()
+    if args.only:
+        # accept comma-separated lists (a single "a,b,c" element would
+        # otherwise match nothing and vacuously pass)
+        args.only = [n for part in args.only for n in part.split(",") if n]
 
     import __spark_entry__ as entry_mod
     from entwiner_spark.session import get_spark
