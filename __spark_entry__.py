@@ -45,6 +45,7 @@ _PRIORITY = [
     "d14_semdedup",
     "d15_dsir_weights",
     "s13_ivfpq_search",
+    "mm4_media_neardup",
     "a1_table_counts",
     "a2_orders_per_customer",
     "a3_weighted_size",

@@ -3449,6 +3449,70 @@ def mm3_resize_meta(spark, sf_dir):
     )
 
 
+def _mm4_sql() -> str:
+    h = _H32.format(x="s")
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % {DD.MERSENNE_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(DD.minhash_params(8))
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || '#trailer' FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    hx AS (SELECT media_id, hex(encode(payload)) AS hx FROM media),
+    shg AS (
+      SELECT media_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hx) - 7, 1) + 1),
+               i -> substring(hx, i, 8))) AS sh
+      FROM hx
+    ),
+    sig AS (SELECT media_id, {sig_cols} FROM shg),
+    bands AS (
+      SELECT media_id, 0 AS band,
+             CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT media_id, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT media_id, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT media_id, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM sig
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+    """
+
+
+@q("mm4_media_neardup", _mm4_sql())
+def mm4_media_neardup(spark, sf_dir):
+    """Byte-level media near-dup pairs (multimodal.media_byte_signatures
+    + dedup.lsh_candidate_pairs): MinHash over overlapping 4-byte
+    windows of the RAW payload — no decoding — catches re-uploads,
+    truncated copies and shared-chunk containers in a media corpus.
+    Near-dups are synthesized in-query (every 7th payload cloned with
+    a trailer appended — byte-similar, not byte-identical, so exact
+    dedup misses them and the signature path must catch them).  Same
+    banded self-join scale shape as d3."""
+    from entwiner_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("media_id"),
+            F.concat(F.col("text"), F.lit("#trailer")).alias("payload"),
+        )
+    )
+    sig = MM.media_byte_signatures(media, id_col="media_id", payload_col="payload")
+    return DD.lsh_candidate_pairs(sig, id_col="media_id", k=8, bands=4)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 

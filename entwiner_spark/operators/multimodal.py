@@ -334,3 +334,45 @@ def _resize_pil(Image, r, width: int, height: int) -> tuple:
                 "channels": len(resized.getbands()),
             },
         )
+
+
+def media_byte_signatures(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    k: int = 8,
+    shingle_bytes: int = 4,
+) -> DataFrame:
+    """MinHash signatures over raw MEDIA BYTES — byte-level near-dup
+    detection for binary payloads (re-uploaded files, truncated
+    copies, containers sharing most chunks), the media-table analogue
+    of the d2 text path.  No decoding: the payload is hexed and
+    shingled as overlapping ``shingle_bytes``-byte windows (2 hex
+    chars per byte), hashed once, and fed through the SAME affine
+    permutation family as the text MinHash — so the banded LSH join
+    (dedup.lsh_candidate_pairs) and its salting ladder work unchanged
+    on the output.  One narrow projection per row, no explode.
+    """
+    from entwiner_spark.functions.text import stable_hash32
+    from entwiner_spark.operators.dedup import MERSENNE_P, minhash_params
+
+    hx = F.hex(F.col(payload_col).cast("binary"))
+    width = 2 * shingle_bytes
+    n_sh = F.greatest(F.length(hx) - (width - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: hx.substr(i, F.lit(width)),
+        )
+    )
+    hashed = F.transform(sh, stable_hash32)
+    base = media.select(F.col(id_col), hashed.alias("_hs"))
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    cols = [
+        F.array_min(F.transform(F.col("_hs"), perm(a, b))).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return base.select(F.col(id_col), *cols)

@@ -633,3 +633,30 @@ def test_semdedup_properties(spark):
                 assert got[i] == (c, r, not has_near)
 
     run()
+
+
+def test_media_byte_signatures_neardup(spark):
+    """Byte-level media MinHash: a payload differing by one byte still
+    collides in >= 1 LSH band (near-dup caught), an unrelated payload
+    does not; byte-identical payloads produce identical signatures."""
+    from entwiner_spark.operators.dedup import lsh_candidate_pairs
+    from entwiner_spark.operators.multimodal import media_byte_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"chunkA chunkB chunkC chunkD chunkE chunkF")),
+            (2, bytearray(b"chunkA chunkB chunkC chunkD chunkE chunkX")),
+            (3, bytearray(b"chunkA chunkB chunkC chunkD chunkE chunkF")),
+            (4, bytearray(b"..... completely unrelated payload ......")),
+        ],
+        "media_id long, payload binary",
+    )
+    sig = media_byte_signatures(df, payload_col="payload")
+    rows = {r["media_id"]: tuple(r[f"m{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[3]  # identical bytes -> identical signature
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig, id_col="media_id").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
