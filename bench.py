@@ -13,6 +13,7 @@ Extras mirror the reference's published perf assertions (BASELINE.md):
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -49,6 +50,14 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --repeat N runs the HEADLINE timing loop N times in one session
+    # and reports per-query medians (the clean-host protocol from
+    # TODO.md: single runs swing +-15-30% even at loadavg 0.4).  The
+    # default (1) keeps the driver's invocation byte-compatible.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
     from entwiner_spark import catalog
     from entwiner_spark.session import get_spark
 
@@ -71,13 +80,20 @@ def main() -> None:
         except ValueError:
             sf = None
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = catalog.QUERIES[name]
-        t0 = time.time()
-        rows = fn(spark, SF_DIR).collect()
-        times[name] = round(time.time() - t0, 3)
-        del rows
+    runs: list[dict[str, float]] = []
+    for _ in range(max(1, args.repeat)):
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = catalog.QUERIES[name]
+            t0 = time.time()
+            rows = fn(spark, SF_DIR).collect()
+            t[name] = round(time.time() - t0, 3)
+            del rows
+        runs.append(t)
+    times = {
+        name: sorted(r[name] for r in runs)[len(runs) // 2]
+        for name in HEADLINE
+    }
 
     # --- reference-parity throughput extras ---------------------------
     from pyspark.sql import functions as F
