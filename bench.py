@@ -90,8 +90,10 @@ def main() -> None:
             t[name] = round(time.time() - t0, 3)
             del rows
         runs.append(t)
+    import statistics
+
     times = {
-        name: sorted(r[name] for r in runs)[len(runs) // 2]
+        name: round(statistics.median(r[name] for r in runs), 3)
         for name in HEADLINE
     }
 

@@ -3457,17 +3457,18 @@ def _mm4_sql() -> str:
         for i, (a, b) in enumerate(DD.minhash_params(8))
     )
     return f"""
-    WITH media AS (
+    WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+    media AS (
       SELECT doc_id AS media_id, text AS payload FROM documents
       UNION ALL
-      SELECT doc_id + 100000, text || '#trailer' FROM documents
+      SELECT doc_id + (SELECT o FROM off), text || '#trailer' FROM documents
       WHERE doc_id % 7 = 0
     ),
     hx AS (SELECT media_id, hex(encode(payload)) AS hx FROM media),
     shg AS (
       SELECT media_id,
              list_distinct(list_transform(
-               range(1, greatest(len(hx) - 7, 1) + 1),
+               range(1, greatest(len(hx) - 7, 1) + 1, 2),
                i -> substring(hx, i, 8))) AS sh
       FROM hx
     ),
@@ -3501,11 +3502,14 @@ def mm4_media_neardup(spark, sf_dir):
     from entwiner_spark.operators import multimodal as MM
 
     d = _t(spark, sf_dir, "documents")
+    # clone-id offset derived from the data so synthetic ids can never
+    # collide with real doc_ids at any scale factor
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
     media = d.select(
         F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
     ).unionByName(
         d.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("media_id"),
+            (F.col("doc_id") + F.lit(off)).alias("media_id"),
             F.concat(F.col("text"), F.lit("#trailer")).alias("payload"),
         )
     )

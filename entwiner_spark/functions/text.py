@@ -533,8 +533,11 @@ def dsir_weights(
     tgt = wb.filter(F.col("_tgt")).groupBy("_b").agg(
         F.count(F.lit(1)).alias("_ct")
     )
+    # coalesce: an empty target slice must give t=0 (the well-defined
+    # all-smoothing model), not NULL-poisoned weights — mirrors the
+    # d15 oracle's coalesce(sum(ct), 0)
     totals = raw.agg(F.sum("_cr").alias("_r")).crossJoin(
-        tgt.agg(F.sum("_ct").alias("_t"))
+        tgt.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_t"))
     )
     lr = (
         raw.join(tgt, "_b", "left_outer")

@@ -359,9 +359,12 @@ def media_byte_signatures(
     hx = F.hex(F.col(payload_col).cast("binary"))
     width = 2 * shingle_bytes
     n_sh = F.greatest(F.length(hx) - (width - 1), F.lit(1))
+    # step 2 hex chars = ONE byte: windows stay byte-aligned (an
+    # every-hex-char slide would emit nibble-misaligned artifact
+    # shingles and double the hashing volume)
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n_sh),
+            F.sequence(F.lit(1), n_sh, F.lit(2)),
             lambda i: hx.substr(i, F.lit(width)),
         )
     )

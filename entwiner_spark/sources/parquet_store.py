@@ -290,6 +290,15 @@ def write_graph_tables_versioned(
     conflict detection: publish refuses with ConcurrentWriteError when
     the store advanced past it, instead of silently dropping the other
     writer's merge.
+
+    Publish builds into a writer-unique temp dir and CLAIMS the
+    version slot with an exclusive ``os.rename`` to ``v{n}`` — two
+    overlapping writers can never share (or delete) each other's
+    version directory: the loser's rename fails against the existing
+    slot and only its own private temp dir is cleaned up.  A writer
+    that crashed between claiming a slot and swinging the pointer
+    leaves an orphaned ``v{n}`` that blocks that slot; the error
+    message names it (delete the orphan or vacuum to clear).
     """
     from entwiner_spark.exceptions import ConcurrentWriteError
 
@@ -304,22 +313,49 @@ def write_graph_tables_versioned(
             f"store {store_dir} is at v{current}, writer based on "
             f"v{base_version}: re-read and re-apply the merge"
         )
-    new_v = current + 1
-    vdir = os.path.join(store_dir, f"v{new_v}")
-    # build the version dir via the existing atomic publish (temp +
-    # rename), so a crashed writer leaves only ignorable temp litter
-    write_graph_tables(edges, nodes, vdir, partitions=partitions)
-    # re-check THEN swing the pointer (optimistic commit point)
-    if base_version is not None and _read_pointer(store_dir) != base_version:
-        shutil.rmtree(vdir, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"store {store_dir} advanced during publish; v{new_v} aborted"
-        )
-    fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
-    with os.fdopen(fd, "w") as fh:
-        fh.write(str(new_v))
-    os.replace(tmp, os.path.join(store_dir, _LATEST))
-    return new_v
+    # build into a writer-unique dir first (crashed writers leave only
+    # ignorable private litter)
+    build_dir = tempfile.mkdtemp(prefix="_version_build_", dir=store_dir)
+    build_target = os.path.join(build_dir, "data")
+    try:
+        write_graph_tables(edges, nodes, build_target, partitions=partitions)
+        attempt_floor = 0
+        while True:
+            current = _read_pointer(store_dir)
+            if base_version is not None and current != base_version:
+                raise ConcurrentWriteError(
+                    f"store {store_dir} advanced to v{current} during "
+                    f"publish (writer based on v{base_version}); aborted — "
+                    "re-read and re-apply the merge"
+                )
+            new_v = max(current + 1, attempt_floor + 1)
+            vdir = os.path.join(store_dir, f"v{new_v}")
+            try:
+                # exclusive claim: rename fails if the slot exists, so
+                # concurrent publishes can never share a version dir
+                os.rename(build_target, vdir)
+                break
+            except OSError:
+                if base_version is not None:
+                    raise ConcurrentWriteError(
+                        f"version slot v{new_v} of {store_dir} already "
+                        "exists (a concurrent writer claimed it, or a "
+                        "crashed writer orphaned it — if the pointer "
+                        f"still reads v{current}, delete {vdir} to "
+                        "clear); re-read and re-apply the merge"
+                    )
+                # last-write-wins mode: skip past the taken slot (the
+                # claimer may not have swung the pointer yet, so the
+                # pointer alone cannot advance new_v)
+                attempt_floor = new_v
+                continue
+        fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(new_v))
+        os.replace(tmp, os.path.join(store_dir, _LATEST))
+        return new_v
+    finally:
+        shutil.rmtree(build_dir, ignore_errors=True)
 
 
 def read_graph_tables_versioned(

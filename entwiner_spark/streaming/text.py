@@ -66,7 +66,7 @@ def stream_unigram_score(
     runs both through this same function).
     """
     ws = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
-    score = F.aggregate(
+    raw_score = F.aggregate(
         ws,
         F.lit(0.0),
         lambda acc, x: acc
@@ -74,6 +74,11 @@ def stream_unigram_score(
             F.element_at(F.col("_lm"), x), F.lit(float(oov_logprob))
         ),
     ) / F.size(ws)
+    # empty/whitespace-only docs have no words: score them 0.0
+    # explicitly instead of the NULL a 0.0/0 division produces (the
+    # batch t12 twin emits no row at all for these; here every stream
+    # row must produce a defined output)
+    score = F.when(F.size(ws) > 0, raw_score).otherwise(F.lit(0.0))
     return (
         docs.withColumn("_one", F.lit(1))
         .join(lm_row, "_one")
