@@ -142,5 +142,10 @@ def apply_geojson_delta_versioned(
     new_v = write_graph_tables_versioned(
         merged, nodes, store_dir, base_version=base_v
     )
-    total = read_graph_tables_versioned(spark, store_dir)[0].count()
+    # pin the count read to the version just published — re-reading the
+    # latest pointer could report a concurrent writer's later version
+    # against our own version number (ADVICE r6)
+    total = read_graph_tables_versioned(spark, store_dir, version=new_v)[
+        0
+    ].count()
     return {**counts, "edges": total, "version": new_v}

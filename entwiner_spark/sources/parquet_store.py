@@ -260,9 +260,9 @@ def copy_store(spark: SparkSession, src: str, dst: str) -> None:
 #   version it read as ``base_version``; if the pointer moved, publish
 #   raises ConcurrentWriteError and the caller re-reads + re-merges
 #   (the optimistic-retry loop Delta's ConcurrentAppendException
-#   drives).  NOTE: detection is check-then-rename, not a file lock —
-#   it closes the read-modify-write races that matter in practice
-#   (two merges seconds apart), not adversarial same-instant races.
+#   drives).  The slot CLAIM itself is an exclusive os.rename — atomic
+#   on POSIX — so two same-instant writers never share a version dir;
+#   the pointer check only decides who must re-merge.
 # - ``vacuum_versions`` deletes all but the newest ``keep`` versions
 #   once no reader needs them (the Delta VACUUM analogue).
 
@@ -298,7 +298,9 @@ def write_graph_tables_versioned(
     slot and only its own private temp dir is cleaned up.  A writer
     that crashed between claiming a slot and swinging the pointer
     leaves an orphaned ``v{n}`` that blocks that slot; the error
-    message names it (delete the orphan or vacuum to clear).
+    message names it (delete the orphaned directory by hand — vacuum
+    never touches versions above the pointer, since one may be a live
+    in-flight publish).
     """
     from entwiner_spark.exceptions import ConcurrentWriteError
 
@@ -319,43 +321,82 @@ def write_graph_tables_versioned(
     build_target = os.path.join(build_dir, "data")
     try:
         write_graph_tables(edges, nodes, build_target, partitions=partitions)
-        attempt_floor = 0
-        while True:
-            current = _read_pointer(store_dir)
-            if base_version is not None and current != base_version:
+        return _claim_version_slot(store_dir, build_target, base_version)
+    finally:
+        shutil.rmtree(build_dir, ignore_errors=True)
+
+
+def _claim_version_slot(
+    store_dir: str, build_target: str, base_version: int | None
+) -> int:
+    """Move a fully-built version at ``build_target`` into the next
+    ``v{n}`` slot and swing the ``_latest`` pointer.
+
+    This is the ONLY part of a versioned publish that can race another
+    writer (the Spark write above it is writer-private), so it is
+    factored out for the multi-process race test
+    (tests/test_versioned_race.py) to exercise directly: the claim is
+    an exclusive ``os.rename`` — atomic on POSIX — and the pointer
+    swing is an ``os.replace``, so readers of ``_latest`` always see a
+    complete published version.
+    """
+    import errno
+
+    from entwiner_spark.exceptions import ConcurrentWriteError
+
+    attempt_floor = 0
+    # bounded: 4096 consecutive claimed slots means something other
+    # than writer contention is wrong (e.g. a slot-spamming bug)
+    for _ in range(4096):
+        current = _read_pointer(store_dir)
+        if base_version is not None and current != base_version:
+            raise ConcurrentWriteError(
+                f"store {store_dir} advanced to v{current} during "
+                f"publish (writer based on v{base_version}); aborted — "
+                "re-read and re-apply the merge"
+            )
+        new_v = max(current + 1, attempt_floor + 1)
+        vdir = os.path.join(store_dir, f"v{new_v}")
+        try:
+            # exclusive claim: rename fails if the slot exists, so
+            # concurrent publishes can never share a version dir
+            os.rename(build_target, vdir)
+            break
+        except OSError as exc:
+            # only a taken slot is a claim conflict; EACCES/EROFS/
+            # ENOSPC/EXDEV etc. are real failures — surface them
+            # instead of spinning (ADVICE r6)
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
+            if base_version is not None:
                 raise ConcurrentWriteError(
-                    f"store {store_dir} advanced to v{current} during "
-                    f"publish (writer based on v{base_version}); aborted — "
-                    "re-read and re-apply the merge"
-                )
-            new_v = max(current + 1, attempt_floor + 1)
-            vdir = os.path.join(store_dir, f"v{new_v}")
-            try:
-                # exclusive claim: rename fails if the slot exists, so
-                # concurrent publishes can never share a version dir
-                os.rename(build_target, vdir)
-                break
-            except OSError:
-                if base_version is not None:
-                    raise ConcurrentWriteError(
-                        f"version slot v{new_v} of {store_dir} already "
-                        "exists (a concurrent writer claimed it, or a "
-                        "crashed writer orphaned it — if the pointer "
-                        f"still reads v{current}, delete {vdir} to "
-                        "clear); re-read and re-apply the merge"
-                    )
-                # last-write-wins mode: skip past the taken slot (the
-                # claimer may not have swung the pointer yet, so the
-                # pointer alone cannot advance new_v)
-                attempt_floor = new_v
-                continue
+                    f"version slot v{new_v} of {store_dir} already "
+                    "exists (a concurrent writer claimed it, or a "
+                    "crashed writer orphaned it — if the pointer "
+                    f"still reads v{current}, delete {vdir} by "
+                    "hand); re-read and re-apply the merge"
+                ) from exc
+            # last-write-wins mode: skip past the taken slot (the
+            # claimer may not have swung the pointer yet, so the
+            # pointer alone cannot advance new_v)
+            attempt_floor = new_v
+            continue
+    else:
+        raise OSError(
+            f"{store_dir}: could not claim a version slot after "
+            "4096 attempts — every candidate v{n} already exists"
+        )
+    # pointer swing must never regress: if a concurrent LWW writer
+    # already published a LATER version, leave its pointer alone —
+    # our version sits at/below the pointer and vacuums normally
+    # (ADVICE r6).  Best-effort check; the base_version path cannot
+    # race here because conflicting writers abort before claiming.
+    if _read_pointer(store_dir) < new_v:
         fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
         with os.fdopen(fd, "w") as fh:
             fh.write(str(new_v))
         os.replace(tmp, os.path.join(store_dir, _LATEST))
-        return new_v
-    finally:
-        shutil.rmtree(build_dir, ignore_errors=True)
+    return new_v
 
 
 def read_graph_tables_versioned(
