@@ -31,6 +31,34 @@ from pyspark.sql import types as T
 from entwiner_spark.operators import spatial
 
 
+def rebase_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with full provenance severing.
+
+    ``Dataset.localCheckpoint`` truncates plan and RDD lineage but the
+    returned Dataset still carries origin metadata from the plan it
+    checkpointed; when an iterative loop references the previous
+    round's checkpoint MORE THAN ONCE per round (any self-join, e.g.
+    pointer doubling), that carried state compounds and the
+    per-round JOB time doubles from ~round 16 even though rows,
+    partitions, optimized-plan size, and ``toDebugString`` lineage all
+    stay constant (measured on pyspark 4.1.2: 0.3 s/round through
+    round 15, then 0.6/1.2/3.0/7.1/22 s; single-reference chains such
+    as the SSSP frontier loop run 300+ rounds flat, and neither
+    ``spark.sql.adaptive.enabled=false``,
+    ``spark.sql.constraintPropagation.enabled=false``, reliable
+    ``checkpoint()``, nor checkpointing the self-join's right side
+    separately avoids it).  Rebuilding the frame from its own JavaRDD
+    first gives ``localCheckpoint`` a bare ExternalRDD scan to wrap —
+    nothing from the join chain survives — and 30-round self-join
+    loops then run flat.  The rebuild is one distributed JVM-side
+    encoder pass (InternalRow -> Row -> InternalRow); no data touches
+    the driver or Python.
+    """
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.createDataFrame(df._jdf.javaRDD(), df._jdf.schema())
+    return DataFrame(jdf, spark).localCheckpoint(eager=True)
+
+
 def layer_cost(
     base, multipliers: dict[str, float], default: float = 1.0,
     layer_col: str = "_layer",
@@ -914,6 +942,117 @@ class SparkGraph:
             )
         )
 
+    def _min_reach_labels(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        keys: list[str],
+        max_rounds: int,
+    ) -> DataFrame:
+        """Min node-id over ``{n} ∪ ancestors(n)`` for every node, via
+        the given edge relation (optionally per key column — ancestors
+        then only follow edges carrying the same key).
+
+        Two phases, the MSF pointer-jump discipline
+        (minimum_spanning_forest) applied to reachability:
+
+        1. FUNCTIONAL-CHAIN SEED (list-ranking doubling): each node
+           picks ONE predecessor ``p(n) = min incoming _u`` — a
+           functional graph — then squares pointers while folding the
+           running min: ``a(n) <- min(a(n), a(p(n))); p(n) <-
+           p(p(n))``.  O(log chain) rounds cover a 2^k-long ancestor
+           chain, so a cycle of ANY id orientation seeds its true min
+           in O(log len) — this is what plain value-jumping
+           (``c(c(n))``) cannot do when ids increase toward the
+           target: the min then creeps one hop per round because no
+           intermediate node ever improves (measured: the r6 SCC
+           backward pass degenerated to +1 node/round on the cycle
+           stress).  Every chain node is a genuine ancestor, so the
+           seed is always SOUND (never below the true min).
+        2. RELAX+JUMP FIXPOINT: ``lab(n) <- min(lab(n), lab(u) for
+           u->n, lab(lab(n)))`` to a signature-stable fixpoint.  Any
+           fixpoint of the edge-relax operator equals the true min
+           (induction along a witness path), so phase 1 is purely an
+           accelerator and correctness never depends on it.
+        """
+        nk = ["_n", *keys]
+        # phase 1: functional pred pointer (min _u per node) + ranks
+        ptr = (
+            edges.groupBy(F.col("_v").alias("_n"), *[F.col(k) for k in keys])
+            .agg(F.min("_u").alias("p"))
+            .withColumn("a", F.col("p"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sig = None
+        for _ in range(max_rounds):
+            hop = ptr.select(
+                F.col("_n").alias("p"),
+                *[F.col(k) for k in keys],
+                F.col("p").alias("pp"),
+                F.col("a").alias("pa"),
+            )
+            ptr = rebase_checkpoint(
+                ptr.join(hop, ["p", *keys], "left")
+                .select(
+                    "_n",
+                    *keys,
+                    F.coalesce("pp", "p").alias("p"),
+                    F.least(
+                        "a", F.coalesce("pa", "a")
+                    ).alias("a"),
+                )
+            )
+            row = ptr.agg(
+                F.expr("bit_xor(xxhash64(_n, a))").alias("h")
+            ).collect()[0]
+            if row["h"] == prev_sig:
+                break
+            prev_sig = row["h"]
+        else:
+            raise RuntimeError(
+                "min-label chain seed did not converge; raise max_iterations"
+            )
+        lab = (
+            nodes.join(ptr.select(*nk, "a"), nk, "left")
+            .select(
+                *nk,
+                F.least("_n", F.coalesce("a", "_n")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # phase 2: exact fixpoint (seed usually leaves 0-2 rounds)
+        prev_sig = None
+        for _ in range(max_rounds):
+            relax = edges.join(
+                lab.select(
+                    F.col("_n").alias("_u"), *keys, "lab"
+                ),
+                ["_u", *keys] if keys else ["_u"],
+            ).select(F.col("_v").alias("_n"), *keys, "lab")
+            jump = lab.join(
+                lab.select(
+                    F.col("_n").alias("lab"), *keys, F.col("lab").alias("ll")
+                ),
+                ["lab", *keys],
+            ).select("_n", *keys, F.col("ll").alias("lab"))
+            lab = rebase_checkpoint(
+                lab.unionByName(relax)
+                .unionByName(jump)
+                .groupBy(*nk)
+                .agg(F.min("lab").alias("lab"))
+            )
+            row = lab.agg(
+                F.expr("bit_xor(xxhash64(_n, lab))").alias("h")
+            ).collect()[0]
+            if row["h"] == prev_sig:
+                break
+            prev_sig = row["h"]
+        else:
+            raise RuntimeError(
+                "min-label fixpoint did not converge; raise max_iterations"
+            )
+        return lab
+
     def strongly_connected_components(
         self, max_iterations: int = 50, strategy: str = "auto"
     ) -> DataFrame:
@@ -925,7 +1064,9 @@ class SparkGraph:
         Distributed path is FW-BW coloring (Orzan 2004; Slota et al.
         2014 "BFS and Coloring-Based Parallel Algorithms for SCC"):
         each outer round (1) propagates the minimum reachable label
-        FORWARD to a fixpoint (join + min-agg per hop, signature-based
+        FORWARD to a fixpoint — POINTER-DOUBLED: one edge relax plus a
+        jump through the current best ancestor per round, so rounds
+        are O(log diameter) not O(diameter) (signature-based
         convergence, localCheckpoint lineage truncation), (2) nodes
         whose color is their own id are SCC roots — and for c(n)=r
         every n->..->r path is provably monochrome (any intermediate x
@@ -1061,59 +1202,50 @@ class SparkGraph:
             done = remaining.limit(1).count() == 0
             if done:
                 break
-            # ---- forward min-label propagation to fixpoint ----
-            # hops are batched like SSSP's check_every: run 3 lazy
-            # expand+min rounds, then ONE checkpoint + signature probe
-            # — a diameter-D fixpoint costs ~D/3 driver actions
-            # instead of 2D (this inner loop is one job per hop and
-            # dominated the 50k-cycle stress at 82-91 s)
-            color = remaining.select("_n", F.col("_n").alias("c"))
-            prev_sig = None
-            hop_batch = 3
-            for _ in range(10 * max_iterations):
-                for _hop in range(hop_batch):
-                    msgs = edges.join(
-                        color.withColumnRenamed("_n", "_u"), "_u"
-                    ).select(F.col("_v").alias("_n"), "c")
-                    color = (
-                        color.unionByName(msgs)
-                        .groupBy("_n")
-                        .agg(F.min("c").alias("c"))
-                    )
-                color = color.localCheckpoint(eager=True)
-                row = color.agg(
-                    F.expr("bit_xor(xxhash64(_n, c))").alias("h")
-                ).collect()[0]
-                if row["h"] == prev_sig:
-                    break
-                prev_sig = row["h"]
-            else:
-                raise RuntimeError(
-                    "scc forward propagation did not converge; raise "
-                    "max_iterations"
-                )
+            # ---- forward min-label propagation (pointer-doubled via
+            # _min_reach_labels: functional-chain seed + exact
+            # fixpoint — O(log diameter) rounds on chain/cycle
+            # topologies instead of one hop per round) ----
+            color = self._min_reach_labels(
+                remaining, edges, keys=[], max_rounds=10 * max_iterations
+            ).select("_n", F.col("lab").alias("c"))
             # ---- backward membership within the color class ----
-            member = color.filter(F.col("c") == F.col("_n")).localCheckpoint(
-                eager=True
+            # n belongs to root r's SCC iff r is reachable from n
+            # through color-r nodes (the monochrome theorem in the
+            # docstring).  Since every class node's id is >= its color
+            # label and ids are unique, that holds iff
+            #     d(n) := min id of n's class-DESCENDANTS == c(n),
+            # which is the same min-ancestor-label computation on the
+            # REVERSED monochrome subgraph, keyed by class — so it
+            # reuses _min_reach_labels (and its doubling) unchanged,
+            # where the old frontier-growing pass paid one reverse hop
+            # per SCC-diameter step (the other half of the
+            # cycle-stress wall).
+            mono = (
+                edges.join(color.withColumnRenamed("_n", "_u"), "_u")
+                .withColumnRenamed("c", "cu")
+                .join(
+                    color.select(
+                        F.col("_n").alias("_v"), F.col("c").alias("cv")
+                    ),
+                    "_v",
+                )
+                .filter(F.col("cu") == F.col("cv"))
+                .select(
+                    F.col("_v").alias("_u"),
+                    F.col("_u").alias("_v"),
+                    F.col("cu").alias("c"),
+                )
+                .localCheckpoint(eager=True)
             )
-            prev_n = member.count()
-            while True:
-                # same hop batching as the forward pass: 3 lazy
-                # reverse expansions per checkpoint + count
-                for _hop in range(hop_batch):
-                    cand = (
-                        edges.join(
-                            member.withColumnRenamed("_n", "_v"), "_v"
-                        )
-                        .select(F.col("_u").alias("_n"), "c")
-                        .join(color, ["_n", "c"], "left_semi")
-                    )
-                    member = member.unionByName(cand).distinct()
-                member = member.localCheckpoint(eager=True)
-                n_m = member.count()
-                if n_m == prev_n:
-                    break
-                prev_n = n_m
+            desc = self._min_reach_labels(
+                color, mono, keys=["c"], max_rounds=10 * max_iterations
+            )
+            member = (
+                desc.filter(F.col("lab") == F.col("c"))
+                .select("_n", "c")
+                .localCheckpoint(eager=True)
+            )
             finished.append(member.select("_n", F.col("c").alias("component")))
             remaining = remaining.join(
                 member.select("_n"), "_n", "left_anti"
