@@ -24,6 +24,8 @@ implementation uses the semantically correct columns.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -503,8 +505,16 @@ class SparkGraph:
         checkpoint_every: int = 5,
         strategy: str = "auto",
         check_every: int = 3,
+        stats: dict | None = None,
     ) -> DataFrame:
         """Single-source shortest distances: DataFrame ``(_n, dist)``.
+
+        ``stats``: pass a dict to receive per-probe telemetry —
+        ``stats["rounds"]`` becomes a list of ``{"it", "frontier",
+        "sec"}`` (frontier size at each convergence probe and seconds
+        since the previous probe; set ``check_every=1`` for per-round
+        granularity).  Costs nothing extra: the probe already counts
+        the frontier.
 
         ``weight=None`` -> hop counts (BFS); ``max_iterations`` bounds
         the hop radius (k-hop neighborhood) — None means run to
@@ -559,6 +569,9 @@ class SparkGraph:
         frontier = dist
 
         converged = False
+        if stats is not None:
+            stats["rounds"] = []
+            _t_probe = time.time()
         # single-source start: the frontier is exactly one row, so the
         # first window always broadcasts; probes re-decide per window
         frontier_small = True
@@ -627,6 +640,16 @@ class SparkGraph:
                 # the next window's join-strategy choice — it scans a
                 # just-materialized checkpoint, no shuffle.
                 n_front = frontier.count()
+                if stats is not None:
+                    now = time.time()
+                    stats["rounds"].append(
+                        {
+                            "it": it,
+                            "frontier": n_front,
+                            "sec": round(now - _t_probe, 2),
+                        }
+                    )
+                    _t_probe = now
                 frontier_small = n_front < broadcast_frontier_rows
                 if n_front == 0:
                     converged = True
