@@ -19,69 +19,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.flagship(spark, "/root/testdata/sf0.001")
 
 
-# Sampling priority: the driver verifies a subset of the catalog each
-# round, drawing from the head of this dict.  Round-6 order: (1) the
-# three queries never driver-sampled in rounds 1-5 (they sat at
-# positions 51-53, one past the 50-query cut); (2) s11/geo_s13, the
-# r5 driver-red rows, now emitting string-serialized (scaled-int)
-# outputs instead of raw arrays; (3) queries whose implementation or
-# oracle changed this round (g_harmonic oracle d>0 guard, samp5
-# lazy-validation rewrite, g_msf pointer-jump relabel, g_ktruss
-# degree-oriented wedges, g_scc trivial-SCC trim); (4) the round-6
-# additions (d14 SemDeDup, d15 DSIR, s13 IVF-PQ ADC search); (5) the
-# 47 rows last driver-sampled in round 1, then round 3 — so
-# cumulative claims stay fresh against code drift.
+# Sampling priority: the driver verifies a 50-query subset of the
+# catalog each round, drawing from the head of this dict.  Round-8
+# rotation (r7 verdict task #1): the ENTIRE catalog is listed here in
+# staleness order — queries whose newest driver-green CORRECTNESS row
+# is oldest come first (r1-vintage, then r3, r4, r5, r7; alphabetical
+# within a round).  The head 50 = the 29 r1/r3-vintage rows plus the
+# 21 stalest r4 rows, so after r8 no query's newest driver-green row
+# is older than round 4.  Regenerate next round with the same rule
+# (sort by newest green round across CORRECTNESS_r*.json, stalest
+# first) so sampling keeps rotating.
 _PRIORITY = [
-    "t12_unigram_logprob",
-    "g_clustering_coef",
-    "t13_repetition_ratio",
-    "s11_standardize",
-    "geo_s13_simplify",
-    "g_harmonic",
-    "samp5_weighted",
-    "g_msf",
-    "g_ktruss",
-    "g_scc_components",
-    "d14_semdedup",
-    "d15_dsir_weights",
-    "s13_ivfpq_search",
-    "mm4_media_neardup",
-    "a1_table_counts",
-    "a2_orders_per_customer",
-    "a3_weighted_size",
-    "agg_cube_docs",
-    "agg_rollup_status",
-    "d1_exact_dedup",
-    "d2_minhash_signatures",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "e1_tumbling_hourly",
-    "e2_sliding_30min",
-    "e4_topk_users",
-    "ev_json_extract",
-    "g_a2_out_degree",
-    "g_cc_components",
-    "g_j1_bfs_hops",
-    "g_j1_sssp_weighted",
-    "g_p5_successors",
-    "geo_a4_linestring_length",
-    "geo_f6_haversine_within",
-    "geo_j3_bbox_count",
-    "geo_o1_knn",
-    "j2_revenue_by_nation",
-    "j_outer_order_counts",
-    "m1_keyed_update",
-    "m2_delete_keys",
-    "mm1_binary_meta",
-    "o1_top10_orders",
-    "p2_point_lookup",
-    "p4_semi_join",
-    "p4b_anti_join",
-    "p7_distinct_pairs",
-    "q1_pricing_summary",
-    "s1_fwd_rev_ingest",
-    "s2_cosine_top10",
-    "s3_knn_join",
+    # --- newest driver-green row: round 1 ---
     "s4_lsh_buckets",
     "set_except_custkeys",
     "set_intersect_custkeys",
@@ -93,6 +42,7 @@ _PRIORITY = [
     "u2_last_write_wins",
     "u3_union_missing_cols",
     "w1_top3_per_customer",
+    # --- newest driver-green row: round 3 ---
     "g_betweenness",
     "geo_j5_spatial_join",
     "q10_returned_items",
@@ -111,6 +61,151 @@ _PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
+    # --- newest driver-green row: round 4 ---
+    "a2b_approx_degree",
+    "d4b_simhash_neardup",
+    "d5_ngram_jaccard_pairs",
+    "d6_embedding_neardup",
+    "d6b_embedding_neardup_lsh",
+    "d7_contamination",
+    "d8_dedup_clusters",
+    "e3_sessionize",
+    "e5_asof_last_view",
+    "e6_interval_join",
+    "g_adamic_adar",
+    "g_closeness",
+    "g_j1_khop",
+    "g_layer_routing",
+    "g_neighbor_jaccard",
+    "g_p3_node_lookup",
+    "g_p6_predecessors",
+    "g_p8_pred_nodes",
+    "g_pagerank",
+    "g_ppr_sources",
+    "g_triangles",
+    "geo_a5_bbox",
+    "geo_f7_meter_bbox",
+    "geo_f8_point_distance",
+    "geo_j6_nearest_edge",
+    "mm2_frame_sample",
+    "mm3_resize_meta",
+    "o2_first_row",
+    "q16_supplier_cnt",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "s5_ivf_assign",
+    "s5b_ivf_topk",
+    "s5c_ivf_multiprobe",
+    "s6_derived_nodes",
+    "s7_quantize_int8",
+    "samp1_stratified",
+    "samp2_hash_bernoulli",
+    "t10_corpus_filter",
+    "t5_bpe_tokens",
+    "t6_length_quantiles",
+    "t7_pack_chunks",
+    "t8_tfidf_top_terms",
+    "t9_winnow_fingerprints",
+    "w2_moving_avg",
+    "w3_rank_dense",
+    "w4_lag_lead",
+    "w5_distribution_ranks",
+    # --- newest driver-green row: round 5 ---
+    "d10_dup_ngram_coverage",
+    "d11_sorted_neighborhood",
+    "d12_minhash_calibration",
+    "d13_er_pipeline",
+    "d9_embedding_dedup_clusters",
+    "e11_hll_weekly_rollup",
+    "e12_ewma",
+    "e13_anomaly_zscore",
+    "e7_hourly_unique_users",
+    "e8_funnel_conversion",
+    "e9_cohort_retention",
+    "ev2_json_schema",
+    "g_diameter_lb",
+    "g_feature_prop",
+    "g_isochrone",
+    "g_kcore",
+    "g_lpa_communities",
+    "g_motif_anchored",
+    "g_motif_ffw_triangle",
+    "g_motif_open_wedge",
+    "g_node2vec_walks",
+    "g_skipgram_pairs",
+    "g_topo_levels",
+    "g_walks",
+    "m3_scd2_history",
+    "q12_late_priority",
+    "s10_random_projection",
+    "s12_ivfpq_encode",
+    "s8_ivf_recall",
+    "s9_pq_encode",
+    "samp3_token_budget",
+    "samp4_temperature",
+    "t11_pii_redact",
+    "t14_gopher_rules",
+    "t15_bm25_rank",
+    "t16_bigram_logprob",
+    "t17_lm_buckets",
+    "t18_kl_divergence",
+    "t19_pipeline_e2e",
+    "t20_split_leakage",
+    "t21_feature_hashing",
+    "w6_range_interval",
+    "x5_zorder_values",
+    # --- newest driver-green row: round 7 ---
+    "a1_table_counts",
+    "a2_orders_per_customer",
+    "a3_weighted_size",
+    "agg_cube_docs",
+    "agg_rollup_status",
+    "d14_semdedup",
+    "d15_dsir_weights",
+    "d1_exact_dedup",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "e1_tumbling_hourly",
+    "e2_sliding_30min",
+    "e4_topk_users",
+    "ev_json_extract",
+    "g_a2_out_degree",
+    "g_cc_components",
+    "g_clustering_coef",
+    "g_harmonic",
+    "g_j1_bfs_hops",
+    "g_j1_sssp_weighted",
+    "g_ktruss",
+    "g_msf",
+    "g_p5_successors",
+    "g_scc_components",
+    "geo_a4_linestring_length",
+    "geo_f6_haversine_within",
+    "geo_j3_bbox_count",
+    "geo_o1_knn",
+    "geo_s13_simplify",
+    "j2_revenue_by_nation",
+    "j_outer_order_counts",
+    "m1_keyed_update",
+    "m2_delete_keys",
+    "mm1_binary_meta",
+    "mm4_media_neardup",
+    "o1_top10_orders",
+    "p2_point_lookup",
+    "p4_semi_join",
+    "p4b_anti_join",
+    "p7_distinct_pairs",
+    "q1_pricing_summary",
+    "s11_standardize",
+    "s13_ivfpq_search",
+    "s1_fwd_rev_ingest",
+    "s2_cosine_top10",
+    "s3_knn_join",
+    "samp5_weighted",
+    "t12_unigram_logprob",
+    "t13_repetition_ratio",
 ]
 
 
