@@ -1175,31 +1175,23 @@ def g_feature_prop(spark, sf_dir):
     """GNN preprocessing (SGC, Wu et al. 2019): 2 rounds of
     mean-over-in-neighbors feature propagation — the smoothing that
     turns raw node features into GCN-equivalent inputs without any
-    training.  Per round: ONE edge join + partial-agg mean + left
-    join back onto the node spine (isolated nodes carry their
-    feature); at 100 TB this is the LPA plan shape with doubles."""
-    e = _graph_edges(spark, sf_dir).select(
-        F.col("u").cast("long"), F.col("v").cast("long")
-    ).distinct()
-    nd = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
-        .distinct()
+    training.  Rides the public ``SparkGraph.pregel`` primitive: per
+    round ONE state->edges join on the construction-time _u
+    partitioning + partial-agg mean + left join back onto the node
+    spine (nodes with no in-edges carry their feature via the NULL
+    agg coalesce); at 100 TB this is the LPA plan shape with
+    doubles."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    h = g.pregel(
+        g.nodes.select("_n", F.col("_n").cast("double").alias("h")),
+        F.avg("msg"),
+        lambda df: df.select("_n", F.coalesce("agg", "h").alias("h")),
+        msg_to_dst=F.col("src.h"),
+        max_iterations=2,
+        halt=False,
     )
-    h = nd.select("n", F.col("n").cast("double").alias("h"))
-    for _ in range(2):
-        agg = (
-            e.join(h.withColumnRenamed("n", "u"), "u")
-            .groupBy(F.col("v").alias("n"))
-            .agg(F.avg("h").alias("_ah"))
-        )
-        h = (
-            nd.join(agg, "n", "left_outer")
-            .join(h.withColumnRenamed("h", "_ph"), "n")
-            .select("n", F.coalesce(F.col("_ah"), F.col("_ph")).alias("h"))
-        )
     return h.select(
-        F.col("n").alias("node"), F.round("h", 6).alias("feature")
+        F.col("_n").cast("long").alias("node"), F.round("h", 6).alias("feature")
     )
 
 

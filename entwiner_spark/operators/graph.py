@@ -57,8 +57,54 @@ def rebase_checkpoint(df: DataFrame) -> DataFrame:
     the driver or Python.
     """
     spark = df.sparkSession
+    if not hasattr(spark, "_jsparkSession") or not hasattr(df, "_jdf"):
+        # Spark Connect: py4j internals absent.  Plain localCheckpoint
+        # keeps correctness; only the flat-self-join-loop perf
+        # mitigation is lost.
+        return df.localCheckpoint(eager=True)
     jdf = spark._jsparkSession.createDataFrame(df._jdf.javaRDD(), df._jdf.schema())
     return DataFrame(jdf, spark).localCheckpoint(eager=True)
+
+
+class FixpointProbe:
+    """Signature-based fixpoint detection with an exact confirmation.
+
+    Cheap path (every round): ONE tiny aggregate — row count plus a
+    64-bit xor-folded ``xxhash64`` over ALL tracked columns, key
+    columns included (an order-insensitive multiset signature that
+    cannot overflow under ANSI mode).  A bare signature match could in
+    principle be a collision (~2**-64 per round) silently stopping a
+    fixpoint one round early with wrong labels, so ``converged``
+    CONFIRMS every signature match with an exact multiset comparison
+    (``exceptAll`` against the previous round's checkpointed frame,
+    ``limit(1).count()``) before declaring convergence.  The exact
+    check runs only on a signature match — normally exactly once per
+    loop — so the steady-state cost stays one aggregate per round.
+
+    Callers MUST pass materialized (checkpointed) frames: the probe
+    retains a reference to the previous frame for the exact check.
+    """
+
+    def __init__(self, *cols: str):
+        self._cols = list(cols)
+        self._expr = f"bit_xor(xxhash64({', '.join(self._cols)}))"
+        self._prev_sig: tuple | None = None
+        self._prev_df: DataFrame | None = None
+
+    def converged(self, df: DataFrame) -> bool:
+        proj = df.select(*self._cols)
+        row = proj.agg(
+            F.count(F.lit(1)).alias("n"), F.expr(self._expr).alias("h")
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        done = (
+            sig == self._prev_sig
+            and self._prev_df is not None
+            and proj.exceptAll(self._prev_df).limit(1).count() == 0
+        )
+        self._prev_sig = sig
+        self._prev_df = proj
+        return done
 
 
 def layer_cost(
@@ -497,6 +543,156 @@ class SparkGraph:
         )
         return self.spark.createDataFrame(list(dist.items()), schema)
 
+    # ---- public message-passing primitives (§2.11 extension surface) --
+    def aggregate_messages(
+        self,
+        agg,
+        *,
+        msg_to_dst=None,
+        msg_to_src=None,
+        state: DataFrame | None = None,
+        uses=None,
+    ) -> DataFrame:
+        """One message-passing superstep over the edge set: returns
+        ``(_n, <agg columns>)`` — the GraphFrames ``aggregateMessages``
+        shape, the public equivalent of the reference's "any algorithm
+        over the adjacency protocol" extension point (ref
+        graphs/digraphdb/__init__.py:16-93, README.md:66-74).
+
+        ``msg_to_dst`` / ``msg_to_src`` are Column expressions over
+        the triplet structs ``src`` / ``dst`` (the node-state columns
+        of the edge's endpoints) and ``edge`` (the edge attribute
+        columns); each generates one message per edge, delivered to
+        the edge's destination / source node.  ``agg`` is a dict
+        ``{out_col: aggregate Column over F.col("msg")}`` (a bare
+        Column means ``{"agg": ...}``).  Nodes receiving no messages
+        are ABSENT from the result — left-join it back onto the state
+        to carry defaults (``pregel`` does this for you).
+
+        Scale shape: state is joined onto the ``_u``-partitioned edge
+        table (src side reuses the construction-time partitioning with
+        no extra exchange; dst side shuffles on ``_v`` only when a
+        message expression actually references ``dst``), then ONE
+        partially-aggregated groupBy on the recipient id — so each
+        superstep is at most two shuffles of ``|V|``-scale rows, never
+        an edge-table rewrite.  Which triplet sides are joined is
+        sniffed from the expression strings; pass ``uses`` (iterable
+        of ``"src"``/``"dst"``) to override the sniff.
+        """
+        if msg_to_dst is None and msg_to_src is None:
+            raise ValueError("provide msg_to_dst and/or msg_to_src")
+        state = state if state is not None else self.nodes
+        agg = {"agg": agg} if not isinstance(agg, dict) else agg
+        exprs = [str(e) for e in (msg_to_dst, msg_to_src) if e is not None]
+        if uses is None:
+            uses = {s for s in ("src", "dst") if any(f"{s}." in x for x in exprs)}
+        else:
+            uses = set(uses)
+        attr_cols = [c for c in self.edges.columns if c not in ("_u", "_v")]
+        edge_struct = (
+            F.struct(*[F.col(c) for c in attr_cols])
+            if attr_cols
+            else F.struct(F.lit(True).alias("_none"))
+        )
+        t = self.edges.select("_u", "_v", edge_struct.alias("edge"))
+        state_attrs = [c for c in state.columns if c != "_n"]
+        state_struct = (
+            F.struct(*[F.col(c) for c in state_attrs])
+            if state_attrs
+            else F.struct(F.lit(True).alias("_none"))
+        )
+        if "src" in uses:
+            t = t.join(
+                state.select(F.col("_n").alias("_u"), state_struct.alias("src")),
+                "_u",
+            )
+        if "dst" in uses:
+            t = t.join(
+                state.select(F.col("_n").alias("_v"), state_struct.alias("dst")),
+                "_v",
+            )
+        msgs = []
+        if msg_to_dst is not None:
+            msgs.append(t.select(F.col("_v").alias("_n"), msg_to_dst.alias("msg")))
+        if msg_to_src is not None:
+            msgs.append(t.select(F.col("_u").alias("_n"), msg_to_src.alias("msg")))
+        m = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
+        return m.groupBy("_n").agg(*[a.alias(n) for n, a in agg.items()])
+
+    def pregel(
+        self,
+        state: DataFrame,
+        agg,
+        update,
+        *,
+        msg_to_dst=None,
+        msg_to_src=None,
+        uses=None,
+        max_iterations: int = 20,
+        halt=None,
+        check_every: int = 1,
+        rebase_every: int = 5,
+    ) -> DataFrame:
+        """Iterate ``aggregate_messages`` to a fixpoint (Pregel /
+        GraphFrames-Pregel shape) with the tuned checkpoint cadence
+        built in; returns the final state ``(_n, <state cols>)``.
+
+        Per round: one superstep (see ``aggregate_messages``), a left
+        join of the aggregated messages back onto the state spine
+        (nodes with no messages see NULL agg columns), then
+        ``update(df) -> DataFrame`` — a callable receiving ``(_n,
+        <state cols>, <agg cols>)`` and returning the next state with
+        exactly the original state columns.  Lineage is truncated
+        every round (plain ``localCheckpoint``; every ``rebase_every``
+        rounds a ``rebase_checkpoint`` severs carried provenance so
+        update functions that self-join the state stay flat — see
+        ``rebase_checkpoint``).
+
+        ``halt``: ``None`` (default) stops when the state stops
+        changing — detected by a per-round 64-bit signature with an
+        EXACT multiset confirmation on match (``FixpointProbe``), so a
+        hash collision cannot end the loop early; ``False`` runs all
+        ``max_iterations`` (fixed-round algorithms); a callable
+        ``(old_state, new_state) -> bool`` implements custom
+        tolerance-style convergence, probed every ``check_every``
+        rounds.
+        """
+        state_cols = list(state.columns)
+        state = state.localCheckpoint(eager=True)
+        probe = FixpointProbe(*state_cols) if halt is None else None
+        if probe is not None:
+            probe.converged(state)
+        for it in range(max_iterations):
+            msgs = self.aggregate_messages(
+                agg,
+                msg_to_dst=msg_to_dst,
+                msg_to_src=msg_to_src,
+                state=state,
+                uses=uses,
+            )
+            new_state = update(state.join(msgs, "_n", "left_outer"))
+            if set(new_state.columns) != set(state_cols):
+                raise ValueError(
+                    f"update must return state columns {state_cols}, "
+                    f"got {new_state.columns}"
+                )
+            new_state = new_state.select(*state_cols)
+            if rebase_every and (it + 1) % rebase_every == 0:
+                new_state = rebase_checkpoint(new_state)
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
+            done = False
+            if halt is None:
+                done = probe.converged(new_state)
+            elif halt is not False and (
+                (it + 1) % check_every == 0 or it == max_iterations - 1
+            ):
+                done = halt(state, new_state)
+            state = new_state
+            if done:
+                break
+        return state
+
     def shortest_path_lengths(
         self,
         source: str,
@@ -901,7 +1097,7 @@ class SparkGraph:
             .unionByName(self.edges.select(F.col("_v").alias("_n")))
             .distinct()
         )
-        prev_sig = None
+        probe = FixpointProbe("a", "b")
         converged = False
         for it in range(max_iterations):
             sym = edges.unionByName(
@@ -933,17 +1129,9 @@ class SparkGraph:
                 .localCheckpoint(eager=True)
             )
             edges = small
-            row = edges.agg(
-                F.count(F.lit(1)).alias("n"),
-                # xor-fold of per-edge hashes: order-insensitive set
-                # signature that cannot overflow under ANSI mode
-                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-            ).collect()[0]
-            sig = (row["n"], row["h"])
-            if sig == prev_sig:
+            if probe.converged(edges):
                 converged = True
                 break
-            prev_sig = sig
         if not converged:
             raise RuntimeError(
                 f"connected_components did not converge within "
@@ -1006,7 +1194,10 @@ class SparkGraph:
             .withColumn("a", F.col("p"))
             .localCheckpoint(eager=True)
         )
-        prev_sig = None
+        # phase-1 convergence is "a stable" by design (the seed is an
+        # accelerator; phase 2 is the exact fixpoint) — keys included
+        # in the signature so per-key relations can't cross-cancel
+        probe = FixpointProbe("_n", *keys, "a")
         for _ in range(max_rounds):
             hop = ptr.select(
                 F.col("_n").alias("p"),
@@ -1025,12 +1216,8 @@ class SparkGraph:
                     ).alias("a"),
                 )
             )
-            row = ptr.agg(
-                F.expr("bit_xor(xxhash64(_n, a))").alias("h")
-            ).collect()[0]
-            if row["h"] == prev_sig:
+            if probe.converged(ptr):
                 break
-            prev_sig = row["h"]
         else:
             raise RuntimeError(
                 "min-label chain seed did not converge; raise max_iterations"
@@ -1043,8 +1230,9 @@ class SparkGraph:
             )
             .localCheckpoint(eager=True)
         )
-        # phase 2: exact fixpoint (seed usually leaves 0-2 rounds)
-        prev_sig = None
+        # phase 2: exact fixpoint (seed usually leaves 0-2 rounds);
+        # load-bearing convergence -> exact-confirmed probe
+        probe = FixpointProbe("_n", *keys, "lab")
         for _ in range(max_rounds):
             relax = edges.join(
                 lab.select(
@@ -1064,12 +1252,8 @@ class SparkGraph:
                 .groupBy(*nk)
                 .agg(F.min("lab").alias("lab"))
             )
-            row = lab.agg(
-                F.expr("bit_xor(xxhash64(_n, lab))").alias("h")
-            ).collect()[0]
-            if row["h"] == prev_sig:
+            if probe.converged(lab):
                 break
-            prev_sig = row["h"]
         else:
             raise RuntimeError(
                 "min-label fixpoint did not converge; raise max_iterations"
@@ -1493,32 +1677,34 @@ class SparkGraph:
                 ]
             )
             return self.spark.createDataFrame(list(ranks.items()), schema)
+        # Distributed branch rides the public pregel primitive: state
+        # (_n, rank, deg), message rank/deg along each out-edge, sum
+        # aggregation, and an update that folds the per-round dangling
+        # mass (one single-row aggregate on the current state).  Same
+        # plan shape as the hand-rolled loop it replaced: one state->
+        # edges join on the construction-time _u partitioning + one
+        # partial-agg groupBy per round.
         n_nodes = self.nodes.count()
-        out = self.edges.groupBy("_u").agg(F.count(F.lit(1)).alias("deg"))
-        adj = (
-            self.edges.select("_u", "_v")
-            .join(out, "_u")
-            .localCheckpoint(eager=False)
+        out = self.edges.groupBy("_u").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
         )
         if S is None:
-            ranks = self.nodes.select("_n", F.lit(1.0 / n_nodes).alias("rank"))
+            rank0 = F.lit(1.0 / n_nodes)
         else:
-            in_s = F.col("_n").isin(*S)
-            ranks = self.nodes.select(
-                "_n", F.when(in_s, F.lit(1.0 / k)).otherwise(F.lit(0.0)).alias("rank")
+            rank0 = (
+                F.when(F.col("_n").isin(*S), F.lit(1.0 / k)).otherwise(F.lit(0.0))
             )
-        for it in range(max_iterations):
-            contribs = (
-                ranks.join(adj, ranks["_n"] == adj["_u"])
-                .select(adj["_v"].alias("_n"), (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("_n")
-                .agg(F.sum("c").alias("c"))
-            )
+        state0 = self.nodes.select("_n", rank0.alias("rank")).join(
+            out.withColumnRenamed("_u", "_n"), "_n", "left_outer"
+        ).select("_n", "rank", F.coalesce("deg", F.lit(0.0)).alias("deg"))
+
+        def update(df: DataFrame) -> DataFrame:
             # dangling mass redistributed uniformly (or to the sources)
-            dangling = ranks.join(
-                adj.select("_u").distinct(), ranks["_n"] == F.col("_u"), "left_anti"
-            ).agg(F.sum("rank")).collect()[0][0] or 0.0
-            c = F.coalesce(F.col("c"), F.lit(0.0))
+            dangling = (
+                df.filter(F.col("deg") == 0.0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+            c = F.coalesce(F.col("agg"), F.lit(0.0))
             if S is None:
                 rank_expr = F.lit((1 - alpha) / n_nodes) + F.lit(alpha) * (
                     c + F.lit(dangling / n_nodes)
@@ -1529,21 +1715,25 @@ class SparkGraph:
                     F.lit((1 - alpha) / k)
                     + F.lit(alpha) * (c + F.lit(dangling / k)),
                 ).otherwise(F.lit(alpha) * c)
-            new_ranks = (
-                self.nodes.select("_n")
-                .join(contribs, "_n", "left_outer")
-                .select("_n", rank_expr.alias("rank"))
-            ).localCheckpoint(eager=True)
+            return df.select("_n", rank_expr.alias("rank"), "deg")
+
+        def halt(old: DataFrame, new: DataFrame) -> bool:
             delta = (
-                new_ranks.alias("a")
-                .join(ranks.alias("b"), "_n")
+                new.alias("a")
+                .join(old.alias("b"), "_n")
                 .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
                 .collect()[0][0]
             )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        return ranks
+            return delta is not None and delta < tol
+
+        return self.pregel(
+            state0,
+            F.sum("msg"),
+            update,
+            msg_to_dst=F.col("src.rank") / F.col("src.deg"),
+            max_iterations=max_iterations,
+            halt=False if tol <= 0.0 else halt,
+        ).select("_n", "rank")
 
     def triangle_count(self) -> DataFrame:
         """Directed triangles (u -> v -> w -> u) as one row per

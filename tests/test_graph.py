@@ -1118,3 +1118,116 @@ def test_msf_weight_optimality_property(spark):
         assert len(forest) == G.number_of_nodes() - nx.number_connected_components(G)
 
     run()
+
+
+# ---- public message-passing primitives ------------------------------
+
+
+def _mkgraph(spark, triples):
+    edges = spark.createDataFrame(triples, "u string, v string, w double").select(
+        F.col("u").alias("_u"), F.col("v").alias("_v"), "w"
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    return SparkGraph(nodes, edges, partitions=4)
+
+
+def test_aggregate_messages_weighted_in_degree(spark):
+    g = _mkgraph(
+        spark,
+        [("1", "2", 3.0), ("1", "3", 1.0), ("2", "3", 2.0), ("3", "4", 5.0)],
+    )
+    got = {
+        r["_n"]: r["win"]
+        for r in g.aggregate_messages(
+            {"win": F.sum("msg")}, msg_to_dst=F.col("edge.w")
+        ).collect()
+    }
+    assert got == {"2": 3.0, "3": 3.0, "4": 5.0}  # node 1: no in-edges, absent
+
+
+def test_aggregate_messages_custom_metric_not_in_catalog(spark):
+    """Compose a metric the catalog does not ship: per node, the SUM
+    of its successors' out-degrees — two supersteps chained through
+    the ``state=`` hook (out-degree via msg_to_src, then the dst
+    state's degree pulled back to the src)."""
+    g = _mkgraph(
+        spark,
+        [("1", "2", 1.0), ("1", "3", 1.0), ("2", "3", 1.0), ("3", "4", 1.0)],
+    )
+    deg = g.aggregate_messages(
+        {"deg": F.sum("msg")}, msg_to_src=F.lit(1.0)
+    )
+    state = g.nodes.join(deg, "_n", "left_outer").select(
+        "_n", F.coalesce("deg", F.lit(0.0)).alias("deg")
+    )
+    got = {
+        r["_n"]: r["sdeg"]
+        for r in g.aggregate_messages(
+            {"sdeg": F.sum("msg")}, msg_to_src=F.col("dst.deg"), state=state
+        ).collect()
+    }
+    # succ(1)={2,3}: deg 1+1=2; succ(2)={3}: 1; succ(3)={4}: 0
+    assert got == {"1": 2.0, "2": 1.0, "3": 0.0}
+
+
+def test_aggregate_messages_requires_a_message(spark):
+    g = _mkgraph(spark, [("1", "2", 1.0)])
+    with pytest.raises(ValueError, match="msg_to_dst"):
+        g.aggregate_messages(F.sum("msg"))
+
+
+def test_pregel_bfs_hops_matches_sssp(spark):
+    triples = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+        ("a", "e", 1.0), ("e", "d", 1.0), ("d", "f", 1.0),
+    ]
+    g = _mkgraph(spark, triples)
+    INF = float("inf")
+    state0 = g.nodes.select(
+        "_n",
+        F.when(F.col("_n") == "a", F.lit(0.0)).otherwise(F.lit(INF)).alias("d"),
+    )
+    out = g.pregel(
+        state0,
+        F.min("msg"),
+        lambda df: df.select(
+            "_n", F.least("d", F.coalesce("agg", F.lit(INF))).alias("d")
+        ),
+        msg_to_dst=F.col("src.d") + F.lit(1.0),
+        max_iterations=20,
+    )
+    got = {r["_n"]: r["d"] for r in out.collect()}
+    want = {
+        r["_n"]: r["dist"]
+        for r in g.shortest_path_lengths("a", weight=None).collect()
+    }
+    assert {k: v for k, v in got.items() if v != INF} == want
+
+
+def test_pregel_update_must_keep_state_columns(spark):
+    g = _mkgraph(spark, [("1", "2", 1.0)])
+    state0 = g.nodes.select("_n", F.lit(0.0).alias("d"))
+    with pytest.raises(ValueError, match="state columns"):
+        g.pregel(
+            state0,
+            F.min("msg"),
+            lambda df: df.select("_n", F.col("d").alias("renamed")),
+            msg_to_dst=F.lit(1.0),
+            max_iterations=2,
+        )
+
+
+def test_fixpoint_probe_exact_confirmation(spark):
+    from entwiner_spark.operators.graph import FixpointProbe
+
+    a = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v int")
+    b = spark.createDataFrame([("x", 1), ("y", 3)], "k string, v int")
+    p = FixpointProbe("k", "v")
+    assert not p.converged(a)          # no previous frame yet
+    assert not p.converged(b)          # changed
+    assert not p.converged(a)          # changed back
+    assert p.converged(a)              # identical two rounds -> fixpoint

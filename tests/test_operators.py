@@ -333,6 +333,57 @@ def test_real_jpeg_decode_and_resize(spark):
         assert im.size == (8, 8) and im.format == "JPEG"
 
 
+def _av_or_none():
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_av_or_none() is None, reason="PyAV not installed")
+def test_real_video_demux_frame_sample(spark):
+    """When PyAV IS importable, video/* payloads must take the real
+    demux path: sample_frames returns true decoded frames (raw RGB24
+    bytes, width*height*3 per frame) at every stride-th presentation
+    index, not byte-window chunks.  Mirrors the PIL gate above; in
+    the build sandbox PyAV is uninstallable (probe in COVERAGE.md) so
+    this skips — on a codec-equipped cluster it exercises
+    multimodal._demux_av end-to-end."""
+    import io
+
+    from entwiner_spark.operators.multimodal import sample_frames, to_media_table
+
+    av = _av_or_none()
+    w, h, n_frames = 32, 16, 8
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height, stream.pix_fmt = w, h, "yuv420p"
+        import numpy as np
+
+        for i in range(n_frames):
+            img = np.full((h, w, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    video = buf.getvalue()
+
+    media = to_media_table(
+        spark.createDataFrame([(1, video)], ["doc_id", "payload"]),
+        "doc_id",
+        "payload",
+    ).withColumn("media_type", F.lit("video/mp4"))
+    rows = sample_frames(media, stride=2).collect()
+    assert len(rows) == n_frames // 2
+    for r in rows:
+        assert r["n_bytes"] == w * h * 3  # raw RGB24, true dimensions
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
+
+
 def test_real_image_type_without_codec_falls_back(spark):
     """A real media type on a codec-less worker still produces the
     deterministic arithmetic output (no crash, oracle-stable shape)."""

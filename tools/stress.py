@@ -599,6 +599,93 @@ def main() -> None:
         out["ktruss_xl_sec"] = round(time.time() - t0, 1)
         assert out["ktruss_xl_edges"] >= 15000
 
+        # --- XL SCC: 500k nodes in 500 cycles of length 1000, chained
+        # by one-way bridges (r7's 50k/1000-cycle stress at 10x the
+        # nodes).  Pointer-doubled min-label propagation must cover
+        # each 1000-cycle in O(log 1000) ~ 10 rounds per FW-BW pass,
+        # not O(1000).
+        log("phase: XL scc 500k nodes / 1000-cycles")
+        sxn, sxc = 500_000, 1_000
+        sxb = spark.range(sxn)
+        sx_edges = sxb.select(
+            F.col("id").cast("string").alias("_u"),
+            (F.col("id") - F.col("id") % sxc + (F.col("id") + 1) % sxc)
+            .cast("string")
+            .alias("_v"),
+        )
+        sx_bridges = spark.range(10).select(
+            (F.col("id") * sxc).cast("string").alias("_u"),
+            ((F.col("id") + 1) * sxc).cast("string").alias("_v"),
+        )
+        sx_all = sx_edges.unionByName(sx_bridges)
+        sx_all.count()
+        Gsx = SparkGraph(
+            sxb.select(F.col("id").cast("string").alias("_n")),
+            sx_all,
+            partitions=64,
+        )
+        t0 = time.time()
+        sx_out = Gsx.strongly_connected_components(
+            max_iterations=40, strategy="pregel"
+        )
+        out["scc_xl_components"] = sx_out.select("component").distinct().count()
+        out["scc_xl_sec"] = round(time.time() - t0, 1)
+        assert out["scc_xl_components"] == sxn // sxc, "one SCC per cycle"
+
+        # --- XL weighted SSSP to CONVERGENCE: 1M nodes, chain +
+        # +1000 chords, plus a 100k-out-degree hub at the source (the
+        # skewed-frontier case: round 1's frontier join fans one node
+        # out to 100k messages).  Per-probe frontier sizes recorded so
+        # PLANS.md can show the wavefront collapsing.
+        log("phase: XL weighted sssp 1M nodes, skewed hub")
+        wn = 1_000_000
+        wb = spark.range(wn)
+        # skip-list topology: id -> id+g for g in {1,10,...,100000},
+        # weight exactly g, so dist(k) == k via the base-10 digit
+        # decomposition (at most 9 hops per digit, ~54-hop diameter —
+        # a genuinely deep weighted relaxation, ~6M edges)
+        wparts = [
+            wb.filter(F.col("id") < wn - g).select(
+                F.col("id").cast("string").alias("_u"),
+                (F.col("id") + g).cast("string").alias("_v"),
+                F.lit(float(g)).alias("w"),
+            )
+            for g in (1, 10, 100, 1_000, 10_000, 100_000)
+        ]
+        # skewed hub: source 0 -> every multiple of 10 (100k edges at
+        # weight 1.3x the true distance).  Round 1 fans ONE frontier
+        # node out to 100k messages (the hot-key case), and every one
+        # of those tentative distances is later IMPROVED by a skip
+        # path — real Bellman-Ford re-relaxation, not a broadcast.
+        whub = wb.filter((F.col("id") % 10 == 0) & (F.col("id") > 0)).select(
+            F.lit("0").alias("_u"),
+            F.col("id").cast("string").alias("_v"),
+            (F.col("id") * 1.3).alias("w"),
+        )
+        we = wparts[0]
+        for p in wparts[1:] + [whub]:
+            we = we.unionByName(p)
+        we.count()
+        Gw = SparkGraph(
+            wb.select(F.col("id").cast("string").alias("_n")), we, partitions=64
+        )
+        wstats: dict = {}
+        t0 = time.time()
+        wd = Gw.shortest_path_lengths(
+            "0", weight="w", strategy="pregel", check_every=1, stats=wstats
+        )
+        wrow = wd.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        out["sssp_xl_reached"] = wrow["n"]
+        out["sssp_xl_sec"] = round(time.time() - t0, 1)
+        out["sssp_xl_rounds"] = len(wstats["rounds"])
+        out["sssp_xl_frontiers"] = [r["frontier"] for r in wstats["rounds"]]
+        assert out["sssp_xl_reached"] == wn, "all nodes reachable from 0"
+        # every edge advances position by exactly its weight, so
+        # dist(k) == k for all k — the sum is a closed-form oracle
+        assert wrow["s"] == wn * (wn - 1) / 2, "exact distances dist(k)=k"
+
     print(json.dumps(out))
     spark.stop()
 
