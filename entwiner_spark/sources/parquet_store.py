@@ -297,10 +297,15 @@ def write_graph_tables_versioned(
     version directory: the loser's rename fails against the existing
     slot and only its own private temp dir is cleaned up.  A writer
     that crashed between claiming a slot and swinging the pointer
-    leaves an orphaned ``v{n}`` that blocks that slot; the error
-    message names it (delete the orphaned directory by hand — vacuum
-    never touches versions above the pointer, since one may be a live
-    in-flight publish).
+    leaves an orphaned ``v{n}`` that blocks that slot.  MANUAL
+    RECOVERY: every ``base_version`` publish will keep failing with
+    ConcurrentWriteError on that same slot (its retry re-reads the
+    unchanged pointer and re-collides) until the orphaned directory is
+    deleted by hand — the error message names the exact path.  Vacuum
+    never touches versions above the pointer because an undeletable
+    one may be a live in-flight publish, not an orphan; the pointer
+    swing itself is flock-serialized so concurrent *successful*
+    writers can never strand a version this way.
     """
     from entwiner_spark.exceptions import ConcurrentWriteError
 
@@ -389,13 +394,25 @@ def _claim_version_slot(
     # pointer swing must never regress: if a concurrent LWW writer
     # already published a LATER version, leave its pointer alone —
     # our version sits at/below the pointer and vacuums normally
-    # (ADVICE r6).  Best-effort check; the base_version path cannot
-    # race here because conflicting writers abort before claiming.
-    if _read_pointer(store_dir) < new_v:
-        fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(new_v))
-        os.replace(tmp, os.path.join(store_dir, _LATEST))
+    # (ADVICE r6).  The read-check-replace is serialized under a
+    # short-lived flock (ADVICE r7: unserialized, two same-instant
+    # LWW writers could interleave read-then-replace and swing the
+    # pointer BELOW an already-claimed version, stranding it above
+    # the pointer where vacuum never reclaims it and where every
+    # base_version writer's retry re-conflicts on the occupied slot).
+    # The store is local-FS only by contract, so flock is sound; the
+    # lock covers only this tiny critical section — claims and Spark
+    # writes stay lock-free, and readers never lock (os.replace keeps
+    # pointer reads atomic).
+    import fcntl
+
+    with open(os.path.join(store_dir, "_latest.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if _read_pointer(store_dir) < new_v:
+            fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="_latest_tmp_")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(new_v))
+            os.replace(tmp, os.path.join(store_dir, _LATEST))
     return new_v
 
 

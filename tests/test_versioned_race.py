@@ -54,11 +54,20 @@ try:
     v = _claim_version_slot(store, target, base_version)
     out = f"OK {v}"
 except ConcurrentWriteError:
-    # the optimistic-retry loop: re-read the head, rebuild, re-publish
-    current = int(open(os.path.join(store, "_latest")).read())
-    target2 = build()
-    v = _claim_version_slot(store, target2, current)
-    out = f"RETRIED {v}"
+    # the optimistic-retry loop, BOUNDED (ADVICE r7): a single-shot
+    # retry can re-read _latest before the winner swings the pointer,
+    # re-conflict on the same occupied slot, and flake the test —
+    # real callers loop on ConcurrentWriteError, so the child does too
+    for _ in range(50):
+        current = int(open(os.path.join(store, "_latest")).read())
+        try:
+            v = _claim_version_slot(store, build(), current)
+            out = f"RETRIED {v}"
+            break
+        except ConcurrentWriteError:
+            time.sleep(0.01)
+    else:
+        sys.exit(4)
 with open(result_file, "w") as fh:
     fh.write(out)
 """
@@ -156,12 +165,11 @@ def test_lww_race_distinct_versions_pointer_valid(tmp_path):
         open(os.path.join(store, f"v{v}", "payload")).read() for v in (2, 3)
     }
     assert published == {"A", "B"}
-    # pointer never regresses below a version it already advertised and
-    # always points at a complete dir; the no-regress re-read check
-    # (parquet_store) makes ==3 the overwhelmingly common outcome, but
-    # the residual read-then-replace window is documented best-effort
+    # the flock-serialized no-regress swing (parquet_store, ADVICE r7)
+    # makes the final pointer DETERMINISTIC: the max claimed version,
+    # regardless of swing interleaving
     ptr = int(open(os.path.join(store, "_latest")).read())
-    assert ptr in (2, 3)
+    assert ptr == 3
     assert os.path.exists(os.path.join(store, f"v{ptr}", "payload"))
 
 
