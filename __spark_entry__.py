@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (sort by newest green round across CORRECTNESS_r*.json, stalest
 # first) so sampling keeps rotating.
 _PRIORITY = [
+    # --- new in round 8 (never driver-sampled) ---
+    "g_am_weighted_degree",
     # --- newest driver-green row: round 1 ---
     "s4_lsh_buckets",
     "set_except_custkeys",

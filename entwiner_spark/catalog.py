@@ -738,6 +738,39 @@ def g_a2_out_degree(spark, sf_dir):
 
 
 @q(
+    "g_am_weighted_degree",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+    m AS (SELECT v AS n, w, 0.0e0 AS wo FROM e
+          UNION ALL
+          SELECT u AS n, 0.0e0, w FROM e)
+    SELECT n AS node, round(sum(w), 6) AS w_in, round(sum(wo), 6) AS w_out
+    FROM m GROUP BY n
+    """,
+)
+def g_am_weighted_degree(spark, sf_dir):
+    """Weighted in+out degree in ONE ``aggregate_messages`` superstep
+    — puts the public message-passing primitive (SparkGraph
+    .aggregate_messages, the §2.11 extension surface) under the
+    driver's oracle gate directly: struct messages flow BOTH
+    directions along every edge (edge weight to the dst's in-slot,
+    to the src's out-slot) and two named aggregates split them.  No
+    node state is joined (the sniff sees neither ``src.`` nor
+    ``dst.``), so the plan is one projection of the _u-partitioned
+    edge table + one partial-agg groupBy on the recipient id."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    zero = F.lit(0.0)
+    return g.aggregate_messages(
+        {
+            "w_in": F.round(F.sum("msg.win"), 6),
+            "w_out": F.round(F.sum("msg.wout"), 6),
+        },
+        msg_to_dst=F.struct(F.col("edge.w").alias("win"), zero.alias("wout")),
+        msg_to_src=F.struct(zero.alias("win"), F.col("edge.w").alias("wout")),
+    ).select(F.col("_n").cast("long").alias("node"), "w_in", "w_out")
+
+
+@q(
     "g_j1_bfs_hops",
     f"""
     WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
