@@ -1231,3 +1231,41 @@ def test_fixpoint_probe_exact_confirmation(spark):
     assert not p.converged(b)          # changed
     assert not p.converged(a)          # changed back
     assert p.converged(a)              # identical two rounds -> fixpoint
+
+
+def test_pagerank_pregel_branch_matches_local(G):
+    """The DISTRIBUTED pagerank branch (strategy='pregel', now riding
+    SparkGraph.pregel) must agree with the driver-side power iteration
+    to float precision — tiny graphs default to the local branch, so
+    without forcing the strategy the pregel path would go untested."""
+    local = {
+        r["_n"]: r["rank"]
+        for r in G.pagerank(max_iterations=10, tol=0.0, strategy="local").collect()
+    }
+    dist = {
+        r["_n"]: r["rank"]
+        for r in G.pagerank(max_iterations=10, tol=0.0, strategy="pregel").collect()
+    }
+    assert set(local) == set(dist)
+    for n in local:
+        assert dist[n] == pytest.approx(local[n], abs=1e-12), n
+    assert sum(dist.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_pregel_personalized_and_tol_halt(G):
+    """Personalized teleport + the tolerance-based halt callable on
+    the distributed branch: converges early (tol met), mass sums to 1,
+    and matches the local branch run to the same convergence."""
+    sources = [N1, N2]
+    kwargs = dict(max_iterations=300, tol=1e-12, personalized=sources)
+    local = {
+        r["_n"]: r["rank"]
+        for r in G.pagerank(strategy="local", **kwargs).collect()
+    }
+    dist = {
+        r["_n"]: r["rank"]
+        for r in G.pagerank(strategy="pregel", **kwargs).collect()
+    }
+    assert abs(sum(dist.values()) - 1.0) < 1e-9
+    for n in local:
+        assert dist[n] == pytest.approx(local[n], abs=1e-9), n
