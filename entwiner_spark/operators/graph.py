@@ -544,6 +544,20 @@ class SparkGraph:
         return self.spark.createDataFrame(list(dist.items()), schema)
 
     # ---- public message-passing primitives (§2.11 extension surface) --
+    def _edge_triplet_base(self) -> DataFrame:
+        """``(_u, _v, edge struct)`` projection of the edge table —
+        the per-superstep join base.  ``pregel`` persists ONE instance
+        across all rounds (cache, not checkpoint: a checkpoint would
+        erase the plan's hashpartitioning(_u) and force a re-shuffle
+        of the big side every round — the SSSP adjacency discipline)."""
+        attr_cols = [c for c in self.edges.columns if c not in ("_u", "_v")]
+        edge_struct = (
+            F.struct(*[F.col(c) for c in attr_cols])
+            if attr_cols
+            else F.struct(F.lit(True).alias("_none"))
+        )
+        return self.edges.select("_u", "_v", edge_struct.alias("edge"))
+
     def aggregate_messages(
         self,
         agg,
@@ -552,6 +566,7 @@ class SparkGraph:
         msg_to_src=None,
         state: DataFrame | None = None,
         uses=None,
+        _base: DataFrame | None = None,
     ) -> DataFrame:
         """One message-passing superstep over the edge set: returns
         ``(_n, <agg columns>)`` — the GraphFrames ``aggregateMessages``
@@ -588,27 +603,30 @@ class SparkGraph:
             uses = {s for s in ("src", "dst") if any(f"{s}." in x for x in exprs)}
         else:
             uses = set(uses)
-        attr_cols = [c for c in self.edges.columns if c not in ("_u", "_v")]
-        edge_struct = (
-            F.struct(*[F.col(c) for c in attr_cols])
-            if attr_cols
-            else F.struct(F.lit(True).alias("_none"))
-        )
-        t = self.edges.select("_u", "_v", edge_struct.alias("edge"))
+        t = _base if _base is not None else self._edge_triplet_base()
         state_attrs = [c for c in state.columns if c != "_n"]
         state_struct = (
             F.struct(*[F.col(c) for c in state_attrs])
             if state_attrs
             else F.struct(F.lit(True).alias("_none"))
         )
+        # shuffle_hash hint on the (checkpointed, stats-less) state
+        # side: the |V|-row state becomes the build side and shuffles
+        # onto the edge table's construction-time hashpartitioning(_u)
+        # — the (persisted) edge side never exchanges, and the planner
+        # can't fall back to sort-merge-joining BOTH sides per
+        # superstep (the iterative-loop pathology the SSSP frontier
+        # loop documents)
         if "src" in uses:
             t = t.join(
-                state.select(F.col("_n").alias("_u"), state_struct.alias("src")),
+                state.select(F.col("_n").alias("_u"), state_struct.alias("src"))
+                .hint("shuffle_hash"),
                 "_u",
             )
         if "dst" in uses:
             t = t.join(
-                state.select(F.col("_n").alias("_v"), state_struct.alias("dst")),
+                state.select(F.col("_n").alias("_v"), state_struct.alias("dst"))
+                .hint("shuffle_hash"),
                 "_v",
             )
         msgs = []
@@ -662,6 +680,7 @@ class SparkGraph:
         probe = FixpointProbe(*state_cols) if halt is None else None
         if probe is not None:
             probe.converged(state)
+        base = self._edge_triplet_base().persist()
         for it in range(max_iterations):
             msgs = self.aggregate_messages(
                 agg,
@@ -669,8 +688,14 @@ class SparkGraph:
                 msg_to_src=msg_to_src,
                 state=state,
                 uses=uses,
+                _base=base,
             )
-            new_state = update(state.join(msgs, "_n", "left_outer"))
+            # shuffle_hash: both sides are ~|V| rows with unknown
+            # stats after checkpointing — the hint spares the planner
+            # a sort-merge fallback (two sorts per round)
+            new_state = update(
+                state.join(msgs.hint("shuffle_hash"), "_n", "left_outer")
+            )
             if set(new_state.columns) != set(state_cols):
                 raise ValueError(
                     f"update must return state columns {state_cols}, "
@@ -691,6 +716,7 @@ class SparkGraph:
             state = new_state
             if done:
                 break
+        base.unpersist()
         return state
 
     def shortest_path_lengths(

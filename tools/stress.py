@@ -179,6 +179,20 @@ def main() -> None:
     out["sssp_reached_12iter"] = dist.count()
     out["sssp_sec"] = round(time.time() - t0, 1)
 
+    # --- distributed pagerank on the same graph (r8: the branch now
+    # rides the public SparkGraph.pregel primitive — this phase is its
+    # scale proof).  tol=0 forces exactly 10 supersteps; mass
+    # conservation is the closed-form answer check.
+    log("phase: pregel pagerank 10 iter")
+    t0 = time.time()
+    pr_mass = (
+        G.pagerank(max_iterations=10, tol=0.0, strategy="pregel")
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    out["pagerank_sec"] = round(time.time() - t0, 1)
+    assert abs(pr_mass - 1.0) < 1e-6, f"pagerank mass {pr_mass} != 1"
+
     # --- 10k-node chain: diameter 10,000.  Star-contraction CC must
     # converge in O(log^2 n) alternating rounds (<30), where one-hop
     # min-label propagation would need 10,000.
