@@ -681,42 +681,44 @@ class SparkGraph:
         if probe is not None:
             probe.converged(state)
         base = self._edge_triplet_base().persist()
-        for it in range(max_iterations):
-            msgs = self.aggregate_messages(
-                agg,
-                msg_to_dst=msg_to_dst,
-                msg_to_src=msg_to_src,
-                state=state,
-                uses=uses,
-                _base=base,
-            )
-            # shuffle_hash: both sides are ~|V| rows with unknown
-            # stats after checkpointing — the hint spares the planner
-            # a sort-merge fallback (two sorts per round)
-            new_state = update(
-                state.join(msgs.hint("shuffle_hash"), "_n", "left_outer")
-            )
-            if set(new_state.columns) != set(state_cols):
-                raise ValueError(
-                    f"update must return state columns {state_cols}, "
-                    f"got {new_state.columns}"
+        try:
+            for it in range(max_iterations):
+                msgs = self.aggregate_messages(
+                    agg,
+                    msg_to_dst=msg_to_dst,
+                    msg_to_src=msg_to_src,
+                    state=state,
+                    uses=uses,
+                    _base=base,
                 )
-            new_state = new_state.select(*state_cols)
-            if rebase_every and (it + 1) % rebase_every == 0:
-                new_state = rebase_checkpoint(new_state)
-            else:
-                new_state = new_state.localCheckpoint(eager=True)
-            done = False
-            if halt is None:
-                done = probe.converged(new_state)
-            elif halt is not False and (
-                (it + 1) % check_every == 0 or it == max_iterations - 1
-            ):
-                done = halt(state, new_state)
-            state = new_state
-            if done:
-                break
-        base.unpersist()
+                # shuffle_hash: both sides are ~|V| rows with unknown
+                # stats after checkpointing — the hint spares the planner
+                # a sort-merge fallback (two sorts per round)
+                new_state = update(
+                    state.join(msgs.hint("shuffle_hash"), "_n", "left_outer")
+                )
+                if set(new_state.columns) != set(state_cols):
+                    raise ValueError(
+                        f"update must return state columns {state_cols}, "
+                        f"got {new_state.columns}"
+                    )
+                new_state = new_state.select(*state_cols)
+                if rebase_every and (it + 1) % rebase_every == 0:
+                    new_state = rebase_checkpoint(new_state)
+                else:
+                    new_state = new_state.localCheckpoint(eager=True)
+                done = False
+                if halt is None:
+                    done = probe.converged(new_state)
+                elif halt is not False and (
+                    (it + 1) % check_every == 0 or it == max_iterations - 1
+                ):
+                    done = halt(state, new_state)
+                state = new_state
+                if done:
+                    break
+        finally:
+            base.unpersist()
         return state
 
     def shortest_path_lengths(
