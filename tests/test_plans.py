@@ -193,3 +193,34 @@ def test_round6_additions_plan_shapes(spark):
         for l in s13
     )
     assert not any("CartesianProduct" in l for l in s13)
+
+
+def test_aggregate_messages_plan_shapes(spark):
+    """r8 primitive plans: a superstep whose message expressions touch
+    only ``edge`` must compile to a join-FREE single aggregate over
+    the edge projection; a src-state superstep must hash-join (never
+    sort-merge — the state side is hinted shuffle_hash against
+    stats-less checkpointed frames) and never cartesian."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    # edge-only messages: g_am_weighted_degree's plan has no join
+    from entwiner_spark.plans.explain import _formatted_plan
+
+    df = catalog.QUERIES["g_am_weighted_degree"](spark, SF)
+    lines = plan_summary(df)
+    assert not any("Join" in l for l in lines), [l for l in lines if "Join" in l]
+    assert "HashAggregate" in _formatted_plan(df)
+
+    # src-state messages: hash join, no SortMergeJoin, no cartesian
+    g = catalog._graph_as_spark_graph(spark, SF)
+    state = g.nodes.select("_n", F.col("_n").cast("double").alias("h"))
+    df = g.aggregate_messages(
+        F.avg("msg"), msg_to_dst=F.col("src.h"), state=state
+    )
+    lines = plan_summary(df)
+    assert any("ShuffledHashJoin" in l or "BroadcastHashJoin" in l for l in lines)
+    assert not any("SortMergeJoin" in l for l in lines)
+    assert not any("Cartesian" in l for l in lines)
