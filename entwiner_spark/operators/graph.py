@@ -600,7 +600,13 @@ class SparkGraph:
         agg = {"agg": agg} if not isinstance(agg, dict) else agg
         exprs = [str(e) for e in (msg_to_dst, msg_to_src) if e is not None]
         if uses is None:
-            uses = {s for s in ("src", "dst") if any(f"{s}." in x for x in exprs)}
+            # both field-access spellings: F.col("src.h") renders as
+            # src.h, F.col("src")["h"] as src[h]
+            uses = {
+                s
+                for s in ("src", "dst")
+                if any(f"{s}." in x or f"{s}[" in x for x in exprs)
+            }
         else:
             uses = set(uses)
         t = _base if _base is not None else self._edge_triplet_base()
