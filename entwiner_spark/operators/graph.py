@@ -1193,6 +1193,7 @@ class SparkGraph:
         edges: DataFrame,
         keys: list[str],
         max_rounds: int,
+        stats: list | None = None,
     ) -> DataFrame:
         """Min node-id over ``{n} ∪ ancestors(n)`` for every node, via
         the given edge relation (optionally per key column — ancestors
@@ -1232,7 +1233,7 @@ class SparkGraph:
         # accelerator; phase 2 is the exact fixpoint) — keys included
         # in the signature so per-key relations can't cross-cancel
         probe = FixpointProbe("_n", *keys, "a")
-        for _ in range(max_rounds):
+        for _seed_rounds in range(1, max_rounds + 1):
             hop = ptr.select(
                 F.col("_n").alias("p"),
                 *[F.col(k) for k in keys],
@@ -1267,7 +1268,7 @@ class SparkGraph:
         # phase 2: exact fixpoint (seed usually leaves 0-2 rounds);
         # load-bearing convergence -> exact-confirmed probe
         probe = FixpointProbe("_n", *keys, "lab")
-        for _ in range(max_rounds):
+        for _fix_rounds in range(1, max_rounds + 1):
             relax = edges.join(
                 lab.select(
                     F.col("_n").alias("_u"), *keys, "lab"
@@ -1292,13 +1293,24 @@ class SparkGraph:
             raise RuntimeError(
                 "min-label fixpoint did not converge; raise max_iterations"
             )
+        if stats is not None:
+            # per-loop telemetry: rounds to seed-convergence and to the
+            # exact fixpoint — the evidence behind the O(log) claim
+            stats.append({"seed": _seed_rounds, "fix": _fix_rounds})
         return lab
 
     def strongly_connected_components(
-        self, max_iterations: int = 50, strategy: str = "auto"
+        self,
+        max_iterations: int = 50,
+        strategy: str = "auto",
+        stats: dict | None = None,
     ) -> DataFrame:
         """Strongly connected components of the DIRECTED graph:
-        ``(_n, component)`` with component = min node id (string
+        ``(_n, component)``.  ``stats``: pass a dict to receive
+        per-pass telemetry — ``stats["fw"]`` / ``stats["bw"]`` list
+        ``{"seed", "fix"}`` round counts for each forward/backward
+        min-label propagation (the O(log diameter) evidence).
+        Component = min node id (string
         order, matching connected_components) among mutually
         reachable nodes.
 
@@ -1448,7 +1460,11 @@ class SparkGraph:
             # fixpoint — O(log diameter) rounds on chain/cycle
             # topologies instead of one hop per round) ----
             color = self._min_reach_labels(
-                remaining, edges, keys=[], max_rounds=10 * max_iterations
+                remaining,
+                edges,
+                keys=[],
+                max_rounds=10 * max_iterations,
+                stats=None if stats is None else stats.setdefault("fw", []),
             ).select("_n", F.col("lab").alias("c"))
             # ---- backward membership within the color class ----
             # n belongs to root r's SCC iff r is reachable from n
@@ -1480,7 +1496,11 @@ class SparkGraph:
                 .localCheckpoint(eager=True)
             )
             desc = self._min_reach_labels(
-                color, mono, keys=["c"], max_rounds=10 * max_iterations
+                color,
+                mono,
+                keys=["c"],
+                max_rounds=10 * max_iterations,
+                stats=None if stats is None else stats.setdefault("bw", []),
             )
             member = (
                 desc.filter(F.col("lab") == F.col("c"))

@@ -638,12 +638,18 @@ def main() -> None:
             sx_all,
             partitions=64,
         )
+        sx_stats: dict = {}
         t0 = time.time()
         sx_out = Gsx.strongly_connected_components(
-            max_iterations=40, strategy="pregel"
+            max_iterations=40, strategy="pregel", stats=sx_stats
         )
         out["scc_xl_components"] = sx_out.select("component").distinct().count()
         out["scc_xl_sec"] = round(time.time() - t0, 1)
+        # pointer-doubling evidence: seed/fixpoint rounds per pass stay
+        # O(log cycle-length), never O(cycle-length)
+        out["scc_xl_rounds"] = {
+            k: [[s["seed"], s["fix"]] for s in v] for k, v in sx_stats.items()
+        }
         assert out["scc_xl_components"] == sxn // sxc, "one SCC per cycle"
 
         # --- XL weighted SSSP to CONVERGENCE: 1M nodes, chain +
