@@ -1269,3 +1269,61 @@ def test_pagerank_pregel_personalized_and_tol_halt(G):
     assert abs(sum(dist.values()) - 1.0) < 1e-9
     for n in local:
         assert dist[n] == pytest.approx(local[n], abs=1e-9), n
+
+
+def test_pregel_property_random_graphs(spark):
+    """Property check: on random small digraphs, a pregel BFS fixpoint
+    (min-hops propagation with the default exact-confirmed halt) must
+    equal a brute-force Python BFS from the same source — exercising
+    convergence on arbitrary topologies (cycles, disconnected parts,
+    self-adjacent hubs)."""
+    from collections import deque
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    node = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+    edge = st.tuples(node, node).filter(lambda t: t[0] != t[1])
+
+    @settings(max_examples=6, deadline=None)
+    @given(edges=st.sets(edge, min_size=1, max_size=14))
+    def run(edges):
+        es = sorted(edges)
+        src = es[0][0]
+        edf = spark.createDataFrame([(u, v, 1.0) for u, v in es], ["_u", "_v", "w"])
+        ndf = edf.select(F.col("_u").alias("_n")).union(edf.select("_v")).distinct()
+        g = SparkGraph(ndf, edf, partitions=4)
+
+        INF = float("inf")
+        state0 = g.nodes.select(
+            "_n",
+            F.when(F.col("_n") == src, F.lit(0.0)).otherwise(F.lit(INF)).alias("d"),
+        )
+        got = {
+            r["_n"]: r["d"]
+            for r in g.pregel(
+                state0,
+                F.min("msg"),
+                lambda df: df.select(
+                    "_n", F.least("d", F.coalesce("agg", F.lit(INF))).alias("d")
+                ),
+                msg_to_dst=F.col("src.d") + F.lit(1.0),
+                max_iterations=12,
+            ).collect()
+        }
+
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, []).append(v)
+        want = {src: 0.0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = want[u] + 1.0
+                    q.append(v)
+        for n, d in got.items():
+            assert d == want.get(n, INF), (n, d, want.get(n, INF), es)
+
+    run()
