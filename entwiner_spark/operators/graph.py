@@ -682,6 +682,14 @@ class SparkGraph:
         rounds.
         """
         state_cols = list(state.columns)
+        agg_names = {"agg"} if not isinstance(agg, dict) else set(agg)
+        clash = agg_names & set(state_cols)
+        if clash:
+            raise ValueError(
+                f"aggregate column name(s) {sorted(clash)} collide with "
+                "state columns — the update callable's joined frame "
+                "would be ambiguous; rename the aggregate(s)"
+            )
         state = state.localCheckpoint(eager=True)
         probe = FixpointProbe(*state_cols) if halt is None else None
         if probe is not None:

@@ -1327,3 +1327,16 @@ def test_pregel_property_random_graphs(spark):
             assert d == want.get(n, INF), (n, d, want.get(n, INF), es)
 
     run()
+
+
+def test_pregel_rejects_agg_name_colliding_with_state(spark):
+    g = _mkgraph(spark, [("1", "2", 1.0)])
+    state0 = g.nodes.select("_n", F.lit(0.0).alias("d"))
+    with pytest.raises(ValueError, match="collide with"):
+        g.pregel(
+            state0,
+            {"d": F.min("msg")},
+            lambda df: df,
+            msg_to_dst=F.lit(1.0),
+            max_iterations=2,
+        )
