@@ -155,17 +155,22 @@ def repetition_ratio(text: Column, n: int = 2) -> Column:
     Gopher-style quality rule — boilerplate and degenerate generations
     score high).  Pure per-row array expressions: total and distinct
     gram counts never leave whole-stage codegen, no explode."""
-    w = words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    total = F.size(w) - (n - 1)
-    distinct = F.size(F.array_distinct(grams))
-    return F.when(
-        total > 0,
-        F.round(1.0 - distinct.cast("double") / total, 6),
-    ).otherwise(F.lit(0.0))
+    from entwiner_spark.functions.expr import let_bound
+
+    def _ratio(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        total = F.size(w) - (n - 1)
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(
+            total > 0,
+            F.round(1.0 - distinct.cast("double") / total, 6),
+        ).otherwise(F.lit(0.0))
+
+    # let-bound: the split runs once, not once per gram (expr.py, r8)
+    return let_bound(words(text), _ratio)
 
 
 #: Gopher-rule thresholds (Rae et al. 2021 §A.1.1, adapted to the
@@ -222,22 +227,30 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles (array<string>); empty if fewer than k words.
 
-    Built as zip_with over k shifted slices of the token array — the
-    split() runs k times per row.  (The obvious
+    zip_with over k shifted slices of the LET-BOUND token array — the
+    split() runs exactly once per row.  (History: the obvious
     transform(sequence, i -> element_at(w, i+j)) form re-evaluates the
-    split per element access: O(words^2) per row, which dominated the
-    whole minhash pipeline before this rewrite.)
+    split per element access — O(words^2) per row, which dominated the
+    whole minhash pipeline; the first rewrite to shifted slices still
+    ran the split k+1 times; ``let_bound`` (functions/expr.py, r8)
+    pins it to one.)
     """
-    w = words(text)
-    n = F.size(w)
-    cnt = n - F.lit(k - 1)
-    combined = F.slice(w, F.lit(1), cnt)
-    for j in range(1, k):
-        part = F.slice(w, F.lit(j + 1), cnt)
-        combined = F.zip_with(
-            combined, part, lambda a, b: F.concat(a, F.lit(" "), b)
+    from entwiner_spark.functions.expr import let_bound
+
+    def _sh(w: Column) -> Column:
+        n = F.size(w)
+        cnt = n - F.lit(k - 1)
+        combined = F.slice(w, F.lit(1), cnt)
+        for j in range(1, k):
+            part = F.slice(w, F.lit(j + 1), cnt)
+            combined = F.zip_with(
+                combined, part, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.when(n >= k, combined).otherwise(
+            F.array().cast("array<string>")
         )
-    return F.when(n >= k, combined).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(words(text), _sh)
 
 
 def tfidf_top_terms(
@@ -299,16 +312,26 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     fingerprint set leaves the row.  Documents with fewer than ``w``
     shingles keep all their shingle hashes (the degenerate-but-correct
     guarantee-preserving fallback).
+
+    LET-BOUND (functions/expr.py, r8): referencing the raw
+    hashed-shingle expression inside the per-window lambda re-evaluates
+    the entire shingle+hash chain PER WINDOW (Catalyst does not
+    common-subexpr HOF chains) — measured 27.2 s -> 2.0 s for the
+    identical 101,137-fingerprint result on sf0.1 documents.
     """
-    hs = F.transform(shingles(text, k), stable_hash32)
-    n_windows = F.size(hs) - (w - 1)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-        lambda i: F.array_min(F.slice(hs, i, w)),
-    )
-    return F.when(F.size(hs) >= w, F.array_distinct(wins)).otherwise(
-        F.array_distinct(hs)
-    )
+    from entwiner_spark.functions.expr import let_bound
+
+    def _winnow(h: Column) -> Column:
+        n_windows = F.size(h) - (w - 1)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        )
+        return F.when(F.size(h) >= w, F.array_distinct(wins)).otherwise(
+            F.array_distinct(h)
+        )
+
+    return let_bound(F.transform(shingles(text, k), stable_hash32), _winnow)
 
 
 # ------------------------------------------------------------------ BM25
@@ -409,21 +432,26 @@ def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F
 
+    from entwiner_spark.functions.expr import let_bound
+
     w = words(F.col(text_col))
+
+    def _bigrams(wv: Column) -> Column:
+        # let-bound: the split runs once, not once per bigram element
+        return F.transform(
+            F.sequence(F.lit(0), F.size(wv) - F.lit(2)),
+            lambda i: F.concat(
+                F.element_at(wv, i + F.lit(1)),
+                F.lit(" "),
+                F.element_at(wv, i + F.lit(2)),
+            ),
+        )
+
     bg = (
         docs.filter(F.size(w) >= 2)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - F.lit(2)),
-                    lambda i: F.concat(
-                        F.element_at(w, i + F.lit(1)),
-                        F.lit(" "),
-                        F.element_at(w, i + F.lit(2)),
-                    ),
-                )
-            ).alias("big"),
+            F.explode(let_bound(w, _bigrams)).alias("big"),
         )
         .select(
             F.col(id_col),

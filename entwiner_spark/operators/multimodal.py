@@ -356,19 +356,26 @@ def media_byte_signatures(
     from entwiner_spark.functions.text import stable_hash32
     from entwiner_spark.operators.dedup import MERSENNE_P, minhash_params
 
-    hx = F.hex(F.col(payload_col).cast("binary"))
+    from entwiner_spark.functions.expr import let_bound
+
     width = 2 * shingle_bytes
-    n_sh = F.greatest(F.length(hx) - (width - 1), F.lit(1))
-    # step 2 hex chars = ONE byte: windows stay byte-aligned (an
-    # every-hex-char slide would emit nibble-misaligned artifact
-    # shingles and double the hashing volume)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh, F.lit(2)),
-            lambda i: hx.substr(i, F.lit(width)),
+
+    def _shingle_hashes(hx):
+        # let-bound: hex(payload) evaluates once per row, not once per
+        # shingle window (functions/expr.py, r8)
+        n_sh = F.greatest(F.length(hx) - (width - 1), F.lit(1))
+        # step 2 hex chars = ONE byte: windows stay byte-aligned (an
+        # every-hex-char slide would emit nibble-misaligned artifact
+        # shingles and double the hashing volume)
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh, F.lit(2)),
+                lambda i: hx.substr(i, F.lit(width)),
+            )
         )
-    )
-    hashed = F.transform(sh, stable_hash32)
+        return F.transform(sh, stable_hash32)
+
+    hashed = let_bound(F.hex(F.col(payload_col).cast("binary")), _shingle_hashes)
     base = media.select(F.col(id_col), hashed.alias("_hs"))
 
     def perm(a: int, b: int):
