@@ -131,27 +131,38 @@ def simplify_area_filter(coords: Column, tol: float) -> Column:
     pre-simplification at ingest (kills jitter/collinear vertices) and
     stays a pure Catalyst expression — filter + transform over an
     index sequence, zero UDFs, zero shuffles, oracle-twinnable.
+
+    The coords expression is LET-BOUND (functions/expr.py): the caller
+    may pass a computed geometry (parsed/derived), and without the
+    binding every per-index area term would re-evaluate it — O(n^2)
+    in vertices on real linestrings.
     """
-    n = F.size(coords)
+    from entwiner_spark.functions.expr import let_bound
 
-    def x(i):
-        return F.element_at(F.element_at(coords, i), 1)
+    def _simplify(c: Column) -> Column:
+        n = F.size(c)
 
-    def y(i):
-        return F.element_at(F.element_at(coords, i), 2)
+        def x(i):
+            return F.element_at(F.element_at(c, i), 1)
 
-    def area2(i):
-        return F.abs(
-            (x(i) - x(i - 1)) * (y(i + 1) - y(i - 1))
-            - (x(i + 1) - x(i - 1)) * (y(i) - y(i - 1))
-        ) * F.lit(0.5)
+        def y(i):
+            return F.element_at(F.element_at(c, i), 2)
 
-    keep = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1)) | (i == n) | (area2(i) >= F.lit(tol)),
-    )
-    # n < 2 has nothing to simplify — and F.sequence(1, 0) would yield
-    # the DESCENDING [1, 0], feeding index 0 into element_at (crash)
-    return F.when(n < 2, coords).otherwise(
-        F.transform(keep, lambda i: F.element_at(coords, i))
-    )
+        def area2(i):
+            return F.abs(
+                (x(i) - x(i - 1)) * (y(i + 1) - y(i - 1))
+                - (x(i + 1) - x(i - 1)) * (y(i) - y(i - 1))
+            ) * F.lit(0.5)
+
+        keep = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1)) | (i == n) | (area2(i) >= F.lit(tol)),
+        )
+        # n < 2 has nothing to simplify — and F.sequence(1, 0) would
+        # yield the DESCENDING [1, 0], feeding index 0 into element_at
+        # (crash)
+        return F.when(n < 2, c).otherwise(
+            F.transform(keep, lambda i: F.element_at(c, i))
+        )
+
+    return let_bound(coords, _simplify)
