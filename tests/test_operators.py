@@ -1443,3 +1443,24 @@ def test_simplify_area_filter_properties(spark):
         assert all(any(p == q for q in it2) for p in hi)
 
     run()
+
+
+def test_let_bound_preserves_semantics(spark):
+    """let_bound(v, body) must equal body(v) exactly — it is an
+    evaluation-count optimization, never a semantic change — for
+    array, scalar, and null-producing values."""
+    from entwiner_spark.functions.expr import let_bound
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("x",), (None,)], ["t"]
+    )
+    v = F.split(F.col("t"), " ")
+
+    def body(x):
+        return F.when(F.size(x) >= 2, F.size(x) * 10).otherwise(F.lit(-1))
+
+    got = df.select(
+        body(v).alias("plain"), let_bound(v, body).alias("bound")
+    ).collect()
+    for r in got:
+        assert r["plain"] == r["bound"], r
