@@ -65,7 +65,11 @@ def stream_unigram_score(
     Works identically on a batch DataFrame (the stream==batch test
     runs both through this same function).
     """
-    ws = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    # stage the filtered token array as a column: referenced 4x below
+    # (aggregate input + three size()s), and a column reference costs
+    # nothing where the raw expression would re-run split+filter each
+    # time (the let_bound/staging discipline, functions/expr.py)
+    ws = F.col("_ws")
     raw_score = F.aggregate(
         ws,
         F.lit(0.0),
@@ -80,7 +84,10 @@ def stream_unigram_score(
     # row must produce a defined output)
     score = F.when(F.size(ws) > 0, raw_score).otherwise(F.lit(0.0))
     return (
-        docs.withColumn("_one", F.lit(1))
+        docs.withColumn(
+            "_ws", F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+        )
+        .withColumn("_one", F.lit(1))
         .join(lm_row, "_one")
         .select(
             F.col(id_col),
