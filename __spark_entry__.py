@@ -20,70 +20,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver verifies a 50-query subset of the
-# catalog each round, drawing from the head of this dict.  Round-8
-# rotation (r7 verdict task #1): the ENTIRE catalog is listed here in
+# catalog each round, drawing from the head of this dict.  Round-9
+# rotation (r8 verdict task #1): the ENTIRE catalog is listed in
 # staleness order — queries whose newest driver-green CORRECTNESS row
-# is oldest come first (r1-vintage, then r3, r4, r5, r7; alphabetical
-# within a round).  The head 50 = the 29 r1/r3-vintage rows plus the
-# 21 stalest r4 rows, so after r8 no query's newest driver-green row
-# is older than round 4.  Regenerate next round with the same rule
-# (sort by newest green round across CORRECTNESS_r*.json, stalest
-# first) so sampling keeps rotating.
+# is oldest come first (r4, then r5, r7, r8; alphabetical within a
+# round).  The head 50 = the 29 r4-vintage rows plus the 21 stalest
+# r5 rows, so after r9 no query's newest driver-green row is older
+# than round 5.  Regenerate next round with the same rule (sort by
+# newest green round across CORRECTNESS_r*.json, stalest first;
+# never-sampled new queries at the very head).
 _PRIORITY = [
-    # --- new in round 8 (never driver-sampled) ---
-    "g_am_weighted_degree",
-    # --- newest driver-green row: round 1 ---
-    "s4_lsh_buckets",
-    "set_except_custkeys",
-    "set_intersect_custkeys",
-    "t1_doc_stats",
-    "t2_stopword_langid",
-    "t3_fingerprint",
-    "t4_quality_score",
-    "u1_union_parties",
-    "u2_last_write_wins",
-    "u3_union_missing_cols",
-    "w1_top3_per_customer",
-    # --- newest driver-green row: round 3 ---
-    "g_betweenness",
-    "geo_j5_spatial_join",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_histogram",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
     # --- newest driver-green row: round 4 ---
-    "a2b_approx_degree",
-    "d4b_simhash_neardup",
-    "d5_ngram_jaccard_pairs",
-    "d6_embedding_neardup",
-    "d6b_embedding_neardup_lsh",
-    "d7_contamination",
-    "d8_dedup_clusters",
-    "e3_sessionize",
-    "e5_asof_last_view",
-    "e6_interval_join",
-    "g_adamic_adar",
-    "g_closeness",
-    "g_j1_khop",
-    "g_layer_routing",
-    "g_neighbor_jaccard",
-    "g_p3_node_lookup",
-    "g_p6_predecessors",
-    "g_p8_pred_nodes",
-    "g_pagerank",
-    "g_ppr_sources",
     "g_triangles",
     "geo_a5_bbox",
     "geo_f7_meter_bbox",
@@ -208,6 +155,57 @@ _PRIORITY = [
     "samp5_weighted",
     "t12_unigram_logprob",
     "t13_repetition_ratio",
+    # --- newest driver-green row: round 8 ---
+    "a2b_approx_degree",
+    "d4b_simhash_neardup",
+    "d5_ngram_jaccard_pairs",
+    "d6_embedding_neardup",
+    "d6b_embedding_neardup_lsh",
+    "d7_contamination",
+    "d8_dedup_clusters",
+    "e3_sessionize",
+    "e5_asof_last_view",
+    "e6_interval_join",
+    "g_adamic_adar",
+    "g_am_weighted_degree",
+    "g_betweenness",
+    "g_closeness",
+    "g_j1_khop",
+    "g_layer_routing",
+    "g_neighbor_jaccard",
+    "g_p3_node_lookup",
+    "g_p6_predecessors",
+    "g_p8_pred_nodes",
+    "g_pagerank",
+    "g_ppr_sources",
+    "geo_j5_spatial_join",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_histogram",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "s4_lsh_buckets",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "t1_doc_stats",
+    "t2_stopword_langid",
+    "t3_fingerprint",
+    "t4_quality_score",
+    "u1_union_parties",
+    "u2_last_write_wins",
+    "u3_union_missing_cols",
+    "w1_top3_per_customer",
 ]
 
 
