@@ -24,8 +24,11 @@ implementation uses the semantically correct columns.
 
 from __future__ import annotations
 
+import inspect
+import re
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,15 +90,22 @@ class FixpointProbe:
 
     def __init__(self, *cols: str):
         self._cols = list(cols)
-        self._expr = f"bit_xor(xxhash64({', '.join(self._cols)}))"
         self._prev_sig: tuple | None = None
         self._prev_df: DataFrame | None = None
 
     def converged(self, df: DataFrame) -> bool:
         proj = df.select(*self._cols)
-        row = proj.agg(
-            F.count(F.lit(1)).alias("n"), F.expr(self._expr).alias("h")
-        ).collect()[0]
+        # per-row hash built from Column objects (not an interpolated
+        # SQL string) so arbitrary user state column names — spaces,
+        # hyphens, SQL keywords — survive; only the internal alias
+        # appears in the bit_xor expr
+        row = (
+            proj.select(
+                F.xxhash64(*[F.col(c) for c in self._cols]).alias("_fp_h")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_fp_h)").alias("h"))
+            .collect()[0]
+        )
         sig = (row["n"], row["h"])
         done = (
             sig == self._prev_sig
@@ -600,12 +610,19 @@ class SparkGraph:
         agg = {"agg": agg} if not isinstance(agg, dict) else agg
         exprs = [str(e) for e in (msg_to_dst, msg_to_src) if e is not None]
         if uses is None:
-            # both field-access spellings: F.col("src.h") renders as
-            # src.h, F.col("src")["h"] as src[h]
+            # sniff which triplet sides the message expressions touch
+            # from their rendered form: matches field access in both
+            # spellings (F.col("src.h") renders src.h, F.col("src")["h"]
+            # renders src[h]) AND whole-struct references (F.col("src")
+            # renders as the bare token).  \b keeps src_id/dst_key from
+            # matching; an edge attr literally named src/dst still
+            # triggers a spurious (harmless) state join — pass ``uses``
+            # to override, and an unresolvable reference raises below
+            # with that hint.
             uses = {
                 s
                 for s in ("src", "dst")
-                if any(f"{s}." in x or f"{s}[" in x for x in exprs)
+                if any(re.search(rf"\b{s}\b", x) for x in exprs)
             }
         else:
             uses = set(uses)
@@ -636,10 +653,24 @@ class SparkGraph:
                 "_v",
             )
         msgs = []
-        if msg_to_dst is not None:
-            msgs.append(t.select(F.col("_v").alias("_n"), msg_to_dst.alias("msg")))
-        if msg_to_src is not None:
-            msgs.append(t.select(F.col("_u").alias("_n"), msg_to_src.alias("msg")))
+        try:
+            if msg_to_dst is not None:
+                msgs.append(
+                    t.select(F.col("_v").alias("_n"), msg_to_dst.alias("msg"))
+                )
+            if msg_to_src is not None:
+                msgs.append(
+                    t.select(F.col("_u").alias("_n"), msg_to_src.alias("msg"))
+                )
+        except AnalysisException as e:
+            raise AnalysisException(
+                f"aggregate_messages could not resolve a message "
+                f"expression against the triplet (sniffed sides: "
+                f"{sorted(uses) or 'none'}).  If the expression "
+                f"references src/dst in a form the sniff misses, pass "
+                f"uses=('src',), ('dst',) or ('src','dst') explicitly. "
+                f"Original: {e}"
+            ) from e
         m = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
         return m.groupBy("_n").agg(*[a.alias(n) for n, a in agg.items()])
 
@@ -666,7 +697,14 @@ class SparkGraph:
         (nodes with no messages see NULL agg columns), then
         ``update(df) -> DataFrame`` — a callable receiving ``(_n,
         <state cols>, <agg cols>)`` and returning the next state with
-        exactly the original state columns.  Lineage is truncated
+        exactly the original state columns.  An update that declares a
+        SECOND positional parameter instead receives ``update(df,
+        prev)`` where ``prev`` is the CHECKPOINTED previous state:
+        any per-round driver-side aggregate the update needs (e.g.
+        PageRank's dangling mass) must run on ``prev``, not on ``df``
+        — ``df`` embeds the un-materialized superstep, so aggregating
+        it executes the full join+shuffle round twice (once for the
+        aggregate, again when the new state checkpoints).  Lineage is truncated
         every round (plain ``localCheckpoint``; every ``rebase_every``
         rounds a ``rebase_checkpoint`` severs carried provenance so
         update functions that self-join the state stay flat — see
@@ -690,6 +728,18 @@ class SparkGraph:
                 "state columns — the update callable's joined frame "
                 "would be ambiguous; rename the aggregate(s)"
             )
+        try:
+            params = list(inspect.signature(update).parameters.values())
+            positional = [
+                p
+                for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+            wants_prev = len(positional) >= 2 or any(
+                p.kind == p.VAR_POSITIONAL for p in params
+            )
+        except (TypeError, ValueError):
+            wants_prev = False
         state = state.localCheckpoint(eager=True)
         probe = FixpointProbe(*state_cols) if halt is None else None
         if probe is not None:
@@ -708,9 +758,8 @@ class SparkGraph:
                 # shuffle_hash: both sides are ~|V| rows with unknown
                 # stats after checkpointing — the hint spares the planner
                 # a sort-merge fallback (two sorts per round)
-                new_state = update(
-                    state.join(msgs.hint("shuffle_hash"), "_n", "left_outer")
-                )
+                joined = state.join(msgs.hint("shuffle_hash"), "_n", "left_outer")
+                new_state = update(joined, state) if wants_prev else update(joined)
                 if set(new_state.columns) != set(state_cols):
                     raise ValueError(
                         f"update must return state columns {state_cols}, "
@@ -1760,10 +1809,14 @@ class SparkGraph:
             out.withColumnRenamed("_u", "_n"), "_n", "left_outer"
         ).select("_n", "rank", F.coalesce("deg", F.lit(0.0)).alias("deg"))
 
-        def update(df: DataFrame) -> DataFrame:
-            # dangling mass redistributed uniformly (or to the sources)
+        def update(df: DataFrame, prev: DataFrame) -> DataFrame:
+            # dangling mass redistributed uniformly (or to the sources),
+            # computed from the CHECKPOINTED previous state (deg is
+            # static and rank in `df` IS prev's rank) — aggregating on
+            # `df` would execute the whole un-materialized superstep a
+            # second time per round (r8 ADVICE, ~2x per-round cost)
             dangling = (
-                df.filter(F.col("deg") == 0.0).agg(F.sum("rank")).collect()[0][0]
+                prev.filter(F.col("deg") == 0.0).agg(F.sum("rank")).collect()[0][0]
                 or 0.0
             )
             c = F.coalesce(F.col("agg"), F.lit(0.0))

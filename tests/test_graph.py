@@ -1233,6 +1233,78 @@ def test_fixpoint_probe_exact_confirmation(spark):
     assert p.converged(a)              # identical two rounds -> fixpoint
 
 
+def test_aggregate_messages_whole_struct_message(spark):
+    """A whole-struct message (``F.col("src")``, no field access) must
+    trigger the src state join — the r8 substring sniff only matched
+    ``src.``/``src[`` and raised AnalysisException here (r8 ADVICE)."""
+    g = _mkgraph(spark, [("1", "2", 3.0), ("1", "3", 1.0), ("2", "3", 2.0)])
+    state = g.nodes.select("_n", F.length("_n").cast("double").alias("val"))
+    got = {
+        r["_n"]: r["vals"]
+        for r in g.aggregate_messages(
+            {"vals": F.sum(F.col("msg.val"))},
+            msg_to_dst=F.col("src"),
+            state=state,
+        ).collect()
+    }
+    assert got == {"2": 1.0, "3": 2.0}
+
+
+def test_aggregate_messages_unresolvable_names_uses_hint(spark):
+    """An unresolvable message expression must fail with the ``uses``
+    hint, not a bare Catalyst unresolved-column error (r8 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    g = _mkgraph(spark, [("1", "2", 1.0)])
+    with pytest.raises(AnalysisException, match="uses="):
+        g.aggregate_messages(
+            {"x": F.sum("msg")}, msg_to_dst=F.col("source.val")
+        )
+
+
+def test_fixpoint_probe_awkward_column_names(spark):
+    """State columns named with spaces, hyphens, or SQL keywords must
+    survive the signature aggregate (r8 ADVICE: the raw-string
+    ``F.expr`` interpolation parse-errored on them)."""
+    from entwiner_spark.operators.graph import FixpointProbe
+
+    df = spark.createDataFrame([(1, 2, 3)], ["order", "my col", "a-b"])
+    p = FixpointProbe("order", "my col", "a-b")
+    assert not p.converged(df)
+    assert p.converged(df)
+
+
+def test_pregel_update_optionally_receives_prev_state(spark):
+    """An update callable with a second positional parameter gets the
+    checkpointed previous state so per-round driver aggregates don't
+    re-execute the un-materialized superstep (r8 ADVICE)."""
+    g = _mkgraph(spark, [("1", "2", 1.0), ("2", "3", 1.0)])
+    state0 = g.nodes.select("_n", F.lit(1.0).alias("x"))
+    seen_prev_cols = []
+
+    def update(df, prev):
+        seen_prev_cols.append(sorted(prev.columns))
+        total = prev.agg(F.sum("x")).collect()[0][0]  # cheap: prev is materialized
+        return df.select(
+            "_n", (F.coalesce("agg", F.lit(0.0)) + F.lit(total)).alias("x")
+        )
+
+    out = {
+        r["_n"]: r["x"]
+        for r in g.pregel(
+            state0,
+            F.sum("msg"),
+            update,
+            msg_to_dst=F.col("src.x"),
+            max_iterations=1,
+            halt=False,
+        ).collect()
+    }
+    assert seen_prev_cols == [["_n", "x"]]
+    # node 1: no msg -> 0+3; nodes 2,3: one msg of 1.0 -> 1+3
+    assert out == {"1": 3.0, "2": 4.0, "3": 4.0}
+
+
 def test_pagerank_pregel_branch_matches_local(G):
     """The DISTRIBUTED pagerank branch (strategy='pregel', now riding
     SparkGraph.pregel) must agree with the driver-side power iteration
