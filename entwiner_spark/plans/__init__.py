@@ -1,3 +1,13 @@
-from entwiner_spark.plans.explain import plan_summary, assert_pushed_filters
+from entwiner_spark.plans.explain import (
+    assert_pushed_filters,
+    hof_reeval_violations,
+    optimized_plan,
+    plan_summary,
+)
 
-__all__ = ["plan_summary", "assert_pushed_filters"]
+__all__ = [
+    "assert_pushed_filters",
+    "hof_reeval_violations",
+    "optimized_plan",
+    "plan_summary",
+]

@@ -9,6 +9,8 @@ check into a testable invariant.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 _KEY_MARKERS = (
@@ -59,6 +61,60 @@ def count_exchanges(df: DataFrame) -> int:
         if line.startswith("Exchange") or line.startswith("+- Exchange")
         or ") Exchange" in line
     )
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """The Catalyst optimized logical plan as a string, untruncated
+    enough for expression-level auditing."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", None)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+
+
+# Expensive per-row producers that must never be re-evaluated inside a
+# higher-order-function lambda: Catalyst does NOT common-subexpression-
+# eliminate across lambda boundaries, so `transform(split(text), ...)`
+# style expressions re-run the producer PER ELEMENT — the O(n^2)/row
+# pathology let_bound (functions/expr.py) exists to prevent.  Measured
+# r8: winnowing 27.2 s -> 2.0 s at sf0.1 from staging exactly this.
+_HOF_PRODUCERS = ("split(", "sentences(", "regexp_extract_all(")
+
+
+def _lambda_spans(plan: str) -> list[tuple[int, int]]:
+    spans = []
+    for m in re.finditer(r"lambdafunction\(", plan):
+        i, depth = m.end(), 1
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        spans.append((m.start(), i))
+    return spans
+
+
+def hof_reeval_violations(df: DataFrame) -> list[str]:
+    """Occurrences of an expensive producer applied to a NON-lambda
+    input inside a lambda body in the optimized plan — each one is a
+    per-element re-evaluation Catalyst will not deduplicate.  A
+    producer over the lambda variable itself (``split(lambda x...)``)
+    is element-wise work, not re-evaluation, and is not flagged."""
+    plan = optimized_plan(df)
+    spans = _lambda_spans(plan)
+    out = []
+    for p in _HOF_PRODUCERS:
+        for m in re.finditer(re.escape(p), plan):
+            if any(a <= m.start() < b for a, b in spans):
+                arg = plan[m.end():m.end() + 40]
+                if not arg.startswith("lambda "):
+                    out.append(f"{p}{arg}...")
+    return out
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

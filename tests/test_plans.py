@@ -224,3 +224,50 @@ def test_aggregate_messages_plan_shapes(spark):
     assert any("ShuffledHashJoin" in l or "BroadcastHashJoin" in l for l in lines)
     assert not any("SortMergeJoin" in l for l in lines)
     assert not any("Cartesian" in l for l in lines)
+
+
+def test_no_hof_producer_reevaluation_catalog_wide(spark):
+    """The r8 let_bound discipline as a standing invariant: NO catalog
+    query's optimized plan may apply an expensive producer (split /
+    sentences / regexp_extract_all) to a non-lambda input inside a
+    higher-order-function lambda — Catalyst re-runs it PER ELEMENT
+    (no CSE across lambda boundaries), the silent O(n^2)/row
+    pathology that cost t9_winnow 27.2 s at sf0.1 for seven rounds.
+    Plan compilation only; nothing executes."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import hof_reeval_violations
+
+    bad = {}
+    for name, fn in catalog.QUERIES.items():
+        v = hof_reeval_violations(fn(spark, SF))
+        if v:
+            bad[name] = v
+    assert not bad, bad
+
+
+def test_let_bound_staged_split_counts(spark):
+    """Exact producer counts for the r8-staged expressions (VERDICT r8
+    task #3): the whole-text tokenizing split must appear EXACTLY once
+    per consuming branch in the optimized plan.  A regression to the
+    un-staged form multiplies these counts by the lambda arity (k+1
+    for k-grams) — this pins the cheap spelling."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import optimized_plan
+
+    expected = {
+        # one split feeding the shingle->hash->winnow chain
+        "t9_winnow_fingerprints": 1,
+        # one split per side of the doc/benchmark gram-hash self-join
+        "d10_dup_ngram_coverage": 2,
+        # words + distinct-ratio + top-gram branches, each staged once
+        "t13_repetition_ratio": 3,
+    }
+    got = {
+        name: optimized_plan(catalog.QUERIES[name](spark, SF)).count("split(")
+        for name in expected
+    }
+    assert got == expected, got
+    # t3 normalizes with regexp_replace + md5 — no split at all
+    assert "split(" not in optimized_plan(
+        catalog.QUERIES["t3_fingerprint"](spark, SF)
+    )
