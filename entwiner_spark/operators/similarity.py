@@ -152,6 +152,7 @@ def lsh_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: str = "join",
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH bucket join + exact
     cosine refine.
@@ -164,6 +165,22 @@ def lsh_neardup_pairs(
     higher recall and more refine work.  Deterministic hyperplanes are
     shared with the SQL oracles, so the full pipeline (bucketing AND
     refine) is value-checkable cross-engine.
+
+    ``refine`` picks the verify strategy (r9 stress profile,
+    PLANS.md): ``"join"`` — the bucket self-equi-join with a
+    per-pair Catalyst cosine; bit-identical add order with the SQL
+    oracles, but every candidate pair materializes BOTH vectors
+    through the join (~1 KB/pair at dim 64: the measured cost is the
+    array copying, not the arithmetic — 98.5M candidates moved
+    ~100 GB in 40 s at stress scale while the dot itself benched at
+    0.25 µs/pair).  ``"matmul"`` — per-bucket blocked Gram matrix
+    via Arrow ``applyInPandas``: each vector crosses the Python
+    boundary ONCE (~50 MB total at stress scale, not 100 GB) and the
+    n_b^2 refine runs as BLAS; float64 summation order differs from
+    the left-fold oracle only in the last ulp, so use it for scale
+    runs and keep ``"join"`` where bit-parity matters (both paths
+    emit the same (id_a, id_b) set — asserted in tests and at stress
+    scale).
     """
     b = lsh_buckets(emb, dim, planes=planes, id_col=id_col, vec_col=vec_col)
     # norms are per-VECTOR, so fold them once before the join — inside
@@ -175,6 +192,10 @@ def lsh_neardup_pairs(
         .join(b, id_col)
         .withColumn("_nrm", norm(F.col(vec_col), dim))
     )
+    if refine == "matmul":
+        return _matmul_refine(withb, threshold, id_col, vec_col)
+    if refine != "join":
+        raise ValueError(f"refine must be 'join' or 'matmul', got {refine!r}")
     a = withb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -196,6 +217,56 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _matmul_refine(
+    withb: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-bucket cosine refine as a blocked Gram matrix (numpy BLAS)
+    over ``applyInPandas`` — the candidate PAIRS never materialize as
+    rows; each bucket moves its vectors across the Arrow boundary once
+    and emits only the >= threshold pairs.  Row blocks of 1024 cap the
+    in-flight Gram slab at block x n_b doubles, so a salted-down or
+    naturally hot bucket of 100k vectors peaks at ~800 MB, not n_b^2.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = withb.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.array([], "f8")}
+            )
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["_nrm"].to_numpy()[order]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            # rows lo:hi vs STRICTLY LATER columns (id_a < id_b via
+            # the sorted order); the triangular mask trims the block
+            G = (V[lo:hi] @ V[lo + 1:].T) / np.outer(nrm[lo:hi], nrm[lo + 1:])
+            r, c = np.nonzero(np.round(G, 6) >= threshold)
+            keep = c >= r  # column index c maps to global lo+1+c
+            r, c = r[keep], c[keep]
+            out_a.append(ids[lo + r])
+            out_b.append(ids[lo + 1 + c])
+            out_c.append(np.round(G[r, c], 6))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return withb.groupBy("bucket").applyInPandas(fn, schema)
 
 
 def l2sq_literal(vec: Column, c: list[float]) -> Column:

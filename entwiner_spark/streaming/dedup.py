@@ -95,3 +95,97 @@ def stream_lsh_pairs(
     # so the dedup operator's state is watermark-bounded too
     # (re-declaring the watermark here is disallowed in Spark 4)
     return pairs.dropDuplicatesWithinWatermark(["id_a", "id_b"])
+
+
+def stream_sorted_neighborhood(
+    docs: DataFrame,
+    window: int = 3,
+    block_prefix: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.sorted_neighborhood_pairs``
+    (Hernández-Stolfo blocking on a document STREAM): per block (the
+    first ``block_prefix`` chars of the normalized key), an arriving
+    record is inserted into the block's sorted key order and paired
+    with its ``window - 1`` nearest neighbors on EACH side at
+    insertion time.  Output ``(id_a, id_b, block)``, id_a < id_b,
+    append mode, each pair at most once (a pair is emitted only when
+    its later-arriving member inserts).
+
+    Semantics vs batch: when a microbatch's records are processed in
+    sorted (key, id) order — in particular when everything arrives in
+    one batch — insertion always appends *after* the existing
+    neighborhood, and the emitted set EQUALS the batch lead-chain
+    pairs exactly (asserted in tests).  Across out-of-order
+    microbatches the stream emits a SUPERSET: a record inserted
+    *between* two earlier records adds its own neighborhood but
+    cannot retract pairs that were window-adjacent before the insert
+    — the right bias for a candidate generator (recall is preserved;
+    the verify stage prunes).
+
+    Scale shape: state is one sorted (keys, ids) pair of arrays per
+    block — the block is the partition unit exactly as in the batch
+    operator, so skew behavior matches; keys within a block share a
+    ``block_prefix``-char prefix by construction, bounding state to
+    the block's membership.  The normalized key and block are derived
+    with the SAME Catalyst expressions as the batch path before the
+    Python boundary; only the windowed insert runs in pandas.
+    """
+    from bisect import insort
+
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from entwiner_spark.functions.text import normalized_text
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    key = normalized_text(F.col(text_col))
+    b = docs.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.substring(key, 1, block_prefix).alias("block"),
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def update(
+        key_tuple: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (keys, ids) = state.get if state.exists else ([], [])
+        order = [(k, i) for k, i in zip(keys, ids)]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["_key", id_col])
+        out_a, out_b = [], []
+        for k, i in zip(rows["_key"], rows[id_col]):
+            item = (k, i)
+            insort(order, item)
+            pos = order.index(item)
+            for nb in range(max(0, pos - window + 1), min(len(order), pos + window)):
+                if nb == pos:
+                    continue
+                other = order[nb][1]
+                out_a.append(min(i, other))
+                out_b.append(max(i, other))
+        state.update(([k for k, _ in order], [i for _, i in order]))
+        yield pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "block": [key_tuple[0]] * len(out_a),
+            }
+        )
+
+    return b.groupBy("block").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"id_a {id_type}, id_b {id_type}, block string"
+        ),
+        stateStructType=f"ks array<string>, vs array<{id_type}>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -81,6 +81,43 @@ def test_lsh_neardup_is_subset_with_exact_cosines_and_full_dup_recall(spark):
     assert all(brute[p] == c for p, c in got.items())
 
 
+def test_lsh_neardup_matmul_refine_matches_join_refine(spark):
+    """refine='matmul' (per-bucket blocked Gram matrix over
+    applyInPandas — the r9 scale path: vectors cross the boundary
+    once instead of per-pair through the join) must emit the SAME
+    pair set as refine='join', with cosines equal to 1e-9 (summation
+    order is the only difference).  Block size is 1024, so a 300-row
+    bucket set exercises the single-block path and the planted-dup
+    tail the multi-bucket path."""
+    from entwiner_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    dups = emb.limit(7).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(dups)
+    j = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            allv, dim=64, planes=4, threshold=0.3, refine="join"
+        ).collect()
+    }
+    m = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_neardup_pairs(
+            allv, dim=64, planes=4, threshold=0.3, refine="matmul"
+        ).collect()
+    }
+    assert set(j) == set(m)
+    assert all(abs(j[p] - m[p]) < 1e-9 for p in j)
+    with pytest.raises(ValueError, match="refine"):
+        lsh_neardup_pairs(allv, dim=64, refine="bogus")
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
 def test_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
     """The PPJoin-style prefix-filtered join must equal the O(n²)

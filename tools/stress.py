@@ -148,9 +148,14 @@ def main() -> None:
 
     nd_emb = big_emb.filter(F.col("vec_id") % 2 == 0)
     out["neardup_vectors"] = nd_emb.count()
+    # refine="matmul": per-bucket blocked Gram refine (r9) — the join
+    # refine moved ~100 GB of per-pair array copies for 98.5M
+    # candidates (measured 42-100 s); matmul moves each vector once
+    # and runs BLAS (7 s, identical pair set — asserted in tests and
+    # cross-checked once in the r9 profile, PLANS.md)
     t0 = time.time()
     out["neardup_pairs"] = lsh_neardup_pairs(
-        nd_emb, dim=64, planes=8, threshold=0.9
+        nd_emb, dim=64, planes=8, threshold=0.9, refine="matmul"
     ).count()
     out["neardup_sec"] = round(time.time() - t0, 1)
 
