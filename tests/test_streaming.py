@@ -1226,3 +1226,108 @@ def test_versioned_store_conflict_snapshot_vacuum(spark, tiny_edges, tiny_nodes)
         assert v == 3 and edges3.count() == 8
         with pytest.raises(Exception):
             read_graph_tables_versioned(spark, store, version=1)[0].count()
+
+
+def test_stream_sorted_neighborhood_single_batch_equals_batch(spark, tmp_path):
+    """Streaming sorted-neighborhood in ONE microbatch == the batch
+    lead-chain pairs exactly (records processed in sorted key order
+    always append after the existing neighborhood); pairs unique."""
+    from entwiner_spark.operators.dedup import sorted_neighborhood_pairs
+    from entwiner_spark.streaming.dedup import stream_sorted_neighborhood
+
+    d = tmp_path / "snm_stream1"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"record {w} number {i}"}
+        for i, w in enumerate(
+            ["apple", "apple", "apricot", "banana", "banana", "banana",
+             "cherry", "citrus", "apple", "apricot", "cherry", "citrus"]
+        )
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        stream_sorted_neighborhood(stream, window=3, block_prefix=8)
+        .writeStream.format("memory")
+        .queryName("snm_stream1")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT id_a, id_b FROM snm_stream1").collect()
+        ]
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            batch, window=3, block_prefix=8
+        ).collect()
+    }
+    assert len(got) == len(set(got))
+    assert set(got) == want and want
+
+
+def test_stream_sorted_neighborhood_out_of_order_is_superset(spark, tmp_path):
+    """Out-of-order arrival across microbatches: the stream emits a
+    SUPERSET of the batch pairs (insertion between earlier records
+    adds neighborhoods but never retracts), still each pair at most
+    once, and every batch pair is recalled."""
+    from entwiner_spark.operators.dedup import sorted_neighborhood_pairs
+    from entwiner_spark.streaming.dedup import stream_sorted_neighborhood
+
+    d = tmp_path / "snm_stream2"
+    d.mkdir()
+    words = ["aa", "ab", "ac", "ad", "ae", "af", "ag", "ah"]
+    rows = [
+        {"doc_id": i, "text": f"key {w} tail"} for i, w in enumerate(words)
+    ]
+    # batch 1 gets the even positions, batch 2 interleaves the odd
+    # ones BETWEEN them -> guaranteed mid-insertions
+    (d / "a.json").write_text("\n".join(json.dumps(rows[i]) for i in range(0, 8, 2)))
+    (d / "b.json").write_text("\n".join(json.dumps(rows[i]) for i in range(1, 8, 2)))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_sorted_neighborhood(stream, window=2, block_prefix=4)
+        .writeStream.format("memory")
+        .queryName("snm_stream2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT id_a, id_b FROM snm_stream2").collect()
+        ]
+    finally:
+        q.stop()
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            batch, window=2, block_prefix=4
+        ).collect()
+    }
+    assert len(got) == len(set(got))
+    assert want <= set(got)  # full recall of the batch neighborhood
