@@ -502,7 +502,7 @@ class SparkGraph:
     def _use_local(self, strategy: str) -> bool:
         if strategy == "local":
             return True
-        if strategy == "pregel":
+        if strategy in ("pregel", "fwbw"):
             return False
         return self._edge_count() <= self.LOCAL_THRESHOLD
 
@@ -1244,6 +1244,78 @@ class SparkGraph:
             )
         )
 
+    def _chain_fold(
+        self,
+        lab: DataFrame,
+        base_ptr: DataFrame,
+        keys: list[str],
+        max_rounds: int,
+    ) -> tuple[DataFrame, int]:
+        """Min-fold ``lab`` along functional-ancestor chains.
+
+        ``base_ptr`` is a functional sub-relation of the edge set (one
+        predecessor per node: ``p(n) = min incoming _u``, per key).
+        Pointer doubling squares ``p`` while folding the running min
+        of the CURRENT labels over the visited span — ``a(n) <-
+        min(a(n), a(p(n))); p(n) <- p(p(n))`` — so after O(log chain)
+        rounds every node holds the min label over all its functional
+        ancestors, and ``lab'(n) = min(lab(n), a(n))``.  Every
+        functional ancestor is a real ancestor, so the fold is always
+        SOUND for min-over-ancestors semantics; callers use it as an
+        accelerator and never rely on it for convergence detection.
+        Returns ``(folded lab, rounds used)``.
+        """
+        nk = ["_n", *keys]
+        fptr = (
+            base_ptr.join(
+                lab.select(
+                    F.col("_n").alias("p"), *keys, F.col("lab").alias("a")
+                ),
+                ["p", *keys],
+                "left",
+            )
+            .select(
+                "_n", *keys, "p", F.coalesce("a", "p").alias("a")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fold convergence is "a stable" by design (the fold is an
+        # accelerator; the caller's relax loop is the exact fixpoint)
+        # — keys included in the signature so per-key relations can't
+        # cross-cancel
+        probe = FixpointProbe("_n", *keys, "a")
+        for _rounds in range(1, max_rounds + 1):
+            hop = fptr.select(
+                F.col("_n").alias("p"),
+                *[F.col(k) for k in keys],
+                F.col("p").alias("pp"),
+                F.col("a").alias("pa"),
+            )
+            fptr = rebase_checkpoint(
+                fptr.join(hop, ["p", *keys], "left")
+                .select(
+                    "_n",
+                    *keys,
+                    F.coalesce("pp", "p").alias("p"),
+                    F.least("a", F.coalesce("pa", "a")).alias("a"),
+                )
+            )
+            if probe.converged(fptr):
+                break
+        else:
+            raise RuntimeError(
+                "min-label chain seed did not converge; raise max_iterations"
+            )
+        folded = (
+            lab.join(fptr.select(*nk, "a"), nk, "left")
+            .select(
+                *nk,
+                F.least("lab", F.coalesce("a", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return folded, _rounds
+
     def _min_reach_labels(
         self,
         nodes: DataFrame,
@@ -1279,52 +1351,35 @@ class SparkGraph:
            accelerator and correctness never depends on it.
         """
         nk = ["_n", *keys]
-        # phase 1: functional pred pointer (min _u per node) + ranks
-        ptr = (
+        # phase 1: functional pred pointer (min _u per node), folded
+        # over identity labels — a(n) = min id among 1..2^k functional
+        # ancestors, exactly the list-ranking seed described above
+        base_ptr = (
             edges.groupBy(F.col("_v").alias("_n"), *[F.col(k) for k in keys])
             .agg(F.min("_u").alias("p"))
-            .withColumn("a", F.col("p"))
             .localCheckpoint(eager=True)
         )
-        # phase-1 convergence is "a stable" by design (the seed is an
-        # accelerator; phase 2 is the exact fixpoint) — keys included
-        # in the signature so per-key relations can't cross-cancel
-        probe = FixpointProbe("_n", *keys, "a")
-        for _seed_rounds in range(1, max_rounds + 1):
-            hop = ptr.select(
-                F.col("_n").alias("p"),
-                *[F.col(k) for k in keys],
-                F.col("p").alias("pp"),
-                F.col("a").alias("pa"),
-            )
-            ptr = rebase_checkpoint(
-                ptr.join(hop, ["p", *keys], "left")
-                .select(
-                    "_n",
-                    *keys,
-                    F.coalesce("pp", "p").alias("p"),
-                    F.least(
-                        "a", F.coalesce("pa", "a")
-                    ).alias("a"),
-                )
-            )
-            if probe.converged(ptr):
-                break
-        else:
-            raise RuntimeError(
-                "min-label chain seed did not converge; raise max_iterations"
-            )
-        lab = (
-            nodes.join(ptr.select(*nk, "a"), nk, "left")
-            .select(
-                *nk,
-                F.least("_n", F.coalesce("a", "_n")).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        lab = nodes.select(
+            *nk, F.col("_n").alias("lab")
+        ).localCheckpoint(eager=True)
+        lab, _seed_rounds = self._chain_fold(lab, base_ptr, keys, max_rounds)
         # phase 2: exact fixpoint (seed usually leaves 0-2 rounds);
-        # load-bearing convergence -> exact-confirmed probe
+        # load-bearing convergence -> exact-confirmed probe.  When the
+        # one-hop relax keeps moving labels past round 4 the fixpoint
+        # is CREEPING — a label arriving on a functional cycle from a
+        # cross-edge travels one hop per relax round (the seed only
+        # covered ids present at round 0, and the lab-graph jump can't
+        # shortcut until the cycle's own min improves; measured: the
+        # fwbw mid-scale adversary, 50 bridge-chained 1000-cycles,
+        # blew a 400-round cap).  Re-running the chain fold on the
+        # CURRENT labels re-saturates every functional chain in O(log
+        # chain) rounds, so creep is bounded at 4 one-hop rounds per
+        # cross-SCC edge on the label's witness path.  Folds are pure
+        # accelerators (functional ancestors are real ancestors) and
+        # are never probed: convergence is decided only on relax
+        # rounds, whose fixpoint is exact by the induction argument.
         probe = FixpointProbe("_n", *keys, "lab")
+        _folds = 0
         for _fix_rounds in range(1, max_rounds + 1):
             relax = edges.join(
                 lab.select(
@@ -1346,6 +1401,9 @@ class SparkGraph:
             )
             if probe.converged(lab):
                 break
+            if _fix_rounds % 4 == 0:
+                lab, _ = self._chain_fold(lab, base_ptr, keys, max_rounds)
+                _folds += 1
         else:
             raise RuntimeError(
                 "min-label fixpoint did not converge; raise max_iterations"
@@ -1353,8 +1411,286 @@ class SparkGraph:
         if stats is not None:
             # per-loop telemetry: rounds to seed-convergence and to the
             # exact fixpoint — the evidence behind the O(log) claim
-            stats.append({"seed": _seed_rounds, "fix": _fix_rounds})
+            stats.append(
+                {"seed": _seed_rounds, "fix": _fix_rounds, "folds": _folds}
+            )
         return lab
+
+    def _scc_fwbw(
+        self, max_levels: int = 50, stats: dict | None = None
+    ) -> DataFrame:
+        """Data-parallel recursive FW-BW SCC (Fleischer-Hendrickson-
+        Pinar 2000 divide-and-conquer, Slota et al. 2014 "Simple
+        parallel algorithms for SCC" — the escalation queued by the
+        r8 condensation-depth analysis, PLANS.md): per level, every
+        active partition independently picks a pseudo-random pivot,
+        computes reachable-from-pivot (FW) and reaching-pivot (BW)
+        sets, peels FW∩BW as one SCC, and splits the remainder into
+        FW\\BW / BW\\FW / rest — an SCC never spans two of those, so
+        the split is a sound refinement and ALL partitions advance in
+        the SAME DataFrame pass (the partition id is just a key
+        column; recursion depth becomes loop levels, not driver
+        recursion).
+
+        Why this beats the coloring path on deep condensations: with
+        min-id coloring the global minimum floods an entire
+        condensation CHAIN, so a chain of k bridge-linked SCCs peels
+        one per outer pass (the measured XL adversary: 10 bridges ->
+        10 passes).  Here the RANDOM pivot splits a chain near its
+        middle on average — both halves recurse in parallel — giving
+        expected O(log k) levels (quickselect argument), and each
+        level's FW/BW runs on the pointer-doubled
+        ``_min_reach_labels`` (O(log diameter) rounds) applied to a
+        pivot-relabeled id space: pivot -> "0", everything else ->
+        "1"+id, so min-ancestor-label == "0" IS pivot-reachability
+        and the per-key (per-partition) machinery is reused
+        unchanged.
+
+        After each peel the remainder is re-keyed by WEAK component
+        (one symmetrized min-label pass, Hong et al. 2013): SCCs the
+        pivot can't see would otherwise pile into one "rest" partition
+        and peel one per level; per-WCC keys give every independent
+        piece its own pivot at the next level.
+
+        ``stats``: pass a dict to receive ``stats["levels"]`` — per
+        level ``{"parts", "trimmed", "scc_nodes", "fw", "bw", "wcc"}``
+        with the fw/bw/wcc entries the usual seed/fix round counts.
+        """
+        schema = T.StructType(
+            [
+                T.StructField("_n", T.StringType(), False),
+                T.StructField("component", T.StringType(), False),
+            ]
+        )
+        edges = (
+            self.edges.select("_u", "_v")
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+            .select(F.lit("").alias("part"), "_u", "_v")
+            .localCheckpoint(eager=True)
+        )
+        rem = (
+            self.nodes.select("_n")
+            .unionByName(self.edges.select(F.col("_u").alias("_n")))
+            .unionByName(self.edges.select(F.col("_v").alias("_n")))
+            .distinct()
+            .select(F.lit("").alias("part"), "_n")
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats["levels"] = []
+        finished: list[DataFrame] = []
+        done = rem.limit(1).count() == 0
+        for level in range(max_levels):
+            if done:
+                break
+            lstats: dict = {"trimmed": 0}
+            # ---- per-part trim: zero in- or out-degree WITHIN the
+            # part means a singleton SCC; drain iteratively so DAG-ish
+            # partitions never reach the FW/BW machinery
+            for _ in range(10 * max_levels):
+                has_in = edges.select("part", F.col("_v").alias("_n")).distinct()
+                has_out = edges.select("part", F.col("_u").alias("_n")).distinct()
+                trivial = (
+                    rem.join(has_in, ["part", "_n"], "left_anti")
+                    .unionByName(rem.join(has_out, ["part", "_n"], "left_anti"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_triv = trivial.count()
+                if n_triv == 0:
+                    break
+                lstats["trimmed"] += n_triv
+                finished.append(
+                    trivial.select("_n", F.col("_n").alias("component"))
+                )
+                rem = rem.join(
+                    trivial, ["part", "_n"], "left_anti"
+                ).localCheckpoint(eager=True)
+                edges = (
+                    edges.join(
+                        trivial.select("part", F.col("_n").alias("_u")),
+                        ["part", "_u"],
+                        "left_anti",
+                    )
+                    .join(
+                        trivial.select("part", F.col("_n").alias("_v")),
+                        ["part", "_v"],
+                        "left_anti",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            done = rem.limit(1).count() == 0
+            if done:
+                if stats is not None:
+                    lstats["parts"] = 0
+                    lstats["scc_nodes"] = 0
+                    stats["levels"].append(lstats)
+                break
+            # ---- pseudo-random pivot per part (deterministic: level-
+            # salted hash argmin, so reruns reproduce and an adversary
+            # ordering of node ids cannot force worst-case splits)
+            pivots = rem.groupBy("part").agg(
+                F.min_by("_n", F.xxhash64("_n", F.lit(level))).alias("pivot")
+            )
+            m = (
+                rem.join(pivots, "part")
+                .select(
+                    "part",
+                    "_n",
+                    F.when(F.col("_n") == F.col("pivot"), F.lit("0"))
+                    .otherwise(F.concat(F.lit("1"), F.col("_n")))
+                    .alias("rid"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            er = (
+                edges.join(
+                    m.select(
+                        "part", F.col("_n").alias("_u"), F.col("rid").alias("_ru")
+                    ),
+                    ["part", "_u"],
+                )
+                .join(
+                    m.select(
+                        "part", F.col("_n").alias("_v"), F.col("rid").alias("_rv")
+                    ),
+                    ["part", "_v"],
+                )
+                .select("part", F.col("_ru").alias("_u"), F.col("_rv").alias("_v"))
+                .localCheckpoint(eager=True)
+            )
+            spine = m.select(F.col("rid").alias("_n"), "part")
+            fw = self._min_reach_labels(
+                spine,
+                er,
+                keys=["part"],
+                max_rounds=10 * max_levels,
+                stats=None if stats is None else lstats.setdefault("fw", []),
+            )
+            bw = self._min_reach_labels(
+                spine,
+                er.select(
+                    "part", F.col("_v").alias("_u"), F.col("_u").alias("_v")
+                ),
+                keys=["part"],
+                max_rounds=10 * max_levels,
+                stats=None if stats is None else lstats.setdefault("bw", []),
+            )
+            flags = (
+                m.join(
+                    fw.select(
+                        F.col("_n").alias("rid"), "part", F.col("lab").alias("fl")
+                    ),
+                    ["part", "rid"],
+                )
+                .join(
+                    bw.select(
+                        F.col("_n").alias("rid"), "part", F.col("lab").alias("bl")
+                    ),
+                    ["part", "rid"],
+                )
+                .select(
+                    "part",
+                    "_n",
+                    (F.col("fl") == F.lit("0")).alias("in_fw"),
+                    (F.col("bl") == F.lit("0")).alias("in_bw"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            scc = flags.filter(F.col("in_fw") & F.col("in_bw"))
+            comp = scc.groupBy("part").agg(F.min("_n").alias("component"))
+            finished.append(scc.join(comp, "part").select("_n", "component"))
+            tagged = flags.filter(~(F.col("in_fw") & F.col("in_bw"))).select(
+                "part",
+                "_n",
+                F.concat(
+                    "part",
+                    F.when(F.col("in_fw"), F.lit("F"))
+                    .when(F.col("in_bw"), F.lit("B"))
+                    .otherwise(F.lit("R")),
+                ).alias("tpart"),
+            )
+            # ---- WCC refinement (Hong et al. 2013 "On fast parallel
+            # detection of SCCs"): an SCC is always inside one weakly-
+            # connected piece, and without this step every SCC
+            # UNREACHABLE from the pivot lands in the single R
+            # partition — a graph of k independent SCCs then peels one
+            # per level (pivot's own) instead of splitting.  One
+            # symmetrized min-label pass per level keys each surviving
+            # node by its weak component, so the next level runs one
+            # pivot PER WCC and independent SCCs all advance at once.
+            surv_e = (
+                edges.join(
+                    tagged.select(
+                        "part", F.col("_n").alias("_u"), F.col("tpart").alias("pu")
+                    ),
+                    ["part", "_u"],
+                )
+                .join(
+                    tagged.select(
+                        "part", F.col("_n").alias("_v"), F.col("tpart").alias("pv")
+                    ),
+                    ["part", "_v"],
+                )
+                .filter(F.col("pu") == F.col("pv"))
+                .select(F.col("pu").alias("tpart"), "_u", "_v")
+                .localCheckpoint(eager=True)
+            )
+            sym = surv_e.unionByName(
+                surv_e.select(
+                    "tpart", F.col("_v").alias("_u"), F.col("_u").alias("_v")
+                )
+            )
+            wcc = self._min_reach_labels(
+                tagged.select("_n", "tpart"),
+                sym,
+                keys=["tpart"],
+                max_rounds=10 * max_levels,
+                stats=None if stats is None else lstats.setdefault("wcc", []),
+            )
+            rest = (
+                tagged.join(wcc, ["_n", "tpart"])
+                .select(
+                    "part",
+                    "_n",
+                    F.concat("tpart", F.lit("#"), "lab").alias("npart"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if stats is not None:
+                lstats["parts"] = pivots.count()
+                lstats["scc_nodes"] = scc.count()
+                stats["levels"].append(lstats)
+            # surv_e already keeps only same-tag edges, and the WCC
+            # re-key puts both endpoints of every surviving edge in
+            # the same npart — one endpoint join relabels the edge set
+            edges = (
+                surv_e.join(
+                    rest.select(
+                        F.col("_n").alias("_u"), F.col("npart").alias("np")
+                    ),
+                    "_u",
+                )
+                .select(F.col("np").alias("part"), "_u", "_v")
+                .localCheckpoint(eager=True)
+            )
+            rem = rest.select(F.col("npart").alias("part"), "_n").localCheckpoint(
+                eager=True
+            )
+            done = rem.limit(1).count() == 0
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                "scc (fwbw) did not finish within max_levels splits"
+            )
+        if not finished:  # empty graph
+            return self.spark.createDataFrame([], schema)
+        out = finished[0]
+        for part in finished[1:]:
+            out = out.unionByName(part)
+        return out
 
     def strongly_connected_components(
         self,
@@ -1400,6 +1736,15 @@ class SparkGraph:
         NONTRIVIAL condensation depth.  Small graphs (every reference
         workload) use driver-side iterative Kosaraju with identical
         min-label output.
+
+        ``strategy="fwbw"`` selects the recursive-FW-BW path
+        (``_scc_fwbw``): random-pivot divide-and-conquer with all
+        partitions advancing per DataFrame pass — expected O(log)
+        levels even on deep condensation CHAINS, where this coloring
+        path peels one chain SCC per outer round (the r8 XL
+        adversary).  Identical output on every graph (property-
+        tested); prefer it when the condensation is deep, the
+        coloring path when many independent SCCs peel in one pass.
         """
         schema = T.StructType(
             [
@@ -1407,6 +1752,8 @@ class SparkGraph:
                 T.StructField("component", T.StringType(), False),
             ]
         )
+        if strategy == "fwbw":
+            return self._scc_fwbw(max_levels=max_iterations, stats=stats)
         if self._use_local(strategy):
             adj: dict[str, list[str]] = {}
             radj: dict[str, list[str]] = {}

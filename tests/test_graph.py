@@ -706,6 +706,85 @@ def test_scc_matches_networkx(spark):
     }
     assert loc == want
     assert dist == want
+    fwbw = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(strategy="fwbw").collect()
+    }
+    assert fwbw == want
+
+
+def test_scc_fwbw_bridge_chain_splits_in_parallel(spark):
+    """The r8 XL adversary in miniature: 8 cycles of 6 chained by
+    one-way bridges.  The coloring path needs one outer pass per
+    chained cycle; the recursive-FW-BW path must (a) return the exact
+    SCCs and (b) finish in far fewer LEVELS than the chain length —
+    the random pivot splits the chain, both halves advance in the
+    same DataFrame pass."""
+    cyc_len, n_cyc = 6, 8
+    pairs = []
+    for c in range(n_cyc):
+        base = c * 100
+        for i in range(cyc_len):
+            pairs.append(
+                (str(base + i), str(base + (i + 1) % cyc_len))
+            )
+        if c + 1 < n_cyc:
+            pairs.append((str(base), str((c + 1) * 100)))  # bridge
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")
+    ).distinct()
+    g = SparkGraph(nodes, edges)
+    stats: dict = {}
+    got = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(
+            strategy="fwbw", stats=stats
+        ).collect()
+    }
+    comps = {}
+    for n, c in got.items():
+        comps.setdefault(c, set()).add(n)
+    assert len(comps) == n_cyc
+    assert all(len(members) == cyc_len for members in comps.values())
+    # every cycle labeled by its own min node id
+    assert sorted(comps) == [str(c * 100) for c in range(n_cyc)]
+    # level count must beat the chain length (coloring needs n_cyc
+    # passes; random-pivot splitting is expected O(log n_cyc))
+    assert 0 < len(stats["levels"]) < n_cyc
+
+
+def test_scc_fwbw_property_random_digraphs(spark):
+    """fwbw == local Kosaraju on randomized digraphs (seeded) with
+    mixed SCC sizes, self-loops filtered, isolated nodes included."""
+    import random
+
+    rng = random.Random(97)
+    for trial in range(3):
+        n = 30 + trial * 10
+        pairs = set()
+        for _ in range(int(n * 2.2)):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                pairs.add((str(u), str(v)))
+        edges = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in sorted(pairs)], ["_u", "_v", "w"]
+        )
+        nodes = spark.createDataFrame(
+            [(str(i),) for i in range(n)], ["_n"]
+        )
+        g = SparkGraph(nodes, edges)
+        want = {
+            r["_n"]: r["component"]
+            for r in g.strongly_connected_components(strategy="local").collect()
+        }
+        got = {
+            r["_n"]: r["component"]
+            for r in g.strongly_connected_components(strategy="fwbw").collect()
+        }
+        assert got == want, f"trial {trial}"
 
 
 def test_scc_dag_is_all_singletons(spark):

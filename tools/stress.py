@@ -657,6 +657,27 @@ def main() -> None:
         }
         assert out["scc_xl_components"] == sxn // sxc, "one SCC per cycle"
 
+        # --- same adversary, recursive FW-BW (r9): the coloring path
+        # above pays one outer pass per bridge-chained cycle (10
+        # passes); random-pivot divide-and-conquer splits the chain
+        # and advances every partition per level — levels should be
+        # O(log chain), not chain length
+        log("phase: XL scc 500k, recursive fwbw")
+        fw_stats: dict = {}
+        t0 = time.time()
+        fw_out = Gsx.strongly_connected_components(
+            max_iterations=40, strategy="fwbw", stats=fw_stats
+        )
+        out["scc_xl_fwbw_components"] = (
+            fw_out.select("component").distinct().count()
+        )
+        out["scc_xl_fwbw_sec"] = round(time.time() - t0, 1)
+        out["scc_xl_fwbw_levels"] = len(fw_stats["levels"])
+        out["scc_xl_fwbw_parts_per_level"] = [
+            lv.get("parts", 0) for lv in fw_stats["levels"]
+        ]
+        assert out["scc_xl_fwbw_components"] == sxn // sxc
+
         # --- XL weighted SSSP to CONVERGENCE: 1M nodes, chain +
         # +1000 chords, plus a 100k-out-degree hub at the source (the
         # skewed-frontier case: round 1's frontier join fans one node
