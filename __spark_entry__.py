@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green round across CORRECTNESS_r*.json, stalest first;
 # never-sampled new queries at the very head).
 _PRIORITY = [
+    # --- never sampled (new in round 9) ---
+    "g_scc_fwbw",
     # --- newest driver-green row: round 4 ---
     "g_triangles",
     "geo_a5_bbox",

@@ -973,6 +973,62 @@ def g_scc_components(spark, sf_dir):
     )
 
 
+@q(
+    "g_scc_fwbw",
+    f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.s, e.v FROM r JOIN e ON e.u = r.d
+    ),
+    mutual AS (
+      SELECT a.s AS x, a.d AS y FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+    ),
+    lab AS (
+      SELECT node, CAST(node AS VARCHAR) AS l FROM nd
+      UNION ALL
+      SELECT x, CAST(y AS VARCHAR) FROM mutual
+    )
+    SELECT node, CAST(min(l) AS BIGINT) AS component FROM lab GROUP BY node
+    """,
+)
+def g_scc_fwbw(spark, sf_dir):
+    """The g_scc_components topology through the recursive FW-BW SCC
+    strategy (graph.py ``_scc_fwbw``: random-pivot divide-and-conquer
+    with per-level WCC re-keying — r9) instead of the coloring path.
+    Same transitive-closure mutual-reachability oracle; min-label
+    component ids are strategy-invariant, so the two entries pin both
+    distributed SCC paths to the identical answer under the driver's
+    hash gate."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_nationkey") < 12).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        ((F.col("n_nationkey") + 1) % 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    b = n.filter((F.col("n_nationkey") >= 12) & (F.col("n_nationkey") <= 24)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (((F.col("n_nationkey") - 12 + 1) % 13) + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    bridges = n.filter(F.col("n_nationkey").isin(3, 5)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    g = _graph_as_spark_graph(
+        spark, sf_dir, edges=a.unionByName(b).unionByName(bridges)
+    )
+    return g.strongly_connected_components(
+        max_iterations=30, strategy="fwbw"
+    ).select(
+        F.col("_n").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _walks_sql(length: int = 3) -> str:
     """Unrolled deterministic-walk oracle: neighbor rank is over the
     VARCHAR form of v (the engine sorts string node ids), and the hash
@@ -1882,10 +1938,12 @@ def d11_sorted_neighborhood(spark, sf_dir):
 @q(
     "d13_er_pipeline",
     f"""
-    WITH RECURSIVE ad AS (
+    WITH RECURSIVE off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+    ad AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + (SELECT o FROM off), text FROM documents
+      WHERE doc_id % 5 = 0
     ),
     t AS (
       SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS k
@@ -1948,8 +2006,11 @@ def d13_er_pipeline(spark, sf_dir):
     stage the already-verified operator.  Clones planted as in d1 so
     the decision is non-trivial; the oracle recomputes every stage."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # clone-id offset derived from the data so synthetic ids can never
+    # collide with real ones (the mm4 idiom; was a fixed +100000)
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
     clones = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
     )
     alld = d.unionByName(clones)
     pairs = DD.sorted_neighborhood_pairs(alld).select("id_a", "id_b")
@@ -1981,10 +2042,12 @@ def d13_er_pipeline(spark, sf_dir):
 @q(
     "d1_exact_dedup",
     """
-    WITH all_docs AS (
+    WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+    all_docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + (SELECT o FROM off), text FROM documents
+      WHERE doc_id % 5 = 0
     )
     SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
            min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -1995,8 +2058,11 @@ def d1_exact_dedup(spark, sf_dir):
     """Exact dedup (hash-groupBy): duplicates synthesized in-query
     (the corpus has none) so keep-min-id semantics are exercised."""
     d = _t(spark, sf_dir, "documents")
+    # clone-id offset derived from the data so synthetic ids can never
+    # collide with real ones (the mm4 idiom; was a fixed +100000)
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
     clones = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
     )
     return DD.exact_dedup(d.select("doc_id", "text").unionByName(clones))
 
