@@ -1453,8 +1453,10 @@ class SparkGraph:
         piece its own pivot at the next level.
 
         ``stats``: pass a dict to receive ``stats["levels"]`` — per
-        level ``{"parts", "trimmed", "scc_nodes", "fw", "bw", "wcc"}``
-        with the fw/bw/wcc entries the usual seed/fix round counts.
+        level ``{"parts", "trimmed", "scc_nodes", "reach", "wcc"}``
+        with the reach/wcc entries the usual seed/fix round counts
+        (reach covers BOTH directions: fw and bw run as one pass
+        keyed by a direction column).
         """
         schema = T.StructType(
             [
@@ -1489,14 +1491,14 @@ class SparkGraph:
             # part means a singleton SCC; drain iteratively so DAG-ish
             # partitions never reach the FW/BW machinery
             for _ in range(10 * max_levels):
-                has_in = edges.select("part", F.col("_v").alias("_n")).distinct()
-                has_out = edges.select("part", F.col("_u").alias("_n")).distinct()
-                trivial = (
-                    rem.join(has_in, ["part", "_n"], "left_anti")
-                    .unionByName(rem.join(has_out, ["part", "_n"], "left_anti"))
-                    .distinct()
-                    .localCheckpoint(eager=True)
+                # a node survives trim iff it has BOTH an in- and an
+                # out-edge within its part (intersect dedups both sides)
+                both = edges.select("part", F.col("_v").alias("_n")).intersect(
+                    edges.select("part", F.col("_u").alias("_n"))
                 )
+                trivial = rem.join(
+                    both, ["part", "_n"], "left_anti"
+                ).localCheckpoint(eager=True)
                 n_triv = trivial.count()
                 if n_triv == 0:
                     break
@@ -1560,32 +1562,38 @@ class SparkGraph:
                 .select("part", F.col("_ru").alias("_u"), F.col("_rv").alias("_v"))
                 .localCheckpoint(eager=True)
             )
+            # FW and BW run as ONE keyed min-label pass (direction is
+            # just another key column, like the partition id): total
+            # reach rounds per level = max(fw, bw) instead of fw + bw,
+            # and every per-round fixed cost (checkpoint + probe) is
+            # paid once for both directions
             spine = m.select(F.col("rid").alias("_n"), "part")
-            fw = self._min_reach_labels(
-                spine,
-                er,
-                keys=["part"],
-                max_rounds=10 * max_levels,
-                stats=None if stats is None else lstats.setdefault("fw", []),
-            )
-            bw = self._min_reach_labels(
-                spine,
+            er2 = er.select("part", "_u", "_v", F.lit("f").alias("dir")).unionByName(
                 er.select(
-                    "part", F.col("_v").alias("_u"), F.col("_u").alias("_v")
+                    "part",
+                    F.col("_v").alias("_u"),
+                    F.col("_u").alias("_v"),
+                    F.lit("b").alias("dir"),
+                )
+            )
+            reach = self._min_reach_labels(
+                spine.select(
+                    "_n", "part", F.explode(F.array(F.lit("f"), F.lit("b"))).alias("dir")
                 ),
-                keys=["part"],
+                er2,
+                keys=["part", "dir"],
                 max_rounds=10 * max_levels,
-                stats=None if stats is None else lstats.setdefault("bw", []),
+                stats=None if stats is None else lstats.setdefault("reach", []),
             )
             flags = (
                 m.join(
-                    fw.select(
+                    reach.filter(F.col("dir") == "f").select(
                         F.col("_n").alias("rid"), "part", F.col("lab").alias("fl")
                     ),
                     ["part", "rid"],
                 )
                 .join(
-                    bw.select(
+                    reach.filter(F.col("dir") == "b").select(
                         F.col("_n").alias("rid"), "part", F.col("lab").alias("bl")
                     ),
                     ["part", "rid"],
@@ -1611,6 +1619,16 @@ class SparkGraph:
                     .otherwise(F.lit("R")),
                 ).alias("tpart"),
             )
+            if tagged.limit(1).count() == 0:
+                # every surviving node peeled — skip the WCC pass and
+                # the rest/edge rebuilds (each a multi-round loop on
+                # empty frames)
+                if stats is not None:
+                    lstats["parts"] = pivots.count()
+                    lstats["scc_nodes"] = scc.count()
+                    stats["levels"].append(lstats)
+                done = True
+                break
             # ---- WCC refinement (Hong et al. 2013 "On fast parallel
             # detection of SCCs"): an SCC is always inside one weakly-
             # connected piece, and without this step every SCC
