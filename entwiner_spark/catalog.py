@@ -2007,10 +2007,13 @@ def d13_er_pipeline(spark, sf_dir):
     the decision is non-trivial; the oracle recomputes every stage."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # clone-id offset derived from the data so synthetic ids can never
-    # collide with real ones (the mm4 idiom; was a fixed +100000)
-    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
-    clones = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+    # collide with real ones; lazy broadcast-of-one-row (matches the
+    # oracle's scalar subquery, runs nothing at construction time)
+    off = d.agg((F.max("doc_id") + 1).alias("_off"))
+    clones = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     )
     alld = d.unionByName(clones)
     pairs = DD.sorted_neighborhood_pairs(alld).select("id_a", "id_b")
@@ -2059,10 +2062,13 @@ def d1_exact_dedup(spark, sf_dir):
     (the corpus has none) so keep-min-id semantics are exercised."""
     d = _t(spark, sf_dir, "documents")
     # clone-id offset derived from the data so synthetic ids can never
-    # collide with real ones (the mm4 idiom; was a fixed +100000)
-    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
-    clones = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+    # collide with real ones; lazy broadcast-of-one-row (matches the
+    # oracle's scalar subquery, runs nothing at construction time)
+    off = d.agg((F.max("doc_id") + 1).alias("_off"))
+    clones = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     )
     return DD.exact_dedup(d.select("doc_id", "text").unionByName(clones))
 
@@ -3594,13 +3600,18 @@ def mm4_media_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     # clone-id offset derived from the data so synthetic ids can never
-    # collide with real doc_ids at any scale factor
-    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    # collide with real doc_ids at any scale factor; LAZY broadcast of
+    # the 1-row aggregate (a driver-side collect here would run a real
+    # Spark job at query-CONSTRUCTION time, breaking the plan-only
+    # property the catalog-wide plan tests rely on)
+    off = d.agg((F.max("doc_id") + 1).alias("_off"))
     media = d.select(
         F.col("doc_id").alias("media_id"), F.col("text").alias("payload")
     ).unionByName(
-        d.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + F.lit(off)).alias("media_id"),
+        d.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("media_id"),
             F.concat(F.col("text"), F.lit("#trailer")).alias("payload"),
         )
     )

@@ -502,8 +502,15 @@ class SparkGraph:
     def _use_local(self, strategy: str) -> bool:
         if strategy == "local":
             return True
-        if strategy in ("pregel", "fwbw"):
+        if strategy == "pregel":
             return False
+        if strategy != "auto":
+            # "fwbw" is valid ONLY for strongly_connected_components,
+            # which dispatches before reaching here; anything else
+            # must fail loudly rather than silently picking a path
+            raise ValueError(
+                f"unknown strategy {strategy!r}: expected auto|local|pregel"
+            )
         return self._edge_count() <= self.LOCAL_THRESHOLD
 
     @staticmethod
@@ -735,8 +742,12 @@ class SparkGraph:
                 for p in params
                 if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
             ]
-            wants_prev = len(positional) >= 2 or any(
-                p.kind == p.VAR_POSITIONAL for p in params
+            # prev-state is passed ONLY to an update taking exactly two
+            # REQUIRED positional parameters: a defaulted second param
+            # (def update(df, verbose=False)) or *args must not receive
+            # a DataFrame silently bound to an unrelated name
+            wants_prev = (
+                len([p for p in positional if p.default is p.empty]) == 2
             )
         except (TypeError, ValueError):
             wants_prev = False
@@ -1696,9 +1707,9 @@ class SparkGraph:
             rem = rest.select(F.col("npart").alias("part"), "_n").localCheckpoint(
                 eager=True
             )
-            done = rem.limit(1).count() == 0
-            if done:
-                break
+            # rem is never empty here: the empty-tagged early exit above
+            # fired otherwise, and rest == tagged row-for-row (wcc covers
+            # every tagged node), so no end-of-level count is needed
         else:
             raise RuntimeError(
                 "scc (fwbw) did not finish within max_levels splits"

@@ -252,12 +252,16 @@ def _matmul_refine(
             # rows lo:hi vs STRICTLY LATER columns (id_a < id_b via
             # the sorted order); the triangular mask trims the block
             G = (V[lo:hi] @ V[lo + 1:].T) / np.outer(nrm[lo:hi], nrm[lo + 1:])
-            r, c = np.nonzero(np.round(G, 6) >= threshold)
+            # HALF_UP like the join path's F.round (np.round is
+            # half-to-even and would drop a pair whose cosine lands
+            # exactly on a .5 tie at the 6th decimal)
+            G6 = np.sign(G) * np.floor(np.abs(G) * 1e6 + 0.5) / 1e6
+            r, c = np.nonzero(G6 >= threshold)
             keep = c >= r  # column index c maps to global lo+1+c
             r, c = r[keep], c[keep]
             out_a.append(ids[lo + r])
             out_b.append(ids[lo + 1 + c])
-            out_c.append(np.round(G[r, c], 6))
+            out_c.append(G6[r, c])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),

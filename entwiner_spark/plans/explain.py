@@ -67,13 +67,19 @@ def optimized_plan(df: DataFrame) -> str:
     """The Catalyst optimized logical plan as a string, untruncated
     enough for expression-level auditing."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.debug.maxToStringFields", None)
-    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    key = "spark.sql.debug.maxToStringFields"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "100000")
     try:
         return df._jdf.queryExecution().optimizedPlan().toString()
     finally:
+        # an unset key must go back to unset, not stay at 100000 for
+        # the session's lifetime (every later plan/error rendering
+        # would lose truncation protection)
         if prev is not None:
-            spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
 
 
 # Expensive per-row producers that must never be re-evaluated inside a
@@ -111,9 +117,22 @@ def hof_reeval_violations(df: DataFrame) -> list[str]:
     for p in _HOF_PRODUCERS:
         for m in re.finditer(re.escape(p), plan):
             if any(a <= m.start() < b for a, b in spans):
-                arg = plan[m.end():m.end() + 40]
-                if not arg.startswith("lambda "):
-                    out.append(f"{p}{arg}...")
+                # full argument span to the matching close paren: a
+                # producer whose arguments reference the lambda
+                # variable ANYWHERE (split(upper(lambda x...)), not
+                # just as the literal first token) is element-wise
+                # work — its result varies per element, so there is
+                # nothing for CSE to hoist
+                i, depth = m.end(), 1
+                while i < len(plan) and depth:
+                    if plan[i] == "(":
+                        depth += 1
+                    elif plan[i] == ")":
+                        depth -= 1
+                    i += 1
+                arg = plan[m.end():i]
+                if "lambda " not in arg:
+                    out.append(f"{p}{arg[:40]}...")
     return out
 
 

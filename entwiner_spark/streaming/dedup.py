@@ -132,7 +132,7 @@ def stream_sorted_neighborhood(
     with the SAME Catalyst expressions as the batch path before the
     Python boundary; only the windowed insert runs in pandas.
     """
-    from bisect import insort
+    from bisect import bisect_left
 
     from collections.abc import Iterable, Iterator
 
@@ -163,8 +163,11 @@ def stream_sorted_neighborhood(
         out_a, out_b = [], []
         for k, i in zip(rows["_key"], rows[id_col]):
             item = (k, i)
-            insort(order, item)
-            pos = order.index(item)
+            # bisect gives the exact slot; order.index would rescan
+            # O(m) and, under a duplicate (key, id) arrival, return
+            # the EARLIER copy's slot and pair the row with itself
+            pos = bisect_left(order, item)
+            order.insert(pos, item)
             for nb in range(max(0, pos - window + 1), min(len(order), pos + window)):
                 if nb == pos:
                     continue
