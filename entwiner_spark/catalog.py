@@ -1029,6 +1029,63 @@ def g_scc_fwbw(spark, sf_dir):
     )
 
 
+@q(
+    "g_condensation",
+    f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.s, e.v FROM r JOIN e ON e.u = r.d
+    ),
+    mutual AS (
+      SELECT a.s AS x, a.d AS y FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+    ),
+    lab AS (
+      SELECT node, CAST(node AS VARCHAR) AS l FROM nd
+      UNION ALL
+      SELECT x, CAST(y AS VARCHAR) FROM mutual
+    ),
+    l2 AS (SELECT node, CAST(min(l) AS BIGINT) AS component FROM lab
+           GROUP BY node)
+    SELECT DISTINCT a.component AS c_u, b.component AS c_v
+    FROM e JOIN l2 a ON a.node = e.u JOIN l2 b ON b.node = e.v
+    WHERE a.component <> b.component
+    """,
+)
+def g_condensation(spark, sf_dir):
+    """Condensation DAG edges over the g_scc_components topology
+    (``SparkGraph.condensation`` — networkx.condensation as a
+    DataFrame): the two cycles collapse to one DAG edge (0 -> 12)
+    carried by both one-way bridges.  The oracle recomputes SCC
+    labels with the transitive-closure CTE and joins the edge list,
+    so the check holds on ANY topology."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_nationkey") < 12).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        ((F.col("n_nationkey") + 1) % 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    b = n.filter((F.col("n_nationkey") >= 12) & (F.col("n_nationkey") <= 24)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (((F.col("n_nationkey") - 12 + 1) % 13) + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    bridges = n.filter(F.col("n_nationkey").isin(3, 5)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 12).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    g = _graph_as_spark_graph(
+        spark, sf_dir, edges=a.unionByName(b).unionByName(bridges)
+    )
+    return g.condensation(max_iterations=30).select(
+        F.col("c_u").cast("long").alias("c_u"),
+        F.col("c_v").cast("long").alias("c_v"),
+    )
+
+
 def _walks_sql(length: int = 3) -> str:
     """Unrolled deterministic-walk oracle: neighbor rank is over the
     VARCHAR form of v (the engine sorts string node ids), and the hash

@@ -1967,6 +1967,48 @@ class SparkGraph:
             out = out.unionByName(part)
         return out
 
+    def condensation(
+        self,
+        max_iterations: int = 50,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Condensation DAG edge list: distinct ``(c_u, c_v)`` pairs
+        of SCC labels with at least one original edge crossing them —
+        ``networkx.condensation`` as a DataFrame (the canonical
+        follow-on to SCC: cycle-collapsed dependency/flow analysis on
+        the resulting DAG; reference scope: graph-view traversal,
+        entwiner/graphs/digraphdb.py).  Nodes are labeled by
+        ``strongly_connected_components`` (min-id labels, any
+        ``strategy`` incl. ``fwbw``), then the edge table joins the
+        label map on each endpoint and keeps distinct cross-component
+        pairs.  Scale shape: the |V|-row label map joins the edge
+        table twice on its construction-time ``_u`` partitioning
+        (broadcast when small), then one distinct on the (usually
+        tiny) component-pair projection — the edge payload never
+        widens beyond two label columns.
+        """
+        lab = self.strongly_connected_components(
+            max_iterations=max_iterations, strategy=strategy
+        )
+        return (
+            self.edges.select("_u", "_v")
+            .join(
+                lab.select(
+                    F.col("_n").alias("_u"), F.col("component").alias("c_u")
+                ),
+                "_u",
+            )
+            .join(
+                lab.select(
+                    F.col("_n").alias("_v"), F.col("component").alias("c_v")
+                ),
+                "_v",
+            )
+            .filter(F.col("c_u") != F.col("c_v"))
+            .select("c_u", "c_v")
+            .distinct()
+        )
+
     def kcore(
         self, k: int, max_iterations: int = 100, strategy: str = "auto"
     ) -> DataFrame:

@@ -787,6 +787,56 @@ def test_scc_fwbw_property_random_digraphs(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_condensation_matches_networkx(spark):
+    """condensation() == nx.condensation edge set (SCC labels mapped
+    to each member set's min id) on the two-cycles-plus-bridges
+    topology, a DAG, and seeded random digraphs."""
+    import random
+
+    nx = pytest.importorskip("networkx")
+
+    def check(pairs, n_nodes):
+        edges = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in sorted(pairs)], ["_u", "_v", "w"]
+        )
+        nodes = spark.createDataFrame(
+            [(str(i),) for i in range(n_nodes)], ["_n"]
+        )
+        g = SparkGraph(nodes, edges)
+        got = {
+            (r["c_u"], r["c_v"]) for r in g.condensation().collect()
+        }
+        G = nx.DiGraph()
+        G.add_nodes_from(str(i) for i in range(n_nodes))
+        G.add_edges_from(pairs)
+        C = nx.condensation(G)
+        label = {
+            c: min(C.nodes[c]["members"]) for c in C.nodes
+        }
+        want = {(label[a], label[b]) for a, b in C.edges}
+        assert got == want
+
+    # two cycles + one-way bridges (the catalog topology shape)
+    two = (
+        [(str(i), str((i + 1) % 4)) for i in range(4)]
+        + [(str(i), str(4 + (i + 1 - 4) % 4)) for i in range(4, 8)]
+        + [("1", "5")]
+    )
+    check(two, 8)
+    # DAG
+    check([(str(i), str(i + 1)) for i in range(5)] + [("0", "3")], 6)
+    # random digraphs
+    rng = random.Random(31)
+    for trial in range(2):
+        n = 25 + 10 * trial
+        pairs = set()
+        for _ in range(int(n * 2)):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                pairs.add((str(u), str(v)))
+        check(pairs, n)
+
+
 def test_scc_dag_is_all_singletons(spark):
     """On a DAG every node is its own SCC (both paths)."""
     edges = spark.createDataFrame(
