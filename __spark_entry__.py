@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-sampled new queries at the very head).
 _PRIORITY = [
     # --- never sampled (new in round 9) ---
+    "t22_repetition_removal",
     "g_condensation",
     "g_scc_fwbw",
     # --- newest driver-green row: round 4 ---

@@ -3233,6 +3233,71 @@ def t21_feature_hashing(spark, sf_dir):
 
 
 @q(
+    "t22_repetition_removal",
+    """
+    WITH syn AS (
+      SELECT doc_id,
+             concat_ws('. ', substr(text, 1, 40), substr(text, 41, 40),
+                       substr(text, 1, 40), substr(text, 41, 40),
+                       substr(text, 1, 40)) AS t
+      FROM documents
+    ),
+    p AS (SELECT doc_id, string_split(t, '. ') AS parts FROM syn),
+    dd AS (
+      SELECT doc_id, parts,
+             list_filter(parts, (x, i) -> list_position(parts, x) = i)
+               AS ded
+      FROM p
+    )
+    SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_parts,
+           CAST(len(ded) AS BIGINT) AS n_unique,
+           array_to_string(ded, '. ') AS clean_text
+    FROM dd
+    """,
+)
+def t22_repetition_removal(spark, sf_dir):
+    """Intra-document repetition REMOVAL (Rae et al. 2021 Gopher
+    preprocessing; t13/d10 only MEASURE repetition): split into
+    paragraph units, keep each unit's FIRST occurrence in order, and
+    re-join — the rewrite that strips boilerplate/template echo from
+    a crawl before training.  Repetition is synthesized in-query
+    (A. B. A. B. A from two text slices — the corpus itself is
+    repetition-free) so the keep-first decision is non-trivial on
+    every row.  The paragraph array is ``let_bound`` before the
+    keep-first lambda references it (the r8 O(n^2) HOF lesson); the
+    position test inside the lambda binds the lambda VARIABLE, which
+    is per-row-evaluated exactly once.  Pure Catalyst: split + one
+    indexed filter + array_join, no shuffle, no UDF — at 100 TB this
+    is a map-only pass."""
+    from entwiner_spark.functions.expr import let_bound
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 40)
+    s2 = F.substring("text", 41, 40)
+    syn = F.concat_ws(". ", s1, s2, s1, s2, s1)
+    body = let_bound(
+        F.split(syn, r"\. "),
+        lambda parts: let_bound(
+            F.filter(
+                parts,
+                lambda x, i: F.array_position(parts, x) == i + F.lit(1),
+            ),
+            lambda ded: F.struct(
+                F.size(parts).cast("long").alias("n_parts"),
+                F.size(ded).cast("long").alias("n_unique"),
+                F.array_join(ded, ". ").alias("clean_text"),
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        body["n_parts"].alias("n_parts"),
+        body["n_unique"].alias("n_unique"),
+        body["clean_text"].alias("clean_text"),
+    )
+
+
+@q(
     "t12_unigram_logprob",
     """
     WITH w AS (
