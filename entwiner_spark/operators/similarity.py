@@ -181,6 +181,15 @@ def lsh_neardup_pairs(
     runs and keep ``"join"`` where bit-parity matters (both paths
     emit the same (id_a, id_b) set — asserted in tests and at stress
     scale).
+
+    Zero-norm and NULL embeddings are filtered out before EITHER
+    refine branch: a zero vector has no cosine direction (the join
+    path's 0/0 produced NaN, which Spark orders above every double so
+    ``>= threshold`` was vacuously true, while the matmul path's numpy
+    NaN compare dropped it — and a NULL vector crashed ``np.stack``).
+    Dropping them makes the two branches agree on degenerate input
+    (no shipped corpus contains such rows, so oracle output is
+    unchanged).
     """
     b = lsh_buckets(emb, dim, planes=planes, id_col=id_col, vec_col=vec_col)
     # norms are per-VECTOR, so fold them once before the join — inside
@@ -191,6 +200,9 @@ def lsh_neardup_pairs(
         emb.select(F.col(id_col), F.col(vec_col))
         .join(b, id_col)
         .withColumn("_nrm", norm(F.col(vec_col), dim))
+        # degenerate-vector guard (see docstring): NULL vec -> NULL
+        # norm, zero vec -> 0.0; `> 0` drops both before either branch
+        .filter(F.col("_nrm") > 0)
     )
     if refine == "matmul":
         return _matmul_refine(withb, threshold, id_col, vec_col)

@@ -167,6 +167,13 @@ def stream_sorted_neighborhood(
             # O(m) and, under a duplicate (key, id) arrival, return
             # the EARLIER copy's slot and pair the row with itself
             pos = bisect_left(order, item)
+            if pos < len(order) and order[pos] == item:
+                # replayed (key, id) — an at-least-once source
+                # redelivered a row already in state.  Inserting a
+                # second copy would pair it with the first (a
+                # self-pair the batch twin never emits); skipping
+                # keeps the update idempotent.
+                continue
             order.insert(pos, item)
             for nb in range(max(0, pos - window + 1), min(len(order), pos + window)):
                 if nb == pos:

@@ -118,6 +118,44 @@ def test_lsh_neardup_matmul_refine_matches_join_refine(spark):
         lsh_neardup_pairs(allv, dim=64, refine="bogus")
 
 
+def test_lsh_neardup_degenerate_vectors_dropped_by_both_refines(spark):
+    """Zero-norm and NULL embeddings are filtered before either refine
+    branch (r9 advice): the join path's 0/0 cosine was NaN, which
+    Spark orders above every double so `>= threshold` passed, while
+    numpy's NaN compare dropped it and np.stack raised on NULL — the
+    branches disagreed exactly on degenerate rows.  Both must now emit
+    the SAME pair set, with no pair touching a degenerate id."""
+    from entwiner_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(50)
+    )
+    degenerate = spark.createDataFrame(
+        [
+            (90_001, [0.0] * 64),  # zero norm: no cosine direction
+            (90_002, None),  # NULL embedding
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    allv = emb.unionByName(degenerate)
+    pairs = {}
+    for refine in ("join", "matmul"):
+        pairs[refine] = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_neardup_pairs(
+                allv, dim=64, planes=2, threshold=0.0, refine=refine
+            ).collect()
+        }
+    assert pairs["join"] == pairs["matmul"]
+    bad = {90_001, 90_002}
+    assert all(a not in bad and b not in bad for a, b in pairs["join"])
+    # threshold=0.0 with planes=2 buckets 50 real vectors together
+    # aggressively -- the guard must not have dropped real pairs
+    assert pairs["join"]
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
 def test_jaccard_prefix_filter_matches_brute_force(spark, docs, threshold):
     """The PPJoin-style prefix-filtered join must equal the O(n²)

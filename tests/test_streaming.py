@@ -1331,3 +1331,59 @@ def test_stream_sorted_neighborhood_out_of_order_is_superset(spark, tmp_path):
     }
     assert len(got) == len(set(got))
     assert want <= set(got)  # full recall of the batch neighborhood
+
+
+def test_stream_sorted_neighborhood_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: a second microbatch redelivering the SAME
+    (key, id) rows must not mutate state or emit anything — before the
+    r9-advice fix the duplicate copy was inserted next to the first
+    and paired with it, producing a self-pair (id_a == id_b) the batch
+    twin never emits."""
+    from entwiner_spark.operators.dedup import sorted_neighborhood_pairs
+    from entwiner_spark.streaming.dedup import stream_sorted_neighborhood
+
+    d = tmp_path / "snm_replay"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"key a{c} tail"}
+        for i, c in enumerate("abcd")
+    ]
+    payload = "\n".join(json.dumps(r) for r in rows)
+    (d / "a.json").write_text(payload)
+    (d / "b.json").write_text(payload)  # exact replay of batch 1
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_sorted_neighborhood(stream, window=2, block_prefix=4)
+        .writeStream.format("memory")
+        .queryName("snm_replay")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT id_a, id_b FROM snm_replay").collect()
+        ]
+    finally:
+        q.stop()
+    assert all(a != b for a, b in got)  # no self-pairs
+    assert len(got) == len(set(got))  # no duplicate emissions either
+    batch = spark.read.schema(schema).json(str(d / "a.json"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            batch, window=2, block_prefix=4
+        ).collect()
+    }
+    assert set(got) == want  # replay contributed nothing
