@@ -1086,6 +1086,108 @@ def g_condensation(spark, sf_dir):
     )
 
 
+# 5 four-cycles (nodes 0-19) chained by one-way bridges, then a
+# singleton tail 20->..->24 attached at cycle 4: condensation is a
+# 10-SCC chain of depth 9 — deep enough that the level query is a
+# real longest-path computation, not a 2-node toy.
+_COND_DEPTH_EDGES_SQL = """
+  SELECT CAST(n_nationkey AS BIGINT) AS u,
+         CAST((n_nationkey // 4) * 4 + (n_nationkey + 1) % 4 AS BIGINT) AS v
+  FROM nation WHERE n_nationkey < 20
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 4 AS BIGINT)
+  FROM nation WHERE n_nationkey IN (0, 4, 8, 12)
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST(20 AS BIGINT)
+  FROM nation WHERE n_nationkey = 16
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey + 1 AS BIGINT)
+  FROM nation WHERE n_nationkey BETWEEN 20 AND 23
+"""
+
+
+@q(
+    "g_condensation_depth",
+    f"""
+    WITH RECURSIVE e AS ({_COND_DEPTH_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.s, e.v FROM r JOIN e ON e.u = r.d
+    ),
+    mutual AS (
+      SELECT a.s AS x, a.d AS y FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+    ),
+    lab AS (
+      SELECT node, CAST(node AS VARCHAR) AS l FROM nd
+      UNION ALL
+      SELECT x, CAST(y AS VARCHAR) FROM mutual
+    ),
+    l2 AS (SELECT node, min(l) AS component FROM lab GROUP BY node),
+    ce AS (
+      SELECT DISTINCT a.component AS c_u, b.component AS c_v
+      FROM e JOIN l2 a ON a.node = e.u JOIN l2 b ON b.node = e.v
+      WHERE a.component <> b.component
+    ),
+    comps AS (SELECT DISTINCT component FROM l2),
+    walk(c, d) AS (
+      SELECT component, 0 FROM comps
+      WHERE component NOT IN (SELECT c_v FROM ce)
+      UNION
+      SELECT ce.c_v, walk.d + 1 FROM walk JOIN ce ON ce.c_u = walk.c
+    )
+    SELECT CAST(c AS BIGINT) AS component, CAST(max(d) AS BIGINT) AS level
+    FROM walk GROUP BY c
+    """,
+)
+def g_condensation_depth(spark, sf_dir):
+    """Condensation-DAG topological levels (``SparkGraph.
+    condensation_levels`` — r9-verdict task #7: condensation composed
+    with topological_levels).  ``max(level)`` is the condensation
+    depth, the exact statistic behind the SCC ``strategy="auto"``
+    selector (graph.py SCC_SWITCH_DEPTH): a workload re-running SCC on
+    a stable topology computes this once and pins the strategy.  The
+    oracle extends the transitive-closure SCC CTE with a longest-
+    path-from-roots recursive walk over the condensation edges (Kahn
+    wave index == max root-path length on a DAG), so labels AND
+    levels are value-checked on a depth-9, 10-SCC chain."""
+    n = _t(spark, sf_dir, "nation")
+    cyc = n.filter(F.col("n_nationkey") < 20).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (
+            F.expr("n_nationkey div 4") * 4 + (F.col("n_nationkey") + 1) % 4
+        ).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    bridges = n.filter(F.col("n_nationkey").isin(0, 4, 8, 12)).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 4).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    attach = n.filter(F.col("n_nationkey") == 16).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        F.lit(20).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    tail = n.filter(
+        (F.col("n_nationkey") >= 20) & (F.col("n_nationkey") <= 23)
+    ).select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.col("n_nationkey") + 1).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    g = _graph_as_spark_graph(
+        spark,
+        sf_dir,
+        edges=cyc.unionByName(bridges).unionByName(attach).unionByName(tail),
+    )
+    return g.condensation_levels(max_iterations=30).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("level").cast("long").alias("level"),
+    )
+
+
 def _walks_sql(length: int = 3) -> str:
     """Unrolled deterministic-walk oracle: neighbor rank is over the
     VARCHAR form of v (the engine sorts string node ids), and the hash

@@ -494,6 +494,25 @@ class SparkGraph:
     #: Edge lists hit LOCAL_THRESHOLD long before labels hit this.
     RELABEL_LOCAL_THRESHOLD = 500_000
 
+    #: SCC strategy="auto" selector (r9 verdict task #3): coloring
+    #: passes run first and SAMPLE the condensation peel rate — after
+    #: SCC_PROBE_PASSES passes, estimated remaining passes =
+    #: remaining_nodes / nodes_peeled_last_pass; at or above
+    #: SCC_SWITCH_DEPTH the remainder switches to recursive FW-BW.
+    #: Why sample the peel sequence instead of a subgraph: node/edge
+    #: sampling provably destroys the single bridge edges that MAKE a
+    #: condensation deep (a p-rate sample keeps each bridge with
+    #: probability ~p², so a 100-deep chain samples as depth ~1),
+    #: while the first few coloring passes peel real SCCs — paid-for
+    #: progress — and their peel rate IS the depth statistic.  The
+    #: threshold comes from the measured r9 crossover (PLANS.md):
+    #: fwbw levels ~ 2·log2(depth) at ~3x per-level cost vs coloring's
+    #: one pass per chain SCC, so fwbw wins once depth > ~6·log2(depth)
+    #: — break-even ≈ 30; probed estimates overshoot on irregular SCC
+    #: sizes, which only costs a constant (fwbw stays correct).
+    SCC_PROBE_PASSES = 4
+    SCC_SWITCH_DEPTH = 32
+
     def _edge_count(self) -> int:
         if not hasattr(self, "_cached_edge_count"):
             self._cached_edge_count = self.edges.count()
@@ -1334,10 +1353,22 @@ class SparkGraph:
         keys: list[str],
         max_rounds: int,
         stats: list | None = None,
+        init_lab: DataFrame | None = None,
     ) -> DataFrame:
         """Min node-id over ``{n} ∪ ancestors(n)`` for every node, via
         the given edge relation (optionally per key column — ancestors
         then only follow edges carrying the same key).
+
+        ``init_lab`` (``(_n, *keys, lab)``) replaces the identity seed:
+        the fixpoint then computes ``min over {init(a) : a ∈
+        ancestors*(n) ∪ {n}}``.  The caller owns the semantics — every
+        init label must itself be the id of a node present in the same
+        key class (the phase-2 jump follows labels as node ids), and
+        exactness of "min member id" results needs ``init(n) >= true
+        min`` with equality at the minimum member (e.g. labels that
+        are ids of nodes in the same component — the fwbw WCC re-key
+        seeds from the fw/bw reach tables this way, skipping most of
+        a from-scratch seed phase).
 
         Two phases, the MSF pointer-jump discipline
         (minimum_spanning_forest) applied to reachability:
@@ -1370,8 +1401,10 @@ class SparkGraph:
             .agg(F.min("_u").alias("p"))
             .localCheckpoint(eager=True)
         )
-        lab = nodes.select(
-            *nk, F.col("_n").alias("lab")
+        lab = (
+            nodes.select(*nk, F.col("_n").alias("lab"))
+            if init_lab is None
+            else init_lab.select(*nk, "lab")
         ).localCheckpoint(eager=True)
         lab, _seed_rounds = self._chain_fold(lab, base_ptr, keys, max_rounds)
         # phase 2: exact fixpoint (seed usually leaves 0-2 rounds);
@@ -1614,12 +1647,26 @@ class SparkGraph:
                     "_n",
                     (F.col("fl") == F.lit("0")).alias("in_fw"),
                     (F.col("bl") == F.lit("0")).alias("in_bw"),
+                    "fl",
+                    "bl",
                 )
                 .localCheckpoint(eager=True)
             )
             scc = flags.filter(F.col("in_fw") & F.col("in_bw"))
             comp = scc.groupBy("part").agg(F.min("_n").alias("component"))
             finished.append(scc.join(comp, "part").select("_n", "component"))
+            # WCC seed from the reach tables (the r9-verdict constant
+            # cut): an F node's directed DESCENDANTS all land in F too
+            # (a descendant in SCC/B would give the node a path to the
+            # pivot), so its dir="b" reach label — min descendant rid —
+            # is the id of a same-tpart, weakly-connected node: a sound
+            # and near-saturated WCC seed.  Symmetrically a B node's
+            # ancestors all land in B, so dir="f" seeds it.  R gets
+            # identity (its reach mins may name B/F nodes).  Seeds are
+            # >= the true WCC min with equality at the min member, so
+            # the fixpoint is exact (docstring of _min_reach_labels);
+            # the pivot rid "0" cannot appear in F's bl / B's fl (it
+            # would put the node in the peeled SCC) — guarded anyway.
             tagged = flags.filter(~(F.col("in_fw") & F.col("in_bw"))).select(
                 "part",
                 "_n",
@@ -1629,6 +1676,16 @@ class SparkGraph:
                     .when(F.col("in_bw"), F.lit("B"))
                     .otherwise(F.lit("R")),
                 ).alias("tpart"),
+                F.when(
+                    F.col("in_fw") & (F.col("bl") != F.lit("0")),
+                    F.expr("substring(bl, 2)"),
+                )
+                .when(
+                    F.col("in_bw") & (F.col("fl") != F.lit("0")),
+                    F.expr("substring(fl, 2)"),
+                )
+                .otherwise(F.col("_n"))
+                .alias("_wseed"),
             )
             if tagged.limit(1).count() == 0:
                 # every surviving node peeled — skip the WCC pass and
@@ -1677,6 +1734,9 @@ class SparkGraph:
                 keys=["tpart"],
                 max_rounds=10 * max_levels,
                 stats=None if stats is None else lstats.setdefault("wcc", []),
+                init_lab=tagged.select(
+                    "_n", "tpart", F.col("_wseed").alias("lab")
+                ),
             )
             rest = (
                 tagged.join(wcc, ["_n", "tpart"])
@@ -1774,6 +1834,19 @@ class SparkGraph:
         adversary).  Identical output on every graph (property-
         tested); prefer it when the condensation is deep, the
         coloring path when many independent SCCs peel in one pass.
+
+        ``strategy="auto"`` on distributed-scale graphs picks between
+        them by MEASURING: coloring runs first, and after
+        ``SCC_PROBE_PASSES`` passes the peel rate estimates the
+        remaining condensation depth (remaining nodes / nodes peeled
+        last pass); at ``SCC_SWITCH_DEPTH`` or deeper the remainder
+        — a strictly smaller subgraph, with everything peeled so far
+        kept — finishes on the recursive-FW-BW path.  The probe
+        passes are never wasted (each peels real SCCs), and subgraph
+        sampling cannot replace them: a sampled graph loses the
+        bridge edges that make a condensation deep (see the class
+        constants).  ``stats["switched_to_fwbw"]`` records the
+        decision; ``stats["fwbw"]`` nests the second phase's levels.
         """
         schema = T.StructType(
             [
@@ -1953,7 +2026,33 @@ class SparkGraph:
             )
             # probe completion HERE so a graph whose peel depth equals
             # max_iterations finishes instead of tripping the for-else
-            done = remaining.limit(1).count() == 0
+            if strategy == "auto":
+                # ---- peel-rate depth probe (class-constant docs):
+                # estimate remaining passes from this pass's peel rate;
+                # deep-chain condensations switch to recursive FW-BW
+                n_rem = remaining.count()
+                done = n_rem == 0
+                if not done and _outer + 1 >= self.SCC_PROBE_PASSES:
+                    peeled = member.count()
+                    est = n_rem / max(peeled, 1)
+                    if est >= self.SCC_SWITCH_DEPTH:
+                        if stats is not None:
+                            stats["switched_to_fwbw"] = {
+                                "after_pass": _outer + 1,
+                                "est_remaining_depth": round(est, 1),
+                            }
+                        sub = SparkGraph(remaining, edges)
+                        finished.append(
+                            sub._scc_fwbw(
+                                max_levels=max_iterations,
+                                stats=None
+                                if stats is None
+                                else stats.setdefault("fwbw", {}),
+                            )
+                        )
+                        done = True
+            else:
+                done = remaining.limit(1).count() == 0
             if done:
                 break
         else:
@@ -1990,6 +2089,12 @@ class SparkGraph:
         lab = self.strongly_connected_components(
             max_iterations=max_iterations, strategy=strategy
         )
+        return self._condensation_edges(lab)
+
+    def _condensation_edges(self, lab: DataFrame) -> DataFrame:
+        """Distinct cross-component (c_u, c_v) pairs from an SCC label
+        map — the condensation() body, shared with
+        condensation_levels so the labels are computed once."""
         return (
             self.edges.select("_u", "_v")
             .join(
@@ -2008,6 +2113,42 @@ class SparkGraph:
             .select("c_u", "c_v")
             .distinct()
         )
+
+    def condensation_levels(
+        self,
+        max_iterations: int = 50,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Topological level of every SCC in the condensation DAG:
+        ``(component, level)`` with level = longest-path distance from
+        a DAG root (Kahn wave index, via ``topological_levels`` on the
+        condensation).  ``max(level)`` is the condensation DEPTH — the
+        exact statistic behind the ``strategy="auto"`` SCC selector
+        (class constants ``SCC_PROBE_PASSES``/``SCC_SWITCH_DEPTH``):
+        the online selector estimates it from the coloring peel rate
+        because it cannot afford this full computation first, but a
+        workload that re-runs SCC on a stable topology can compute it
+        once here and pin ``strategy=`` explicitly from then on
+        (depth below ~30 -> coloring/pregel, deeper -> fwbw, per the
+        measured r9 crossover in PLANS.md).
+
+        Scale shape: one SCC pass + the label joins of
+        ``condensation`` + Kahn peeling on the (usually tiny)
+        condensation DAG — the DAG frame is |SCC| rows, so the peel
+        rounds run on the reduced graph, never the raw edges.
+        """
+        lab = self.strongly_connected_components(
+            max_iterations=max_iterations, strategy=strategy
+        )
+        ce = self._condensation_edges(lab)
+        comps = lab.select(F.col("component").alias("_n")).distinct()
+        dag = SparkGraph(
+            comps,
+            ce.select(F.col("c_u").alias("_u"), F.col("c_v").alias("_v")),
+        )
+        return dag.topological_levels(
+            max_iterations=max(max_iterations, 1000)
+        ).select(F.col("_n").alias("component"), "level")
 
     def kcore(
         self, k: int, max_iterations: int = 100, strategy: str = "auto"

@@ -756,6 +756,86 @@ def test_scc_fwbw_bridge_chain_splits_in_parallel(spark):
     assert 0 < len(stats["levels"]) < n_cyc
 
 
+def test_scc_auto_switches_to_fwbw_on_deep_chain(spark):
+    """strategy='auto' above the local threshold starts on coloring
+    and samples the peel rate (r9-verdict selector): on a deep
+    bridge-chained condensation the estimated remaining depth clears
+    SCC_SWITCH_DEPTH and the remainder finishes on recursive FW-BW —
+    with the exact same components.  Thresholds are shrunk via
+    instance attributes so the test graph stays tiny."""
+    cyc_len, n_cyc = 3, 10
+    pairs = []
+    for c in range(n_cyc):
+        base = c * 100
+        for i in range(cyc_len):
+            pairs.append((str(base + i), str(base + (i + 1) % cyc_len)))
+        if c + 1 < n_cyc:
+            pairs.append((str(base), str((c + 1) * 100)))
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")
+    ).distinct()
+    g = SparkGraph(nodes, edges)
+    g.LOCAL_THRESHOLD = 0  # force the distributed path
+    g.SCC_PROBE_PASSES = 2
+    g.SCC_SWITCH_DEPTH = 5
+    stats: dict = {}
+    got = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(
+            strategy="auto", stats=stats
+        ).collect()
+    }
+    # the probe must have fired: 2 coloring passes peel 2 chain-head
+    # cycles at ~3 nodes/pass, leaving an estimated depth of 8 >= 5
+    assert stats["switched_to_fwbw"]["after_pass"] == 2
+    assert stats["switched_to_fwbw"]["est_remaining_depth"] >= 5
+    assert stats["fwbw"]["levels"], "fwbw phase ran and recorded levels"
+    want = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(strategy="local").collect()
+    }
+    assert got == want
+
+
+def test_scc_auto_stays_on_coloring_when_shallow(spark):
+    """strategy='auto' on a shallow condensation (independent cycles —
+    every root peels in pass 1) must finish on coloring without ever
+    invoking the fwbw phase."""
+    cyc_len, n_cyc = 3, 6
+    pairs = []
+    for c in range(n_cyc):
+        base = c * 100
+        for i in range(cyc_len):
+            pairs.append((str(base + i), str(base + (i + 1) % cyc_len)))
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"]
+    )
+    nodes = edges.select(F.col("_u").alias("_n")).union(
+        edges.select("_v")
+    ).distinct()
+    g = SparkGraph(nodes, edges)
+    g.LOCAL_THRESHOLD = 0
+    g.SCC_PROBE_PASSES = 2
+    g.SCC_SWITCH_DEPTH = 5
+    stats: dict = {}
+    got = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(
+            strategy="auto", stats=stats
+        ).collect()
+    }
+    assert "switched_to_fwbw" not in stats
+    assert "fwbw" not in stats
+    want = {
+        r["_n"]: r["component"]
+        for r in g.strongly_connected_components(strategy="local").collect()
+    }
+    assert got == want
+
+
 def test_scc_fwbw_property_random_digraphs(spark):
     """fwbw == local Kosaraju on randomized digraphs (seeded) with
     mixed SCC sizes, self-loops filtered, isolated nodes included."""
@@ -831,6 +911,59 @@ def test_condensation_matches_networkx(spark):
         n = 25 + 10 * trial
         pairs = set()
         for _ in range(int(n * 2)):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                pairs.add((str(u), str(v)))
+        check(pairs, n)
+
+
+def test_condensation_levels_matches_networkx(spark):
+    """condensation_levels() == longest-path-from-roots levels of
+    nx.condensation (Kahn wave index) on a bridged-cycles chain, a
+    DAG, and seeded random digraphs — max(level) is the condensation
+    depth the auto-SCC selector estimates online."""
+    import random
+
+    nx = pytest.importorskip("networkx")
+
+    def check(pairs, n_nodes):
+        edges = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in sorted(pairs)], ["_u", "_v", "w"]
+        )
+        nodes = spark.createDataFrame(
+            [(str(i),) for i in range(n_nodes)], ["_n"]
+        )
+        g = SparkGraph(nodes, edges)
+        got = {
+            r["component"]: r["level"]
+            for r in g.condensation_levels().collect()
+        }
+        G = nx.DiGraph()
+        G.add_nodes_from(str(i) for i in range(n_nodes))
+        G.add_edges_from(pairs)
+        C = nx.condensation(G)
+        label = {c: min(C.nodes[c]["members"]) for c in C.nodes}
+        want = {}
+        for lv, gen in enumerate(nx.topological_generations(C)):
+            for c in gen:
+                want[label[c]] = lv
+        assert got == want
+
+    chain = []
+    for c in range(4):
+        base = c * 10
+        chain += [
+            (str(base + i), str(base + (i + 1) % 3)) for i in range(3)
+        ]
+        if c:
+            chain.append((str((c - 1) * 10), str(base)))
+    check(chain, 33)
+    check([(str(i), str(i + 1)) for i in range(5)] + [("0", "3")], 6)
+    rng = random.Random(53)
+    for trial in range(2):
+        n = 20 + 10 * trial
+        pairs = set()
+        for _ in range(int(n * 1.8)):
             u, v = rng.randrange(n), rng.randrange(n)
             if u != v:
                 pairs.add((str(u), str(v)))
