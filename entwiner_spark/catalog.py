@@ -3365,37 +3365,65 @@ def t22_repetition_removal(spark, sf_dir):
     a crawl before training.  Repetition is synthesized in-query
     (A. B. A. B. A from two text slices — the corpus itself is
     repetition-free) so the keep-first decision is non-trivial on
-    every row.  The paragraph array is ``let_bound`` before the
-    keep-first lambda references it (the r8 O(n^2) HOF lesson); the
-    position test inside the lambda binds the lambda VARIABLE, which
-    is per-row-evaluated exactly once.  Pure Catalyst: split + one
-    indexed filter + array_join, no shuffle, no UDF — at 100 TB this
-    is a map-only pass."""
-    from entwiner_spark.functions.expr import let_bound
-
+    every row.  This entry pins the INLINE plan of
+    ``text.remove_repeated_paragraphs`` (r10 refactor — same
+    let_bound expression as before, now shared): split + one indexed
+    filter + array_join, no shuffle, no UDF — a map-only pass, right
+    for paragraph counts below the operator's ``inline_max_parts``
+    bound; ``t22b_repetition_removal_explode`` pins the long-doc
+    escalation on the same data."""
     d = _t(spark, sf_dir, "documents")
     s1 = F.substring("text", 1, 40)
     s2 = F.substring("text", 41, 40)
     syn = F.concat_ws(". ", s1, s2, s1, s2, s1)
-    body = let_bound(
-        F.split(syn, r"\. "),
-        lambda parts: let_bound(
-            F.filter(
-                parts,
-                lambda x, i: F.array_position(parts, x) == i + F.lit(1),
-            ),
-            lambda ded: F.struct(
-                F.size(parts).cast("long").alias("n_parts"),
-                F.size(ded).cast("long").alias("n_unique"),
-                F.array_join(ded, ". ").alias("clean_text"),
-            ),
-        ),
+    return TX.remove_repeated_paragraphs(
+        d.select("doc_id", syn.alias("text")), sep=". ", method="inline"
     )
-    return d.select(
-        "doc_id",
-        body["n_parts"].alias("n_parts"),
-        body["n_unique"].alias("n_unique"),
-        body["clean_text"].alias("clean_text"),
+
+
+@q(
+    "t22b_repetition_removal_explode",
+    """
+    WITH syn AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+                       substr(text, 1, 40), substr(text, 41, 40),
+                       substr(text, 1, 40), substr(text, 41, 40),
+                       substr(text, 1, 40)) AS t
+      FROM documents
+    ),
+    p AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts
+          FROM syn),
+    dd AS (
+      SELECT doc_id, parts,
+             list_filter(parts, (x, i) -> list_position(parts, x) = i)
+               AS ded
+      FROM p
+    )
+    SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_parts,
+           CAST(len(ded) AS BIGINT) AS n_unique,
+           array_to_string(ded, chr(10) || chr(10)) AS clean_text
+    FROM dd
+    """,
+)
+def t22b_repetition_removal_explode(spark, sf_dir):
+    """The t22 semantics through the EXPLODE plan of
+    ``text.remove_repeated_paragraphs`` (r9-verdict task #5: the
+    long-doc escalation), on REAL paragraph boundaries — the
+    synthesized repetition is joined with ``\\n\\n`` and first
+    occurrences are found as min(pos) per (doc, paragraph) over
+    posexplode output instead of the O(p²) in-row position scan.
+    The oracle is the same list_filter twin as t22 (the semantics
+    are plan-invariant), so the driver hash-pins inline == explode
+    cross-engine.  Scale shape: two partial-aggregated key-local
+    shuffles; a 10k-paragraph document distributes across the
+    cluster instead of burning 10⁸ comparisons inside one row."""
+    d = _t(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 40)
+    s2 = F.substring("text", 41, 40)
+    syn = F.concat_ws("\n\n", s1, s2, s1, s2, s1)
+    return TX.remove_repeated_paragraphs(
+        d.select("doc_id", syn.alias("text")), sep="\n\n", method="explode"
     )
 
 

@@ -13,6 +13,8 @@ DuckDB can compute it bit-identically (unlike murmur3 ``hash()``).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -480,6 +482,108 @@ def bigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
+def remove_repeated_paragraphs(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    method: str = "auto",
+    inline_max_parts: int = 256,
+):
+    """Intra-document repetition removal (Rae et al. 2021 Gopher
+    preprocessing): split ``text_col`` on ``sep`` (default: real
+    paragraph boundaries), keep each paragraph's FIRST occurrence in
+    order, re-join.  Returns ``(id_col, n_parts, n_unique,
+    clean_text)``.
+
+    Two plans with identical output (unit-asserted):
+
+    - ``"inline"`` — pure Catalyst map-only: ``let_bound`` split +
+      one indexed ``F.filter`` whose keep-first test is
+      ``array_position(parts, x) == i+1``.  Zero exchanges, but the
+      position scan is O(p²) per row — right below
+      ``inline_max_parts`` paragraphs, wrong for a 10k-paragraph doc
+      (10⁸ comparisons on one row; the r9-verdict watch item).
+    - ``"explode"`` — the long-doc escalation: ``posexplode`` to
+      (doc, pos, para) rows, first occurrence = min(pos) per (doc,
+      para) (one partial-aggregated groupBy), then a per-doc
+      re-assembly sorting the kept (pos, para) structs.  O(p log p)
+      per doc, two key-local shuffles; paragraph work distributes
+      across the cluster instead of sitting in one row's lambda.
+    - ``"auto"`` — per-row dispatch: rows with ``<= inline_max_parts``
+      paragraphs take the map-only path, the long tail takes the
+      explode path, results union.  Typical crawl corpora send ~all
+      rows down the free path and only pathological docs pay a
+      shuffle.
+
+    NULL text is treated as empty (one empty paragraph) so both plans
+    agree — posexplode would silently DROP a NULL-array row while the
+    inline filter would null-propagate.
+    """
+    parts_of = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+    )
+
+    def _inline(frame):
+        from entwiner_spark.functions.expr import let_bound
+
+        body = let_bound(
+            parts_of,
+            lambda parts: let_bound(
+                F.filter(
+                    parts,
+                    lambda x, i: F.array_position(parts, x) == i + F.lit(1),
+                ),
+                lambda ded: F.struct(
+                    F.size(parts).cast("long").alias("n_parts"),
+                    F.size(ded).cast("long").alias("n_unique"),
+                    F.array_join(ded, sep).alias("clean_text"),
+                ),
+            ),
+        )
+        return frame.select(
+            F.col(id_col),
+            body["n_parts"].alias("n_parts"),
+            body["n_unique"].alias("n_unique"),
+            body["clean_text"].alias("clean_text"),
+        )
+
+    def _explode(frame):
+        ex = frame.select(
+            F.col(id_col), F.posexplode(parts_of).alias("pos", "para")
+        )
+        tot = ex.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts")
+        )
+        firsts = ex.groupBy(id_col, "para").agg(F.min("pos").alias("pos"))
+        agg = firsts.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        return tot.join(agg, id_col).select(
+            F.col(id_col), "n_parts", "n_unique", "clean_text"
+        )
+
+    if method == "inline":
+        return _inline(docs)
+    if method == "explode":
+        return _explode(docs)
+    if method != "auto":
+        raise ValueError(
+            f"method must be 'inline', 'explode' or 'auto', got {method!r}"
+        )
+    n = F.size(parts_of)
+    return _inline(docs.filter(n <= inline_max_parts)).unionByName(
+        _explode(docs.filter(n > inline_max_parts))
     )
 
 

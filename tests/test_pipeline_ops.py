@@ -214,6 +214,49 @@ def test_repetition_ratio_hand_computed(spark):
     assert out == {1: 0.5, 2: 0.0, 3: 0.0}
 
 
+def test_remove_repeated_paragraphs_plans_agree(spark):
+    """inline == explode == auto on hand-built docs (dup paragraphs,
+    all-unique, all-same, empty, NULL text, and one doc past the auto
+    threshold so BOTH branches of the auto union execute), and the
+    keep-first answer matches a Python reference."""
+    from entwiner_spark.functions.text import remove_repeated_paragraphs
+
+    sep = "\n\n"
+    long_doc = sep.join(f"p{i % 7}" for i in range(40))  # 40 parts, 7 uniq
+    rows = [
+        (1, sep.join(["a", "b", "a", "c", "b"])),
+        (2, sep.join(["x", "y", "z"])),
+        (3, sep.join(["s", "s", "s", "s"])),
+        (4, ""),
+        (5, None),
+        (6, long_doc),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref(text):
+        parts = (text or "").split(sep)
+        seen, ded = set(), []
+        for p in parts:
+            if p not in seen:
+                seen.add(p)
+                ded.append(p)
+        return (len(parts), len(ded), sep.join(ded))
+
+    want = {i: ref(t) for i, t in rows}
+    results = {}
+    for method in ("inline", "explode", "auto"):
+        got = {
+            r["doc_id"]: (r["n_parts"], r["n_unique"], r["clean_text"])
+            for r in remove_repeated_paragraphs(
+                df, sep=sep, method=method, inline_max_parts=10
+            ).collect()
+        }
+        assert got == want, method
+        results[method] = got
+    with pytest.raises(ValueError, match="method"):
+        remove_repeated_paragraphs(df, method="bogus")
+
+
 def test_dup_ngram_coverage_hand_computed(spark):
     """Docs 1 and 2 share the 3-gram 'a b c' (doc 2 contains it twice
     positionally); doc 3 shares nothing; doc 4 is too short for any

@@ -460,6 +460,66 @@ def main() -> None:
     out["pipeline_sec"] = round(time.time() - t0, 1)
 
 
+    # --- t22 long-doc escalation (r9 verdict): repetition removal at
+    # >=1k paragraphs/doc.  2k docs x 1,200 paragraphs drawn from 400
+    # distinct strings (3x dup rate) — the explode plan must clear it
+    # in seconds; the inline O(p²) plan gets a 50-doc slice only, as
+    # the per-row cost contrast (1.44M position-scan comparisons per
+    # doc).  Both plans must agree exactly on the shared slice.
+    log("phase: t22 repetition removal, 1200 paragraphs/doc")
+    n_ld, p_ld, vocab_ld = 2_000, 1_200, 400
+    ld = (
+        spark.range(n_ld)
+        .select(F.col("id").alias("doc_id"))
+        .crossJoin(spark.range(p_ld).select(F.col("id").alias("p")))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("para"),
+                F.pmod(F.xxhash64("doc_id", "p"), F.lit(vocab_ld)),
+            ).alias("para"),
+            "p",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    ex_out = TXs.remove_repeated_paragraphs(ld, method="explode")
+    ex_agg = ex_out.agg(
+        F.sum("n_parts").alias("tp"), F.max("n_unique").alias("mu")
+    ).collect()[0]
+    out["t22_explode_docs"] = n_ld
+    out["t22_explode_sec"] = round(time.time() - t0, 1)
+    assert ex_agg["tp"] == n_ld * p_ld, "every paragraph accounted for"
+    assert ex_agg["mu"] <= vocab_ld + 1, "uniques bounded by vocab"
+    ld50 = ld.limit(50).localCheckpoint(eager=True)
+    t0 = time.time()
+    in50 = {
+        r["doc_id"]: (r["n_parts"], r["n_unique"], r["clean_text"])
+        for r in TXs.remove_repeated_paragraphs(
+            ld50, method="inline"
+        ).collect()
+    }
+    out["t22_inline50_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    ex50 = {
+        r["doc_id"]: (r["n_parts"], r["n_unique"], r["clean_text"])
+        for r in TXs.remove_repeated_paragraphs(
+            ld50, method="explode"
+        ).collect()
+    }
+    out["t22_explode50_sec"] = round(time.time() - t0, 1)
+    assert in50 == ex50, "inline and explode plans must agree"
+
     # --- Boruvka MSF on a 120k-node / ~240k-edge weighted graph:
     # rounds halve components; per-round CC on the contracted graph
     # dispatches size-adaptively.  Must emit exactly a spanning tree.
