@@ -3817,8 +3817,8 @@ def _mm4_sql() -> str:
     shg AS (
       SELECT media_id,
              list_distinct(list_transform(
-               range(1, greatest(len(hx) - 7, 1) + 1, 2),
-               i -> substring(hx, i, 8))) AS sh
+               range(1, greatest(len(hx) - 15, 1) + 1, 2),
+               i -> substring(hx, i, 16))) AS sh
       FROM hx
     ),
     sig AS (SELECT media_id, {sig_cols} FROM shg),
@@ -3847,7 +3847,15 @@ def mm4_media_neardup(spark, sf_dir):
     Near-dups are synthesized in-query (every 7th payload cloned with
     a trailer appended — byte-similar, not byte-identical, so exact
     dedup misses them and the signature path must catch them).  Same
-    banded self-join scale shape as d3."""
+    banded self-join scale shape as d3.
+
+    ``shingle_bytes=8`` (r10, the carried candidate-volume guard):
+    4-byte windows over this text-as-bytes corpus were so common that
+    sf0.1 emitted 1,010,312 candidate pairs; 8-byte windows cut that
+    to 180,810 (−82%) while every one of the 715 planted trailer
+    clones is still paired (100% recall of true near-dups — measured
+    r10, PLANS.md).  Precision is what improved: fewer
+    coincidental-window collisions reach the banded join."""
     from entwiner_spark.operators import multimodal as MM
 
     d = _t(spark, sf_dir, "documents")
@@ -3867,7 +3875,9 @@ def mm4_media_neardup(spark, sf_dir):
             F.concat(F.col("text"), F.lit("#trailer")).alias("payload"),
         )
     )
-    sig = MM.media_byte_signatures(media, id_col="media_id", payload_col="payload")
+    sig = MM.media_byte_signatures(
+        media, id_col="media_id", payload_col="payload", shingle_bytes=8
+    )
     return DD.lsh_candidate_pairs(sig, id_col="media_id", k=8, bands=4)
 
 
