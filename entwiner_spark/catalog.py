@@ -4038,6 +4038,51 @@ def a2b_approx_degree(spark, sf_dir):
     )
 
 
+@q(
+    "g_anf",
+    f"""
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d, h) AS (
+      SELECT node, node, 0 FROM nd
+      UNION
+      SELECT r.s, e.v, r.h + 1 FROM r JOIN e ON e.u = r.d WHERE r.h < 4
+    ),
+    md AS (SELECT s, d, min(h) AS h FROM r GROUP BY s, d),
+    hops AS (SELECT unnest(range(0, 5)) AS hop)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST((SELECT count(*) FROM md WHERE md.h <= hops.hop) AS BIGINT)
+             AS n_pairs,
+           TRUE AS within_bound
+    FROM hops
+    """,
+)
+def g_anf(spark, sf_dir):
+    """ANF / HyperLogLog neighborhood function (r9-verdict stretch
+    task #9; ``SparkGraph.neighborhood_function``): N(hop) = ordered
+    pairs within directed distance <= hop, the scalable
+    effective-diameter statistic replacing |V|-SSSP methods at 100 TB.
+    The a2b bounded-error contract: the query runs BOTH the exact
+    distinct-pair twin (n_pairs — what the oracle's depth-bounded
+    transitive-closure CTE recomputes) and the HLL-sketch scale path,
+    emitting ``within_bound`` = |est − exact| <= 3·rsd·exact + 2
+    (lgk=12 → rsd ~1.6%; at this ball size the sketch sits in exact
+    sparse mode, so the driver hash also pins est == exact here)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    ex = g.neighborhood_function(max_hops=4, method="exact")
+    ap = g.neighborhood_function(max_hops=4, method="hll").select(
+        "hop", F.col("n_pairs").alias("est_pairs")
+    )
+    return ex.join(ap, "hop").select(
+        "hop",
+        "n_pairs",
+        (
+            F.abs(F.col("est_pairs") - F.col("n_pairs"))
+            <= 3 * 0.016 * F.col("n_pairs") + F.lit(2.0)
+        ).alias("within_bound"),
+    )
+
+
 # ---- graph point lookups on the nation DAG --------------------------
 
 @q(

@@ -2721,6 +2721,116 @@ class SparkGraph:
         lb = d2.agg(F.max("dist")).collect()[0][0]
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
+    def neighborhood_function(
+        self,
+        max_hops: int = 8,
+        method: str = "hll",
+        lgk: int = 12,
+    ) -> DataFrame:
+        """ANF — the approximate neighborhood function (Palmer,
+        Gibbons, Faloutsos 2002, "ANF: a fast and scalable tool for
+        data mining in massive graphs"; HyperANF, Boldi-Rosa-Vigna
+        2011): for each ``hop`` 0..max_hops the number of ordered
+        pairs ``(u, v)`` with directed distance(u→v) <= hop.  N(h)
+        saturating is how effective diameter / average distance are
+        estimated at scales where the |V|-SSSP exact centralities
+        (closeness/harmonic) rightly raise (the r9-verdict stretch:
+        the scalable answer built on the e11 HLL sketch machinery).
+
+        ``method="hll"``: every node carries a HyperLogLog sketch of
+        its h-ball (``hll_sketch_agg`` on its own id, then per round
+        ``hll_union_agg`` over itself + out-neighbors' sketches — one
+        partial-aggregated groupBy per hop).  State is |V| × ~2^lgk
+        bytes, pairs NEVER materialize; rounds = max_hops, each a
+        key-local shuffle.  Estimates carry HLL error (~1.04/√2^lgk
+        rsd per ball, lgk=12 → ~1.6%); small balls sit in the
+        sketch's exact sparse mode.  Stops early (and fills the
+        remaining hops with the saturated value — N is monotone) once
+        the sketch state reaches an exact-confirmed fixpoint.
+
+        ``method="exact"``: distinct-pair BFS expansion — O(pairs)
+        state, the small-graph/harness twin the bounded-error catalog
+        contract (g_anf) checks the sketches against.
+
+        Returns ``(hop, n_pairs)`` (long; the HLL estimate is the
+        sketch's integer estimate).
+        """
+        schema = T.StructType(
+            [
+                T.StructField("hop", T.LongType(), False),
+                T.StructField("n_pairs", T.LongType(), False),
+            ]
+        )
+        edges = (
+            self.edges.select("_u", "_v")
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            self.nodes.select("_n")
+            .unionByName(edges.select(F.col("_u").alias("_n")))
+            .unionByName(edges.select(F.col("_v").alias("_n")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        counts: list[int] = []
+        if method == "exact":
+            pairs = nodes.select(
+                F.col("_n").alias("s"), F.col("_n").alias("d")
+            ).localCheckpoint(eager=True)
+            counts.append(pairs.count())
+            for _h in range(max_hops):
+                nxt = pairs.join(
+                    edges.withColumnRenamed("_u", "d"), "d"
+                ).select("s", F.col("_v").alias("d"))
+                pairs = rebase_checkpoint(
+                    pairs.unionByName(nxt).distinct()
+                )
+                n = pairs.count()
+                if n == counts[-1]:  # saturated: N is monotone
+                    break
+                counts.append(n)
+        elif method == "hll":
+            state = nodes.groupBy("_n").agg(
+                F.hll_sketch_agg("_n", F.lit(lgk)).alias("sk")
+            ).localCheckpoint(eager=True)
+            counts.append(
+                state.agg(
+                    F.sum(F.hll_sketch_estimate("sk"))
+                ).collect()[0][0]
+                or 0  # empty graph: SUM over zero rows is NULL
+            )
+            probe = FixpointProbe("_n", "sk")
+            probe.converged(state)  # seed the signature
+            for _h in range(max_hops):
+                msgs = edges.join(
+                    state.withColumnRenamed("_n", "_v"), "_v"
+                ).select(F.col("_u").alias("_n"), "sk")
+                state = rebase_checkpoint(
+                    state.unionByName(msgs)
+                    .groupBy("_n")
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                )
+                if probe.converged(state):  # balls saturated
+                    break
+                counts.append(
+                    state.agg(
+                        F.sum(F.hll_sketch_estimate("sk"))
+                    ).collect()[0][0]
+                    or 0
+                )
+        else:
+            raise ValueError(
+                f"method must be 'hll' or 'exact', got {method!r}"
+            )
+        # fill the saturated tail: N(h) = N(h_sat) for h > h_sat
+        rows = [
+            (h, int(counts[min(h, len(counts) - 1)]))
+            for h in range(max_hops + 1)
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def ktruss(
         self, k: int, max_iterations: int = 100, strategy: str = "auto"
     ) -> DataFrame:

@@ -917,6 +917,60 @@ def test_condensation_matches_networkx(spark):
         check(pairs, n)
 
 
+def test_neighborhood_function_matches_networkx(spark):
+    """ANF exact == per-hop pair counts from nx shortest_path_length;
+    the HLL path agrees within its error contract (sparse-mode exact
+    at fixture scale); saturated hops are filled with the limit value
+    (N is monotone); bogus method raises."""
+    import random
+
+    nx = pytest.importorskip("networkx")
+    rng = random.Random(71)
+    pairs = {("0", "1"), ("1", "2"), ("2", "3"), ("4", "5"), ("5", "4")}
+    for _ in range(45):
+        u, v = rng.randrange(20), rng.randrange(20)
+        if u != v:
+            pairs.add((str(u), str(v)))
+    edges = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in sorted(pairs)], ["_u", "_v", "w"]
+    )
+    nodes = spark.createDataFrame([(str(i),) for i in range(20)], ["_n"])
+    g = SparkGraph(nodes, edges)
+    max_hops = 6
+    ex = {
+        r["hop"]: r["n_pairs"]
+        for r in g.neighborhood_function(
+            max_hops=max_hops, method="exact"
+        ).collect()
+    }
+    G = nx.DiGraph()
+    G.add_nodes_from(str(i) for i in range(20))
+    G.add_edges_from(pairs)
+    dist = dict(nx.all_pairs_shortest_path_length(G))
+    want = {
+        h: sum(
+            1 for u in dist for _, d in dist[u].items() if d <= h
+        )
+        for h in range(max_hops + 1)
+    }
+    assert ex == want
+    ap = {
+        r["hop"]: r["n_pairs"]
+        for r in g.neighborhood_function(
+            max_hops=max_hops, method="hll"
+        ).collect()
+    }
+    assert set(ap) == set(want)
+    assert all(
+        abs(ap[h] - want[h]) <= 3 * 0.016 * want[h] + 2 for h in want
+    )
+    # monotone saturating
+    vals = [ap[h] for h in range(max_hops + 1)]
+    assert vals == sorted(vals)
+    with pytest.raises(ValueError, match="method"):
+        g.neighborhood_function(method="bogus")
+
+
 def test_condensation_levels_matches_networkx(spark):
     """condensation_levels() == longest-path-from-roots levels of
     nx.condensation (Kahn wave index) on a bridged-cycles chain, a
