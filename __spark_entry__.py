@@ -20,69 +20,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver verifies a 50-query subset of the
-# catalog each round, drawing from the head of this dict.  Round-9
-# rotation (r8 verdict task #1): the ENTIRE catalog is listed in
+# catalog each round, drawing from the head of this dict.  Round-10
+# rotation (r9 verdict task #1): the ENTIRE catalog is listed in
 # staleness order — queries whose newest driver-green CORRECTNESS row
-# is oldest come first (r4, then r5, r7, r8; alphabetical within a
-# round).  The head 50 = the 29 r4-vintage rows plus the 21 stalest
-# r5 rows, so after r9 no query's newest driver-green row is older
-# than round 5.  Regenerate next round with the same rule (sort by
-# newest green round across CORRECTNESS_r*.json, stalest first;
-# never-sampled new queries at the very head).
+# is oldest come first (r5, then r7, r8, r9; alphabetical within a
+# round), with never-sampled new queries at the very head.  The
+# head 50 = 3 new r10 queries + the 25 r5-vintage rows + the 22
+# stalest r7 rows (never-sampled entries count against the 50), so
+# after r10 no query's newest driver-green row is older than round 7.
+# Regenerate next round with the same rule (sort by newest green
+# round across CORRECTNESS_r*.json, stalest first; never-sampled
+# new queries at the very head).
 _PRIORITY = [
-    # --- never sampled (new in round 9) ---
-    "t22_repetition_removal",
-    "g_condensation",
-    "g_scc_fwbw",
-    # --- newest driver-green row: round 4 ---
-    "g_triangles",
-    "geo_a5_bbox",
-    "geo_f7_meter_bbox",
-    "geo_f8_point_distance",
-    "geo_j6_nearest_edge",
-    "mm2_frame_sample",
-    "mm3_resize_meta",
-    "o2_first_row",
-    "q16_supplier_cnt",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "s5_ivf_assign",
-    "s5b_ivf_topk",
-    "s5c_ivf_multiprobe",
-    "s6_derived_nodes",
-    "s7_quantize_int8",
-    "samp1_stratified",
-    "samp2_hash_bernoulli",
-    "t10_corpus_filter",
-    "t5_bpe_tokens",
-    "t6_length_quantiles",
-    "t7_pack_chunks",
-    "t8_tfidf_top_terms",
-    "t9_winnow_fingerprints",
-    "w2_moving_avg",
-    "w3_rank_dense",
-    "w4_lag_lead",
-    "w5_distribution_ranks",
+    # --- never sampled (new in round 10) ---
+    "g_anf",
+    "g_condensation_depth",
+    "t22b_repetition_removal_explode",
     # --- newest driver-green row: round 5 ---
-    "d10_dup_ngram_coverage",
-    "d11_sorted_neighborhood",
-    "d12_minhash_calibration",
-    "d13_er_pipeline",
-    "d9_embedding_dedup_clusters",
-    "e11_hll_weekly_rollup",
-    "e12_ewma",
-    "e13_anomaly_zscore",
-    "e7_hourly_unique_users",
-    "e8_funnel_conversion",
-    "e9_cohort_retention",
-    "ev2_json_schema",
-    "g_diameter_lb",
-    "g_feature_prop",
-    "g_isochrone",
-    "g_kcore",
-    "g_lpa_communities",
-    "g_motif_anchored",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
     "g_node2vec_walks",
@@ -210,8 +164,58 @@ _PRIORITY = [
     "u2_last_write_wins",
     "u3_union_missing_cols",
     "w1_top3_per_customer",
+    # --- newest driver-green row: round 9 ---
+    "d10_dup_ngram_coverage",
+    "d11_sorted_neighborhood",
+    "d12_minhash_calibration",
+    "d13_er_pipeline",
+    "d9_embedding_dedup_clusters",
+    "e11_hll_weekly_rollup",
+    "e12_ewma",
+    "e13_anomaly_zscore",
+    "e7_hourly_unique_users",
+    "e8_funnel_conversion",
+    "e9_cohort_retention",
+    "ev2_json_schema",
+    "g_condensation",
+    "g_diameter_lb",
+    "g_feature_prop",
+    "g_isochrone",
+    "g_kcore",
+    "g_lpa_communities",
+    "g_motif_anchored",
+    "g_scc_fwbw",
+    "g_triangles",
+    "geo_a5_bbox",
+    "geo_f7_meter_bbox",
+    "geo_f8_point_distance",
+    "geo_j6_nearest_edge",
+    "mm2_frame_sample",
+    "mm3_resize_meta",
+    "o2_first_row",
+    "q16_supplier_cnt",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "s5_ivf_assign",
+    "s5b_ivf_topk",
+    "s5c_ivf_multiprobe",
+    "s6_derived_nodes",
+    "s7_quantize_int8",
+    "samp1_stratified",
+    "samp2_hash_bernoulli",
+    "t10_corpus_filter",
+    "t22_repetition_removal",
+    "t5_bpe_tokens",
+    "t6_length_quantiles",
+    "t7_pack_chunks",
+    "t8_tfidf_top_terms",
+    "t9_winnow_fingerprints",
+    "w2_moving_avg",
+    "w3_rank_dense",
+    "w4_lag_lead",
+    "w5_distribution_ranks",
 ]
-
 
 def _ordered(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
