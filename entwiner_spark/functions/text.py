@@ -555,11 +555,16 @@ def remove_repeated_paragraphs(
         ex = frame.select(
             F.col(id_col), F.posexplode(parts_of).alias("pos", "para")
         )
-        tot = ex.groupBy(id_col).agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts")
+        # occurrence count rides the firsts aggregation so n_parts =
+        # sum of per-paragraph counts — ONE scan and two key-local
+        # exchanges ((id, para) then (id)), no separate total branch
+        # re-scanning the source into a join (plan-audited r10)
+        firsts = ex.groupBy(id_col, "para").agg(
+            F.min("pos").alias("pos"),
+            F.count(F.lit(1)).alias("_c"),
         )
-        firsts = ex.groupBy(id_col, "para").agg(F.min("pos").alias("pos"))
-        agg = firsts.groupBy(id_col).agg(
+        return firsts.groupBy(id_col).agg(
+            F.sum("_c").cast("long").alias("n_parts"),
             F.count(F.lit(1)).cast("long").alias("n_unique"),
             F.array_join(
                 F.transform(
@@ -568,9 +573,6 @@ def remove_repeated_paragraphs(
                 ),
                 sep,
             ).alias("clean_text"),
-        )
-        return tot.join(agg, id_col).select(
-            F.col(id_col), "n_parts", "n_unique", "clean_text"
         )
 
     if method == "inline":
