@@ -743,6 +743,45 @@ def main() -> None:
         # skewed-frontier case: round 1's frontier join fans one node
         # out to 100k messages).  Per-probe frontier sizes recorded so
         # PLANS.md can show the wavefront collapsing.
+        # --- XL ANF: HyperLogLog neighborhood function on a 200k-node
+        # 4-regular affine-map digraph (expander-ish, diameter ~9).
+        # State = |V| HLL sketches, pairs never materialize; N(0) must
+        # be exactly |V| (singleton sketches are sparse-exact) and
+        # N(h) strictly monotone while balls grow ~4x/hop.
+        log("phase: XL ANF 200k nodes / 800k edges")
+        an = 200_000
+        ab = spark.range(an)
+        aparts = [
+            ab.select(
+                F.col("id").cast("string").alias("_u"),
+                ((F.col("id") * a + b) % an).cast("string").alias("_v"),
+            )
+            for a, b in ((5, 1), (7, 3), (11, 17), (13, 29))
+        ]
+        a_all = aparts[0]
+        for p in aparts[1:]:
+            a_all = a_all.unionByName(p)
+        a_all.count()
+        Ga = SparkGraph(
+            ab.select(F.col("id").cast("string").alias("_n")),
+            a_all,
+            partitions=32,
+        )
+        t0 = time.time()
+        anf = {
+            r["hop"]: r["n_pairs"]
+            for r in Ga.neighborhood_function(max_hops=5, method="hll").collect()
+        }
+        out["anf_xl_sec"] = round(time.time() - t0, 1)
+        out["anf_xl_n_pairs"] = [anf[h] for h in sorted(anf)]
+        assert anf[0] == an, "singleton sketches are sparse-exact"
+        assert all(
+            anf[h] > anf[h - 1] for h in range(1, 5)
+        ), "balls must grow every hop on an expander"
+        # 4-regular: ball(h) <= 1 + 4 + ... + 4^h; HLL error ~1.6%
+        bound = sum(4**i for i in range(6)) * an * 1.05
+        assert anf[5] <= bound, "estimate within the degree bound"
+
         log("phase: XL weighted sssp 1M nodes, skewed hub")
         wn = 1_000_000
         wb = spark.range(wn)
