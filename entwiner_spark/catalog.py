@@ -4083,6 +4083,116 @@ def g_anf(spark, sf_dir):
     )
 
 
+@q(
+    "g_linegraph",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL})
+    SELECT CAST(e1.u AS VARCHAR) || '|' || CAST(e1.v AS VARCHAR) AS lg_u,
+           CAST(e2.u AS VARCHAR) || '|' || CAST(e2.v AS VARCHAR) AS lg_v,
+           CAST(e1.v AS VARCHAR) AS via,
+           e2.w AS w
+    FROM e e1 JOIN e e2 ON e1.v = e2.u
+    """,
+)
+def g_linegraph(spark, sf_dir):
+    """Graph-minor / maneuver-graph derivation (r10-verdict task #3;
+    reference TODO.md:62-70 — "Deriving a minor (edges --> nodes) …
+    graph of maneuvers", a roadmap item the reference never built):
+    ``SparkGraph.to_linegraph`` turns every edge into a node ``u|v``
+    and every adjacent edge pair (u→v, v→w) into a minor edge whose
+    weight is the downstream edge's weight (+ an optional per-maneuver
+    turn-angle cost — geometry-bearing version pytest-pinned against
+    hand-computed angles; turn-restricted SSSP ≠ plain SSSP on the
+    penalized fixture).  Plan: ONE self-join where only the left side
+    re-shuffles (the right side reuses the constructor's ``_u`` hash
+    partitioning); the oracle recomputes the full minor edge set with
+    a DuckDB self-join."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    lg = g.to_linegraph(weight="w")
+    return lg.edges.select(
+        F.col("_u").alias("lg_u"),
+        F.col("_v").alias("lg_v"),
+        F.col("_via").alias("via"),
+        "w",
+    )
+
+
+@q(
+    "g_eff_diameter",
+    f"""
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+    nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    r(s, d, h) AS (
+      SELECT node, node, 0 FROM nd
+      UNION
+      SELECT r.s, e.v, r.h + 1 FROM r JOIN e ON e.u = r.d WHERE r.h < 10
+    ),
+    md AS (SELECT s, d, min(h) AS h FROM r GROUP BY s, d),
+    hops AS (SELECT unnest(range(0, 11)) AS hop),
+    curve AS (
+      SELECT hop,
+             CAST((SELECT count(*) FROM md WHERE md.h <= hops.hop) AS DOUBLE) AS n
+      FROM hops
+    ),
+    c2 AS (SELECT hop, n, lag(n) OVER (ORDER BY hop) AS np FROM curve),
+    tot AS (
+      SELECT max(n) AS n_inf, min(n) AS n0,
+             sum(hop * (n - coalesce(np, 0))) FILTER (WHERE hop >= 1) AS dsum
+      FROM c2
+    ),
+    eff AS (SELECT min(hop) AS h FROM c2, tot WHERE n >= 0.9 * n_inf)
+    SELECT
+      round(CASE WHEN (SELECT n0 FROM tot) >= 0.9 * (SELECT n_inf FROM tot)
+            THEN 0.0
+            ELSE (SELECT h FROM eff) - 1
+                 + (0.9 * (SELECT n_inf FROM tot)
+                    - (SELECT np FROM c2 WHERE hop = (SELECT h FROM eff)))
+                   / ((SELECT n FROM c2 WHERE hop = (SELECT h FROM eff))
+                      - (SELECT np FROM c2 WHERE hop = (SELECT h FROM eff)))
+            END, 6) AS effective_diameter,
+      round((SELECT dsum FROM tot)
+            / ((SELECT n_inf FROM tot) - (SELECT n0 FROM tot)), 6)
+        AS avg_distance,
+      CAST((SELECT n_inf - n0 FROM tot) AS BIGINT) AS n_reachable_pairs,
+      TRUE AS saturated,
+      TRUE AS within_bound
+    """,
+)
+def g_eff_diameter(spark, sf_dir):
+    """Effective diameter (q=0.9, HyperANF interpolation) + average
+    directed distance — the ANF consumers (r10-verdict task #5;
+    ``SparkGraph.effective_diameter`` on graph.py's
+    ``neighborhood_function``).  The a2b/g_anf bounded-error contract:
+    the exact distinct-pair curve's statistics are the oracle-checked
+    values (the recursive-CTE twin recomputes interpolation and
+    distance-mass sum from scratch), and ``within_bound`` asserts the
+    HLL-sketch scale path lands within 3·rsd of them (lgk=12 → the
+    25-node balls sit in sparse exact mode, so est == exact here)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    ex = g.effective_diameter(q=0.9, max_hops=10, method="exact")
+    ap = (
+        g.effective_diameter(q=0.9, max_hops=10, method="hll")
+        .select(
+            F.col("effective_diameter").alias("eff_a"),
+            F.col("avg_distance").alias("avg_a"),
+        )
+    )
+    # 1-row × 1-row join (both sides are single-row summary frames)
+    return ex.crossJoin(ap).select(
+        F.round("effective_diameter", 6).alias("effective_diameter"),
+        F.round("avg_distance", 6).alias("avg_distance"),
+        "n_reachable_pairs",
+        "saturated",
+        (
+            (F.abs(F.col("eff_a") - F.col("effective_diameter")) <= 0.5)
+            & (
+                F.abs(F.col("avg_a") - F.col("avg_distance"))
+                <= 3 * 0.016 * F.col("avg_distance") + F.lit(0.05)
+            )
+        ).alias("within_bound"),
+    )
+
+
 # ---- graph point lookups on the nation DAG --------------------------
 
 @q(

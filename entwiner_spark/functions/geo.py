@@ -36,6 +36,40 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     return 2 * EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1 - a))
 
 
+def bearing_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360) clockwise from north.  Standard forward-azimuth formula
+    (atan2 form) — pure Catalyst, no UDF.  Feeds the turn-angle cost of
+    the maneuver-graph minor (reference TODO.md:62-70); the reference
+    never implemented it, so the formula is the public navigation
+    identity, not a port."""
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(dlon)
+    return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
+
+
+def turn_angle_deg(coords_in: Column, coords_out: Column) -> Column:
+    """Signed turn angle in (-180, 180] between the END heading of one
+    LineString and the START heading of the next (both
+    ``array<array<double>>`` of [lon, lat]): 0 = straight through,
+    +90 = right turn, -90 = left turn, ±180 = U-turn.  The per-maneuver
+    cost input for ``SparkGraph.to_linegraph`` turn penalties."""
+    n = F.size(coords_in)
+    a, b = F.element_at(coords_in, n - 1), F.element_at(coords_in, n)
+    c, d = F.element_at(coords_out, 1), F.element_at(coords_out, 2)
+    b_in = bearing_deg(
+        F.element_at(a, 1), F.element_at(a, 2), F.element_at(b, 1), F.element_at(b, 2)
+    )
+    b_out = bearing_deg(
+        F.element_at(c, 1), F.element_at(c, 2), F.element_at(d, 1), F.element_at(d, 2)
+    )
+    # normalize the heading delta to (-180, 180]
+    return F.lit(180.0) - F.pmod(F.lit(180.0) - (b_out - b_in), F.lit(360.0))
+
+
 def _pair_dist(a: Column, b: Column) -> Column:
     return haversine_m(
         F.element_at(a, 1), F.element_at(a, 2), F.element_at(b, 1), F.element_at(b, 2)

@@ -583,9 +583,23 @@ def remove_repeated_paragraphs(
         raise ValueError(
             f"method must be 'inline', 'explode' or 'auto', got {method!r}"
         )
+    # auto dispatch reads the source ONCE (r10-verdict item: the old
+    # filter-twice union re-scanned the corpus per branch — a doubled
+    # scan cost on a preprocessing hot path at 100 TB).  Stage the
+    # narrow (id, text) projection and persist it; both union branches
+    # read the in-memory relation, so the underlying file scan happens
+    # exactly once (plan-asserted in
+    # test_remove_repeated_paragraphs_auto_single_scan).  Default
+    # persist = MEMORY_AND_DISK: a corpus larger than RAM spills to
+    # executor-local disk (one local write+read, still cheaper than a
+    # second remote source scan and it skips upstream recompute).  The
+    # cache is LRU-evicted; batch callers that need the memory back
+    # immediately can `.unpersist()` the returned plan's child or
+    # `spark.catalog.clearCache()`.
+    staged = docs.select(id_col, text_col).persist()
     n = F.size(parts_of)
-    return _inline(docs.filter(n <= inline_max_parts)).unionByName(
-        _explode(docs.filter(n > inline_max_parts))
+    return _inline(staged.filter(n <= inline_max_parts)).unionByName(
+        _explode(staged.filter(n > inline_max_parts))
     )
 
 

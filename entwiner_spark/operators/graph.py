@@ -2831,6 +2831,62 @@ class SparkGraph:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def effective_diameter(
+        self,
+        q: float = 0.9,
+        max_hops: int = 16,
+        method: str = "hll",
+        lgk: int = 12,
+    ) -> DataFrame:
+        """Effective diameter + average distance from the
+        neighborhood-function curve (the ANF consumers those sketches
+        exist for — Palmer et al. 2002 §4; HyperANF §5 uses the same
+        interpolation).  Runs ``neighborhood_function`` (distributed;
+        per-node HLL ball sketches, pairs never materialize), then
+        derives driver-side from the ≤ ``max_hops+1``-row curve:
+
+        - ``effective_diameter``: the smallest ``h`` with
+          ``N(h) >= q·N(max_hops)``, linearly interpolated between
+          ``h-1`` and ``h`` (HyperANF convention; 0.0 when the q-mass
+          is met at hop 0);
+        - ``avg_distance``: Σ h·(N(h)−N(h−1)) / (N(∞)−N(0)) — the mean
+          directed distance over reachable ordered pairs ``u ≠ v``
+          (distance-0 self pairs excluded from both sums);
+        - ``n_reachable_pairs`` = N(∞)−N(0); ``saturated`` = whether
+          the curve reached its monotone fixpoint within ``max_hops``
+          (if false, N(max_hops) underestimates N(∞) and both stats
+          are lower bounds — raise ``max_hops``).
+
+        Exact equality vs the BFS twin on fixtures is pytest-pinned;
+        the catalog's ``g_eff_diameter`` wraps it in the a2b
+        bounded-error contract against a recursive-CTE oracle.
+        """
+        curve = self.neighborhood_function(
+            max_hops=max_hops, method=method, lgk=lgk
+        ).orderBy("hop")
+        n = [r["n_pairs"] for r in curve.collect()]  # max_hops+1 rows
+        n_inf, n0 = n[-1], n[0]
+        saturated = len(n) >= 2 and n[-1] == n[-2]
+        target = q * n_inf
+        eff = 0.0
+        if n0 < target:
+            h = next(i for i, v in enumerate(n) if v >= target)
+            eff = h - 1 + (target - n[h - 1]) / (n[h] - n[h - 1])
+        reach = n_inf - n0
+        dist_sum = sum(h * (n[h] - n[h - 1]) for h in range(1, len(n)))
+        avg = (dist_sum / reach) if reach > 0 else 0.0
+        schema = T.StructType(
+            [
+                T.StructField("effective_diameter", T.DoubleType(), False),
+                T.StructField("avg_distance", T.DoubleType(), False),
+                T.StructField("n_reachable_pairs", T.LongType(), False),
+                T.StructField("saturated", T.BooleanType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            [(float(eff), float(avg), int(reach), bool(saturated))], schema
+        )
+
     def ktruss(
         self, k: int, max_iterations: int = 100, strategy: str = "auto"
     ) -> DataFrame:
@@ -3561,6 +3617,278 @@ class SparkGraph:
         )
 
     # ---- interop (TODO.md:37-39 parity) -------------------------------
+    def to_linegraph(
+        self,
+        weight: str | None = None,
+        turn_cost=None,
+        allow_uturn: bool = True,
+        sep: str = "|",
+    ) -> "SparkGraph":
+        """Graph-minor / maneuver-graph derivation (reference
+        TODO.md:62-70: "Deriving a minor (edges --> nodes) ... graph
+        of maneuvers" — a roadmap item the reference never built).
+        Every edge ``(u, v)`` becomes a NODE of the minor with id
+        ``u<sep>v`` (its attributes carried over, endpoints kept as
+        ``_edge_u``/``_edge_v``); every adjacent edge pair
+        ``(u→v, v→w)`` becomes an EDGE ``u|v → v|w`` of the minor.
+
+        Minor edge weight = ``weight(e2) + turn_cost(e1, e2)``, so a
+        shortest path over the minor from edge ``a`` to edge ``b``
+        costs ``w(a) + Σ minor-edge weights`` = (sum of traversed edge
+        weights) + (sum of per-maneuver turn penalties): turn
+        restrictions become expressible as plain SSSP over the minor —
+        no weight ⇒ hop semantics (each maneuver costs 1).
+
+        ``turn_cost``: optional callable ``(e1, e2) -> Column`` where
+        ``e1``/``e2`` map an attribute name to that side's Column
+        (e.g. ``lambda e1, e2: F.when(F.abs(turn_angle_deg(
+        e1("coordinates"), e2("coordinates"))) > 150, 1e6)
+        .otherwise(0.0)``).  ``allow_uturn=False`` drops the
+        ``(u→v, v→u)`` reversal pairs entirely (the common maneuver-
+        model choice) instead of pricing them.
+
+        Plan shape (scale): ONE self-join — the left side re-shuffles
+        on ``_v`` to meet the right side's existing hash partitioning
+        on ``_u`` (the constructor invariant), so only one side of the
+        |E|-row table moves; no explode, no driver loop, and the pair
+        fan-out per node is in-degree × out-degree (bounded by the
+        same skew the adjacency itself has — AQE skew-join handles hot
+        intersections).
+        """
+        eid = lambda u, v: F.concat_ws(sep, u, v)  # noqa: E731
+        base = self.edges
+        attrs = [c for c in base.columns if c not in ("_u", "_v")]
+        lnodes = base.select(
+            eid(F.col("_u"), F.col("_v")).alias("_n"),
+            F.col("_u").alias("_edge_u"),
+            F.col("_v").alias("_edge_v"),
+            *attrs,
+        )
+        j = base.alias("e1").join(
+            base.alias("e2"), F.col("e1._v") == F.col("e2._u")
+        )
+        if not allow_uturn:
+            j = j.filter(F.col("e2._v") != F.col("e1._u"))
+        e1 = lambda c: F.col(f"e1.{c}")  # noqa: E731
+        e2 = lambda c: F.col(f"e2.{c}")  # noqa: E731
+        if weight is None and turn_cost is None:
+            wcol = F.lit(1.0)
+        else:
+            wcol = F.lit(0.0)
+            if weight is not None:
+                wcol = wcol + e2(weight).cast("double")
+            if turn_cost is not None:
+                wcol = wcol + turn_cost(e1, e2).cast("double")
+        ledges = j.select(
+            eid(e1("_u"), e1("_v")).alias("_u"),
+            eid(e2("_u"), e2("_v")).alias("_v"),
+            e1("_v").alias("_via"),
+            wcol.alias("w"),
+        )
+        return SparkGraph(lnodes, ledges)
+
+    def contract_chains(
+        self, weight: str | None = None, max_rounds: int = 64
+    ) -> "SparkGraph":
+        """CH-lite preprocessing (reference TODO.md:72 "contraction
+        hierarchies" — roadmap, never built there): contract every
+        pass-through chain node — one-way (in-degree 1, out-degree 1,
+        no self loop) or two-way (in/out-degree 2 with predecessor
+        set == successor set, the bidirectional street-graph shape) —
+        into shortcut edges whose weight is the summed chain weight
+        (``weight`` column, or hop count when None).  Degree-2
+        chains are the dominant shape in sidewalk/street networks, so
+        this shrinks |V| and |E| — and with them every Pregel
+        iteration's shuffle — while preserving all shortest-path
+        distances between RETAINED nodes exactly (interior nodes are
+        absorbed; their distances are head-distance + a prefix of the
+        shortcut, recoverable by expansion).
+
+        Distributed shape: list-ranking by pointer doubling over the
+        EDGE table — each edge starts with a ``nxt`` pointer to its
+        chain successor (the unique out-edge of its chain-node target)
+        and each round composes jumps via one eid-keyed self-join, so
+        a chain of length L folds in ⌈log₂ L⌉ rounds with key-local
+        shuffles only; no driver loop over nodes.  Pure chain CYCLES
+        (every node degree-2 — no head edge can absorb them) are
+        detected by the pending-count plateau and emitted uncontracted,
+        their nodes retained.  Shortcut rows carry ``_n_hops`` (edges
+        folded) so expansion/debugging can tell shortcuts from raw
+        edges.
+        """
+        wexpr = (
+            F.col(weight).cast("double") if weight else F.lit(1.0)
+        )
+        e = self.edges.select(
+            "_u", "_v", wexpr.alias("_w")
+        ).localCheckpoint(eager=True)
+        # A "through" chain node is either shape found in real street
+        # graphs:
+        #  - one-way: in-degree 1 AND out-degree 1 (no self loop);
+        #  - two-way: in-degree 2 AND out-degree 2 with predecessor
+        #    set == successor set == {a, b}, a ≠ b ≠ v — the dominant
+        #    case in bidirectional sidewalk networks, where every
+        #    pass-through node carries an edge pair each way.
+        # Its ``nxt`` pointer routes an incoming edge (u→v) to the
+        # out-edge of v that does NOT return to u — so two-way chains
+        # fold straight through in both directions independently and
+        # U-turn pairs never enter a pointer cycle.
+        # counts first (cheap partial-agg), THEN neighbor sets only for
+        # the ≤2-degree candidates — collect_set over every node would
+        # build unbounded arrays on hub nodes at scale
+        outd = e.groupBy("_u").agg(F.count(F.lit(1)).alias("_od"))
+        ind = e.groupBy("_v").agg(F.count(F.lit(1)).alias("_id"))
+        cand = (
+            outd.filter(F.col("_od") <= 2)
+            .withColumnRenamed("_u", "_c")
+            .join(
+                ind.filter(F.col("_id") <= 2).withColumnRenamed("_v", "_c"),
+                "_c",
+            )
+            .filter(F.col("_od") == F.col("_id"))
+        )
+        succs = (
+            e.join(cand.select(F.col("_c").alias("_u")), "_u")
+            .groupBy("_u")
+            .agg(F.sort_array(F.collect_set("_v")).alias("_sset"))
+        )
+        preds = (
+            e.join(cand.select(F.col("_c").alias("_v")), "_v")
+            .groupBy("_v")
+            .agg(F.sort_array(F.collect_set("_u")).alias("_pset"))
+        )
+        deg = (
+            cand.join(succs.withColumnRenamed("_u", "_c"), "_c")
+            .join(preds.withColumnRenamed("_v", "_c"), "_c")
+        )
+        one_way = (
+            (F.col("_od") == 1)
+            & (F.col("_id") == 1)
+            & (F.col("_sset")[0] != F.col("_c"))
+            & (F.col("_pset")[0] != F.col("_c"))
+        )
+        two_way = (
+            (F.col("_od") == 2)
+            & (F.col("_id") == 2)
+            & (F.size("_sset") == 2)  # two REAL neighbors, not a
+            # parallel-edge pair collapsing to one
+            & (F.col("_sset") == F.col("_pset"))
+            & ~F.array_contains(F.col("_sset"), F.col("_c"))
+        )
+        chain = deg.filter(one_way | two_way).select(
+            "_c", one_way.alias("_ow")
+        )
+        eid = F.concat_ws("\x1f", F.col("_u"), F.col("_v"))
+        # nxt map: for each chain node v and each legal incoming
+        # source ``_from``, the eid of the continuing out-edge.
+        # One-way: 1 row (the unique pred → the unique out-edge, kept
+        # even when it bounces back — a u→v→u stub folds to a u→u
+        # self-loop shortcut, harmless under positive weights);
+        # two-way: 2 of the 4 (in × out) pairs — the non-returning
+        # continuations.
+        cin = e.join(chain.withColumnRenamed("_c", "_v"), "_v").select(
+            F.col("_v").alias("_mid"), F.col("_u").alias("_from"), "_ow"
+        )
+        cout = e.join(
+            chain.drop("_ow").withColumnRenamed("_c", "_u"), "_u"
+        ).select(
+            F.col("_u").alias("_mid"),
+            F.col("_v").alias("_to"),
+            eid.alias("_out_eid"),
+        )
+        nxtmap = (
+            cin.join(cout, "_mid")
+            .filter(F.col("_ow") | (F.col("_to") != F.col("_from")))
+            .select("_mid", "_from", "_out_eid")
+        )
+        interior = F.col("_int")
+        state = (
+            e.withColumn("_e", eid)
+            .join(
+                chain.select(F.col("_c").alias("_u"), F.lit(True).alias("_int")),
+                "_u",
+                "left",
+            )
+            .join(
+                nxtmap.withColumnRenamed("_mid", "_v").withColumnRenamed(
+                    "_from", "_u"
+                ),
+                ["_u", "_v"],
+                "left",
+            )
+            .select(
+                "_e",
+                F.col("_u").alias("_head_u"),
+                F.col("_v").alias("_orig_v"),
+                F.col("_w").alias("_orig_w"),
+                F.coalesce(interior, F.lit(False)).alias("_int"),
+                F.col("_v").alias("_end"),
+                F.col("_w").alias("_acc"),
+                F.lit(1).cast("long").alias("_hops"),
+                F.col("_out_eid").alias("_nxt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pending = state.filter(F.col("_nxt").isNotNull()).count()
+        for _ in range(max_rounds):
+            if pending == 0:
+                break
+            t = state.select(
+                F.col("_e").alias("_t_e"),
+                F.col("_end").alias("_t_end"),
+                F.col("_acc").alias("_t_acc"),
+                F.col("_hops").alias("_t_hops"),
+                F.col("_nxt").alias("_t_nxt"),
+            )
+            state = rebase_checkpoint(
+                state.join(t, state["_nxt"] == t["_t_e"], "left").select(
+                    "_e",
+                    "_head_u",
+                    "_orig_v",
+                    "_orig_w",
+                    "_int",
+                    F.coalesce("_t_end", "_end").alias("_end"),
+                    F.when(
+                        F.col("_t_acc").isNotNull(),
+                        F.col("_acc") + F.col("_t_acc"),
+                    )
+                    .otherwise(F.col("_acc"))
+                    .alias("_acc"),
+                    F.when(
+                        F.col("_t_hops").isNotNull(),
+                        F.col("_hops") + F.col("_t_hops"),
+                    )
+                    .otherwise(F.col("_hops"))
+                    .alias("_hops"),
+                    F.col("_t_nxt").alias("_nxt"),
+                )
+            )
+            now = state.filter(F.col("_nxt").isNotNull()).count()
+            if now == pending:  # plateau: only pure chain cycles left
+                break
+            pending = now
+        shortcuts = state.filter(~F.col("_int")).select(
+            F.col("_head_u").alias("_u"),
+            F.col("_end").alias("_v"),
+            F.col("_acc").alias("w"),
+            F.col("_hops").alias("_n_hops"),
+        )
+        cycle_rest = state.filter(
+            F.col("_int") & F.col("_nxt").isNotNull()
+        ).select(
+            F.col("_head_u").alias("_u"),
+            F.col("_orig_v").alias("_v"),
+            F.col("_orig_w").alias("w"),
+            F.lit(1).cast("long").alias("_n_hops"),
+        )
+        absorbed = state.filter(
+            F.col("_int") & F.col("_nxt").isNull()
+        ).select(F.col("_head_u").alias("_n")).distinct()
+        new_nodes = self.nodes.join(absorbed, "_n", "left_anti")
+        return SparkGraph(
+            new_nodes, shortcuts.unionByName(cycle_rest)
+        )
+
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""
         import networkx as nx  # optional dependency

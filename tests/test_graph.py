@@ -1728,3 +1728,240 @@ def test_pregel_rejects_agg_name_colliding_with_state(spark):
             msg_to_dst=F.lit(1.0),
             max_iterations=2,
         )
+
+
+# ---- line graph / maneuver minor (reference TODO.md:62-70) ----------
+
+
+def test_linegraph_matches_networkx(G, uwG):
+    """to_linegraph == nx.line_graph on both fixtures (node set and
+    edge set, digraph semantics — U-turn pairs included)."""
+    import networkx as nx
+
+    for g in (G, uwG):
+        raw = nx.DiGraph()
+        for r in g.edges.select("_u", "_v").collect():
+            raw.add_edge(r["_u"], r["_v"])
+        L = nx.line_graph(raw)
+        lg = g.to_linegraph()
+        got_nodes = {r["_n"] for r in lg.nodes.select("_n").collect()}
+        assert got_nodes == {f"{u}|{v}" for u, v in L.nodes()}
+        got_edges = {
+            (r["_u"], r["_v"]) for r in lg.edges.select("_u", "_v").collect()
+        }
+        assert got_edges == {
+            (f"{a}|{b}", f"{c}|{d}") for (a, b), (c, d) in L.edges()
+        }
+
+
+def test_linegraph_node_attrs_and_uturn_flag(spark):
+    g = _mkgraph(spark, [("a", "b", 2.0), ("b", "a", 3.0), ("b", "c", 4.0)])
+    lg = g.to_linegraph(weight="w")
+    # minor nodes carry the source edge's endpoints + attributes
+    attrs = {
+        r["_n"]: (r["_edge_u"], r["_edge_v"], r["w"])
+        for r in lg.nodes.collect()
+    }
+    assert attrs["a|b"] == ("a", "b", 2.0)
+    # weight semantics: minor edge cost = downstream edge weight
+    w = {(r["_u"], r["_v"]): r["w"] for r in lg.edges.collect()}
+    assert w[("a|b", "b|a")] == 3.0 and w[("a|b", "b|c")] == 4.0
+    assert w[("b|a", "a|b")] == 2.0
+    # allow_uturn=False drops exactly the reversal pairs
+    nu = {
+        (r["_u"], r["_v"])
+        for r in g.to_linegraph(weight="w", allow_uturn=False).edges.collect()
+    }
+    assert nu == {("a|b", "b|c")}
+
+
+def test_turn_angle_hand_computed(spark):
+    """bearing/turn-angle identities at the equator: east→north = -90
+    (left), east→east = 0, east→west = +180 (U-turn, sign-normalized
+    into (-180, 180])."""
+    from entwiner_spark.functions.geo import turn_angle_deg
+
+    AB = [[0.0, 0.0], [0.001, 0.0]]  # heading east
+    BC = [[0.001, 0.0], [0.001, 0.001]]  # heading north
+    BD = [[0.001, 0.0], [0.002, 0.0]]  # heading east
+    BA = [[0.001, 0.0], [0.0, 0.0]]  # heading west
+    df = spark.createDataFrame(
+        [(AB, BC), (AB, BD), (AB, BA)],
+        "g1 array<array<double>>, g2 array<array<double>>",
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            F.round(turn_angle_deg(F.col("g1"), F.col("g2")), 6).alias("t")
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(-90.0, abs=1e-3)
+    assert got[1] == pytest.approx(0.0, abs=1e-3)
+    assert got[2] == pytest.approx(180.0, abs=1e-3)
+
+
+def test_linegraph_turn_penalty_changes_route(spark):
+    """SSSP over the maneuver minor: with a >45° turn penalty the
+    cheapest arrival at Z switches from the short left-turn route
+    (via C) to the longer straight route (via D) — the
+    turn-restriction use case the reference's TODO names."""
+    from entwiner_spark.functions.geo import turn_angle_deg
+
+    rows = [
+        ("A", "B", 1.0, [[0.0, 0.0], [0.001, 0.0]]),
+        ("B", "C", 1.0, [[0.001, 0.0], [0.001, 0.001]]),  # left turn
+        ("C", "Z", 1.0, [[0.001, 0.001], [0.001, 0.002]]),  # straight on
+        ("B", "D", 1.0, [[0.001, 0.0], [0.002, 0.0]]),  # straight
+        ("D", "Z", 5.0, [[0.002, 0.0], [0.004, 0.0]]),  # straight
+    ]
+    edges = spark.createDataFrame(
+        rows, "u string, v string, w double, coordinates array<array<double>>"
+    ).select(
+        F.col("u").alias("_u"), F.col("v").alias("_v"), "w", "coordinates"
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=4)
+
+    def dists(lg):
+        return {
+            r["_n"]: r["dist"]
+            for r in lg.shortest_path_lengths("A|B", weight="w").collect()
+            if r["dist"] is not None
+        }
+
+    plain = dists(g.to_linegraph(weight="w"))
+    assert plain["C|Z"] == pytest.approx(2.0)  # via C wins unpenalized
+    assert plain["D|Z"] == pytest.approx(6.0)
+
+    pen = dists(
+        g.to_linegraph(
+            weight="w",
+            turn_cost=lambda e1, e2: F.when(
+                F.abs(
+                    turn_angle_deg(e1("coordinates"), e2("coordinates"))
+                )
+                > 45,
+                100.0,
+            ).otherwise(0.0),
+        )
+    )
+    assert pen["C|Z"] == pytest.approx(102.0)  # left turn now priced
+    assert pen["D|Z"] == pytest.approx(6.0)  # straight route unchanged
+    assert min(pen["C|Z"], pen["D|Z"]) == pen["D|Z"]  # route flips
+
+
+# ---- effective diameter / avg distance (ANF consumers) --------------
+
+
+def test_effective_diameter_path_graph_both_methods(spark):
+    """Hand-computed 4-node path 0→1→2→3: N=[4,7,9,10]; q=0.9 target
+    is 9 → interpolated eff. diameter 2.0; avg distance = (1·3 + 2·2 +
+    3·1)/6 = 10/6.  HLL (lgk=12, sparse-exact at this size) must equal
+    the exact BFS twin."""
+    g = _mkgraph(spark, [("0", "1", 1.0), ("1", "2", 1.0), ("2", "3", 1.0)])
+    for method in ("exact", "hll"):
+        r = g.effective_diameter(q=0.9, max_hops=5, method=method).collect()[0]
+        assert r["effective_diameter"] == pytest.approx(2.0), method
+        assert r["avg_distance"] == pytest.approx(10 / 6), method
+        assert r["n_reachable_pairs"] == 6
+        assert r["saturated"] is True
+
+
+def test_effective_diameter_saturation_flag(spark):
+    """max_hops below the true diameter → saturated=False and the
+    stats are (documented) lower bounds."""
+    g = _mkgraph(
+        spark,
+        [(str(i), str(i + 1), 1.0) for i in range(6)],  # 7-node path
+    )
+    r = g.effective_diameter(q=0.9, max_hops=2, method="exact").collect()[0]
+    assert r["saturated"] is False
+
+
+# ---- CH-lite chain contraction (reference TODO.md:72) ---------------
+
+
+def test_contract_chains_directed_path(spark):
+    """0→1→2→3 chain beside a direct 0→3 edge: interior nodes 1, 2
+    absorb into one 3-hop shortcut; the parallel direct edge stays."""
+    g = _mkgraph(
+        spark,
+        [("0", "1", 1.0), ("1", "2", 2.0), ("2", "3", 3.0), ("0", "3", 10.0)],
+    )
+    c = g.contract_chains(weight="w")
+    got = sorted(
+        (r["_u"], r["_v"], r["w"], r["_n_hops"]) for r in c.edges.collect()
+    )
+    assert got == [("0", "3", 6.0, 3), ("0", "3", 10.0, 1)]
+    assert {r["_n"] for r in c.nodes.collect()} == {"0", "3"}
+
+
+def test_contract_chains_pure_cycle_untouched(spark):
+    """A cycle of all-chain nodes has no head edge: emitted unchanged,
+    nodes retained (the plateau-detection path)."""
+    g = _mkgraph(spark, [("0", "1", 1.0), ("1", "2", 1.0), ("2", "0", 1.0)])
+    c = g.contract_chains(weight="w")
+    got = sorted((r["_u"], r["_v"], r["w"]) for r in c.edges.collect())
+    assert got == [("0", "1", 1.0), ("1", "2", 1.0), ("2", "0", 1.0)]
+    assert {r["_n"] for r in c.nodes.collect()} == {"0", "1", "2"}
+
+
+def test_contract_chains_bidirectional_preserves_sssp(spark):
+    """Two-way chains hanging off a triangle: EVERY degree-2 node
+    (v1, v2, b on the long way; h1 inside the triangle) is a two-way
+    through node, so both sides fold into parallel a=h2 shortcuts
+    (2.0 direct, 2.5 via h1, 15.0 via the 4-hop chain) and SSSP
+    between the retained pair matches the raw graph exactly."""
+    tri = [("a", "h1", 1.0), ("h1", "a", 1.0), ("a", "h2", 2.0),
+           ("h2", "a", 2.0), ("h1", "h2", 1.5), ("h2", "h1", 1.5)]
+    chainp = [("a", "v1", 1.0), ("v1", "a", 1.0), ("v1", "v2", 2.0),
+              ("v2", "v1", 2.0), ("v2", "b", 3.0), ("b", "v2", 3.0),
+              ("b", "h2", 9.0), ("h2", "b", 9.0)]
+    g = _mkgraph(spark, tri + chainp)
+    c = g.contract_chains(weight="w")
+    retained = {r["_n"] for r in c.nodes.collect()}
+    assert retained == {"a", "h2"}
+    got = sorted(
+        (r["_u"], r["_v"], r["w"], r["_n_hops"]) for r in c.edges.collect()
+    )
+    assert got == [
+        ("a", "h2", 2.0, 1), ("a", "h2", 2.5, 2), ("a", "h2", 15.0, 4),
+        ("h2", "a", 2.0, 1), ("h2", "a", 2.5, 2), ("h2", "a", 15.0, 4),
+    ]
+    for src in sorted(retained):
+        raw = {
+            r["_n"]: r["dist"]
+            for r in g.shortest_path_lengths(src, weight="w").collect()
+            if r["dist"] is not None
+        }
+        con = {
+            r["_n"]: r["dist"]
+            for r in c.shortest_path_lengths(src, weight="w").collect()
+            if r["dist"] is not None
+        }
+        for n in retained:
+            assert con.get(n) == pytest.approx(raw.get(n)), (src, n)
+
+
+def test_contract_chains_uw_fixture_sssp(uwG):
+    """End-to-end on the uw sidewalk fixture (every edge has its
+    reverse): contraction must not change any retained-pair distance."""
+    c = uwG.contract_chains(weight="length")
+    retained = sorted(r["_n"] for r in c.nodes.collect())
+    src = retained[0]
+    raw = {
+        r["_n"]: r["dist"]
+        for r in uwG.shortest_path_lengths(src, weight="length").collect()
+        if r["dist"] is not None
+    }
+    con = {
+        r["_n"]: r["dist"]
+        for r in c.shortest_path_lengths(src, weight="w").collect()
+        if r["dist"] is not None
+    }
+    for n in retained:
+        assert con.get(n) == pytest.approx(raw.get(n)), n
