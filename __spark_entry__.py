@@ -20,71 +20,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver verifies a 50-query subset of the
-# catalog each round, drawing from the head of this dict.  Round-10
-# rotation (r9 verdict task #1): the ENTIRE catalog is listed in
-# staleness order — queries whose newest driver-green CORRECTNESS row
-# is oldest come first (r5, then r7, r8, r9; alphabetical within a
-# round), with never-sampled new queries at the very head.  The
-# head 50 = 3 new r10 queries + the 25 r5-vintage rows + the 22
-# stalest r7 rows (never-sampled entries count against the 50), so
-# after r10 no query's newest driver-green row is older than round 7.
-# Regenerate next round with the same rule (sort by newest green
-# round across CORRECTNESS_r*.json, stalest first; never-sampled
-# new queries at the very head).
+# catalog each round, drawing from the head of this dict.  Rotation
+# rule (r9 verdict task #1, AMENDED by r10 verdict task #1): the
+# ENTIRE catalog is listed with (a) never-sampled new queries at the
+# very head, then (b) queries whose implementation or oracle CHANGED
+# since their newest driver-green row ("changed outranks stale" — the
+# driver must re-hash changed code even if its last green row is
+# recent), then (c) all remaining queries in staleness order (oldest
+# newest-green round first, alphabetical within a round).  The r11
+# head 50 = 2 new + 4 changed (mm4/t22/d6b from the r10 diff, t22b
+# from the r11 auto-dispatch rework) + the 28 r7-vintage rows + the
+# 16 alphabetically-first r8 rows.  Regenerate every round with the
+# same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 10) ---
-    "g_anf",
-    "g_condensation_depth",
+    # --- never sampled (new in round 11) ---
+    "g_eff_diameter",
+    "g_linegraph",
+    # --- changed in r10/r11 but newest driver-green row predates
+    # --- the change (r10-verdict task #1: changed > stalest) ---
+    "d6b_embedding_neardup_lsh",
+    "mm4_media_neardup",
+    "t22_repetition_removal",
     "t22b_repetition_removal_explode",
-    # --- newest driver-green row: round 5 ---
-    "g_motif_ffw_triangle",
-    "g_motif_open_wedge",
-    "g_node2vec_walks",
-    "g_skipgram_pairs",
-    "g_topo_levels",
-    "g_walks",
-    "m3_scd2_history",
-    "q12_late_priority",
-    "s10_random_projection",
-    "s12_ivfpq_encode",
-    "s8_ivf_recall",
-    "s9_pq_encode",
-    "samp3_token_budget",
-    "samp4_temperature",
-    "t11_pii_redact",
-    "t14_gopher_rules",
-    "t15_bm25_rank",
-    "t16_bigram_logprob",
-    "t17_lm_buckets",
-    "t18_kl_divergence",
-    "t19_pipeline_e2e",
-    "t20_split_leakage",
-    "t21_feature_hashing",
-    "w6_range_interval",
-    "x5_zorder_values",
     # --- newest driver-green row: round 7 ---
-    "a1_table_counts",
-    "a2_orders_per_customer",
-    "a3_weighted_size",
-    "agg_cube_docs",
-    "agg_rollup_status",
-    "d14_semdedup",
-    "d15_dsir_weights",
-    "d1_exact_dedup",
-    "d2_minhash_signatures",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "e1_tumbling_hourly",
-    "e2_sliding_30min",
-    "e4_topk_users",
-    "ev_json_extract",
-    "g_a2_out_degree",
-    "g_cc_components",
-    "g_clustering_coef",
-    "g_harmonic",
-    "g_j1_bfs_hops",
-    "g_j1_sssp_weighted",
-    "g_ktruss",
     "g_msf",
     "g_p5_successors",
     "g_scc_components",
@@ -98,7 +56,6 @@ _PRIORITY = [
     "m1_keyed_update",
     "m2_delete_keys",
     "mm1_binary_meta",
-    "mm4_media_neardup",
     "o1_top10_orders",
     "p2_point_lookup",
     "p4_semi_join",
@@ -118,7 +75,6 @@ _PRIORITY = [
     "d4b_simhash_neardup",
     "d5_ngram_jaccard_pairs",
     "d6_embedding_neardup",
-    "d6b_embedding_neardup_lsh",
     "d7_contamination",
     "d8_dedup_clusters",
     "e3_sessionize",
@@ -205,7 +161,6 @@ _PRIORITY = [
     "samp1_stratified",
     "samp2_hash_bernoulli",
     "t10_corpus_filter",
-    "t22_repetition_removal",
     "t5_bpe_tokens",
     "t6_length_quantiles",
     "t7_pack_chunks",
@@ -215,6 +170,56 @@ _PRIORITY = [
     "w3_rank_dense",
     "w4_lag_lead",
     "w5_distribution_ranks",
+    # --- newest driver-green row: round 10 ---
+    "a1_table_counts",
+    "a2_orders_per_customer",
+    "a3_weighted_size",
+    "agg_cube_docs",
+    "agg_rollup_status",
+    "d14_semdedup",
+    "d15_dsir_weights",
+    "d1_exact_dedup",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "e1_tumbling_hourly",
+    "e2_sliding_30min",
+    "e4_topk_users",
+    "ev_json_extract",
+    "g_a2_out_degree",
+    "g_anf",
+    "g_cc_components",
+    "g_clustering_coef",
+    "g_condensation_depth",
+    "g_harmonic",
+    "g_j1_bfs_hops",
+    "g_j1_sssp_weighted",
+    "g_ktruss",
+    "g_motif_ffw_triangle",
+    "g_motif_open_wedge",
+    "g_node2vec_walks",
+    "g_skipgram_pairs",
+    "g_topo_levels",
+    "g_walks",
+    "m3_scd2_history",
+    "q12_late_priority",
+    "s10_random_projection",
+    "s12_ivfpq_encode",
+    "s8_ivf_recall",
+    "s9_pq_encode",
+    "samp3_token_budget",
+    "samp4_temperature",
+    "t11_pii_redact",
+    "t14_gopher_rules",
+    "t15_bm25_rank",
+    "t16_bigram_logprob",
+    "t17_lm_buckets",
+    "t18_kl_divergence",
+    "t19_pipeline_e2e",
+    "t20_split_leakage",
+    "t21_feature_hashing",
+    "w6_range_interval",
+    "x5_zorder_values",
 ]
 
 def _ordered(d: dict) -> dict:
