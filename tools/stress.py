@@ -831,6 +831,114 @@ def main() -> None:
         # dist(k) == k for all k — the sum is a closed-form oracle
         assert wrow["s"] == wn * (wn - 1) / 2, "exact distances dist(k)=k"
 
+        # --- XL effective diameter: the ANF consumer on the same
+        # 200k-node expander (r10-verdict task #5).  4-regular affine
+        # digraph → balls grow ~4x/hop, so the q=0.9 mass lands around
+        # log4(0.9·|V|²/|V|) ≈ 8-9; the curve must saturate within 12.
+        log("phase: XL effective diameter (ANF consumer)")
+        t0 = time.time()
+        # max_hops=16 is headroom, not cost: the HLL loop early-stops
+        # at the exact-confirmed fixpoint and fills the monotone tail
+        ed = Ga.effective_diameter(q=0.9, max_hops=16, method="hll").collect()[0]
+        out["effdiam_xl_sec"] = round(time.time() - t0, 1)
+        out["effdiam_xl"] = round(ed["effective_diameter"], 3)
+        out["effdiam_xl_avg_dist"] = round(ed["avg_distance"], 3)
+        out["effdiam_xl_saturated"] = bool(ed["saturated"])
+        assert ed["saturated"], "expander curve must saturate by hop 16"
+        assert 5.0 <= ed["effective_diameter"] <= 16.0
+        assert 0.0 < ed["avg_distance"] <= ed["effective_diameter"] + 3
+
+        # --- XL CH-lite chain contraction (r10-verdict task #7): a
+        # street-like topology — 10k hub intersections on two affine
+        # 2-out maps (hub degree 4), every hub-hub segment a
+        # BIDIRECTIONAL chain of 9 through-nodes.  ~190k nodes / ~400k
+        # directed edges; 95% of nodes are degree-2 pass-throughs, the
+        # dominant sidewalk shape.  Contraction must absorb all of
+        # them, and hop-BFS over the contracted graph must (a) agree
+        # with raw BFS on every hub and (b) need ~10x fewer rounds.
+        log("phase: XL chain contraction 190k nodes")
+        hm = 10_000
+        hb = spark.range(hm)
+        segs = None
+        for a, b in ((5, 1), (7, 3)):
+            s = hb.select(
+                F.col("id").alias("hi"),
+                ((F.col("id") * a + b) % hm).alias("hj"),
+                F.lit(f"m{a}").alias("seg"),
+            ).filter(F.col("hi") != F.col("hj"))
+            segs = s if segs is None else segs.unionByName(s)
+        L = 9
+        ks = segs.select(
+            "hi", "hj", "seg", F.posexplode(F.sequence(F.lit(0), F.lit(L)))
+        ).withColumnRenamed("pos", "k")
+
+        def _name(k):
+            return (
+                F.when(k == 0, F.col("hi").cast("string"))
+                .when(
+                    k == L + 1,
+                    F.col("hj").cast("string"),
+                )
+                .otherwise(
+                    F.concat_ws(
+                        "~",
+                        F.col("hi"),
+                        F.col("hj"),
+                        F.col("seg"),
+                        k.cast("string"),
+                    )
+                )
+            )
+
+        fwd = ks.select(
+            _name(F.col("k")).alias("_u"), _name(F.col("k") + 1).alias("_v")
+        )
+        ch_edges = fwd.unionByName(
+            fwd.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        ).repartition(64)
+        ch_nodes = (
+            ch_edges.select(F.col("_u").alias("_n")).distinct()
+        ).localCheckpoint(eager=True)
+        ch_edges = ch_edges.localCheckpoint(eager=True)
+        out["chain_xl_nodes"] = ch_nodes.count()
+        out["chain_xl_edges"] = ch_edges.count()
+        Gc = SparkGraph(ch_nodes, ch_edges, partitions=64, _pre_partitioned=False)
+
+        t0 = time.time()
+        Cc = Gc.contract_chains()
+        con_nodes = Cc.nodes.localCheckpoint(eager=True)
+        con_edges = Cc.edges.localCheckpoint(eager=True)
+        out["chain_xl_contracted_nodes"] = con_nodes.count()
+        out["chain_xl_contracted_edges"] = con_edges.count()
+        out["chain_xl_contract_sec"] = round(time.time() - t0, 1)
+        assert out["chain_xl_contracted_nodes"] == hm, "all through-nodes absorbed"
+        Ccg = SparkGraph(con_nodes, con_edges, partitions=64)
+
+        rstats: dict = {}
+        t0 = time.time()
+        raw_d = Gc.shortest_path_lengths(
+            "0", strategy="pregel", stats=rstats
+        ).localCheckpoint(eager=True)
+        out["chain_xl_raw_sssp_sec"] = round(time.time() - t0, 1)
+        out["chain_xl_raw_rounds"] = len(rstats["rounds"])
+        cstats: dict = {}
+        t0 = time.time()
+        con_d = Ccg.shortest_path_lengths(
+            "0", weight="w", strategy="pregel", stats=cstats
+        ).localCheckpoint(eager=True)
+        out["chain_xl_con_sssp_sec"] = round(time.time() - t0, 1)
+        out["chain_xl_con_rounds"] = len(cstats["rounds"])
+        mismatch = (
+            con_d.withColumnRenamed("dist", "cd")
+            .join(raw_d, "_n")
+            .filter(F.col("cd") != F.col("dist"))
+            .count()
+        )
+        assert mismatch == 0, "contracted hop distances == raw at every hub"
+        assert out["chain_xl_con_rounds"] * 3 < out["chain_xl_raw_rounds"], (
+            "contraction must cut Pregel rounds by >3x on the chain topology"
+        )
+
     print(json.dumps(out))
     spark.stop()
 
