@@ -355,6 +355,44 @@ def u3_union_missing_cols(spark, sf_dir):
 
 
 @q(
+    "u4_props_json_roundtrip",
+    """
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand
+    FROM part
+    """,
+)
+def u4_props_json_roundtrip(spark, sf_dir):
+    """The reference roadmap's serialized-properties storage schema
+    (reference TODO.md "Alternative schemas": all source properties in
+    ONE TEXT column, json-encoded, instead of a column per property):
+    ``parquet_store.pack_properties_json`` folds the part table's
+    property columns (with a planted NULL pattern) into a JSON string,
+    ``unpack_properties_json`` expands them back via the stored exact
+    schema — and the driver hash pins the round trip against the
+    untouched table: NULL omission/restoration, numeric types, and
+    column order all survive the hop."""
+    from entwiner_spark.sources.parquet_store import (
+        pack_properties_json,
+        unpack_properties_json,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("_k"),
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("p_brand"))
+        .alias("brand"),
+    )
+    packed, schema_json = pack_properties_json(p)
+    return unpack_properties_json(packed, schema_json).select(
+        F.col("_k").alias("p_partkey"), "p_name", "p_retailprice", "p_size", "brand"
+    )
+
+
+@q(
     "w1_top3_per_customer",
     """
     SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
@@ -4191,6 +4229,91 @@ def g_eff_diameter(spark, sf_dir):
             )
         ).alias("within_bound"),
     )
+
+
+@q(
+    "g_contract_chains",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL})
+    SELECT u, v, w, CAST(3 AS BIGINT) AS n_hops FROM e
+    """,
+)
+def g_contract_chains(spark, sf_dir):
+    """CH-lite round trip under the driver gate (reference TODO.md:72):
+    subdivide EVERY nation-DAG edge into a 3-link chain (two synthetic
+    one-way through-nodes, w/3 per link is avoided by splitting the
+    weight as w-2·1.0 on the last link so the sum is exact in floats —
+    links carry 1.0, 1.0, w-2.0), run ``SparkGraph.contract_chains``,
+    and the shortcut set must be EXACTLY the original weighted edge
+    list with ``n_hops = 3``: the oracle is the untouched edge list.
+    One driver hash pins candidate selection, pointer doubling,
+    weight/hop accumulation, and node absorption cross-engine."""
+    e = _graph_edges(spark, sf_dir).select(
+        F.col("u").cast("string").alias("u"),
+        F.col("v").cast("string").alias("v"),
+        "w",
+    )
+    c1 = F.concat_ws(">", F.col("u"), F.col("v"), F.lit("1"))
+    c2 = F.concat_ws(">", F.col("u"), F.col("v"), F.lit("2"))
+    links = (
+        e.select(F.col("u").alias("_u"), c1.alias("_v"), F.lit(1.0).alias("w"))
+        .unionByName(e.select(c1.alias("_u"), c2.alias("_v"), F.lit(1.0).alias("w")))
+        .unionByName(
+            e.select(c2.alias("_u"), F.col("v").alias("_v"), (F.col("w") - 2.0).alias("w"))
+        )
+    )
+    nodes = (
+        links.select(F.col("_u").alias("_n"))
+        .unionByName(links.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, links, partitions=8)
+    return g.contract_chains(weight="w").edges.select(
+        F.col("_u").cast("long").alias("u"),
+        F.col("_v").cast("long").alias("v"),
+        F.round("w", 6).alias("w"),
+        F.col("_n_hops").alias("n_hops"),
+    )
+
+
+@q(
+    "g_turn_routing",
+    f"""
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+    lg AS (
+      SELECT CAST(e1.u AS VARCHAR) || '|' || CAST(e1.v AS VARCHAR) AS lu,
+             CAST(e2.u AS VARCHAR) || '|' || CAST(e2.v AS VARCHAR) AS lv,
+             e2.w + CASE WHEN e2.w > e1.w THEN 100.0 ELSE 0.0 END AS w
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+    ),
+    walk(node, d, hops) AS (
+      SELECT '0|1', 0.0e0, 0
+      UNION ALL
+      SELECT lg.lv, walk.d + lg.w, walk.hops + 1
+      FROM walk JOIN lg ON lg.lu = walk.node WHERE walk.hops < 6
+    )
+    SELECT node, round(min(d), 6) AS dist FROM walk GROUP BY node
+    """,
+)
+def g_turn_routing(spark, sf_dir):
+    """Maneuver-penalized routing over the line-graph minor: SSSP from
+    edge 0→1 where every maneuver onto a COSTLIER edge (w increases
+    across the junction — a live, data-dependent analogue of a turn
+    penalty on the geometry-less nation DAG; the geometry-bearing ±45°
+    cost is pytest-pinned separately) pays +100 through the
+    ``turn_cost(e1, e2)`` hook.  Bounded 6 relaxations == the oracle's
+    ≤6-edge recursive-CTE walk over the identically penalized
+    self-join minor (Bellman-Ford step semantics, the g_j1 pattern)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    lg = g.to_linegraph(
+        weight="w",
+        turn_cost=lambda e1, e2: F.when(
+            e2("w") > e1("w"), 100.0
+        ).otherwise(0.0),
+    )
+    return lg.shortest_path_lengths(
+        "0|1", weight="w", max_iterations=6
+    ).select(F.col("_n").alias("node"), F.round("dist", 6).alias("dist"))
 
 
 # ---- graph point lookups on the nation DAG --------------------------

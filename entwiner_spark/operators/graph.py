@@ -161,6 +161,12 @@ class SparkGraph:
         n = partitions or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         # Co-locate adjacency: all out-edges of a node in one partition.
         self.edges = edges if _pre_partitioned else edges.repartition(n, "_u")
+        # pre-repartition handle for operators that need the edge table
+        # under a DIFFERENT key (to_linegraph's left side re-keys on
+        # _v): shuffling the raw input straight to the target key skips
+        # a wasted pass through the _u exchange (plan-asserted in
+        # test_linegraph_single_side_exchange)
+        self._edges_raw = edges
         self.nodes = nodes
 
     # ---- cardinality (A1/A3) ------------------------------------------
@@ -3647,13 +3653,14 @@ class SparkGraph:
         ``(u→v, v→u)`` reversal pairs entirely (the common maneuver-
         model choice) instead of pricing them.
 
-        Plan shape (scale): ONE self-join — the left side re-shuffles
-        on ``_v`` to meet the right side's existing hash partitioning
-        on ``_u`` (the constructor invariant), so only one side of the
-        |E|-row table moves; no explode, no driver loop, and the pair
-        fan-out per node is in-degree × out-degree (bounded by the
-        same skew the adjacency itself has — AQE skew-join handles hot
-        intersections).
+        Plan shape (scale): ONE self-join, each |E|-row side shuffled
+        exactly once — the left side goes from the RAW input straight
+        to hash(_v) (skipping a wasted pass through the constructor's
+        _u exchange), the right side keeps the constructor's hash(_u)
+        partitioning (free when the graph is cached/in-memory); no
+        explode, no driver loop, and the pair fan-out per node is
+        in-degree × out-degree (bounded by the same skew the adjacency
+        itself has — AQE skew-join handles hot intersections).
         """
         eid = lambda u, v: F.concat_ws(sep, u, v)  # noqa: E731
         base = self.edges
@@ -3664,7 +3671,7 @@ class SparkGraph:
             F.col("_v").alias("_edge_v"),
             *attrs,
         )
-        j = base.alias("e1").join(
+        j = self._edges_raw.alias("e1").join(
             base.alias("e2"), F.col("e1._v") == F.col("e2._u")
         )
         if not allow_uturn:

@@ -1,5 +1,6 @@
 from entwiner_spark.plans.explain import (
     assert_pushed_filters,
+    count_exchanges,
     hof_reeval_violations,
     optimized_plan,
     plan_summary,
@@ -7,6 +8,7 @@ from entwiner_spark.plans.explain import (
 
 __all__ = [
     "assert_pushed_filters",
+    "count_exchanges",
     "hof_reeval_violations",
     "optimized_plan",
     "plan_summary",

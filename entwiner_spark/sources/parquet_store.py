@@ -45,6 +45,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SPATIAL_META = "_spatial_meta.json"
+_PROPS_META = "_props_schema.json"
+
+# columns never packed into the JSON blob: graph keys / internal
+# layout columns (underscore-prefixed) plus the geometry carriers —
+# mirrors the reference's split of geometry vs properties (its
+# GeoPackage keeps geometry a real column even under the roadmap's
+# serialized-properties schema, TODO.md "Alternative schemas")
+_PROPS_GEOM_COLS = ("coordinates", "geom", "geometry")
+
+
+def pack_properties_json(
+    df: DataFrame, exclude: tuple[str, ...] = _PROPS_GEOM_COLS
+) -> tuple[DataFrame, str]:
+    """The reference roadmap's serialized-properties schema (reference
+    TODO.md "Alternative schemas": one TEXT column holding all source
+    properties instead of one column per property): fold every
+    property column (non-underscore, non-geometry) into a single
+    ``properties`` JSON string column.  Returns ``(packed_df,
+    schema_json)`` — the exact struct schema as StructType JSON so
+    ``unpack_properties_json`` round-trips without inference.
+
+    ``to_json`` omits NULL fields and ``from_json`` yields NULL for
+    absent ones, so NULLs round-trip; arrays/structs nest fine.
+    Binary properties do NOT survive the JSON hop — keep those in the
+    expanded schema (the reference's pickle-encoding alternative is a
+    non-goal: not language-portable).
+    """
+    attrs = [
+        c for c in df.columns if not c.startswith("_") and c not in exclude
+    ]
+    keep = [c for c in df.columns if c not in attrs]
+    schema_json = json.dumps(df.select(*attrs).schema.jsonValue())
+    packed = df.select(
+        *keep, F.to_json(F.struct(*attrs)).alias("properties")
+    )
+    return packed, schema_json
+
+
+def unpack_properties_json(df: DataFrame, schema_json: str) -> DataFrame:
+    """Inverse of ``pack_properties_json`` given its schema string."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    keep = [c for c in df.columns if c != "properties"]
+    if not schema.fields:  # property-less table packed to '{}'
+        return df.select(*keep)
+    return df.select(
+        *keep, F.from_json("properties", schema).alias("_p")
+    ).select(*keep, "_p.*")
 
 
 def write_graph_tables(
@@ -54,6 +103,7 @@ def write_graph_tables(
     partitions: int | None = None,
     layer_partitioned: bool = False,
     spatial_cell_deg: float | None = None,
+    properties_json: bool = False,
 ) -> None:
     """Atomic publish of the (edges, nodes) tables to ``store_dir``.
 
@@ -92,6 +142,17 @@ def write_graph_tables(
     parent = os.path.dirname(os.path.abspath(store_dir)) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="_graphstore_tmp_", dir=parent)
+    props_meta: dict[str, str] | None = None
+    if properties_json:
+        # roadmap "Alternative schemas" storage mode: property columns
+        # serialize to ONE JSON TEXT column; graph keys, internal
+        # (_-prefixed) layout columns, and geometry stay expanded so
+        # every adjacency/spatial pruning path below works unchanged
+        edges, e_schema = pack_properties_json(edges)
+        props_meta = {"edges": e_schema}
+        if nodes is not None:
+            nodes, n_schema = pack_properties_json(nodes)
+            props_meta["nodes"] = n_schema
     try:
         n = partitions or int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -166,6 +227,9 @@ def write_graph_tables(
             nodes.repartition(max(1, n // 4), "_n").sortWithinPartitions(
                 "_n"
             ).write.mode("overwrite").parquet(f"{tmp}/nodes.parquet")
+        if props_meta is not None:
+            with open(f"{tmp}/{_PROPS_META}", "w") as fh:
+                json.dump(props_meta, fh)
         if os.path.exists(store_dir):
             shutil.rmtree(store_dir)
         os.rename(tmp, store_dir)
@@ -175,13 +239,24 @@ def write_graph_tables(
 
 
 def read_graph_tables(
-    spark: SparkSession, store_dir: str
+    spark: SparkSession, store_dir: str, unpack_properties: bool = True
 ) -> tuple[DataFrame, DataFrame | None]:
     """Load (edges, nodes) back; nodes may be absent for edge-only
-    stores (streaming ingest)."""
+    stores (streaming ingest).  A store written with
+    ``properties_json=True`` is auto-detected via its schema sidecar
+    and transparently unpacked back to expanded columns
+    (``unpack_properties=False`` keeps the raw JSON column — e.g. to
+    push the string straight to another system)."""
     edges = spark.read.parquet(f"{store_dir}/edges.parquet")
     nodes_path = f"{store_dir}/nodes.parquet"
     nodes = spark.read.parquet(nodes_path) if os.path.exists(nodes_path) else None
+    meta_path = f"{store_dir}/{_PROPS_META}"
+    if unpack_properties and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        edges = unpack_properties_json(edges, meta["edges"])
+        if nodes is not None and "nodes" in meta:
+            nodes = unpack_properties_json(nodes, meta["nodes"])
     return edges, nodes
 
 
