@@ -2517,6 +2517,53 @@ def t6_length_quantiles(spark, sf_dir):
 
 
 @q(
+    "t6b_quantiles_kll",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(length(text), 0.50), 6) AS p50_chars,
+           round(quantile_cont(length(text), 0.90), 6) AS p90_chars,
+           TRUE AS within_bound
+    FROM documents GROUP BY lang
+    """,
+)
+def t6b_quantiles_kll(spark, sf_dir):
+    """The actual 100 TB quantile path t6's docstring promises: KLL
+    sketches (Karnin-Lang-Liberty 2016, the Datasketches family Spark
+    4 ships as ``kll_sketch_agg_bigint``) are MERGEABLE map-side
+    partial aggregates — per-group quantiles with bounded rank error
+    and no per-group sort, the same scale contract as the e11/a2b HLL
+    entries.  The a2b pattern: exact percentiles are the oracle-hashed
+    values, and ``within_bound`` asserts each KLL estimate lands
+    inside the exact ±5-rank-percentile envelope (k=400 → ~1% rank
+    error, so the envelope is generous; at sketch sizes below
+    compaction KLL is exact).  Only exact values and the boolean are
+    emitted — the sketch estimate itself may legally wiggle with
+    partitioning and must not enter the hash."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("bigint").alias("len")
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("kll_sketch_agg_bigint(len, 400)").alias("sk"),
+        F.expr(
+            "percentile(len, array(0.45D, 0.50D, 0.55D, 0.85D, 0.90D, 0.95D))"
+        ).alias("ex"),
+    )
+    est50 = F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").cast("double")
+    est90 = F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").cast("double")
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.element_at("ex", 2), 6).alias("p50_chars"),
+        F.round(F.element_at("ex", 5), 6).alias("p90_chars"),
+        (
+            est50.between(F.element_at("ex", 1), F.element_at("ex", 3))
+            & est90.between(F.element_at("ex", 4), F.element_at("ex", 6))
+        ).alias("within_bound"),
+    )
+
+
+@q(
     "d4b_simhash_neardup",
     f"""
     WITH wh AS (
