@@ -3695,7 +3695,10 @@ class SparkGraph:
         return SparkGraph(lnodes, ledges)
 
     def contract_chains(
-        self, weight: str | None = None, max_rounds: int = 64
+        self,
+        weight: str | None = None,
+        max_rounds: int = 64,
+        keep_path: bool = False,
     ) -> "SparkGraph":
         """CH-lite preprocessing (reference TODO.md:72 "contraction
         hierarchies" — roadmap, never built there): contract every
@@ -3721,7 +3724,11 @@ class SparkGraph:
         detected by the pending-count plateau and emitted uncontracted,
         their nodes retained.  Shortcut rows carry ``_n_hops`` (edges
         folded) so expansion/debugging can tell shortcuts from raw
-        edges.
+        edges; ``keep_path=True`` additionally records each shortcut's
+        absorbed interior nodes in order (``_via_path``, built by the
+        same doubling composition) so ``expand_contracted_path`` can
+        reconstruct raw routes — off by default because the arrays are
+        chain-length-sized.
         """
         wexpr = (
             F.col(weight).cast("double") if weight else F.lit(1.0)
@@ -3832,6 +3839,11 @@ class SparkGraph:
                 F.col("_v").alias("_end"),
                 F.col("_w").alias("_acc"),
                 F.lit(1).cast("long").alias("_hops"),
+                *(
+                    [F.array().cast("array<string>").alias("_mids")]
+                    if keep_path
+                    else []
+                ),
                 F.col("_out_eid").alias("_nxt"),
             )
             .localCheckpoint(eager=True)
@@ -3845,6 +3857,7 @@ class SparkGraph:
                 F.col("_end").alias("_t_end"),
                 F.col("_acc").alias("_t_acc"),
                 F.col("_hops").alias("_t_hops"),
+                *([F.col("_mids").alias("_t_mids")] if keep_path else []),
                 F.col("_nxt").alias("_t_nxt"),
             )
             state = rebase_checkpoint(
@@ -3867,6 +3880,24 @@ class SparkGraph:
                     )
                     .otherwise(F.col("_hops"))
                     .alias("_hops"),
+                    *(
+                        [
+                            # junction node between the two folded
+                            # segments = this edge's pre-merge _end
+                            F.when(
+                                F.col("_t_acc").isNotNull(),
+                                F.concat(
+                                    "_mids",
+                                    F.array("_end"),
+                                    "_t_mids",
+                                ),
+                            )
+                            .otherwise(F.col("_mids"))
+                            .alias("_mids")
+                        ]
+                        if keep_path
+                        else []
+                    ),
                     F.col("_t_nxt").alias("_nxt"),
                 )
             )
@@ -3874,11 +3905,15 @@ class SparkGraph:
             if now == pending:  # plateau: only pure chain cycles left
                 break
             pending = now
+        path_cols = (
+            [F.col("_mids").alias("_via_path")] if keep_path else []
+        )
         shortcuts = state.filter(~F.col("_int")).select(
             F.col("_head_u").alias("_u"),
             F.col("_end").alias("_v"),
             F.col("_acc").alias("w"),
             F.col("_hops").alias("_n_hops"),
+            *path_cols,
         )
         cycle_rest = state.filter(
             F.col("_int") & F.col("_nxt").isNotNull()
@@ -3887,6 +3922,11 @@ class SparkGraph:
             F.col("_orig_v").alias("_v"),
             F.col("_orig_w").alias("w"),
             F.lit(1).cast("long").alias("_n_hops"),
+            *(
+                [F.array().cast("array<string>").alias("_via_path")]
+                if keep_path
+                else []
+            ),
         )
         absorbed = state.filter(
             F.col("_int") & F.col("_nxt").isNull()
@@ -3895,6 +3935,41 @@ class SparkGraph:
         return SparkGraph(
             new_nodes, shortcuts.unionByName(cycle_rest)
         )
+
+    def expand_contracted_path(self, path: list[str]) -> list[str]:
+        """Expand a node path over a ``contract_chains(keep_path=True)``
+        graph back to the RAW node sequence: each consecutive pair's
+        minimum-weight shortcut contributes its recorded ``_via_path``
+        interiors (under positive weights any minimum-weight shortcut
+        lies on a true shortest path, so ties expand to a valid
+        optimum).  Driver-side over one small filtered collect — the
+        path is route-sized, not graph-sized."""
+        if "_via_path" not in self.edges.columns:
+            raise ValueError(
+                "expand_contracted_path needs a graph built by "
+                "contract_chains(keep_path=True) (no _via_path column)"
+            )
+        if len(path) < 2:
+            return list(path)
+        pairs = set(zip(path, path[1:]))
+        key = F.concat_ws("\x1f", F.col("_u"), F.col("_v"))
+        wanted = [f"{a}\x1f{b}" for a, b in pairs]
+        best: dict[tuple[str, str], tuple[float, list[str]]] = {}
+        for r in (
+            self.edges.filter(key.isin(wanted))
+            .select("_u", "_v", "w", "_via_path")
+            .collect()
+        ):
+            k = (r["_u"], r["_v"])
+            if k not in best or r["w"] < best[k][0]:
+                best[k] = (r["w"], list(r["_via_path"] or []))
+        out = [path[0]]
+        for a, b in zip(path, path[1:]):
+            if (a, b) not in best:
+                raise KeyError(f"no contracted edge {a!r} -> {b!r}")
+            out.extend(best[(a, b)][1])
+            out.append(b)
+        return out
 
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""

@@ -1965,3 +1965,44 @@ def test_contract_chains_uw_fixture_sssp(uwG):
     }
     for n in retained:
         assert con.get(n) == pytest.approx(raw.get(n)), n
+
+
+def test_contract_chains_keep_path_expansion(spark, uwG):
+    """keep_path=True records absorbed interiors; a route found on the
+    CONTRACTED graph expands back to a valid RAW route with identical
+    cost (endpoints match, every consecutive pair is a raw edge, raw
+    edge weights sum to the contracted route cost)."""
+    c = uwG.contract_chains(weight="length", keep_path=True)
+    assert "_via_path" in c.edges.columns
+    retained = sorted(r["_n"] for r in c.nodes.collect())
+    src = retained[0]
+    # farthest reachable retained node (forces a multi-shortcut route)
+    dists = {
+        r["_n"]: r["dist"]
+        for r in c.shortest_path_lengths(src, weight="w").collect()
+        if r["dist"] is not None and r["_n"] in set(retained)
+    }
+    dst = max(dists, key=dists.get)
+    cpath, ccost = c.shortest_path(src, dst, weight="w")
+    full = c.expand_contracted_path(cpath)
+    assert full[0] == src and full[-1] == dst
+    raw_w = {
+        (r["_u"], r["_v"]): r["length"]
+        for r in uwG.edges.select("_u", "_v", "length").collect()
+    }
+    walked = 0.0
+    for a, b in zip(full, full[1:]):
+        assert (a, b) in raw_w, (a, b)  # every expanded hop is a raw edge
+        walked += raw_w[(a, b)]
+    assert walked == pytest.approx(ccost)
+    # and the contracted route cost equals the raw shortest distance
+    raw_cost = {
+        r["_n"]: r["dist"]
+        for r in uwG.shortest_path_lengths(src, weight="length").collect()
+        if r["dist"] is not None
+    }[dst]
+    assert ccost == pytest.approx(raw_cost)
+    # error paths: missing _via_path and unknown pair
+    c2 = uwG.contract_chains(weight="length")
+    with pytest.raises(ValueError, match="_via_path"):
+        c2.expand_contracted_path(cpath)
