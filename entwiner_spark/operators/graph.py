@@ -93,6 +93,32 @@ class FixpointProbe:
         self._prev_sig: tuple | None = None
         self._prev_df: DataFrame | None = None
 
+    def converged_with(self, df: DataFrame, **aggs):
+        """``converged()`` plus caller aggregates in the SAME single
+        action: returns ``(done, row)`` where ``row`` carries each
+        keyword aggregate by name.  For loops that need a per-round
+        statistic anyway (ANF's ball-size sum), this folds the probe
+        and the statistic into one job per round instead of two —
+        signature/confirm semantics identical to ``converged``."""
+        hashed = df.withColumn(
+            "_fp_h", F.xxhash64(*[F.col(c) for c in self._cols])
+        )
+        row = hashed.agg(
+            F.count(F.lit(1)).alias("_fp_n"),
+            F.expr("bit_xor(_fp_h)").alias("_fp_sig"),
+            *[a.alias(k) for k, a in aggs.items()],
+        ).collect()[0]
+        proj = df.select(*self._cols)
+        sig = (row["_fp_n"], row["_fp_sig"])
+        done = (
+            sig == self._prev_sig
+            and self._prev_df is not None
+            and proj.exceptAll(self._prev_df).limit(1).count() == 0
+        )
+        self._prev_sig = sig
+        self._prev_df = proj
+        return done, row
+
     def converged(self, df: DataFrame) -> bool:
         proj = df.select(*self._cols)
         # per-row hash built from Column objects (not an interpolated
@@ -2727,11 +2753,59 @@ class SparkGraph:
         lb = d2.agg(F.max("dist")).collect()[0][0]
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
+    def _local_neighborhood_function(self, max_hops: int) -> DataFrame:
+        """Driver-side exact twin of ``neighborhood_function(
+        method="exact")`` — per-node truncated BFS over the collected
+        distinct edge set; identical pair counts by construction (same
+        dedup, same self-loop exclusion, same ≤max_hops truncation).
+        Small graphs only (the _use_local gate): the distributed exact
+        path costs ~3 driver actions per hop, which dominates at
+        catalog scale."""
+        from collections import deque
+
+        adj: dict[str, set] = {}
+        nodes = {r["_n"] for r in self.nodes.select("_n").collect()}
+        for r in self.edges.select("_u", "_v").collect():
+            u, v = r["_u"], r["_v"]
+            nodes.add(u)
+            nodes.add(v)
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+        counts = [0] * (max_hops + 1)
+        for s in nodes:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] == max_hops:
+                    continue
+                for m in adj.get(u, ()):
+                    if m not in dist:
+                        dist[m] = dist[u] + 1
+                        q.append(m)
+            hist = [0] * (max_hops + 1)
+            for d in dist.values():
+                hist[d] += 1
+            run = 0
+            for h in range(max_hops + 1):
+                run += hist[h]
+                counts[h] += run
+        schema = T.StructType(
+            [
+                T.StructField("hop", T.LongType(), False),
+                T.StructField("n_pairs", T.LongType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            [(h, int(counts[h])) for h in range(max_hops + 1)], schema
+        )
+
     def neighborhood_function(
         self,
         max_hops: int = 8,
         method: str = "hll",
         lgk: int = 12,
+        strategy: str = "auto",
     ) -> DataFrame:
         """ANF — the approximate neighborhood function (Palmer,
         Gibbons, Faloutsos 2002, "ANF: a fast and scalable tool for
@@ -2760,7 +2834,16 @@ class SparkGraph:
 
         Returns ``(hop, n_pairs)`` (long; the HLL estimate is the
         sketch's integer estimate).
+
+        ``strategy``: ``auto`` (default) short-cuts the EXACT method
+        to the driver-side BFS twin below the local threshold (the
+        established closeness/SSSP pattern — identical counts, ~3
+        fewer driver actions per hop); ``pregel`` forces the
+        distributed loop; the HLL path is always distributed (its
+        whole point is the scale regime).
         """
+        if method == "exact" and self._use_local(strategy):
+            return self._local_neighborhood_function(max_hops)
         schema = T.StructType(
             [
                 T.StructField("hop", T.LongType(), False),
@@ -2801,14 +2884,13 @@ class SparkGraph:
             state = nodes.groupBy("_n").agg(
                 F.hll_sketch_agg("_n", F.lit(lgk)).alias("sk")
             ).localCheckpoint(eager=True)
-            counts.append(
-                state.agg(
-                    F.sum(F.hll_sketch_estimate("sk"))
-                ).collect()[0][0]
-                or 0  # empty graph: SUM over zero rows is NULL
-            )
             probe = FixpointProbe("_n", "sk")
-            probe.converged(state)  # seed the signature
+            est = F.sum(F.hll_sketch_estimate("sk"))
+            # seed the signature and take the hop-0 estimate in the
+            # same single action (converged_with: probe + statistic
+            # fused — one job per round, was two)
+            _, row = probe.converged_with(state, est=est)
+            counts.append(row["est"] or 0)  # empty graph: SUM is NULL
             for _h in range(max_hops):
                 msgs = edges.join(
                     state.withColumnRenamed("_n", "_v"), "_v"
@@ -2818,14 +2900,10 @@ class SparkGraph:
                     .groupBy("_n")
                     .agg(F.hll_union_agg("sk").alias("sk"))
                 )
-                if probe.converged(state):  # balls saturated
+                done, row = probe.converged_with(state, est=est)
+                if done:  # balls saturated
                     break
-                counts.append(
-                    state.agg(
-                        F.sum(F.hll_sketch_estimate("sk"))
-                    ).collect()[0][0]
-                    or 0
-                )
+                counts.append(row["est"] or 0)
         else:
             raise ValueError(
                 f"method must be 'hll' or 'exact', got {method!r}"

@@ -2006,3 +2006,20 @@ def test_contract_chains_keep_path_expansion(spark, uwG):
     c2 = uwG.contract_chains(weight="length")
     with pytest.raises(ValueError, match="_via_path"):
         c2.expand_contracted_path(cpath)
+
+
+def test_neighborhood_function_local_matches_pregel(spark):
+    """The r11 local exact twin == the distributed exact path, hop for
+    hop (mixed topology: cycle + chain + self-loop + duplicate edge)."""
+    g = _mkgraph(
+        spark,
+        [("0", "1", 1.0), ("1", "2", 1.0), ("2", "0", 1.0),
+         ("2", "3", 1.0), ("3", "4", 1.0), ("4", "4", 1.0),
+         ("2", "3", 1.0)],
+    )
+    loc = [(r["hop"], r["n_pairs"]) for r in
+           g.neighborhood_function(max_hops=5, method="exact").collect()]
+    dst = [(r["hop"], r["n_pairs"]) for r in
+           g.neighborhood_function(
+               max_hops=5, method="exact", strategy="pregel").collect()]
+    assert sorted(loc) == sorted(dst)
