@@ -3772,11 +3772,99 @@ class SparkGraph:
         )
         return SparkGraph(lnodes, ledges)
 
+    def _local_contract_chains(
+        self, weight: str | None, keep_path: bool
+    ) -> "SparkGraph":
+        """Driver-side twin of ``contract_chains`` for small graphs
+        (the _use_local gate): identical chain-node rules (one-way /
+        two-way / parallel-edge and self-loop exclusions), identical
+        outputs — shortcut (u, end, summed w, hops[, via path]) per
+        head edge, pure chain cycles emitted unchanged, absorbed
+        interiors dropped from nodes.  The distributed path costs
+        ~2 driver actions per doubling round; below the threshold the
+        whole walk is microseconds on the driver."""
+        wexpr = F.col(weight).cast("double") if weight else F.lit(1.0)
+        triples = [
+            (r["_u"], r["_v"], r["_w"])
+            for r in self.edges.select("_u", "_v", wexpr.alias("_w")).collect()
+        ]
+        from collections import defaultdict
+
+        outs, ins = defaultdict(list), defaultdict(list)
+        wmap: dict[tuple[str, str], float] = {}
+        for u, v, w in triples:
+            outs[u].append(v)
+            ins[v].append(u)
+            # unique for every edge the walk follows: chain-node
+            # out-edges cannot be parallel under the degree rules
+            wmap[(u, v)] = w
+        def _chain(n: str) -> bool:
+            od, idg = len(outs[n]), len(ins[n])
+            if od == 1 and idg == 1:
+                return outs[n][0] != n and ins[n][0] != n
+            if od == 2 and idg == 2:
+                ss, ps = set(outs[n]), set(ins[n])
+                return len(ss) == 2 and ss == ps and n not in ss
+            return False
+
+        chain = {n for n in set(outs) | set(ins) if _chain(n)}
+
+        def _nxt(u: str, v: str):
+            if v not in chain:
+                return None
+            if len(outs[v]) == 1:  # one-way (stub continuation kept)
+                return (v, outs[v][0])
+            other = [t for t in outs[v] if t != u]
+            return (v, other[0])
+
+        shortcuts, cycle_rest, absorbed = [], [], set()
+        consumed = set()
+        for u, v, w in triples:
+            if u in chain:
+                continue  # interior: covered by its head's walk
+            end, acc, hops, mids = v, w, 1, []
+            cur = _nxt(u, v)
+            seen_guard = 0
+            while cur is not None:
+                mids.append(end)
+                cu, cv = cur
+                cw = wmap[(cu, cv)]
+                consumed.add((cu, cv))
+                acc += cw
+                hops += 1
+                end, cur = cv, _nxt(cu, cv)
+                seen_guard += 1
+                if seen_guard > len(triples):  # unreachable; safety
+                    break
+            shortcuts.append((u, end, float(acc), hops, mids))
+        for n in chain:
+            for t in outs[n]:
+                if (n, t) not in consumed:
+                    # pure chain-cycle edge: no head edge reaches it
+                    cycle_rest.append((n, t, float(wmap[(n, t)]), 1, []))
+        absorbed = {
+            u for (u, _v) in consumed if u in chain
+        }
+        rows = shortcuts + cycle_rest
+        schema = "_u string, _v string, w double, _n_hops long" + (
+            ", _via_path array<string>" if keep_path else ""
+        )
+        edges_out = self.spark.createDataFrame(
+            [r if keep_path else r[:4] for r in rows], schema
+        )
+        nodes_out = self.nodes.filter(
+            ~F.col("_n").isin(sorted(absorbed))
+            if absorbed
+            else F.lit(True)
+        )
+        return SparkGraph(nodes_out, edges_out)
+
     def contract_chains(
         self,
         weight: str | None = None,
         max_rounds: int = 64,
         keep_path: bool = False,
+        strategy: str = "auto",
     ) -> "SparkGraph":
         """CH-lite preprocessing (reference TODO.md:72 "contraction
         hierarchies" — roadmap, never built there): contract every
@@ -3806,8 +3894,12 @@ class SparkGraph:
         absorbed interior nodes in order (``_via_path``, built by the
         same doubling composition) so ``expand_contracted_path`` can
         reconstruct raw routes — off by default because the arrays are
-        chain-length-sized.
+        chain-length-sized.  ``strategy``: auto (driver-local twin
+        below the small-graph threshold, identical rows —
+        pytest-pinned), local, or pregel (force distributed).
         """
+        if self._use_local(strategy):
+            return self._local_contract_chains(weight, keep_path)
         wexpr = (
             F.col(weight).cast("double") if weight else F.lit(1.0)
         )

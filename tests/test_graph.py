@@ -2023,3 +2023,29 @@ def test_neighborhood_function_local_matches_pregel(spark):
            g.neighborhood_function(
                max_hops=5, method="exact", strategy="pregel").collect()]
     assert sorted(loc) == sorted(dst)
+
+
+def test_contract_chains_local_matches_pregel(spark):
+    """The r11 driver-local contraction twin == the distributed
+    pointer-doubling path, row for row (shortcuts, hop counts, via
+    paths, cycle leftovers, retained nodes) on a mixed fixture:
+    bidirectional chain + triangle + directed chain + pure cycle."""
+    es = [("a", "h1", 1.0), ("h1", "a", 1.0), ("a", "h2", 2.0),
+          ("h2", "a", 2.0), ("h1", "h2", 1.5), ("h2", "h1", 1.5),
+          ("a", "v1", 1.0), ("v1", "a", 1.0), ("v1", "v2", 2.0),
+          ("v2", "v1", 2.0), ("v2", "h2", 3.0), ("h2", "v2", 3.0),
+          ("h2", "d1", 4.0), ("d1", "d2", 5.0), ("d2", "a", 6.0),
+          ("c1", "c2", 7.0), ("c2", "c3", 8.0), ("c3", "c1", 9.0)]
+    g = _mkgraph(spark, es)
+    out = {}
+    for strat in ("local", "pregel"):
+        c = g.contract_chains(weight="w", keep_path=True, strategy=strat)
+        edges = sorted(
+            (r["_u"], r["_v"], r["w"], r["_n_hops"], tuple(r["_via_path"]))
+            for r in c.edges.collect()
+        )
+        nodes = sorted(r["_n"] for r in c.nodes.collect())
+        out[strat] = (edges, nodes)
+    assert out["local"] == out["pregel"]
+    # the pure cycle c1-c2-c3 must be present untouched in both
+    assert ("c1", "c2", 7.0, 1, ()) in out["local"][0]
