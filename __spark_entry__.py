@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r11
-# head 50 = 6 new + 4 changed (mm4/t22/d6b from the r10 diff, t22b
+# head 50 = 7 new + 4 changed (mm4/t22/d6b from the r10 diff, t22b
 # from the r11 auto-dispatch rework) + the 28 r7-vintage rows + the
-# 12 alphabetically-first r8 rows.  Regenerate every round with the
+# 11 alphabetically-first r8 rows.  Regenerate every round with the
 # same rule.
 _PRIORITY = [
     # --- never sampled (new in round 11) ---
@@ -38,6 +38,7 @@ _PRIORITY = [
     "g_eff_diameter",
     "g_linegraph",
     "g_turn_routing",
+    "d16_dup_span_removal",
     "t6b_quantiles_kll",
     "u4_props_json_roundtrip",
     # --- changed in r10/r11 but newest driver-green row predates

@@ -2731,6 +2731,67 @@ def d10_dup_ngram_coverage(spark, sf_dir):
 
 
 @q(
+    "d16_dup_span_removal",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(u.o AS BIGINT) AS pos, w[u.o + 1] AS tok
+      FROM base CROSS JOIN unnest(range(len(w))) AS u(o)
+    ),
+    occ AS (
+      SELECT doc_id, pos AS st,
+             concat_ws(chr(31), tok,
+                       lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                       lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                       lead(tok, 7) OVER w) AS gram,
+             lead(tok, 7) OVER w AS _last
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT doc_id, st, gram FROM occ WHERE _last IS NOT NULL),
+    dup AS (
+      SELECT doc_id, st FROM (
+        SELECT doc_id, st,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, st) AS rn
+        FROM g) WHERE rn > 1
+    ),
+    dpos AS (
+      SELECT DISTINCT doc_id, st + o AS pos
+      FROM dup CROSS JOIN unnest(range(8)) AS t(o)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.tok, (d.pos IS NOT NULL) AS rm
+      FROM toks t LEFT JOIN dpos d
+        ON t.doc_id = d.doc_id AND t.pos = d.pos
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm),
+                    '') AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def d16_dup_span_removal(spark, sf_dir):
+    """Exact duplicate-span REMOVAL (Lee et al. 2022 substring dedup —
+    d10 measures span duplication, this emits the cleaned corpus):
+    word positions covered by a duplicated 8-gram occurrence that is
+    not the gram's corpus-first occurrence (by (doc_id, position)) are
+    dropped; shared boilerplate survives exactly once corpus-wide.
+    Skew-safe first-occurrence via groupBy-min (no per-gram window —
+    hot boilerplate grams would funnel corpus-scale lists into single
+    window partitions); the oracle recomputes it with a row_number
+    window, pinning the two formulations equal."""
+    return DD.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8
+    )
+
+
+@q(
     "samp1_stratified",
     """
     WITH ranked AS (

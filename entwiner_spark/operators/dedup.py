@@ -646,3 +646,89 @@ def sorted_neighborhood_pairs(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — the substring-dedup
+    step; d10/`dup_ngram_coverage` only MEASURES duplication, this
+    produces the cleaned corpus): every word position covered by a
+    duplicated ``k``-gram occurrence that is not the gram's
+    corpus-FIRST occurrence (ordered by ``(doc_id, position)``) is
+    dropped; the first occurrence survives, so shared boilerplate
+    remains exactly once corpus-wide.
+
+    Plan shape at 100 TB: grams are built with ``lead`` windows inside
+    each doc partition (no explode amplification — one row per token);
+    the corpus-first occurrence per gram is a ``groupBy(gram).min(
+    struct(doc, start))`` — a partial-aggregable min, deliberately NOT
+    a per-gram ``row_number`` window, because hot boilerplate grams
+    would funnel corpus-scale occurrence lists into single window
+    partitions; removal positions come from a bounded ``sequence``
+    explode (k rows per duplicate occurrence) and one anti-ish left
+    join; one final per-doc aggregate re-assembles the text.  Grams
+    join by their raw string (exact semantics — no hash-collision
+    false removals); for extreme scale swap the key for xxhash64 and
+    accept the 2^-64 collision budget.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    occ = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos").alias("st"),
+            F.concat_ws("\x1f", *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    firsts = occ.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("st").alias("s"))).alias(
+            "_first"
+        )
+    )
+    dup = occ.join(firsts, "gram").filter(
+        ~(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("st") == F.col("_first.s"))
+        )
+    )
+    dpos = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("st"), F.col("st") + (k - 1))).alias("pos"),
+    ).distinct()
+    marked = toks.join(
+        dpos.withColumn("_rm", F.lit(True)), [id_col, "pos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("_rm").isNull(), F.struct("pos", "tok")
+    )  # collect_list drops the NULL (removed) slots
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

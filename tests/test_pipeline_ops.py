@@ -735,3 +735,32 @@ def test_remove_repeated_paragraphs_auto_single_scan(spark, tmp_path):
     assert got[1] == "a\n\nb"
     assert got[2] == "p0\n\np1\n\np2"
     out.unpersist, docs.unpersist  # no-op attrs; cache is LRU-managed
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """3-gram span removal on a hand-built corpus: doc 1 holds the
+    first occurrence of the shared phrase (survives), doc 2's copy is
+    removed, doc 3 repeats the phrase INSIDE itself (second occurrence
+    removed), doc 4 is too short for any gram and is untouched."""
+    from entwiner_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "x a b c y"),
+        (3, "p q r s p q r s"),
+        (4, "u v"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, k=3).collect()
+    }
+    # doc 2: gram "a b c" at pos 1 duplicates doc 1 pos 0 -> pos 1..3 cut
+    assert got[1] == (5, 0, "a b c d e")
+    assert got[2] == (5, 3, "x y")
+    # doc 3: grams at 4..5 ("p q r", "q r s") are non-first (both exist
+    # at 0/1), covering pos 4..7; the window-spanning grams at 2/3
+    # ("r s p", "s p q") are globally unique and survive as coverage
+    assert got[3][0] == 8 and got[3][1] == 4
+    assert got[3][2] == "p q r s"
+    assert got[4] == (2, 0, "u v")
