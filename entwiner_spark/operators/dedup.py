@@ -663,41 +663,48 @@ def remove_duplicate_spans(
     dropped; the first occurrence survives, so shared boilerplate
     remains exactly once corpus-wide.
 
-    Plan shape at 100 TB: grams are built with ``lead`` windows inside
-    each doc partition (no explode amplification — one row per token);
-    the corpus-first occurrence per gram is a ``groupBy(gram).min(
-    struct(doc, start))`` — a partial-aggregable min, deliberately NOT
-    a per-gram ``row_number`` window, because hot boilerplate grams
-    would funnel corpus-scale occurrence lists into single window
-    partitions; removal positions come from a bounded ``sequence``
-    explode (k rows per duplicate occurrence) and one anti-ish left
-    join; one final per-doc aggregate re-assembles the text.  Grams
+    Plan shape at 100 TB: grams are built MAP-ONLY per row (let-bound
+    slice transform — no token-level window sort; the d10 idiom with
+    raw strings); the corpus-first occurrence per gram is a
+    ``groupBy(gram).min(struct(doc, start))`` — a partial-aggregable
+    min, deliberately NOT a per-gram ``row_number`` window, because
+    hot boilerplate grams would funnel corpus-scale occurrence lists
+    into single window partitions; removal positions come from a
+    bounded ``sequence`` explode (k rows per duplicate occurrence) and
+    one (doc, pos)-keyed left join; one final per-doc aggregate
+    re-assembles the text.  Grams
     join by their raw string (exact semantics — no hash-collision
     false removals); for extreme scale swap the key for xxhash64 and
     accept the 2^-64 collision budget.
 
     Returns ``(id_col, n_tokens, n_removed, clean_text)``.
     """
-    from pyspark.sql import Window
+    from entwiner_spark.functions.expr import let_bound
 
+    warr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        ).alias("pos", "tok"),
+        F.col(id_col), F.posexplode(warr).alias("pos", "tok")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    occ = (
-        toks.select(
-            F.col(id_col),
-            F.col("pos").alias("st"),
-            F.concat_ws("\x1f", *leads).alias("gram"),
-            leads[-1].alias("_last"),
+
+    def _grams(w):
+        # let-bound: split once per row; grams as (start, string)
+        # structs via slice — map-only, no token-level window sort
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.struct(
+                i.cast("long").alias("st"),
+                F.concat_ws(
+                    "\x1f", F.slice(w, i + 1, k)
+                ).alias("gram"),
+            ),
         )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
+        return F.when(F.size(w) >= k, g).otherwise(
+            F.array().cast("array<struct<st:long,gram:string>>")
+        )
+
+    occ = df.select(
+        F.col(id_col), F.explode(let_bound(warr, _grams)).alias("_g")
+    ).select(id_col, F.col("_g.st").alias("st"), F.col("_g.gram").alias("gram"))
     firsts = occ.groupBy("gram").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("st").alias("s"))).alias(
             "_first"
