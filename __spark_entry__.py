@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r11
-# head 50 = 7 new + 4 changed (mm4/t22/d6b from the r10 diff, t22b
+# head 50 = 7 new + 5 changed (mm4/t22/d6b from the r10 diff, t22b
 # from the r11 auto-dispatch rework) + the 28 r7-vintage rows + the
-# 11 alphabetically-first r8 rows.  Regenerate every round with the
+# 10 alphabetically-first r8 rows.  Regenerate every round with the
 # same rule.
 _PRIORITY = [
     # --- never sampled (new in round 11) ---
@@ -43,10 +43,11 @@ _PRIORITY = [
     "u4_props_json_roundtrip",
     # --- changed in r10/r11 but newest driver-green row predates
     # --- the change (r10-verdict task #1: changed > stalest) ---
-    "d6b_embedding_neardup_lsh",
-    "mm4_media_neardup",
-    "t22_repetition_removal",
-    "t22b_repetition_removal_explode",
+    "d6b_embedding_neardup_lsh",  # r10: zero-norm/NULL pre-filter
+    "g_anf",  # r11: neighborhood_function local-exact gate + fused probe
+    "mm4_media_neardup",  # r10: shingle_bytes 4 -> 8
+    "t22_repetition_removal",  # r10: rewritten onto the shared operator
+    "t22b_repetition_removal_explode",  # same operator, explode plan
     # --- newest driver-green row: round 7 ---
     "g_msf",
     "g_p5_successors",
@@ -192,7 +193,6 @@ _PRIORITY = [
     "e4_topk_users",
     "ev_json_extract",
     "g_a2_out_degree",
-    "g_anf",
     "g_cc_components",
     "g_clustering_coef",
     "g_condensation_depth",

@@ -56,7 +56,12 @@ def turn_angle_deg(coords_in: Column, coords_out: Column) -> Column:
     LineString and the START heading of the next (both
     ``array<array<double>>`` of [lon, lat]): 0 = straight through,
     +90 = right turn, -90 = left turn, ±180 = U-turn.  The per-maneuver
-    cost input for ``SparkGraph.to_linegraph`` turn penalties."""
+    cost input for ``SparkGraph.to_linegraph`` turn penalties.
+
+    Degenerate inputs (NULL, empty, or single-point linestrings — no
+    heading exists) yield NULL instead of an ANSI index error, so one
+    bad geometry row cannot fail a corpus-scale job; ``to_linegraph``
+    coalesces a NULL turn cost to 0."""
     n = F.size(coords_in)
     a, b = F.element_at(coords_in, n - 1), F.element_at(coords_in, n)
     c, d = F.element_at(coords_out, 1), F.element_at(coords_out, 2)
@@ -67,7 +72,10 @@ def turn_angle_deg(coords_in: Column, coords_out: Column) -> Column:
         F.element_at(c, 1), F.element_at(c, 2), F.element_at(d, 1), F.element_at(d, 2)
     )
     # normalize the heading delta to (-180, 180]
-    return F.lit(180.0) - F.pmod(F.lit(180.0) - (b_out - b_in), F.lit(360.0))
+    return F.when(
+        (n >= 2) & (F.size(coords_out) >= 2),
+        F.lit(180.0) - F.pmod(F.lit(180.0) - (b_out - b_in), F.lit(360.0)),
+    )
 
 
 def _pair_dist(a: Column, b: Column) -> Column:

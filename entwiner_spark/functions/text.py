@@ -592,10 +592,13 @@ def remove_repeated_paragraphs(
     # test_remove_repeated_paragraphs_auto_single_scan).  Default
     # persist = MEMORY_AND_DISK: a corpus larger than RAM spills to
     # executor-local disk (one local write+read, still cheaper than a
-    # second remote source scan and it skips upstream recompute).  The
-    # cache is LRU-evicted; batch callers that need the memory back
-    # immediately can `.unpersist()` the returned plan's child or
-    # `spark.catalog.clearCache()`.
+    # second remote source scan and it skips upstream recompute).
+    # Cache lifetime: only the MEMORY tier is LRU-evicted —
+    # disk-spilled blocks stay until unpersist or app exit, so a
+    # long-running service calling this repeatedly should
+    # `spark.catalog.clearCache()` (or unpersist the staged relation)
+    # after materializing each result; one-shot batch jobs can ignore
+    # this.
     staged = docs.select(id_col, text_col).persist()
     n = F.size(parts_of)
     return _inline(staged.filter(n <= inline_max_parts)).unionByName(

@@ -120,26 +120,7 @@ class FixpointProbe:
         return done, row
 
     def converged(self, df: DataFrame) -> bool:
-        proj = df.select(*self._cols)
-        # per-row hash built from Column objects (not an interpolated
-        # SQL string) so arbitrary user state column names — spaces,
-        # hyphens, SQL keywords — survive; only the internal alias
-        # appears in the bit_xor expr
-        row = (
-            proj.select(
-                F.xxhash64(*[F.col(c) for c in self._cols]).alias("_fp_h")
-            )
-            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_fp_h)").alias("h"))
-            .collect()[0]
-        )
-        sig = (row["n"], row["h"])
-        done = (
-            sig == self._prev_sig
-            and self._prev_df is not None
-            and proj.exceptAll(self._prev_df).limit(1).count() == 0
-        )
-        self._prev_sig = sig
-        self._prev_df = proj
+        done, _ = self.converged_with(df)
         return done
 
 
@@ -2753,7 +2734,9 @@ class SparkGraph:
         lb = d2.agg(F.max("dist")).collect()[0][0]
         return self.spark.createDataFrame([(pivot, far, float(lb))], schema)
 
-    def _local_neighborhood_function(self, max_hops: int) -> DataFrame:
+    def _local_neighborhood_function(
+        self, max_hops: int, stats: dict | None = None
+    ) -> DataFrame:
         """Driver-side exact twin of ``neighborhood_function(
         method="exact")`` — per-node truncated BFS over the collected
         distinct edge set; identical pair counts by construction (same
@@ -2790,6 +2773,10 @@ class SparkGraph:
             for h in range(max_hops + 1):
                 run += hist[h]
                 counts[h] += run
+        if stats is not None:
+            # exact counts: a hop adding zero pairs is a true monotone
+            # fixpoint (an empty global frontier stays empty)
+            stats["saturated"] = max_hops >= 1 and counts[-1] == counts[-2]
         schema = T.StructType(
             [
                 T.StructField("hop", T.LongType(), False),
@@ -2806,6 +2793,7 @@ class SparkGraph:
         method: str = "hll",
         lgk: int = 12,
         strategy: str = "auto",
+        stats: dict | None = None,
     ) -> DataFrame:
         """ANF — the approximate neighborhood function (Palmer,
         Gibbons, Faloutsos 2002, "ANF: a fast and scalable tool for
@@ -2843,7 +2831,7 @@ class SparkGraph:
         whole point is the scale regime).
         """
         if method == "exact" and self._use_local(strategy):
-            return self._local_neighborhood_function(max_hops)
+            return self._local_neighborhood_function(max_hops, stats=stats)
         schema = T.StructType(
             [
                 T.StructField("hop", T.LongType(), False),
@@ -2864,6 +2852,7 @@ class SparkGraph:
             .localCheckpoint(eager=True)
         )
         counts: list[int] = []
+        _saturated = False
         if method == "exact":
             pairs = nodes.select(
                 F.col("_n").alias("s"), F.col("_n").alias("d")
@@ -2878,6 +2867,7 @@ class SparkGraph:
                 )
                 n = pairs.count()
                 if n == counts[-1]:  # saturated: N is monotone
+                    _saturated = True
                     break
                 counts.append(n)
         elif method == "hll":
@@ -2901,13 +2891,19 @@ class SparkGraph:
                     .agg(F.hll_union_agg("sk").alias("sk"))
                 )
                 done, row = probe.converged_with(state, est=est)
-                if done:  # balls saturated
+                if done:  # balls saturated (exact-confirmed fixpoint)
+                    _saturated = True
                     break
                 counts.append(row["est"] or 0)
         else:
             raise ValueError(
                 f"method must be 'hll' or 'exact', got {method!r}"
             )
+        if stats is not None:
+            # loop-derived truth (exact break / probe-confirmed sketch
+            # fixpoint) — NOT tail-value equality, which can collide on
+            # float estimate sums while the true curve still grows
+            stats["saturated"] = _saturated
         # fill the saturated tail: N(h) = N(h_sat) for h > h_sat
         rows = [
             (h, int(counts[min(h, len(counts) - 1)]))
@@ -2945,12 +2941,16 @@ class SparkGraph:
         the catalog's ``g_eff_diameter`` wraps it in the a2b
         bounded-error contract against a recursive-CTE oracle.
         """
+        nf_stats: dict = {}
         curve = self.neighborhood_function(
-            max_hops=max_hops, method=method, lgk=lgk
+            max_hops=max_hops, method=method, lgk=lgk, stats=nf_stats
         ).orderBy("hop")
         n = [r["n_pairs"] for r in curve.collect()]  # max_hops+1 rows
         n_inf, n0 = n[-1], n[0]
-        saturated = len(n) >= 2 and n[-1] == n[-2]
+        # loop-derived: the exact break / probe-confirmed sketch
+        # fixpoint, not tail-value equality (float estimate sums can
+        # collide while the true curve still grows)
+        saturated = bool(nf_stats.get("saturated"))
         target = q * n_inf
         eff = 0.0
         if n0 < target:
@@ -3731,6 +3731,10 @@ class SparkGraph:
         ``(u→v, v→u)`` reversal pairs entirely (the common maneuver-
         model choice) instead of pricing them.
 
+        Assumes a SIMPLE digraph — distinct ``(u, v)`` pairs, the
+        reference's own ``edges_uv_index`` invariant (SURVEY §1.1);
+        parallel edges would emit duplicate minor-node ids.
+
         Plan shape (scale): ONE self-join, each |E|-row side shuffled
         exactly once — the left side goes from the RAW input straight
         to hash(_v) (skipping a wasted pass through the constructor's
@@ -3756,14 +3760,17 @@ class SparkGraph:
             j = j.filter(F.col("e2._v") != F.col("e1._u"))
         e1 = lambda c: F.col(f"e1.{c}")  # noqa: E731
         e2 = lambda c: F.col(f"e2.{c}")  # noqa: E731
-        if weight is None and turn_cost is None:
-            wcol = F.lit(1.0)
-        else:
-            wcol = F.lit(0.0)
-            if weight is not None:
-                wcol = wcol + e2(weight).cast("double")
-            if turn_cost is not None:
-                wcol = wcol + turn_cost(e1, e2).cast("double")
+        # base cost: downstream edge weight, or 1.0 hop semantics when
+        # no weight is given — ALSO under a bare turn_cost, so
+        # unpenalized maneuvers still cost a hop, not 0 (review fix)
+        wcol = e2(weight).cast("double") if weight is not None else F.lit(1.0)
+        if turn_cost is not None:
+            # degenerate geometries make turn_angle_deg NULL; coalesce
+            # so one bad row prices as no-penalty instead of nulling
+            # the whole maneuver weight
+            wcol = wcol + F.coalesce(
+                turn_cost(e1, e2).cast("double"), F.lit(0.0)
+            )
         ledges = j.select(
             eid(e1("_u"), e1("_v")).alias("_u"),
             eid(e2("_u"), e2("_v")).alias("_v"),

@@ -143,17 +143,19 @@ def write_graph_tables(
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="_graphstore_tmp_", dir=parent)
     props_meta: dict[str, str] | None = None
-    if properties_json:
-        # roadmap "Alternative schemas" storage mode: property columns
-        # serialize to ONE JSON TEXT column; graph keys, internal
-        # (_-prefixed) layout columns, and geometry stay expanded so
-        # every adjacency/spatial pruning path below works unchanged
-        edges, e_schema = pack_properties_json(edges)
-        props_meta = {"edges": e_schema}
-        if nodes is not None:
-            nodes, n_schema = pack_properties_json(nodes)
-            props_meta["nodes"] = n_schema
     try:
+        if properties_json:
+            # roadmap "Alternative schemas" storage mode: property
+            # columns serialize to ONE JSON TEXT column; graph keys,
+            # internal (_-prefixed) layout columns, and geometry stay
+            # expanded so every adjacency/spatial pruning path below
+            # works unchanged.  Inside the try: a packing failure must
+            # not leak the temp dir.
+            edges, e_schema = pack_properties_json(edges)
+            props_meta = {"edges": e_schema}
+            if nodes is not None:
+                nodes, n_schema = pack_properties_json(nodes)
+                props_meta["nodes"] = n_schema
         n = partitions or int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
