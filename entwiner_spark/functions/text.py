@@ -492,6 +492,7 @@ def remove_repeated_paragraphs(
     sep: str = "\n\n",
     method: str = "auto",
     inline_max_parts: int = 256,
+    handles: dict | None = None,
 ):
     """Intra-document repetition removal (Rae et al. 2021 Gopher
     preprocessing): split ``text_col`` on ``sep`` (default: real
@@ -594,12 +595,16 @@ def remove_repeated_paragraphs(
     # executor-local disk (one local write+read, still cheaper than a
     # second remote source scan and it skips upstream recompute).
     # Cache lifetime: only the MEMORY tier is LRU-evicted —
-    # disk-spilled blocks stay until unpersist or app exit, so a
-    # long-running service calling this repeatedly should
-    # `spark.catalog.clearCache()` (or unpersist the staged relation)
-    # after materializing each result; one-shot batch jobs can ignore
-    # this.
+    # disk-spilled blocks stay until unpersist or app exit.  Pass
+    # ``handles={}`` to receive the persisted staging frame as
+    # ``handles["staged"]`` and call ``.unpersist()`` on it after
+    # materializing the result — the r11-ADVICE fix for long-running
+    # services that call this repeatedly (each call previously pinned
+    # spilled blocks with no per-call release path); one-shot batch
+    # jobs can ignore it.
     staged = docs.select(id_col, text_col).persist()
+    if handles is not None:
+        handles["staged"] = staged
     n = F.size(parts_of)
     return _inline(staged.filter(n <= inline_max_parts)).unionByName(
         _explode(staged.filter(n > inline_max_parts))

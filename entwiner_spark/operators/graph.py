@@ -2750,9 +2750,14 @@ class SparkGraph:
         nodes = {r["_n"] for r in self.nodes.select("_n").collect()}
         for r in self.edges.select("_u", "_v").collect():
             u, v = r["_u"], r["_v"]
-            nodes.add(u)
-            nodes.add(v)
             if u != v:
+                # endpoints join the node set only from NON-self-loop
+                # rows — the distributed path filters self-loops before
+                # unioning endpoints, so a node appearing only as a
+                # self-loop endpoint (and absent from self.nodes) must
+                # not be counted here either (ADVICE r11)
+                nodes.add(u)
+                nodes.add(v)
                 adj.setdefault(u, set()).add(v)
         counts = [0] * (max_hops + 1)
         for s in nodes:
@@ -2941,11 +2946,19 @@ class SparkGraph:
         the catalog's ``g_eff_diameter`` wraps it in the a2b
         bounded-error contract against a recursive-CTE oracle.
         """
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q!r}")
         nf_stats: dict = {}
         curve = self.neighborhood_function(
             max_hops=max_hops, method=method, lgk=lgk, stats=nf_stats
         ).orderBy("hop")
         n = [r["n_pairs"] for r in curve.collect()]  # max_hops+1 rows
+        # the true curve is monotone but HLL estimates can dip between
+        # hops; a running max keeps the interpolation search in-range
+        # and the per-hop mass Σ h·(N(h)−N(h−1)) non-negative
+        for i in range(1, len(n)):
+            if n[i] < n[i - 1]:
+                n[i] = n[i - 1]
         n_inf, n0 = n[-1], n[0]
         # loop-derived: the exact break / probe-confirmed sketch
         # fixpoint, not tail-value equality (float estimate sums can
@@ -3969,7 +3982,11 @@ class SparkGraph:
         chain = deg.filter(one_way | two_way).select(
             "_c", one_way.alias("_ow")
         )
-        eid = F.concat_ws("\x1f", F.col("_u"), F.col("_v"))
+        # lossless pair key: a struct, not a separator-joined string —
+        # node ids are arbitrary text, so ANY separator byte could
+        # occur in an id and silently collide eids (ADVICE r11);
+        # Catalyst equality-joins struct keys natively
+        eid = F.struct(F.col("_u").alias("eu"), F.col("_v").alias("ev"))
         # nxt map: for each chain node v and each legal incoming
         # source ``_from``, the eid of the continuing out-edge.
         # One-way: 1 row (the unique pred → the unique out-edge, kept
@@ -4129,14 +4146,21 @@ class SparkGraph:
         if len(path) < 2:
             return list(path)
         pairs = set(zip(path, path[1:]))
-        key = F.concat_ws("\x1f", F.col("_u"), F.col("_v"))
-        wanted = [f"{a}\x1f{b}" for a, b in pairs]
+        # prefilter by endpoint membership (path-sized isin lists; no
+        # separator-joined key — ids may contain any byte, ADVICE r11);
+        # the slight superset is resolved by the exact-pair dict below
+        nodes_on_path = sorted({n for p in pairs for n in p})
         best: dict[tuple[str, str], tuple[float, list[str]]] = {}
         for r in (
-            self.edges.filter(key.isin(wanted))
+            self.edges.filter(
+                F.col("_u").isin(nodes_on_path)
+                & F.col("_v").isin(nodes_on_path)
+            )
             .select("_u", "_v", "w", "_via_path")
             .collect()
         ):
+            if (r["_u"], r["_v"]) not in pairs:
+                continue
             k = (r["_u"], r["_v"])
             if k not in best or r["w"] < best[k][0]:
                 best[k] = (r["w"], list(r["_via_path"] or []))

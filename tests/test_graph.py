@@ -2049,3 +2049,67 @@ def test_contract_chains_local_matches_pregel(spark):
     assert out["local"] == out["pregel"]
     # the pure cycle c1-c2-c3 must be present untouched in both
     assert ("c1", "c2", 7.0, 1, ()) in out["local"][0]
+
+
+def test_contract_chains_ids_with_any_bytes(spark):
+    """r11-ADVICE fix: edge ids are struct pair keys, not
+    separator-joined strings, so node ids containing the old '\\x1f'
+    separator byte cannot collide.  A chain whose interiors contain
+    '\\x1f' contracts correctly on the DISTRIBUTED path, keep_path
+    interiors round-trip through expand_contracted_path, and a pair
+    of edges whose old string eids collided (('a\\x1fb')→'c' vs
+    'a'→('b\\x1fc')) stay independent."""
+    m1, m2 = "m\x1f1", "m\x1f2"
+    tricky = [("a\x1fb", "c", 5.0), ("a", "b\x1fc", 5.0)]
+    g = _mkgraph(
+        spark,
+        [("s", m1, 1.0), (m1, m2, 2.0), (m2, "t", 3.0)] + tricky,
+    )
+    c = g.contract_chains(weight="w", keep_path=True, strategy="pregel")
+    got = sorted(
+        (r["_u"], r["_v"], r["w"], r["_n_hops"], tuple(r["_via_path"]))
+        for r in c.edges.collect()
+    )
+    assert got == [
+        ("a", "b\x1fc", 5.0, 1, ()),
+        ("a\x1fb", "c", 5.0, 1, ()),
+        ("s", "t", 6.0, 3, (m1, m2)),
+    ]
+    assert c.expand_contracted_path(["s", "t"]) == ["s", m1, m2, "t"]
+
+
+def test_effective_diameter_rejects_bad_q(spark):
+    """r11-ADVICE fix: q outside (0, 1] raises instead of leaking a
+    StopIteration out of the interpolation search."""
+    g = _mkgraph(spark, [("0", "1", 1.0)])
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="q must be"):
+            g.effective_diameter(q=bad)
+    # q == 1.0 is the full-diameter request and must work
+    r = g.effective_diameter(q=1.0, max_hops=3, method="exact").collect()[0]
+    assert r["effective_diameter"] == pytest.approx(1.0)
+
+
+def test_anf_local_twin_self_loop_only_node_parity(spark):
+    """r11-ADVICE fix: a node appearing ONLY as a self-loop endpoint
+    (and absent from the nodes table) is excluded from the pair
+    universe by the distributed exact path; the driver-side twin must
+    agree (it used to count it)."""
+    nodes = spark.createDataFrame([("a",), ("b",)], ["_n"])
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("z", "z", 1.0)], ["_u", "_v", "w"]
+    )
+    g = SparkGraph(nodes, edges)
+    local = {
+        r["hop"]: r["n_pairs"]
+        for r in g.neighborhood_function(
+            max_hops=2, method="exact", strategy="local"
+        ).collect()
+    }
+    dist = {
+        r["hop"]: r["n_pairs"]
+        for r in g.neighborhood_function(
+            max_hops=2, method="exact", strategy="pregel"
+        ).collect()
+    }
+    assert local == dist == {0: 2, 1: 3, 2: 3}

@@ -764,3 +764,26 @@ def test_remove_duplicate_spans_hand_computed(spark):
     assert got[3][0] == 8 and got[3][1] == 4
     assert got[3][2] == "p q r s"
     assert got[4] == (2, 0, "u v")
+
+
+def test_remove_repeated_paragraphs_auto_unpersist_handle(spark):
+    """r11-ADVICE fix: auto exposes its persisted staging frame via
+    ``handles``, so a long-running service can release the cached
+    blocks after materializing — no persisted relation need outlive
+    the call once the caller unpersists."""
+    from pyspark import StorageLevel
+
+    from entwiner_spark.functions.text import remove_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb\n\na"), (2, "\n\n".join(f"p{i % 2}" for i in range(9)))],
+        ["doc_id", "text"],
+    )
+    handles: dict = {}
+    out = remove_repeated_paragraphs(df, inline_max_parts=4, handles=handles)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got == {1: "a\n\nb", 2: "p0\n\np1"}
+    staged = handles["staged"]
+    assert staged.storageLevel.useMemory  # persisted during the call
+    staged.unpersist(blocking=True)
+    assert staged.storageLevel == StorageLevel(False, False, False, False, 1)
