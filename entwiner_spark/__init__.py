@@ -18,7 +18,11 @@ no driver-side loops over data, broadcast hints for small dims, AQE on.
 """
 
 from entwiner_spark.session import get_spark, stop_spark
-from entwiner_spark.sources.geojson import edges_from_geojson, nodes_from_edges
+from entwiner_spark.sources.geojson import (
+    edges_from_geojson,
+    node_attrs_from_points,
+    nodes_from_edges,
+)
 from entwiner_spark.sources.parquet_store import (
     read_graph_tables,
     write_graph_tables,
@@ -33,6 +37,7 @@ __all__ = [
     "get_spark",
     "stop_spark",
     "edges_from_geojson",
+    "node_attrs_from_points",
     "nodes_from_edges",
     "read_graph_tables",
     "write_graph_tables",

@@ -2014,6 +2014,116 @@ def s1_fwd_rev_ingest(spark, sf_dir):
     return fwd.unionByName(rev)
 
 
+@q(
+    "s14_node_attr_ingest",
+    f"""
+    WITH seg AS (
+      SELECT p_partkey,
+             CAST(round({_PART_LON}, 7) AS VARCHAR) || ', ' ||
+               CAST(round({_PART_LAT}, 7) AS VARCHAR) AS _u,
+             CAST(round(({_PART_LON} + 3.0e-3), 7) AS VARCHAR) || ', ' ||
+               CAST(round(({_PART_LAT} - 2.0e-3), 7) AS VARCHAR) AS _v
+      FROM part
+    ),
+    nodes AS (
+      SELECT DISTINCT _n FROM (
+        SELECT _u AS _n FROM seg UNION ALL SELECT _v FROM seg
+      )
+    ),
+    pts AS (
+      SELECT CAST(round({_PART_LON}, 7) AS VARCHAR) || ', ' ||
+               CAST(round({_PART_LAT}, 7) AS VARCHAR) AS _n,
+             CASE WHEN p_partkey % 2 = 0 THEN 'raised' ELSE 'rolled' END
+               AS kerb,
+             CAST(p_partkey AS BIGINT) AS _pos
+      FROM part WHERE p_partkey % 3 = 0
+      UNION ALL
+      SELECT CAST(round({_PART_LON}, 7) AS VARCHAR) || ', ' ||
+               CAST(round({_PART_LAT}, 7) AS VARCHAR),
+             'flush', CAST(p_partkey + 1000000 AS BIGINT)
+      FROM part WHERE p_partkey % 6 = 0
+      UNION ALL
+      SELECT CAST(round(({_PART_LON} + 5.0e-1), 7) AS VARCHAR) || ', ' ||
+               CAST(round({_PART_LAT}, 7) AS VARCHAR),
+             'orphan', CAST(p_partkey AS BIGINT)
+      FROM part WHERE p_partkey % 97 = 0
+    ),
+    lww AS (
+      SELECT _n, kerb,
+             row_number() OVER (PARTITION BY _n ORDER BY _pos DESC) AS rk
+      FROM pts
+    )
+    SELECT n._n AS node, l.kerb
+    FROM nodes n LEFT JOIN (SELECT _n, kerb FROM lww WHERE rk = 1) l
+      ON n._n = l._n
+    """,
+)
+def s14_node_attr_ingest(spark, sf_dir):
+    """Node-attribute ingest from Point features (reference TODO.md
+    "Bugs → Node attributes"; r11-verdict task #3) under the driver
+    gate, file-free: synthetic part-table segments derive endpoint
+    nodes; synthetic kerb Points land on 1-in-3 segment heads via the
+    SAME rounded node-id construction (F1/F2); 1-in-6 nodes get a
+    LATER duplicate that must win (the U2 last-write-wins window
+    inside ``node_attrs_from_features``); 1-in-97 points sit off the
+    network and must vanish through the enrichment left join
+    (``nodes_from_edges(point_attrs=...)``, the U3 schema-evolution
+    shape).  The file-reading front half (mixed-geometry raw-coords
+    decode) is pytest-pinned in test_node_attrs_from_points_mixed_file."""
+    from entwiner_spark.functions.ids import node_id
+    from entwiner_spark.sources.geojson import (
+        node_attrs_from_features,
+        nodes_from_edges,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    lon = F.lit(-120.0) + (F.col("p_partkey") % 100) * 0.01
+    lat = (
+        F.lit(45.0)
+        + F.expr("p_partkey div 100").cast("long") % 100 * 0.01
+    )
+    lon2, lat2 = lon + 0.003, lat - 0.002
+    edges = p.select(
+        node_id(lon, lat).alias("_u"),
+        node_id(lon2, lat2).alias("_v"),
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.array(F.array(lon, lat), F.array(lon2, lat2)).alias(
+                "coordinates"
+            ),
+        ).alias("geom"),
+    )
+    kerb = F.when(F.col("p_partkey") % 2 == 0, "raised").otherwise("rolled")
+    pts = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.lit("f").alias("_src"),
+            F.col("p_partkey").cast("long").alias("_pos"),
+            F.array(lon, lat).alias("_coords"),
+            kerb.alias("kerb"),
+        )
+        .unionByName(
+            p.filter(F.col("p_partkey") % 6 == 0).select(
+                F.lit("f").alias("_src"),
+                (F.col("p_partkey") + 1000000).cast("long").alias("_pos"),
+                F.array(lon, lat).alias("_coords"),
+                F.lit("flush").alias("kerb"),
+            )
+        )
+        .unionByName(
+            p.filter(F.col("p_partkey") % 97 == 0).select(
+                F.lit("f").alias("_src"),
+                F.col("p_partkey").cast("long").alias("_pos"),
+                F.array(lon + 0.5, lat).alias("_coords"),
+                F.lit("orphan").alias("kerb"),
+            )
+        )
+    )
+    attrs = node_attrs_from_features(pts, ["kerb"])
+    nodes = nodes_from_edges(edges, point_attrs=attrs)
+    return nodes.select(F.col("_n").alias("node"), "kerb")
+
+
 # =====================================================================
 # Text analysis + dedup over `documents` (SURVEY §2.14)
 # =====================================================================
@@ -4422,6 +4532,140 @@ def g_turn_routing(spark, sf_dir):
     return lg.shortest_path_lengths(
         "0|1", weight="w", max_iterations=6
     ).select(F.col("_n").alias("node"), F.round("dist", 6).alias("dist"))
+
+
+@q(
+    "g_relabel_roundtrip",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def g_relabel_roundtrip(spark, sf_dir):
+    """Integer re-keying round trip (reference TODO.md "(Re-)Defining
+    node and edge keys"; the r11-verdict top-next): relabel the
+    string-keyed nation DAG to xxhash64 LONG ids
+    (``SparkGraph.relabel_ids`` — map-only on both tables, one
+    collision-check aggregate), run weighted SSSP entirely on the
+    8-byte keys (every Pregel round shuffles longs instead of the
+    "lon, lat"-class strings — the 2-3x shuffle-width lever at 100 TB),
+    then ``restore_ids`` joins the original ids back on exit.  The
+    oracle is the SAME recursive-CTE Dijkstra the string-keyed
+    g_j1_sssp_weighted pins, so one driver hash certifies relabel →
+    compute → restore == never-relabeled."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    g2, mapping = g.relabel_ids(method="hash")
+    src = mapping.filter(F.col("_n") == "0").collect()[0]["_id"]
+    d = g2.shortest_path_lengths(src, weight="w")
+    return SparkGraph.restore_ids(d, mapping, ["_n"]).select(
+        F.col("_n").cast("long").alias("node"), F.col("dist")
+    )
+
+
+@q(
+    "g_ch_route",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT u, v, row_number() OVER (ORDER BY u, v) AS r
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    e AS (SELECT u, v, 4.0 + power(2.0, -CAST(r AS DOUBLE)) AS w FROM raw),
+    walk(node, dist, path) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE), '0'
+      UNION ALL
+      SELECT e.v, walk.dist + e.w,
+             walk.path || ',' || CAST(e.v AS VARCHAR)
+      FROM walk JOIN e ON e.u = walk.node
+    ),
+    best AS (
+      SELECT dist, string_split(path, ',') AS p
+      FROM walk WHERE node = 24 ORDER BY dist LIMIT 1
+    ),
+    idx AS (
+      SELECT unnest(generate_series(1, len(p))) AS i, p, dist FROM best
+    )
+    SELECT CAST((i - 1) * 3 AS BIGINT) AS step, p[i] AS node, dist
+    FROM idx
+    UNION ALL
+    SELECT CAST((i - 1) * 3 + 1 AS BIGINT),
+           p[i] || '>' || p[i + 1] || '>1', dist
+    FROM idx WHERE i < len(p)
+    UNION ALL
+    SELECT CAST((i - 1) * 3 + 2 AS BIGINT),
+           p[i] || '>' || p[i + 1] || '>2', dist
+    FROM idx WHERE i < len(p)
+    """,
+)
+def g_ch_route(spark, sf_dir):
+    """CH-INTEGRATED point-to-point routing (r11-verdict task #2 —
+    composes the r11 pieces into the user-facing query): subdivide
+    every nation-DAG edge into a 3-link chain, then
+    ``shortest_path(0, 24, via="contracted")`` contracts the chains
+    back out, routes on the minor, and expands the route through the
+    recorded shortcut interiors to the RAW node sequence.
+
+    Tie-freedom is engineered so both engines MUST pick the same
+    route: original edge weights are replaced by ``4 + 2^-rank``
+    (rank = row_number over (u, v) — 43 edges, a driver-sized sort),
+    making every path cost an EXACT dyadic float whose fractional
+    bits uniquely encode the edge set — distinct paths cannot tie,
+    and float association order cannot perturb the sum (all
+    intermediates fit in 52 mantissa bits), so the unrounded dist
+    hashes identically cross-engine.  Links carry 1.0 / 1.0 / w-2.0
+    so the chain sum reproduces w exactly.  The oracle is a
+    recursive-CTE walk tracking the full path string, expanded to
+    the same (step, node) sequence in SQL."""
+    e = _graph_edges(spark, sf_dir).select(
+        "u",
+        "v",
+        (
+            F.lit(4.0)
+            + F.pow(
+                F.lit(2.0),
+                -F.row_number()
+                .over(Window.orderBy("u", "v"))
+                .cast("double"),
+            )
+        ).alias("w"),
+    )
+    es = e.select(
+        F.col("u").cast("string").alias("u"),
+        F.col("v").cast("string").alias("v"),
+        "w",
+    )
+    c1 = F.concat_ws(">", F.col("u"), F.col("v"), F.lit("1"))
+    c2 = F.concat_ws(">", F.col("u"), F.col("v"), F.lit("2"))
+    links = (
+        es.select(
+            F.col("u").alias("_u"), c1.alias("_v"), F.lit(1.0).alias("w")
+        )
+        .unionByName(
+            es.select(c1.alias("_u"), c2.alias("_v"), F.lit(1.0).alias("w"))
+        )
+        .unionByName(
+            es.select(
+                c2.alias("_u"),
+                F.col("v").alias("_v"),
+                (F.col("w") - 2.0).alias("w"),
+            )
+        )
+    )
+    nodes = (
+        links.select(F.col("_u").alias("_n"))
+        .unionByName(links.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, links, partitions=8)
+    path, cost = g.shortest_path("0", "24", weight="w", via="contracted")
+    return spark.createDataFrame(
+        [(i, n, float(cost)) for i, n in enumerate(path)],
+        "step long, node string, dist double",
+    )
 
 
 # ---- graph point lookups on the nation DAG --------------------------

@@ -545,6 +545,14 @@ class SparkGraph:
             )
         return self._edge_count() <= self.LOCAL_THRESHOLD
 
+    def _id_type(self) -> T.DataType:
+        """Node-id datatype, derived from the nodes table — every
+        result/seed schema that carries a node id uses this instead of
+        a hardcoded StringType so a ``relabel_ids()`` graph (8-byte
+        long keys) runs the same operators unchanged (reference
+        TODO.md "(Re-)Defining node and edge keys")."""
+        return self.nodes.schema["_n"].dataType
+
     @staticmethod
     def _weight_col(weight):
         """Edge-cost resolution (SURVEY.md §2.13): an attribute name, a
@@ -586,7 +594,7 @@ class SparkGraph:
                     heapq.heappush(pq, (nd, v))
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("dist", T.DoubleType(), False),
             ]
         )
@@ -891,7 +899,7 @@ class SparkGraph:
 
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("dist", T.DoubleType(), False),
             ]
         )
@@ -1000,6 +1008,8 @@ class SparkGraph:
         weight: str | None = None,
         max_iterations: int | None = None,
         strategy: str = "auto",
+        via: str = "raw",
+        contracted: "SparkGraph | None" = None,
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
 
@@ -1008,7 +1018,58 @@ class SparkGraph:
         Pregel loop goal-stops once the frontier cannot improve the
         target — the standard point-to-point early exit, invalid under
         negative weights).
-        """
+
+        ``via="contracted"`` (reference TODO.md:72 "contraction
+        hierarchies", composed end-to-end per the r11 verdict): route
+        on the CH-lite chain-contracted minor instead of the raw
+        graph — SSSP rounds scale with the minor's hop diameter (the
+        measured 8x round cut on chain-heavy street graphs), then the
+        route expands back to the raw node sequence via the recorded
+        shortcut interiors.  Pass ``contracted`` (a
+        ``contract_chains(weight=..., keep_path=True)`` graph — the
+        build-once/route-many lifecycle) or one is built on the fly.
+        Both endpoints must be RETAINED nodes (junctions/hubs);
+        routing from an absorbed chain interior raises — CH-lite has
+        no entry/exit shortcuts (the documented escalation).  Costs
+        match the raw route exactly up to float association order
+        (shortcut weights fold in doubling order)."""
+        if via == "contracted":
+            c = contracted
+            if c is None:
+                c = self.contract_chains(weight=weight, keep_path=True)
+            if "_via_path" not in c.edges.columns:
+                raise ValueError(
+                    "via='contracted' needs a contract_chains("
+                    "keep_path=True) graph (no _via_path column)"
+                )
+            present = {
+                r["_n"]
+                for r in c.nodes.filter(
+                    F.col("_n").isin([source, target])
+                ).collect()
+            }
+            missing = [n for n in (source, target) if n not in present]
+            if missing:
+                raise ValueError(
+                    f"endpoint(s) absorbed by contraction: {missing}; "
+                    "via='contracted' routes between retained nodes "
+                    "(chain interiors have no entry/exit shortcuts)"
+                )
+            r = c.shortest_path(
+                source,
+                target,
+                weight="w",
+                max_iterations=max_iterations,
+                strategy=strategy,
+            )
+            if r is None:
+                return None
+            cpath, cost = r
+            return c.expand_contracted_path(cpath), cost
+        if via != "raw":
+            raise ValueError(
+                f"via must be 'raw' or 'contracted', got {via!r}"
+            )
         if self._use_local(strategy):
             import heapq
 
@@ -1044,9 +1105,9 @@ class SparkGraph:
         adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).persist()
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("dist", T.DoubleType(), False),
-                T.StructField("pred", T.StringType(), True),
+                T.StructField("pred", self._id_type(), True),
             ]
         )
         dist = self.spark.createDataFrame([(source, 0.0, None)], schema)
@@ -1135,7 +1196,7 @@ class SparkGraph:
         if not t_rows:
             return None
         anc = self.spark.createDataFrame(
-            [(target,)], T.StructType([T.StructField("_n", T.StringType(), False)])
+            [(target,)], T.StructType([T.StructField("_n", self._id_type(), False)])
         )
         jump = dist.select("_n", "pred")  # power-1 pointers
         n_anc = 1
@@ -1204,8 +1265,8 @@ class SparkGraph:
                 comp_min[r] = min(comp_min.get(r, n), n)
             schema = T.StructType(
                 [
-                    T.StructField("_n", T.StringType(), False),
-                    T.StructField("component", T.StringType(), False),
+                    T.StructField("_n", self._id_type(), False),
+                    T.StructField("component", self._id_type(), False),
                 ]
             )
             rows = [(n, comp_min[find(n)]) for n in parent]
@@ -1517,8 +1578,8 @@ class SparkGraph:
         """
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
-                T.StructField("component", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
+                T.StructField("component", self._id_type(), False),
             ]
         )
         edges = (
@@ -1863,8 +1924,8 @@ class SparkGraph:
         """
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
-                T.StructField("component", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
+                T.StructField("component", self._id_type(), False),
             ]
         )
         if strategy == "fwbw":
@@ -2200,7 +2261,7 @@ class SparkGraph:
                 alive = new
             schema = T.StructType(
                 [
-                    T.StructField("_n", T.StringType(), False),
+                    T.StructField("_n", self._id_type(), False),
                     T.StructField("core_degree", T.LongType(), False),
                 ]
             )
@@ -2345,7 +2406,7 @@ class SparkGraph:
                     break
             schema = T.StructType(
                 [
-                    T.StructField("_n", T.StringType(), False),
+                    T.StructField("_n", self._id_type(), False),
                     T.StructField("rank", T.DoubleType(), False),
                 ]
             )
@@ -2533,7 +2594,7 @@ class SparkGraph:
             rows.append((s, float(total), reach))
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("total_dist", T.DoubleType(), False),
                 T.StructField("n_reachable", T.IntegerType(), False),
             ]
@@ -2580,7 +2641,7 @@ class SparkGraph:
             rows.append((s, float(h)))
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("harmonic", T.DoubleType(), False),
             ]
         )
@@ -2611,7 +2672,7 @@ class SparkGraph:
         """
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("level", T.LongType(), False),
             ]
         )
@@ -2712,8 +2773,8 @@ class SparkGraph:
         """
         schema = T.StructType(
             [
-                T.StructField("pivot", T.StringType(), False),
-                T.StructField("far_node", T.StringType(), False),
+                T.StructField("pivot", self._id_type(), False),
+                T.StructField("far_node", self._id_type(), False),
                 T.StructField("diameter_lb", T.DoubleType(), False),
             ]
         )
@@ -3029,8 +3090,8 @@ class SparkGraph:
                 edges = keep
             schema = T.StructType(
                 [
-                    T.StructField("u", T.StringType(), False),
-                    T.StructField("v", T.StringType(), False),
+                    T.StructField("u", self._id_type(), False),
+                    T.StructField("v", self._id_type(), False),
                     T.StructField("support", T.LongType(), False),
                 ]
             )
@@ -3117,8 +3178,8 @@ class SparkGraph:
             if n_keep == 0:
                 schema = T.StructType(
                     [
-                        T.StructField("u", T.StringType(), False),
-                        T.StructField("v", T.StringType(), False),
+                        T.StructField("u", self._id_type(), False),
+                        T.StructField("v", self._id_type(), False),
                         T.StructField("support", T.LongType(), False),
                     ]
                 )
@@ -3179,8 +3240,8 @@ class SparkGraph:
                     forest.append((r["u"], r["v"], float(r["w"])))
             schema = T.StructType(
                 [
-                    T.StructField("u", T.StringType(), False),
-                    T.StructField("v", T.StringType(), False),
+                    T.StructField("u", self._id_type(), False),
+                    T.StructField("v", self._id_type(), False),
                     T.StructField("w", T.DoubleType(), False),
                 ]
             )
@@ -3268,8 +3329,8 @@ class SparkGraph:
                     [(x, _find(x)) for x in parent],
                     T.StructType(
                         [
-                            T.StructField("c", T.StringType(), False),
-                            T.StructField("p", T.StringType(), False),
+                            T.StructField("c", self._id_type(), False),
+                            T.StructField("p", self._id_type(), False),
                         ]
                     ),
                 )
@@ -3332,8 +3393,8 @@ class SparkGraph:
         if not picked:
             schema = T.StructType(
                 [
-                    T.StructField("u", T.StringType(), False),
-                    T.StructField("v", T.StringType(), False),
+                    T.StructField("u", self._id_type(), False),
+                    T.StructField("v", self._id_type(), False),
                     T.StructField("w", T.DoubleType(), False),
                 ]
             )
@@ -3609,7 +3670,7 @@ class SparkGraph:
                     bc[wn] += delta[wn]
         schema = T.StructType(
             [
-                T.StructField("_n", T.StringType(), False),
+                T.StructField("_n", self._id_type(), False),
                 T.StructField("betweenness", T.DoubleType(), False),
             ]
         )
@@ -3632,7 +3693,7 @@ class SparkGraph:
                 [(s, 0, 1.0)],
                 T.StructType(
                     [
-                        T.StructField("_n", T.StringType(), False),
+                        T.StructField("_n", self._id_type(), False),
                         T.StructField("level", T.IntegerType(), False),
                         T.StructField("sigma", T.DoubleType(), False),
                     ]
@@ -3803,7 +3864,7 @@ class SparkGraph:
         interiors dropped from nodes.  The distributed path costs
         ~2 driver actions per doubling round; below the threshold the
         whole walk is microseconds on the driver."""
-        wexpr = F.col(weight).cast("double") if weight else F.lit(1.0)
+        wexpr = self._weight_col(weight)
         triples = [
             (r["_u"], r["_v"], r["_w"])
             for r in self.edges.select("_u", "_v", wexpr.alias("_w")).collect()
@@ -3920,9 +3981,7 @@ class SparkGraph:
         """
         if self._use_local(strategy):
             return self._local_contract_chains(weight, keep_path)
-        wexpr = (
-            F.col(weight).cast("double") if weight else F.lit(1.0)
-        )
+        wexpr = self._weight_col(weight)
         e = self.edges.select(
             "_u", "_v", wexpr.alias("_w")
         ).localCheckpoint(eager=True)
@@ -4171,6 +4230,118 @@ class SparkGraph:
             out.extend(best[(a, b)][1])
             out.append(b)
         return out
+
+    def relabel_ids(
+        self, method: str = "hash", check_collisions: bool = True
+    ) -> tuple["SparkGraph", DataFrame]:
+        """Re-key node ids to 8-byte longs (reference TODO.md
+        "(Re-)Defining node and edge keys": "relabel into integers or
+        associate an ``_id`` column").  The scale rationale: every
+        iterative operator (Pregel/SSSP/CC/SCC/kcore/ANF) shuffles the
+        node key once or more per round, and this engine's natural ids
+        are ``"lon, lat"`` strings (~20-25 bytes); relabeled longs cut
+        the key bytes ~3x on every exchange of every round.  Returns
+        ``(graph, mapping)`` where ``mapping`` is ``(_id long,
+        _n original)`` — compute on the long-keyed graph, then
+        ``SparkGraph.restore_ids(result, mapping, cols=[...])`` joins
+        original ids back on exit (one shuffle join per restored
+        column, paid once, not per round).
+
+        ``method="hash"``: ``_id = xxhash64(_n)`` — MAP-ONLY on both
+        tables (no join anywhere: edges re-key by hashing their own
+        endpoint strings; the mapping table is emitted for restore,
+        never consumed by the relabel), and ids are stable across runs
+        and engines.  Collision policy: xxhash64 is a full 64-bit
+        hash, so by the birthday bound E[collisions] ≈ n²/2^65 (~0.03
+        expected at 1e9 nodes); ``check_collisions=True`` (default)
+        pays ONE count-distinct aggregate over the mapping and raises
+        ``ValueError`` if any two distinct node ids share a hash —
+        disable only when re-relabeling a corpus already validated.
+
+        ``method="dense"``: ``monotonically_increasing_id()`` over the
+        distinct node table — collision-free by construction (unique,
+        not contiguous), but edges re-key via TWO mapping joins (the
+        one-time cost the hash path avoids) and ids are not stable
+        across runs (partition-layout dependent).
+
+        All node attribute columns survive on both tables; ``_n``/
+        ``_u``/``_v`` swap to longs in place.
+        """
+        all_ids = (
+            self.nodes.select("_n")
+            .unionByName(self.edges.select(F.col("_u").alias("_n")))
+            .unionByName(self.edges.select(F.col("_v").alias("_n")))
+            .distinct()
+        )
+        if method == "hash":
+            mapping = all_ids.select(
+                F.xxhash64("_n").alias("_id"), "_n"
+            )
+            if check_collisions:
+                r = mapping.agg(
+                    F.count_distinct("_id").alias("ids"),
+                    F.count(F.lit(1)).alias("ns"),
+                ).collect()[0]
+                if r["ids"] != r["ns"]:
+                    raise ValueError(
+                        f"xxhash64 collision: {r['ns']} node ids hash "
+                        f"to {r['ids']} longs — use method='dense'"
+                    )
+            nodes = self.nodes.withColumn("_n", F.xxhash64("_n"))
+            edges = self.edges.withColumn(
+                "_u", F.xxhash64("_u")
+            ).withColumn("_v", F.xxhash64("_v"))
+        elif method == "dense":
+            mapping = all_ids.select(
+                F.monotonically_increasing_id().alias("_id"), "_n"
+            ).localCheckpoint(eager=True)  # pin the non-deterministic ids
+            mu = mapping.select(F.col("_n").alias("_u"), F.col("_id"))
+            mv = mapping.select(F.col("_n").alias("_v"), F.col("_id"))
+            nodes = (
+                self.nodes.join(mapping, "_n")
+                .drop("_n")
+                .withColumnRenamed("_id", "_n")
+            )
+            edges = (
+                self.edges.join(mu, "_u")
+                .drop("_u")
+                .withColumnRenamed("_id", "_u")
+                .join(mv, "_v")
+                .drop("_v")
+                .withColumnRenamed("_id", "_v")
+            )
+        else:
+            raise ValueError(
+                f"method must be 'hash' or 'dense', got {method!r}"
+            )
+        # keep the documented column order (_n first / _u, _v first)
+        nodes = nodes.select(
+            "_n", *[c for c in self.nodes.columns if c != "_n"]
+        )
+        edges = edges.select(
+            "_u", "_v", *[c for c in self.edges.columns if c not in ("_u", "_v")]
+        )
+        return SparkGraph(nodes, edges), mapping
+
+    @staticmethod
+    def restore_ids(df: DataFrame, mapping: DataFrame, cols: list[str]) -> DataFrame:
+        """Join original node ids back onto a result computed on a
+        ``relabel_ids()`` graph: each column in ``cols`` (long ids —
+        e.g. ``_n``, ``component``, ``pred``) is replaced in place by
+        the original id via one mapping join (left join: a NULL id —
+        e.g. an unreached ``pred`` — stays NULL).  Column order is
+        preserved, so a restored result compares equal to the
+        string-keyed run column-for-column."""
+        for c in cols:
+            m = mapping.select(
+                F.col("_id").alias(c), F.col("_n").alias(f"__{c}_orig")
+            )
+            df = (
+                df.join(m, c, "left")
+                .withColumn(c, F.col(f"__{c}_orig"))
+                .drop(f"__{c}_orig")
+            )
+        return df
 
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""

@@ -144,6 +144,7 @@ def edges_from_geojson(
     with_length: bool = False,
     lines: bool = False,
     split_multilinestrings: bool = False,
+    raw_coords: bool = False,
 ) -> DataFrame:
     """Ingest GeoJSON FeatureCollection(s) into the canonical edges DF.
 
@@ -162,21 +163,34 @@ def edges_from_geojson(
     each geometry type with its exact schema; the split is a per-row
     posexplode (no shuffle).  Sub-feature positions cost one per-file
     window so fids stay unique and ordered.
+
+    ``raw_coords=True`` applies the same raw-JSON coordinate decode
+    WITHOUT the MultiLineString split — set it when a file mixes
+    geometry types (kerb/crossing Points alongside sidewalk
+    LineStrings — the ``node_attrs_from_points`` companion): mixed
+    coordinate nesting otherwise degrades schema inference to
+    array<string> and every node id comes out NULL.  Non-LineString
+    features are still dropped (P10 semantics).
     """
-    if split_multilinestrings:
+    if split_multilinestrings or raw_coords:
         feats = _exploded_features(spark, paths, lines=lines, raw_coords=True)
         cs = F.col("_f.geometry.coordinates")
         ls = feats.filter(F.col("_f.geometry.type") == "LineString").withColumn(
             "_coords", F.from_json(cs, "array<array<double>>")
         )
-        mls = feats.filter(
-            F.col("_f.geometry.type") == "MultiLineString"
-        ).withColumn(
-            "_coords",
-            F.explode(F.from_json(cs, "array<array<array<double>>>")),
-        )
-        linestrings = ls.unionByName(mls).filter(F.size("_coords") >= 2)
-        # re-number sub-features per file so fid assignment stays unique
+        if split_multilinestrings:
+            mls = feats.filter(
+                F.col("_f.geometry.type") == "MultiLineString"
+            ).withColumn(
+                "_coords",
+                F.explode(F.from_json(cs, "array<array<array<double>>>")),
+            )
+            linestrings = ls.unionByName(mls).filter(F.size("_coords") >= 2)
+        else:
+            linestrings = ls.filter(F.size("_coords") >= 2)
+        # re-number (sub-)features per file so fid ranges stay unique
+        # and gap-free even when splits add rows or dropped Points
+        # leave holes in _pos
         w = Window.partitionBy("_src").orderBy(
             F.col("_pos"), F.monotonically_increasing_id()
         )
@@ -308,12 +322,26 @@ def edges_from_feature_base(
     return edges
 
 
-def nodes_from_edges(edges: DataFrame, precision: int = DEFAULT_PRECISION) -> DataFrame:
+def nodes_from_edges(
+    edges: DataFrame,
+    precision: int = DEFAULT_PRECISION,
+    point_attrs: DataFrame | None = None,
+) -> DataFrame:
     """Derive the nodes table from edge endpoints (S6).
 
     Reference synthesizes two node rows per edge and upserts them
     (/root/reference/entwiner/geopackagenetwork/edge_table.py:5-33);
     here: endpoint union + dropDuplicates on the node key.
+
+    ``point_attrs`` (reference TODO.md "Bugs → Node attributes" —
+    nodes should carry properties for queries/OSM compatibility):
+    a ``(_n, attr...)`` frame, typically from
+    ``node_attrs_from_points`` — its attribute columns left-join onto
+    the endpoint-derived nodes (the U3 schema-evolution shape: new
+    columns appear, non-matching nodes get NULLs).  Points that land
+    on no edge endpoint are dropped — they describe junctions the
+    network doesn't have; promote them to standalone nodes explicitly
+    if a feed needs that.
     """
     coords = F.col("geom.coordinates")
     u_nodes = edges.select(
@@ -328,4 +356,83 @@ def nodes_from_edges(edges: DataFrame, precision: int = DEFAULT_PRECISION) -> Da
             F.lit("Point").alias("type"), F.element_at(coords, -1).alias("coordinates")
         ).alias("geom"),
     )
-    return u_nodes.unionByName(v_nodes).dropDuplicates(["_n"])
+    nodes = u_nodes.unionByName(v_nodes).dropDuplicates(["_n"])
+    if point_attrs is not None:
+        nodes = nodes.join(point_attrs, "_n", "left")
+    return nodes
+
+
+#: Columns the engine owns on the nodes table.
+RESERVED_NODE_COLUMNS = ("_n", "geom")
+
+
+def node_attrs_from_features(
+    points: DataFrame,
+    prop_cols: list[str],
+    precision: int = DEFAULT_PRECISION,
+) -> DataFrame:
+    """Core of the Point-feature node-attribute ingest, file-free so
+    the catalog oracle can replay it: ``points`` carries ``(_src,
+    _pos, _coords array<double>, <prop_cols>...)``; the node id is the
+    SAME rounded "lon, lat" string the edge endpoints use (F1/F2), so
+    attributes land exactly on the junction nodes they describe;
+    duplicates per node resolve last-write-wins (the U2 idiom — later
+    file, later feature wins), mirroring the edge table's REPLACE INTO
+    semantics."""
+    keyed = points.select(
+        node_id_from_coord(F.col("_coords"), precision).alias("_n"),
+        "_src",
+        "_pos",
+        *[F.col(c) for c in prop_cols],
+    )
+    w = Window.partitionBy("_n").orderBy(
+        F.col("_src").desc(), F.col("_pos").desc()
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_src", "_pos")
+    )
+
+
+def node_attrs_from_points(
+    spark: SparkSession,
+    paths: str | list[str],
+    precision: int = DEFAULT_PRECISION,
+    lines: bool = False,
+) -> DataFrame:
+    """Node attributes from Point features (reference TODO.md "Bugs →
+    Node attributes"; r11-verdict task #3): the LineString-only edge
+    ingest (P10) drops Point features, so kerb/crossing/marking
+    properties had no path into the graph.  This reads the SAME
+    GeoJSON files, keeps the Points, and returns ``(_n, attr...)``
+    keyed by the rounded node id — feed it to
+    ``nodes_from_edges(edges, point_attrs=...)`` to enrich the nodes
+    table (and ``SparkGraph.get_node``/``node_attrs`` thereafter).
+
+    Mixed-geometry files are the norm here (points alongside lines),
+    which breaks naive JSON schema inference — coordinates are read
+    as raw JSON text and each Point decodes with its exact schema
+    (the split_multilinestrings technique).  Tie-break across files is
+    lexicographic on the file URI (one source feed per file is the
+    expected layout)."""
+    feats = _exploded_features(spark, paths, lines=lines, raw_coords=True)
+    cs = F.col("_f.geometry.coordinates")
+    pts = feats.filter(F.col("_f.geometry.type") == "Point").withColumn(
+        "_coords", F.from_json(cs, "array<double>")
+    ).filter(F.size("_coords") >= 2)
+    prop_fields: list[str] = []
+    f_type = feats.schema["_f"].dataType
+    if "properties" in f_type.names:
+        ptype = f_type["properties"].dataType
+        if hasattr(ptype, "names"):
+            prop_fields = [
+                n for n in ptype.names if n not in RESERVED_NODE_COLUMNS
+            ]
+    flat = pts.select(
+        "_src",
+        "_pos",
+        "_coords",
+        *[F.col(f"_f.properties.{n}").alias(n) for n in prop_fields],
+    )
+    return node_attrs_from_features(flat, prop_fields, precision=precision)

@@ -2113,3 +2113,174 @@ def test_anf_local_twin_self_loop_only_node_parity(spark):
         ).collect()
     }
     assert local == dist == {0: 2, 1: 3, 2: 3}
+
+
+# ---- integer re-keying (reference TODO.md "(Re-)Defining node keys") -
+
+
+def _rand_triples(seed, n_nodes=24, n_edges=60):
+    import random
+
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < n_edges:
+        u, v = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if u != v:
+            pairs.add((f"n{u:02d}", f"n{v:02d}"))
+    return [(u, v, 1.0 + (hash((u, v)) % 7)) for u, v in sorted(pairs)]
+
+
+def test_relabel_ids_roundtrip_parity(spark):
+    """relabel → compute → restore == string-keyed result, both
+    methods, across the iterative operator family the long keys exist
+    for.  Component labels are representatives (min id in KEY space),
+    so cc/scc compare as partitions; sssp/kcore compare value-exact."""
+    g = _mkgraph(spark, _rand_triples(7))
+    src = "n00"
+    want_sssp = {
+        r["_n"]: r["dist"]
+        for r in g.shortest_path_lengths(src, weight="w").collect()
+    }
+    want_cc = {}
+    for r in g.connected_components().collect():
+        want_cc.setdefault(r["component"], set()).add(r["_n"])
+    want_parts = {frozenset(v) for v in want_cc.values()}
+    want_core = {
+        (r["_n"], r["core_degree"]) for r in g.kcore(k=2).collect()
+    }
+    for method in ("hash", "dense"):
+        g2, mapping = g.relabel_ids(method=method)
+        assert dict(g2.nodes.dtypes)["_n"] == "bigint"
+        assert dict(g2.edges.dtypes)["_u"] == "bigint"
+        mp = {r["_n"]: r["_id"] for r in mapping.collect()}
+        assert len(mp) == len(set(mp.values())) == g.order()
+        d = {
+            r["_n"]: r["dist"]
+            for r in SparkGraph.restore_ids(
+                g2.shortest_path_lengths(mp[src], weight="w"),
+                mapping,
+                ["_n"],
+            ).collect()
+        }
+        assert d == want_sssp, method
+        cc = {}
+        for r in SparkGraph.restore_ids(
+            g2.connected_components(), mapping, ["_n", "component"]
+        ).collect():
+            cc.setdefault(r["component"], set()).add(r["_n"])
+        assert {frozenset(v) for v in cc.values()} == want_parts, method
+        core = {
+            (r["_n"], r["core_degree"])
+            for r in SparkGraph.restore_ids(
+                g2.kcore(k=2), mapping, ["_n"]
+            ).collect()
+        }
+        assert core == want_core, method
+    with pytest.raises(ValueError, match="method"):
+        g.relabel_ids(method="bogus")
+
+
+def test_relabel_ids_distributed_paths_on_long_keys(spark):
+    """The distributed (pregel-forced) iterative paths run unchanged
+    on long keys: sssp, cc, scc, pagerank all accept the relabeled
+    graph (the derived-id-type schemas from the r11 advice refactor),
+    and scc partitions match the string-keyed run."""
+    triples = _rand_triples(11, n_nodes=14, n_edges=30) + [
+        ("n00", "n01", 1.0),
+        ("n01", "n02", 1.0),
+        ("n02", "n00", 1.0),  # guaranteed nontrivial SCC
+    ]
+    g = _mkgraph(spark, sorted(set(triples)))
+    g2, mapping = g.relabel_ids()
+    mp = {r["_n"]: r["_id"] for r in mapping.collect()}
+    want = {
+        r["_n"]: r["dist"]
+        for r in g.shortest_path_lengths(
+            "n00", weight="w", strategy="pregel"
+        ).collect()
+    }
+    got = {
+        r["_n"]: r["dist"]
+        for r in SparkGraph.restore_ids(
+            g2.shortest_path_lengths(mp["n00"], weight="w", strategy="pregel"),
+            mapping,
+            ["_n"],
+        ).collect()
+    }
+    assert got == want
+    def parts(rows):
+        by = {}
+        for r in rows:
+            by.setdefault(r["component"], set()).add(r["_n"])
+        return {frozenset(v) for v in by.values()}
+
+    assert parts(
+        SparkGraph.restore_ids(
+            g2.strongly_connected_components(strategy="pregel"),
+            mapping,
+            ["_n", "component"],
+        ).collect()
+    ) == parts(g.strongly_connected_components(strategy="pregel").collect())
+    pr_want = {
+        r["_n"]: r["rank"]
+        for r in g.pagerank(strategy="pregel", max_iterations=8).collect()
+    }
+    pr_got = {
+        r["_n"]: r["rank"]
+        for r in SparkGraph.restore_ids(
+            g2.pagerank(strategy="pregel", max_iterations=8),
+            mapping,
+            ["_n"],
+        ).collect()
+    }
+    assert set(pr_got) == set(pr_want)
+    for n in pr_want:
+        assert pr_got[n] == pytest.approx(pr_want[n], abs=1e-9), n
+
+
+def test_shortest_path_via_contracted_uw(uwG):
+    """r11-verdict task #2: shortest_path(via='contracted') contracts
+    once, routes on the minor, expands — and must agree with raw SSSP
+    on the uw fixture: same cost (up to float association in the
+    shortcut folds), and the expanded sequence is a genuine raw path
+    whose edge weights sum to that cost.  Absorbed endpoints raise;
+    bogus via raises."""
+    c = uwG.contract_chains(weight="_length", keep_path=True)
+    retained = sorted(r["_n"] for r in c.nodes.collect())
+    assert len(retained) >= 4
+    raw_w = {
+        (r["_u"], r["_v"]): r["_length"]
+        for r in uwG.edges.select("_u", "_v", "_length").collect()
+    }
+    checked = 0
+    for src in retained[:2]:
+        for dst in retained[-3:]:
+            if src == dst:
+                continue
+            raw = uwG.shortest_path(src, dst, weight="_length")
+            got = uwG.shortest_path(
+                src, dst, weight="_length", via="contracted", contracted=c
+            )
+            assert (raw is None) == (got is None), (src, dst)
+            if raw is None:
+                continue
+            path, cost = got
+            assert path[0] == src and path[-1] == dst
+            assert cost == pytest.approx(raw[1], rel=1e-12), (src, dst)
+            walked = 0.0
+            for a, b in zip(path, path[1:]):
+                assert (a, b) in raw_w, (a, b)
+                walked += raw_w[(a, b)]
+            assert walked == pytest.approx(cost, rel=1e-12)
+            checked += 1
+    assert checked >= 3
+    absorbed = sorted(
+        {r["_n"] for r in uwG.nodes.collect()} - set(retained)
+    )
+    with pytest.raises(ValueError, match="absorbed"):
+        uwG.shortest_path(
+            absorbed[0], retained[0], weight="_length",
+            via="contracted", contracted=c,
+        )
+    with pytest.raises(ValueError, match="via must be"):
+        uwG.shortest_path(retained[0], retained[1], via="bogus")

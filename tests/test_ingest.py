@@ -127,3 +127,64 @@ def test_multilinestring_split_ingest(spark, tmp_path):
         (r["_u"], r["_v"]): r for r in both.collect()
     }[("3.0, 1.0", "2.0, 0.0")]
     assert rev["geom"]["coordinates"] == [[3.0, 1.0], [3.0, 0.0], [2.0, 0.0]]
+
+
+def test_node_attrs_from_points_mixed_file(spark, tmp_path):
+    """r11-verdict task #3 (reference TODO.md "Node attributes"): a
+    mixed GeoJSON file — sidewalk LineStrings plus kerb/crossing
+    Points — ingests edges via raw_coords=True (naive inference would
+    degrade mixed coordinate nesting to array<string> and NULL every
+    node id), routes Point properties onto the endpoint nodes they
+    coincide with via the rounded node-id join, last-write-wins on
+    duplicate points, drops off-network points, and get_node /
+    node_attrs then return the enriched row."""
+    import json
+
+    from entwiner_spark import (
+        SparkGraph,
+        edges_from_geojson,
+        node_attrs_from_points,
+        nodes_from_edges,
+    )
+
+    def feat(geom_type, coords, **props):
+        return {
+            "type": "Feature",
+            "geometry": {"type": geom_type, "coordinates": coords},
+            "properties": props,
+        }
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            feat("LineString", [[0.0, 0.0], [1.0, 0.0]], cost=1.0),
+            feat("LineString", [[1.0, 0.0], [1.0, 1.0]], cost=2.0),
+            # kerb at the shared junction (1, 0) — enriches that node
+            feat("Point", [1.0, 0.0], kerb="rolled", tactile=False),
+            # duplicate at the same junction, later in file: wins
+            feat("Point", [1.0000000001, 0.0], kerb="raised", tactile=True),
+            # off-network point: silently dropped by the left join
+            feat("Point", [9.0, 9.0], kerb="flush", tactile=False),
+        ],
+    }
+    p = tmp_path / "mixed.geojson"
+    p.write_text(json.dumps(fc))
+
+    edges = edges_from_geojson(spark, str(p), add_reverse=True, raw_coords=True)
+    assert edges.count() == 4  # 2 fwd + 2 rev; points dropped (P10)
+    attrs = node_attrs_from_points(spark, str(p))
+    got = {r["_n"]: (r["kerb"], r["tactile"]) for r in attrs.collect()}
+    assert got == {
+        "1.0, 0.0": ("raised", True),  # LWW: the later point wins
+        "9.0, 9.0": ("flush", False),
+    }
+    nodes = nodes_from_edges(edges, point_attrs=attrs)
+    assert {r["_n"] for r in nodes.collect()} == {
+        "0.0, 0.0", "1.0, 0.0", "1.0, 1.0",
+    }  # the off-network point never becomes a node
+    g = SparkGraph(nodes, edges)
+    row = g.get_node("1.0, 0.0").collect()[0]
+    assert row["kerb"] == "raised" and row["tactile"] is True
+    assert g.node_attrs("1.0, 0.0")["kerb"] == "raised"
+    bare = g.node_attrs("0.0, 0.0")  # un-enriched node: NULL attrs
+    assert bare["kerb"] is None
