@@ -4534,6 +4534,102 @@ def g_turn_routing(spark, sf_dir):
     ).select(F.col("_n").alias("node"), F.round("dist", 6).alias("dist"))
 
 
+_MNV_BRG = """
+  ((degrees(atan2(
+      sin(radians(lon2 - lon1)) * cos(radians(lat2)),
+      cos(radians(lat1)) * sin(radians(lat2))
+        - sin(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2 - lon1))
+    )) % 360.0) + 360.0) % 360.0
+"""
+
+
+@q(
+    "g_maneuver_classes",
+    f"""
+    WITH base AS (SELECT u, v FROM ({_GRAPH_EDGES_SQL})),
+    ed AS (
+      SELECT u, v FROM base
+      UNION ALL
+      SELECT v, u FROM base WHERE u % 4 = 0 AND v = u + 1
+    ),
+    geo AS (
+      SELECT u, v,
+             (u % 5) * 1.0e-2 AS lon1, (u // 5) * 1.0e-2 AS lat1,
+             (v % 5) * 1.0e-2 AS lon2, (v // 5) * 1.0e-2 AS lat2
+      FROM ed
+    ),
+    brg AS (SELECT u, v, {_MNV_BRG} AS b FROM geo),
+    mnv AS (
+      SELECT 180.0 - ((((180.0 - (e2.b - e1.b)) % 360.0) + 360.0)
+                      % 360.0) AS ang
+      FROM brg e1 JOIN brg e2 ON e1.v = e2.u
+    ),
+    cls AS (
+      SELECT CASE WHEN abs(ang) <= 30.0 THEN 'straight'
+                  WHEN abs(ang) >= 150.0 THEN 'uturn'
+                  WHEN ang > 0 THEN 'right' ELSE 'left' END AS maneuver
+      FROM mnv
+    )
+    SELECT maneuver, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * (CASE maneuver WHEN 'right' THEN 5.0
+                                           WHEN 'left' THEN 15.0
+                                           WHEN 'uturn' THEN 100.0
+                                           ELSE 0.0 END), 6)
+             AS profile_cost
+    FROM cls GROUP BY maneuver
+    """,
+)
+def g_maneuver_classes(spark, sf_dir):
+    """Maneuver-class labeling on the minor (r11-verdict task #7):
+    nation-DAG nodes take grid positions (lon = n%5 · 0.01, lat =
+    n//5 · 0.01), every edge a straight 2-point LineString (plus
+    reversed u%4==0 row-edges so U-turn pairs exist);
+    ``to_linegraph(coords_col=...)`` carries each maneuver's signed
+    turn angle onto the minor edge, ``geo.maneuver_class`` buckets it
+    (straight ≤30°, U-turn ≥150°, else sign → right/left) and the
+    right-hand-traffic profile (right 5 / left 15 / U-turn 100 — the
+    layer_cost pattern) prices each class.  The oracle replays the
+    bearing/normalization trig term-for-term; class margins are
+    whole degrees, so cross-engine trig ULPs cannot flip a bucket.
+    Grouped counts, not per-maneuver rows, keep the hash scale-stable."""
+    from entwiner_spark.functions.geo import maneuver_class, maneuver_cost
+
+    e = _graph_edges(spark, sf_dir).select("u", "v")
+    ed = e.unionByName(
+        e.filter((F.col("u") % 4 == 0) & (F.col("v") == F.col("u") + 1))
+        .select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    lon = lambda name: (F.col(name) % 5).cast("double") * 0.01  # noqa: E731
+    lat = lambda name: F.expr(f"{name} div 5").cast("double") * 0.01  # noqa: E731
+    edges = ed.select(
+        F.col("u").cast("string").alias("_u"),
+        F.col("v").cast("string").alias("_v"),
+        F.array(
+            F.array(lon("u"), lat("u")),
+            F.array(lon("v"), lat("v")),
+        ).alias("coordinates"),
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=8)
+    lg = g.to_linegraph(coords_col="coordinates")
+    ang = F.col("_turn_angle_deg")
+    return (
+        lg.edges.select(
+            maneuver_class(ang).alias("maneuver"),
+            maneuver_cost(ang).alias("_c"),
+        )
+        .groupBy("maneuver")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("_c"), 6).alias("profile_cost"),
+        )
+    )
+
+
 @q(
     "g_relabel_roundtrip",
     f"""
@@ -6372,6 +6468,87 @@ def geo_j6_nearest_edge(spark, sf_dir):
     out = nearest_edge_join(pts, lines, 500.0, "s_suppkey", "p_partkey")
     return out.select(
         "s_suppkey", "p_partkey", F.round("_dist", 3).alias("dist_m")
+    )
+
+
+@q(
+    "geo_gtfs_stops",
+    f"""
+    WITH cand AS (
+      SELECT s_suppkey, p_partkey, {_J5_DIST} AS d,
+             {_SUP_LON} AS slon, {_SUP_LAT} AS slat,
+             {_PART_LON} AS alon, {_PART_LAT} AS alat,
+             ({_PART_LON} + 2.0e-2) AS blon, {_PART_LAT} AS blat
+      FROM supplier, part
+      WHERE {_J5_DIST} < 500.0e0
+    ), snapped AS (
+      SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                                   ORDER BY d, p_partkey) AS rk
+      FROM cand
+    ), s AS (SELECT * FROM snapped WHERE rk = 1),
+    ep AS (
+      SELECT s_suppkey, p_partkey, d,
+             CAST(round(alon, 7) AS VARCHAR) || ', ' ||
+               CAST(round(alat, 7) AS VARCHAR) AS node,
+             round({_hav_sql("slon", "slat", "alon", "alat")}, 3) AS w
+      FROM s
+      UNION ALL
+      SELECT s_suppkey, p_partkey, d,
+             CAST(round(blon, 7) AS VARCHAR) || ', ' ||
+               CAST(round(blat, 7) AS VARCHAR),
+             round({_hav_sql("slon", "slat", "blon", "blat")}, 3)
+      FROM s
+    )
+    SELECT 'gtfs:' || CAST(s_suppkey AS VARCHAR) AS u, node AS v, w,
+           p_partkey AS snapped_fid, round(d, 3) AS snap_dist_m
+    FROM ep
+    UNION ALL
+    SELECT node, 'gtfs:' || CAST(s_suppkey AS VARCHAR), w,
+           p_partkey, round(d, 3)
+    FROM ep
+    """,
+)
+def geo_gtfs_stops(spark, sf_dir):
+    """GTFS stop-snap adapter (reference TODO.md:49-60 "Support for
+    POIs" — GTFS stops named explicitly; r11-verdict task #4) under
+    the driver gate: supplier points play stops.txt rows, part
+    3-point polylines play network edges (the shared J5/J6 tables),
+    and ``gtfs.stop_link_edges`` snaps each stop to its nearest edge
+    within 500 m (grid-bucketed candidates, deterministic (distance,
+    key) rank-1) then emits the four bidirectional station→endpoint
+    link edges costed by straight-line haversine access distance.
+    The oracle replays the brute-force ranked J6 snap and the
+    term-for-term identical haversine on both endpoints; the
+    stops.txt CSV front half and the route-through-a-station
+    composition are pytest-pinned in tests/test_gtfs.py."""
+    from entwiner_spark.functions.ids import node_id
+    from entwiner_spark.sources.gtfs import stop_link_edges
+
+    pts, lines = _j5_tables(spark, sf_dir)
+    c = F.col("coordinates")
+    edges = lines.select(
+        F.col("p_partkey").alias("fid"),
+        node_id(
+            F.element_at(F.element_at(c, 1), 1),
+            F.element_at(F.element_at(c, 1), 2),
+        ).alias("_u"),
+        node_id(
+            F.element_at(F.element_at(c, -1), 1),
+            F.element_at(F.element_at(c, -1), 2),
+        ).alias("_v"),
+        F.struct(
+            F.lit("LineString").alias("type"), c.alias("coordinates")
+        ).alias("geom"),
+    )
+    links = stop_link_edges(
+        pts, edges, max_dist_m=500.0, stop_key="s_suppkey", edge_key="fid"
+    )
+    return links.select(
+        F.col("_u").alias("u"),
+        F.col("_v").alias("v"),
+        F.col("_length").alias("w"),
+        F.col("snapped_fid"),
+        F.round("snap_dist_m", 3).alias("snap_dist_m"),
     )
 
 

@@ -78,6 +78,61 @@ def turn_angle_deg(coords_in: Column, coords_out: Column) -> Column:
     )
 
 
+#: Default maneuver-class thresholds (degrees of |turn angle|).
+STRAIGHT_MAX_DEG = 30.0
+UTURN_MIN_DEG = 150.0
+
+
+def maneuver_class(
+    angle_deg: Column,
+    straight_max_deg: float = STRAIGHT_MAX_DEG,
+    uturn_min_deg: float = UTURN_MIN_DEG,
+) -> Column:
+    """Classify a signed turn angle (``turn_angle_deg`` output) into
+    ``straight`` / ``right`` / ``left`` / ``uturn`` (r11-verdict task
+    #7 — rounds out the maneuver-minor work): |angle| ≤
+    ``straight_max_deg`` is straight, |angle| ≥ ``uturn_min_deg`` is a
+    U-turn, else the sign decides (positive = clockwise = right).
+    Pure CASE over an existing column — free in any plan that already
+    carries the angle; NULL angles (degenerate geometry) stay NULL so
+    downstream profiles can price them explicitly."""
+    a = angle_deg.cast("double")
+    return (
+        F.when(a.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(a) <= straight_max_deg, F.lit("straight"))
+        .when(F.abs(a) >= uturn_min_deg, F.lit("uturn"))
+        .when(a > 0, F.lit("right"))
+        .otherwise(F.lit("left"))
+    )
+
+
+def maneuver_cost(
+    angle_deg: Column,
+    costs: dict[str, float] | None = None,
+    default: float = 0.0,
+    straight_max_deg: float = STRAIGHT_MAX_DEG,
+    uturn_min_deg: float = UTURN_MIN_DEG,
+) -> Column:
+    """Per-maneuver cost profile over ``maneuver_class`` buckets (the
+    ``layer_cost`` pattern lifted onto turn geometry): ``costs`` maps
+    class name → penalty; unlisted classes (and NULL-angle maneuvers)
+    pay ``default``.  Drop the result straight into
+    ``to_linegraph(turn_cost=lambda e1, e2: maneuver_cost(
+    turn_angle_deg(e1("coordinates"), e2("coordinates")), {...}))`` —
+    one CASE expression, no UDF, whole-stage codegen keeps it free."""
+    if costs is None:
+        costs = {"right": 5.0, "left": 15.0, "uturn": 100.0}
+    cls = maneuver_class(
+        angle_deg,
+        straight_max_deg=straight_max_deg,
+        uturn_min_deg=uturn_min_deg,
+    )
+    expr = F.lit(float(default))
+    for name, c in costs.items():
+        expr = F.when(cls == name, F.lit(float(c))).otherwise(expr)
+    return expr
+
+
 def _pair_dist(a: Column, b: Column) -> Column:
     return haversine_m(
         F.element_at(a, 1), F.element_at(a, 2), F.element_at(b, 1), F.element_at(b, 2)

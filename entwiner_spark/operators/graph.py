@@ -3781,6 +3781,7 @@ class SparkGraph:
         turn_cost=None,
         allow_uturn: bool = True,
         sep: str = "|",
+        coords_col: str | None = None,
     ) -> "SparkGraph":
         """Graph-minor / maneuver-graph derivation (reference
         TODO.md:62-70: "Deriving a minor (edges --> nodes) ... graph
@@ -3845,11 +3846,26 @@ class SparkGraph:
             wcol = wcol + F.coalesce(
                 turn_cost(e1, e2).cast("double"), F.lit(0.0)
             )
+        # coords_col: carry each maneuver's signed turn angle onto the
+        # minor edge (``_turn_angle_deg``) so downstream classification
+        # (geo.maneuver_class) and cost profiles (geo.maneuver_cost)
+        # are plain CASE columns — no second self-join to recover the
+        # geometry (r11-verdict task #7)
+        angle_cols = []
+        if coords_col is not None:
+            from entwiner_spark.functions.geo import turn_angle_deg
+
+            angle_cols = [
+                turn_angle_deg(e1(coords_col), e2(coords_col)).alias(
+                    "_turn_angle_deg"
+                )
+            ]
         ledges = j.select(
             eid(e1("_u"), e1("_v")).alias("_u"),
             eid(e2("_u"), e2("_v")).alias("_v"),
             e1("_v").alias("_via"),
             wcol.alias("w"),
+            *angle_cols,
         )
         return SparkGraph(lnodes, ledges)
 

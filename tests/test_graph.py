@@ -2284,3 +2284,60 @@ def test_shortest_path_via_contracted_uw(uwG):
         )
     with pytest.raises(ValueError, match="via must be"):
         uwG.shortest_path(retained[0], retained[1], via="bogus")
+
+
+def test_maneuver_classes_and_cost_profile(spark):
+    """r11-verdict task #7: minor edges built with coords_col carry
+    _turn_angle_deg; maneuver_class buckets it into straight/right/
+    left/uturn on a hand-built junction (east→north = left, east→east
+    = straight, east→west = U-turn, north→east = right), and
+    maneuver_cost prices the route per profile as a pure CASE."""
+    from entwiner_spark.functions.geo import (
+        maneuver_class,
+        maneuver_cost,
+        turn_angle_deg,
+    )
+
+    rows = [
+        ("A", "B", 1.0, [[0.0, 0.0], [0.001, 0.0]]),     # east
+        ("B", "A", 1.0, [[0.001, 0.0], [0.0, 0.0]]),     # west (rev)
+        ("B", "C", 1.0, [[0.001, 0.0], [0.001, 0.001]]),  # north
+        ("C", "E", 1.0, [[0.001, 0.001], [0.002, 0.001]]),  # east
+        ("B", "D", 1.0, [[0.001, 0.0], [0.002, 0.0]]),   # east
+    ]
+    edges = spark.createDataFrame(
+        rows, "_u string, _v string, w double, coordinates array<array<double>>"
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=4)
+    lg = g.to_linegraph(weight="w", coords_col="coordinates")
+    got = {
+        (r["_u"], r["_v"]): r["cls"]
+        for r in lg.edges.select(
+            "_u", "_v", maneuver_class(F.col("_turn_angle_deg")).alias("cls")
+        ).collect()
+    }
+    assert got[("A|B", "B|C")] == "left"
+    assert got[("A|B", "B|D")] == "straight"
+    assert got[("A|B", "B|A")] == "uturn"
+    assert got[("B|C", "C|E")] == "right"
+    assert got[("B|A", "A|B")] == "uturn"
+
+    profile = {"right": 5.0, "left": 15.0, "uturn": 100.0}
+    priced = g.to_linegraph(
+        weight="w",
+        turn_cost=lambda e1, e2: maneuver_cost(
+            turn_angle_deg(e1("coordinates"), e2("coordinates")), profile
+        ),
+    )
+    w = {
+        (r["_u"], r["_v"]): r["w"] for r in priced.edges.collect()
+    }
+    assert w[("A|B", "B|C")] == pytest.approx(16.0)   # 1 + left 15
+    assert w[("A|B", "B|D")] == pytest.approx(1.0)    # straight free
+    assert w[("A|B", "B|A")] == pytest.approx(101.0)  # 1 + uturn 100
+    assert w[("B|C", "C|E")] == pytest.approx(6.0)    # 1 + right 5
