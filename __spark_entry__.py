@@ -27,67 +27,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # since their newest driver-green row ("changed outranks stale" — the
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
-# newest-green round first, alphabetical within a round).  The r11
-# head 50 = 7 new + 5 changed (mm4/t22/d6b from the r10 diff, t22b
-# from the r11 auto-dispatch rework) + the 28 r7-vintage rows + the
-# 10 alphabetically-first r8 rows.  Regenerate every round with the
-# same rule.
+# newest-green round first, alphabetical within a round).  The r12
+# head 50 = 5 new (relabel/ch-route/node-attr/gtfs/maneuver) + 7
+# changed + ALL 38 remaining r8-vintage rows, moving the staleness
+# floor to r9 (r11 verdict task #5).  Regenerate every round with
+# the same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 11) ---
-    "g_contract_chains",
+    # --- never sampled (new in round 12) ---
+    "s14_node_attr_ingest",
+    "g_maneuver_classes",
+    "g_relabel_roundtrip",
+    "g_ch_route",
+    "geo_gtfs_stops",
+    # --- changed in r12 but newest driver-green row predates the
+    # --- change ("changed outranks stale"): ANF local-twin
+    # --- self-loop parity + eff-diameter q-validation/monotonize +
+    # --- contract_chains struct eids + to_linegraph coords_col
+    # --- select + t22-auto unpersist hook.  The graph._id_type()
+    # --- refactor (StringType -> derived) is byte-identical for
+    # --- every string-keyed catalog graph and is exercised by the
+    # --- NEW g_relabel_roundtrip/g_ch_route, so sssp-family rows
+    # --- are NOT re-flagged; all 190 are locally re-oracled anyway.
+    "g_anf",
     "g_eff_diameter",
+    "g_contract_chains",
     "g_linegraph",
     "g_turn_routing",
-    "d16_dup_span_removal",
-    "t6b_quantiles_kll",
-    "u4_props_json_roundtrip",
-    # --- changed in r10/r11 but newest driver-green row predates
-    # --- the change (r10-verdict task #1: changed > stalest) ---
-    "d6b_embedding_neardup_lsh",  # r10: zero-norm/NULL pre-filter
-    "g_anf",  # r11: neighborhood_function local-exact gate + fused probe
-    "mm4_media_neardup",  # r10: shingle_bytes 4 -> 8
-    "t22_repetition_removal",  # r10: rewritten onto the shared operator
-    "t22b_repetition_removal_explode",  # same operator, explode plan
-    # --- newest driver-green row: round 7 ---
-    "g_msf",
-    "g_p5_successors",
-    "g_scc_components",
-    "geo_a4_linestring_length",
-    "geo_f6_haversine_within",
-    "geo_j3_bbox_count",
-    "geo_o1_knn",
-    "geo_s13_simplify",
-    "j2_revenue_by_nation",
-    "j_outer_order_counts",
-    "m1_keyed_update",
-    "m2_delete_keys",
-    "mm1_binary_meta",
-    "o1_top10_orders",
-    "p2_point_lookup",
-    "p4_semi_join",
-    "p4b_anti_join",
-    "p7_distinct_pairs",
-    "q1_pricing_summary",
-    "s11_standardize",
-    "s13_ivfpq_search",
-    "s1_fwd_rev_ingest",
-    "s2_cosine_top10",
-    "s3_knn_join",
-    "samp5_weighted",
-    "t12_unigram_logprob",
-    "t13_repetition_ratio",
+    "t22_repetition_removal",
+    "t22b_repetition_removal_explode",
     # --- newest driver-green row: round 8 ---
-    "a2b_approx_degree",
-    "d4b_simhash_neardup",
-    "d5_ngram_jaccard_pairs",
-    "d6_embedding_neardup",
-    "d7_contamination",
-    "d8_dedup_clusters",
-    "e3_sessionize",
-    "e5_asof_last_view",
-    "e6_interval_join",
-    "g_adamic_adar",
-    "g_am_weighted_degree",
     "g_betweenness",
     "g_closeness",
     "g_j1_khop",
@@ -225,6 +193,50 @@ _PRIORITY = [
     "t21_feature_hashing",
     "w6_range_interval",
     "x5_zorder_values",
+    # --- newest driver-green row: round 11 ---
+    "a2b_approx_degree",
+    "d16_dup_span_removal",
+    "d4b_simhash_neardup",
+    "d5_ngram_jaccard_pairs",
+    "d6_embedding_neardup",
+    "d6b_embedding_neardup_lsh",
+    "d7_contamination",
+    "d8_dedup_clusters",
+    "e3_sessionize",
+    "e5_asof_last_view",
+    "e6_interval_join",
+    "g_adamic_adar",
+    "g_am_weighted_degree",
+    "g_msf",
+    "g_p5_successors",
+    "g_scc_components",
+    "geo_a4_linestring_length",
+    "geo_f6_haversine_within",
+    "geo_j3_bbox_count",
+    "geo_o1_knn",
+    "geo_s13_simplify",
+    "j2_revenue_by_nation",
+    "j_outer_order_counts",
+    "m1_keyed_update",
+    "m2_delete_keys",
+    "mm1_binary_meta",
+    "mm4_media_neardup",
+    "o1_top10_orders",
+    "p2_point_lookup",
+    "p4_semi_join",
+    "p4b_anti_join",
+    "p7_distinct_pairs",
+    "q1_pricing_summary",
+    "s11_standardize",
+    "s13_ivfpq_search",
+    "s1_fwd_rev_ingest",
+    "s2_cosine_top10",
+    "s3_knn_join",
+    "samp5_weighted",
+    "t12_unigram_logprob",
+    "t13_repetition_ratio",
+    "t6b_quantiles_kll",
+    "u4_props_json_roundtrip",
 ]
 
 def _ordered(d: dict) -> dict:
