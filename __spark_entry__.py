@@ -28,12 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r12
-# head 50 = 5 new (relabel/ch-route/node-attr/gtfs/maneuver) + 7
+# head 50 = 7 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/landmark-closeness) + 7
 # changed + ALL 38 remaining r8-vintage rows, moving the staleness
 # floor to r9 (r11 verdict task #5).  Regenerate every round with
 # the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 12) ---
+    "d17_bloom_contamination",
+    "g_closeness_landmarks",
     "s14_node_attr_ingest",
     "g_maneuver_classes",
     "g_relabel_roundtrip",

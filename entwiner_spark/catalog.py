@@ -2902,6 +2902,65 @@ def d16_dup_span_removal(spark, sf_dir):
 
 
 @q(
+    "d17_bloom_contamination",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN text IN
+                 (SELECT text FROM documents WHERE doc_id % 50 = 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_members,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    FROM documents
+    """,
+)
+def d17_bloom_contamination(spark, sf_dir):
+    """Bloom-filter exact-match decontamination (the zero-shuffle
+    membership primitive backing dedup.bloom_build/bloom_contains):
+    every-50th doc's text plays the blocklist/benchmark set; the
+    bitmap aggregates via ONE groupBy(word).bit_or (map-side partials,
+    ≤ num_bits/64 exchange rows regardless of member count), collects
+    to a fixed 128 KB word list, and flags the corpus with a pure
+    scan-side predicate — no join, no corpus shuffle, the 100 TB path.
+
+    a2b-style bounded contract: the exact member semi-join exists only
+    for this harness.  ``no_false_negatives`` (every true member is
+    bloom-flagged — the Bloom guarantee, exact not statistical) and
+    ``fp_within_bound`` (false positives ≤ 2% of corpus + 10; at this
+    sizing the expected count is ~1e-13) must both be TRUE; the raw
+    flagged count never enters the hash (it is hash-seed-specific —
+    xxhash64 — which DuckDB cannot replay)."""
+    from entwiner_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_build,
+        bloom_contains,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % 50 == 0)
+    bm = bloom_bitmap(bloom_build(members, "text"))
+    mt = members.select("text").distinct().withColumn("_m", F.lit(True))
+    j = docs.withColumn("_hit", bloom_contains(F.col("text"), bm)).join(
+        F.broadcast(mt), "text", "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_members"),
+        (
+            F.sum(
+                F.when(F.col("_m").isNotNull() & ~F.col("_hit"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum(F.when(F.col("_m").isNull() & F.col("_hit"), 1).otherwise(0))
+            <= F.count(F.lit(1)) * 0.02 + 10
+        ).alias("fp_within_bound"),
+    )
+
+
+@q(
     "samp1_stratified",
     """
     WITH ranked AS (
@@ -5105,6 +5164,60 @@ def g_closeness(spark, sf_dir):
         F.col("_n").cast("long").alias("node"),
         F.col("total_dist"),
         F.col("n_reachable").cast("long").alias("n_reachable"),
+    )
+
+
+@q(
+    "g_closeness_landmarks",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      -- NOT the bare-UNION idiom the other graph oracles use: under
+      -- WITH RECURSIVE DuckDB gives a CTE's UNION union-all semantics
+      -- (duplicates survive), harmless under their GROUP BYs but fatal
+      -- to row_number-based landmark selection here
+      SELECT DISTINCT n FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    ord AS (
+      SELECT n, row_number() OVER (ORDER BY CAST(n AS VARCHAR)) - 1 AS rn
+      FROM all_nodes
+    ),
+    lm AS (
+      SELECT n FROM ord
+      WHERE rn % greatest((SELECT count(*) FROM all_nodes) // 6, 1) = 0
+      ORDER BY rn LIMIT 6
+    ),
+    walk(src, node, dist) AS (
+      SELECT n, n, CAST(0 AS DOUBLE) FROM lm
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT src, node, min(dist) AS d FROM walk GROUP BY src, node)
+    SELECT node, sum(d) AS total_dist,
+           CAST(count(*) AS BIGINT) AS n_landmarks,
+           round(sum(d) / count(*), 6) AS avg_dist
+    FROM best GROUP BY node
+    """,
+)
+def g_closeness_landmarks(spark, sf_dir):
+    """Landmark-sampled closeness — the documented at-scale escalation
+    exact ``closeness``/``harmonic`` point to when they refuse |V|
+    SSSP runs (k SSSPs from a deterministic every-ceil(V/k)-th sorted
+    node instead): per node, distance-sum/count/avg FROM the landmarks
+    reaching it.  Fully value-hashed, not just a contract: the
+    landmark choice is stable string-sorted sampling, so the oracle
+    replays selection (row_number over VARCHAR order), the k weighted
+    SSSPs (recursive CTE) and the per-destination aggregation
+    term-for-term.  k=6 on the 25-node DAG exercises truncation
+    (ids[::4] picks 7, [:6] keeps 6)."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.closeness_landmarks(n_landmarks=6, weight="w").select(
+        F.col("_n").cast("long").alias("node"),
+        F.col("total_dist"),
+        F.col("n_landmarks").cast("long").alias("n_landmarks"),
+        F.round(F.col("avg_dist"), 6).alias("avg_dist"),
     )
 
 

@@ -739,3 +739,114 @@ def remove_duplicate_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def _bloom_pos(col, i: int, num_bits: int):
+    """Bit position for hash slot ``i``: xxhash64 over (value, slot) —
+    k independent hash functions from one JVM-native hash family."""
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Aggregate a column into a Bloom-filter bitmap: DataFrame
+    ``(word long, bits long)`` — word ``w`` holds bits
+    ``[64w, 64w+64)``; absent words are all-zero.
+
+    The 100 TB membership primitive (no reference analogue — the
+    LLM-pipeline family): benchmark/blocklist membership tests that
+    neither shuffle nor broadcast the corpus.  Build plan: each member
+    row emits ``num_hashes`` narrow (word, mask) pairs, then ONE
+    groupBy(word).bit_or — partial aggregation combines map-side, so
+    the exchange carries at most ``num_bits/64`` rows per task
+    regardless of member count.  Bitmaps MERGE by construction
+    (union + the same bit_or groupBy): per-partition / per-day blooms
+    roll up without touching raw data.
+
+    Sizing: false-positive rate ≈ (1 - e^(-kn/m))^k for n members,
+    m bits, k hashes — the default 2^20 bits / k=5 holds ~87k members
+    at 1% FPR; there are NO false negatives at any size.  ``num_bits``
+    must be a multiple of 64 (whole words).
+    """
+    if num_bits % 64 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    c = F.col(col)
+    slots = []
+    for i in range(num_hashes):
+        pos = _bloom_pos(c, i, num_bits)
+        slots.append(
+            F.struct(
+                (pos / 64).cast("long").alias("word"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(pos, F.lit(64)).cast("int"),
+                ).alias("mask"),
+            )
+        )
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(F.array(*slots)).alias("s"))
+        .groupBy(F.col("s.word").alias("word"))
+        .agg(F.bit_or("s.mask").alias("bits"))
+    )
+
+
+def bloom_bitmap(bloom: DataFrame, num_bits: int = 1 << 20) -> list[int]:
+    """Collect a ``bloom_build`` result into a dense driver-side word
+    list (``num_bits/64`` longs — 2^20 bits = 16,384 longs = 128 KB).
+    This is the ONLY driver materialization in the bloom path and its
+    size is fixed by ``num_bits``, never by data volume."""
+    dense = [0] * (num_bits // 64)
+    for r in bloom.collect():
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def bloom_contains(
+    col,
+    bitmap: list[int],
+    num_hashes: int = 5,
+) -> "F.Column":
+    """Map-only membership test Column against a driver-held bitmap
+    (from :func:`bloom_bitmap`): True = *possibly* a member (bounded
+    false-positive rate), False = DEFINITELY not a member.  The bitmap
+    ships as one array literal in the plan (fixed 8·len bytes — 128 KB
+    at the default sizing), so filtering a 100 TB corpus is a pure
+    scan-side predicate: zero shuffle, zero join, wholestage codegen.
+    For bitmaps too big to inline (≥ tens of MB), keep the
+    ``bloom_build`` frame distributed and broadcast-join on ``word``
+    instead — same semantics, one small join."""
+    num_bits = 64 * len(bitmap)
+    arr = F.lit(bitmap)
+    cond = None
+    for i in range(num_hashes):
+        pos = _bloom_pos(col, i, num_bits)
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    members: DataFrame,
+    col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Flag corpus rows whose ``col`` value is (probably) in the member
+    set — the scale path for exact-match decontamination (the n-gram
+    variant is :func:`contamination_overlap`).  Guaranteed superset of
+    the true members (no false negatives); verify-stage the flagged
+    slice with an exact semi-join when exactness matters — at a 1% FPR
+    that join touches ~1% of the corpus instead of all of it."""
+    bm = bloom_bitmap(bloom_build(members, col, num_bits, num_hashes), num_bits)
+    return corpus.filter(bloom_contains(F.col(col), bm, num_hashes))

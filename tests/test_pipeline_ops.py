@@ -787,3 +787,56 @@ def test_remove_repeated_paragraphs_auto_unpersist_handle(spark):
     assert staged.storageLevel.useMemory  # persisted during the call
     staged.unpersist(blocking=True)
     assert staged.storageLevel == StorageLevel(False, False, False, False, 1)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from entwiner_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_build,
+        bloom_contains,
+        bloom_contamination,
+    )
+
+    nb = 1 << 14  # small bitmap -> some false positives possible, never negatives
+    rows = [(i, f"member text number {i}") for i in range(200)]
+    members = spark.createDataFrame(rows, "doc_id long, text string")
+    bm = bloom_bitmap(bloom_build(members, "text", num_bits=nb), nb)
+    assert len(bm) == nb // 64
+
+    # every member passes (the Bloom guarantee, exact not probabilistic)
+    hits = members.filter(bloom_contains(F.col("text"), bm)).count()
+    assert hits == 200
+
+    # non-members: overwhelmingly rejected (fpr at n=200, m=16384, k=5
+    # is ~3e-6; 500 probes -> expect 0, allow 2)
+    probes = spark.createDataFrame(
+        [(i, f"absent probe {i}") for i in range(500)], "doc_id long, text string"
+    )
+    fp = probes.filter(bloom_contains(F.col("text"), bm)).count()
+    assert fp <= 2
+
+    # mergeability: bloom(A) union bloom(B) re-aggregated == bloom(A+B)
+    a, b = members.filter("doc_id < 100"), members.filter("doc_id >= 100")
+    merged = (
+        bloom_build(a, "text", num_bits=nb)
+        .unionByName(bloom_build(b, "text", num_bits=nb))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert bloom_bitmap(merged, nb) == bm
+
+    # convenience wrapper: flagged ⊇ true members
+    corpus = members.unionByName(probes)
+    flagged = bloom_contamination(corpus, members, "text", num_bits=nb)
+    assert flagged.filter(F.col("doc_id") < 200).count() == 200
+
+
+def test_bloom_build_validates_num_bits(spark):
+    from entwiner_spark.operators.dedup import bloom_build
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "text", num_bits=100)

@@ -171,6 +171,21 @@ def probe_chroute(spark, out) -> None:
         F.concat_ws("_", F.concat(F.lit("c"), nxt_hub.cast("long").cast("string")), nxt_pos.cast("string"))
     )
     fwd = base.select(name.alias("_u"), nxt.alias("_v"), F.lit(1.0).alias("w"))
+    # hub chords (h_i <-> h_{i+2}, weight 1000): WITHOUT them every ring
+    # node is a 2-in/2-out through-node and the whole ring is one pure
+    # 900k-node cycle, which contract_chains correctly detects and
+    # emits UNCHANGED (the first run of this probe measured exactly
+    # that: 0 absorbed, 1.0x).  The chords give hubs degree 4 so they
+    # are retained, while the expensive weight keeps every shortest
+    # path on the chains — topology shapes contraction leverage.
+    hub_ids = spark.range(hubs)
+    hname = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    chord = hub_ids.select(
+        hname(F.col("id")).alias("_u"),
+        hname((F.col("id") + 2) % hubs).alias("_v"),
+        F.lit(1000.0).alias("w"),
+    )
+    fwd = fwd.unionByName(chord)
     edges = fwd.unionByName(
         fwd.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"), "w")
     ).localCheckpoint(eager=True)
@@ -186,6 +201,7 @@ def probe_chroute(spark, out) -> None:
     out["contract_build_sec"] = round(time.time() - t0, 1)
     out["contracted_nodes"] = cn.count()
     out["contracted_edges"] = ce.count()
+    assert out["contracted_nodes"] == hubs, "all chain interiors absorbed"
     C = SparkGraph(cn, ce)
 
     for span in (10, 25):
