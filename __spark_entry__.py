@@ -28,13 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r12
-# head 50 = 7 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/landmark-closeness) + 7
-# changed + ALL 38 remaining r8-vintage rows, moving the staleness
-# floor to r9 (r11 verdict task #5).  Regenerate every round with
-# the same rule.
+# head = 8 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/
+# landmark-closeness/url) + 7 changed + the 38 remaining r8-vintage
+# rows = 53, three over the 50-row sample: the last three r8 rows
+# (u2/u3/w1, alphabetically) deliberately overflow and head the r13
+# sample, so the staleness floor moves to r9 for 35 of 38 this round
+# and fully next round (r11 verdict task #5 — new/changed outrank
+# stale by rule).  Regenerate every round with the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 12) ---
     "d17_bloom_contamination",
+    "t23_url_normalize",
     "g_closeness_landmarks",
     "s14_node_attr_ingest",
     "g_maneuver_classes",

@@ -3743,6 +3743,77 @@ def t22b_repetition_removal_explode(spark, sf_dir):
 
 
 @q(
+    "t23_url_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'http://' || lower(source) || '.example.com/p/'
+                      || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b='
+                      || CAST(doc_id % 3 AS VARCHAR)
+          WHEN 1 THEN 'https://' || lower(source) || '.site.org/page'
+                      || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 2 THEN 'https://cdn.' || lower(source) || '.io:8443/x?y=1&z='
+                      || CAST(doc_id % 2 AS VARCHAR)
+          ELSE 'plain text ' || lower(source)
+        END AS url_norm
+      FROM documents
+    )
+    SELECT url_norm, CAST(count(*) AS BIGINT) AS n
+    FROM u GROUP BY url_norm
+    """,
+)
+def t23_url_normalize(spark, sf_dir):
+    """URL-level dedup grouping via ``text.normalize_url`` — the
+    stage-zero dedup of web-crawl pipelines (RefinedWeb/C4 group crawl
+    records by canonical URL before any content hashing): lowercased
+    scheme/host, www. and default ports stripped, fragments and
+    trailing slashes dropped, tracking params removed and the
+    survivors SORTED.  Four synthesized URL families off `documents`
+    exercise every rule (mixed case + :80 + utm_* + unordered params
+    + fragment; :443 root; non-default port with tracking param mixed
+    into keepers; a non-URL that must pass through untouched).  The
+    oracle is CLOSED-FORM (the g_cc topology precedent): it constructs
+    the expected canonical string per family independently, so a
+    normalization regression cannot hide in a shared regex."""
+    from entwiner_spark.functions.text import normalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"),
+                F.lit(".Example.COM:80/p/"), s(did % 7),
+                F.lit("/?utm_source=x&b="), s(did % 3), F.lit("&a=1#f"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".site.org:443/page"),
+                s(did % 5),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://cdn."), F.col("source"), F.lit(".io:8443/x?z="),
+                s(did % 2), F.lit("&y=1&fbclid=abc"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain text "), F.col("source")))
+    )
+    return (
+        d.select(normalize_url(raw).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "t12_unigram_logprob",
     """
     WITH w AS (

@@ -720,3 +720,57 @@ def dsir_weights(
             (F.round(F.avg("_lr"), 6) + F.lit(0.0)).alias("dsir_weight"),
         )
     )
+
+
+#: Query parameters stripped by normalize_url (tracking noise that
+#: fragments URL-level dedup groups without changing the fetched page).
+TRACKING_PARAMS_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for URL-level deduplication — the stage-zero
+    dedup of web-crawl training pipelines (group crawl records by
+    normalized URL before any content hashing touches the bytes):
+
+    - scheme and host lowercased; ``www.`` prefix and default ports
+      (``:80`` http, ``:443`` https) dropped from the host
+    - fragment (``#...``) dropped; trailing path slashes dropped
+    - query parameters: tracking params (``TRACKING_PARAMS_RE``:
+      utm_*, fbclid, gclid, msclkid, ref) dropped, the rest SORTED so
+      param order cannot split a dedup group; empty query drops ``?``
+
+    Pure Catalyst (regexp + split + array HOFs — no UDF, wholestage
+    codegen, usable as a scan-side projection on 100 TB of crawl
+    records).  Scheme-less strings pass through lowercased/trimmed
+    (not URLs — garbage in a url column should group AS-IS, visibly,
+    not be invented into http:// records).  ``t23_url_normalize``
+    replays every step term-for-term in DuckDB."""
+    u = F.trim(url)
+    has_scheme = u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    base = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, "^www\\.", "")
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(host, ":80$", "")
+    ).otherwise(host)
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(has_scheme, norm).otherwise(F.lower(u))

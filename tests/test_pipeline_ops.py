@@ -840,3 +840,33 @@ def test_bloom_build_validates_num_bits(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(df, "text", num_bits=100)
+
+
+# ---------------------------------------------------------------- url
+
+
+def test_normalize_url_rules(spark):
+    from entwiner_spark.functions.text import normalize_url
+
+    cases = {
+        # case folding + www + default port + tracking strip + param
+        # sort + fragment drop + trailing slash
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag":
+            "http://example.com/a/b?a=1&b=2",
+        "https://site.org:443/": "https://site.org",
+        # non-default port survives; params still sorted
+        "https://site.org:8443/x?z=1&y=2": "https://site.org:8443/x?y=2&z=1",
+        # scheme-less garbage passes through lowercased, not invented
+        "Not a URL": "not a url",
+        # all params tracking -> '?' dropped entirely
+        "http://h/?utm_a=1&fbclid=zz": "http://h",
+        # 'ref' stripped, 'ref2' kept (anchored param match)
+        "http://h.com/p?ref=tw&ref2=keep": "http://h.com/p?ref2=keep",
+        "  http://Tail.com/slashes///  ": "http://tail.com/slashes",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()
+    }
+    assert got == cases
