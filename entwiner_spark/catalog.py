@@ -4760,6 +4760,79 @@ def g_maneuver_classes(spark, sf_dir):
     )
 
 
+_ASTAR_HAV = _hav_sql("w.x * 1.0", "w.y * 1.0", "m.nx * 1.0", "m.ny * 1.0")
+
+
+@q(
+    "g_astar_route",
+    f"""
+    WITH RECURSIVE mv(dx, dy) AS (VALUES (1, 0), (0, 1)),
+    walk(x, y, cost, p) AS (
+      SELECT 0, 0, CAST(0 AS DOUBLE), '0.0, 0.0'
+      UNION ALL
+      SELECT m.nx, m.ny, w.cost + {{hav}},
+             w.p || ' -> ' || CAST(m.nx AS VARCHAR) || '.0, '
+                 || CAST(m.ny AS VARCHAR) || '.0'
+      FROM walk w
+      JOIN (SELECT dx, dy FROM mv) v ON TRUE,
+      LATERAL (SELECT w.x + v.dx AS nx, w.y + v.dy AS ny) m
+      WHERE m.nx <= 9 AND m.ny <= 9
+    )
+    SELECT round(cost, 1) AS cost_m, CAST(19 AS BIGINT) AS n_nodes, p AS route
+    FROM walk WHERE x = 9 AND y = 9 ORDER BY cost LIMIT 1
+    """.format(hav=_ASTAR_HAV),
+)
+def g_astar_route(spark, sf_dir):
+    """A* point-to-point routing (shortest_path(heuristic=...) with the
+    admissible straight-line haversine bound): a 10x10 grid DAG at 1-
+    degree spacing, rightward/upward edges weighted by true haversine.
+    East-west edges shrink with latitude (cos factor), so the optimum
+    is UNIQUE — climb all 9 latitudes first, then run east along the
+    top — and the full route string is value-hashed, not just the
+    cost.  The oracle enumerates every monotone path (C(18,9)=48,620)
+    with the term-identical haversine and keeps the argmin; cost
+    rounds to 0.1 m so cross-engine trig ULPs (~1e-9 relative over
+    ~2,000 km) cannot flip the hash.  Forced pregel so the distributed
+    A* branch (frontier pruning + sharpened min(dist+h) goal-stop) is
+    what the driver verifies; exactness vs plain SSSP is pytest-pinned
+    on the uw fixture."""
+    from entwiner_spark.functions.geo import haversine_heuristic, haversine_m
+
+    base = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("x"),
+        (F.col("id") / 10).cast("int").alias("y"),
+    )
+    nid = lambda xc, yc: F.concat(  # noqa: E731
+        xc.cast("string"), F.lit(".0, "), yc.cast("string"), F.lit(".0")
+    )
+    x, y = F.col("x"), F.col("y")
+    hv = lambda nx, ny: haversine_m(  # noqa: E731
+        x.cast("double"), y.cast("double"), nx.cast("double"), ny.cast("double")
+    )
+    right = base.filter(x < 9).select(
+        nid(x, y).alias("_u"), nid(x + 1, y).alias("_v"), hv(x + 1, y).alias("w")
+    )
+    up = base.filter(y < 9).select(
+        nid(x, y).alias("_u"), nid(x, y + 1).alias("_v"), hv(x, y + 1).alias("w")
+    )
+    edges = right.unionByName(up)
+    nodes = base.select(nid(x, y).alias("_n"))
+    g = SparkGraph(nodes, edges, partitions=8)
+    src_id, dst_id = "0.0, 0.0", "9.0, 9.0"
+    r = g.shortest_path(
+        src_id,
+        dst_id,
+        weight="w",
+        strategy="pregel",
+        heuristic=haversine_heuristic(dst_id),
+    )
+    path, cost = r
+    return spark.createDataFrame(
+        [(round(cost, 1), len(path), " -> ".join(path))],
+        "cost_m double, n_nodes long, route string",
+    )
+
+
 @q(
     "g_relabel_roundtrip",
     f"""

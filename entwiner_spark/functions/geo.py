@@ -263,3 +263,27 @@ def simplify_area_filter(coords: Column, tol: float) -> Column:
         )
 
     return let_bound(coords, _simplify)
+
+
+def haversine_heuristic(target_node_id: str):
+    """A* heuristic factory for street graphs keyed by the engine's
+    canonical ``"lon, lat"`` node ids: returns a callable (node-id
+    Column → Column) giving the straight-line haversine meters from
+    the node to ``target_node_id`` — admissible for any
+    ``weight="_length"`` metric (no path is shorter than the great
+    circle), exactly 0 at the target.  Pass to
+    ``SparkGraph.shortest_path(heuristic=...)``.  Pure Catalyst: one
+    split + two casts + the shared haversine expression per frontier
+    row."""
+    tlon, tlat = (float(p) for p in target_node_id.split(", "))
+
+    def h(node_col: Column) -> Column:
+        parts = F.split(node_col, ", ")
+        return haversine_m(
+            F.element_at(parts, 1).cast("double"),
+            F.element_at(parts, 2).cast("double"),
+            F.lit(tlon),
+            F.lit(tlat),
+        )
+
+    return h

@@ -1010,8 +1010,30 @@ class SparkGraph:
         strategy: str = "auto",
         via: str = "raw",
         contracted: "SparkGraph | None" = None,
+        heuristic=None,
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
+
+        ``heuristic``: optional A* lower bound — a callable mapping the
+        node-id Column to a Column with an ADMISSIBLE estimate of the
+        remaining cost to ``target`` (never overestimates; 0 at the
+        target).  For ``weight="_length"`` street graphs the natural
+        choice is :func:`entwiner_spark.functions.geo.
+        haversine_heuristic` (straight-line distance ≤ any path).  Two
+        effects, both pure frontier algebra: settled-but-hopeless
+        frontier rows (``dist + h(_n) ≥`` the best target distance
+        seen so far) are dropped BEFORE the expand join — on a street
+        graph that stops the wavefront expanding away from the target,
+        shrinking every per-round shuffle — and the goal-stop
+        sharpens to ``min(dist + h) ≥ t_dist``, which fires rounds
+        earlier than the plain ``min(dist)`` test.  Exactness is
+        unchanged (standard A* argument: an admissible bound can only
+        exclude nodes that cannot lie on a shorter route); an
+        inadmissible heuristic silently returns suboptimal routes —
+        caller's contract.  Local-strategy and ``via="contracted"``
+        runs ignore it (minor-node ids are edge pairs; no geometric
+        bound applies — pass ``strategy="pregel"`` to force the A*
+        path).
 
         Path reconstruction collects only O(path length) rows.  Both
         strategies assume non-negative weights (local is Dijkstra; the
@@ -1115,6 +1137,7 @@ class SparkGraph:
         converged = False
         frontier_small = True
         broadcast_frontier_rows = 2_000_000
+        t_best = None  # best target distance seen at a probe (A* prune bound)
         for it in range(max_iterations):
             probe = (it + 1) % 3 == 0 or it == max_iterations - 1
             hint = "broadcast" if frontier_small else "shuffle_hash"
@@ -1145,6 +1168,16 @@ class SparkGraph:
             )
             dist = merged.select("_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
+            if heuristic is not None and t_best is not None:
+                # A* prune: a frontier node whose settled distance plus
+                # the admissible remaining-cost bound cannot beat the
+                # best known target distance will never be on a better
+                # route — drop it BEFORE the expand join (the bound is
+                # the last probe's t_dist; pruning against a stale
+                # upper bound is conservative, never wrong)
+                frontier = frontier.filter(
+                    F.col("dist") + heuristic(F.col("_n")) < F.lit(t_best)
+                )
             if probe:
                 # one aggregate over the just-materialized checkpoint
                 # yields the emptiness check, the broadcast-size
@@ -1154,16 +1187,26 @@ class SparkGraph:
                 # expansion can improve the target — stop instead of
                 # flooding the rest of the graph (point-to-point
                 # routes touch a neighborhood, not the whole network)
+                fkey = (
+                    F.col("dist") + heuristic(F.col("_n"))
+                    if heuristic is not None
+                    else F.col("dist")
+                )
                 st = merged.agg(
                     F.coalesce(
                         F.sum(F.when(F.col("_imp"), 1)), F.lit(0)
                     ).alias("n_front"),
-                    F.min(F.when(F.col("_imp"), F.col("dist"))).alias("f_min"),
+                    # with a heuristic this is min(dist + h): the A*
+                    # goal-stop fires as soon as no frontier f-value
+                    # can undercut the target — rounds earlier than
+                    # the plain min(dist) test
+                    F.min(F.when(F.col("_imp"), fkey)).alias("f_min"),
                     F.min(F.when(F.col("_n") == target, F.col("dist"))).alias(
                         "t_dist"
                     ),
                 ).collect()[0]
                 frontier_small = st["n_front"] < broadcast_frontier_rows
+                t_best = st["t_dist"]
                 if st["n_front"] == 0 or (
                     st["t_dist"] is not None and st["f_min"] >= st["t_dist"]
                 ):

@@ -2341,3 +2341,39 @@ def test_maneuver_classes_and_cost_profile(spark):
     assert w[("A|B", "B|D")] == pytest.approx(1.0)    # straight free
     assert w[("A|B", "B|A")] == pytest.approx(101.0)  # 1 + uturn 100
     assert w[("B|C", "C|E")] == pytest.approx(6.0)    # 1 + right 5
+
+
+def test_astar_equals_raw_sssp_on_uw(uwG):
+    """A* (admissible haversine heuristic over 'lon, lat' node ids)
+    must return the SAME cost as plain distributed SSSP — the pruning
+    is a performance transform, never a semantic one.  Forced pregel
+    on both sides so the distributed A* branch (frontier prune +
+    sharpened goal-stop) is what runs, not the local Dijkstra."""
+    from entwiner_spark.functions.geo import haversine_heuristic
+
+    ids = sorted(r["_n"] for r in uwG.nodes.collect())
+    pairs = [(ids[0], ids[-1]), (ids[3], ids[-5]), (ids[10], ids[-1])]
+    raw_w = {
+        (r["_u"], r["_v"]): r["_length"]
+        for r in uwG.edges.select("_u", "_v", "_length").collect()
+    }
+    checked = 0
+    for src, dst in pairs:
+        raw = uwG.shortest_path(src, dst, weight="_length", strategy="pregel")
+        ast = uwG.shortest_path(
+            src,
+            dst,
+            weight="_length",
+            strategy="pregel",
+            heuristic=haversine_heuristic(dst),
+        )
+        assert (raw is None) == (ast is None)
+        if raw is None:
+            continue
+        assert abs(raw[1] - ast[1]) < 1e-6
+        # the A* path is a genuine edge walk whose weights sum to cost
+        path, cost = ast
+        assert path[0] == src and path[-1] == dst
+        assert abs(sum(raw_w[(a, b)] for a, b in zip(path, path[1:])) - cost) < 1e-6
+        checked += 1
+    assert checked >= 2

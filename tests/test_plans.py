@@ -340,3 +340,42 @@ def test_linegraph_single_side_exchange(spark, tiny_edges, tiny_nodes):
 
     n_shuffle = len(set(_re.findall(r"\((\d+)\) Exchange", plan)))
     assert n_shuffle == 3, plan
+
+
+def test_bloom_membership_is_shuffle_free(spark):
+    """r12 bloom: membership over a driver bitmap is a pure scan-side
+    predicate — zero exchanges over the corpus — and the bitmap build
+    is exactly one exchange (the word groupBy; map-side bit_or
+    partials)."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_build,
+        bloom_contains,
+    )
+    from entwiner_spark.plans import plan_summary
+
+    members = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(50)], "doc_id long, text string"
+    )
+    built = bloom_build(members, "text", num_bits=1 << 14)
+    assert sum("Exchange" in l for l in plan_summary(built)) <= 2  # hash (+AQE)
+    bm = bloom_bitmap(built, 1 << 14)
+    corpus = spark.range(1000).select(F.concat(F.lit("c"), "id").alias("text"))
+    lines = plan_summary(corpus.filter(bloom_contains(F.col("text"), bm)))
+    assert not any("Exchange" in l for l in lines)
+
+
+def test_normalize_url_is_shuffle_free(spark):
+    """r12 t23: normalization is a scan-side projection."""
+    from pyspark.sql import functions as F
+
+    from entwiner_spark.functions.text import normalize_url
+    from entwiner_spark.plans import plan_summary
+
+    df = spark.range(100).select(
+        F.concat(F.lit("http://h.com/p"), "id").alias("url")
+    )
+    lines = plan_summary(df.select(normalize_url(F.col("url"))))
+    assert not any("Exchange" in l for l in lines)
