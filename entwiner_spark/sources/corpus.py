@@ -1,0 +1,99 @@
+"""Document-corpus I/O for training-data pipelines (the LLM-pipeline
+superset; no reference analogue — the reference is a street-network
+engine, this is the ingest/egress the §2.14 operators feed on).
+
+Design for 100 TB:
+
+- JSONL is the universal crawl-dump interchange format and it is
+  SPLITTABLE line-by-line, so ``spark.read.json`` parallelizes per
+  block — but schema INFERENCE is a full extra pass over the bytes;
+  ``documents_from_jsonl`` therefore takes an explicit schema (or
+  column list) and only falls back to sampled inference when asked.
+- The parquet sink partitions by low-cardinality routing columns
+  (``lang``, ``source``) so per-language/per-source pipeline stages
+  get partition PRUNING (directory-level skip, zero I/O), and sorts
+  within partitions by ``doc_id`` so min/max page stats make id-range
+  predicates cheap — the corpus mirror of parquet_store's sorted-_u
+  layout.
+- zstd compression: ~30% smaller than snappy on text at similar scan
+  speed — at 100 TB that is 30 TB of storage and network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Default corpus schema (the driver testdata `documents` shape).
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def documents_from_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = DOCUMENTS_SCHEMA,
+    id_col: str | None = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Read a JSONL document dump into the canonical corpus shape.
+
+    ``schema``: DDL string applied to the reader — the 100 TB default
+    (no inference pass; unknown keys are simply not read, missing keys
+    come back NULL).  Pass ``None`` to let Spark infer (extra scan —
+    dev-sized data only).
+
+    ``id_col=None`` synthesizes ``doc_id = xxhash64(text)``: stable
+    across runs/partitionings, and identical texts get identical ids —
+    which is exactly the identity exact-dedup wants (documented
+    semantics, not an accident).  Rows with NULL ``text_col`` are
+    dropped (no operator downstream accepts them).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if text_col not in df.columns:
+        raise ValueError(f"{path}: no '{text_col}' column (got {df.columns})")
+    df = df.filter(F.col(text_col).isNotNull())
+    if id_col is None:
+        df = df.withColumn("doc_id", F.xxhash64(F.col(text_col)))
+    elif id_col != "doc_id":
+        df = df.withColumnRenamed(id_col, "doc_id")
+    return df
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    sort_within: tuple[str, ...] = ("doc_id",),
+    files_per_partition: int = 1,
+    compression: str = "zstd",
+) -> None:
+    """Write the corpus as partition-pruned, stat-sorted parquet:
+    one directory per ``partition_by`` value combination (predicate on
+    those columns = directory skip, zero I/O), rows sorted by
+    ``sort_within`` inside each file (min/max page stats prune id
+    ranges).  ``files_per_partition`` controls output fan-out — size it
+    so files land near the cluster's preferred 128-512 MB, NOT 1, on
+    real data; 1 keeps small test corpora from fragmenting."""
+    out = df
+    if partition_by:
+        out = out.repartition(files_per_partition, *[F.col(c) for c in partition_by])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    w = out.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_corpus(
+    spark: SparkSession, path: str, columns: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Read a ``write_corpus`` layout back.  ``columns`` prunes the
+    scan schema at the source (ReadSchema, not a post-hoc select)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
