@@ -199,3 +199,55 @@ def stream_sorted_neighborhood(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup (r12 — the continuous-crawl twin of
+    batch ``normalize_url`` + groupBy): canonicalize each record's URL
+    with the SAME Catalyst expression as batch (stateless — streams run
+    it unchanged), then keep the first record per canonical URL.  With
+    ``ts_col`` the keep-one state expires at the watermark
+    (``dropDuplicatesWithinWatermark`` — state bounded by arrival rate
+    × window, the crawl-frontier "seen recently" semantics); without
+    it, batch-mode ``dropDuplicates`` (exact global keep-one, tests).
+    Adds ``url_norm``; keeps every input column."""
+    from entwiner_spark.functions.text import normalize_url
+
+    out = docs.withColumn("url_norm", normalize_url(F.col(url_col)))
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["url_norm"]
+        )
+    return out.dropDuplicates(["url_norm"])
+
+
+def stream_bloom_filter(
+    docs: DataFrame,
+    bitmap: list[int],
+    col: str = "text",
+    num_hashes: int = 5,
+    keep: str = "non_members",
+) -> DataFrame:
+    """Streaming blocklist/decontamination filter against a PREBUILT
+    Bloom bitmap (``dedup.bloom_bitmap`` over the reference set —
+    built in batch, shipped as a plan literal): pure stateless
+    scan-side predicate, so it runs identically on streams — no state
+    store, no watermark, per-record O(k) work.  ``keep="non_members"``
+    drops probable members (decontamination: no false negatives means
+    NO contaminated record survives); ``keep="members"`` inverts (route
+    matches to review).  The bitmap is fixed at query start — rebuild
+    the query to pick up a new blocklist (documented: streaming state
+    is not the place for a mutable reference set)."""
+    from entwiner_spark.operators.dedup import bloom_contains
+
+    hit = bloom_contains(F.col(col), bitmap, num_hashes)
+    if keep == "non_members":
+        return docs.filter(~hit)
+    if keep == "members":
+        return docs.filter(hit)
+    raise ValueError(f"keep must be 'members' or 'non_members', got {keep!r}")

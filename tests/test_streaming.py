@@ -1387,3 +1387,72 @@ def test_stream_sorted_neighborhood_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert set(got) == want  # replay contributed nothing
+
+
+def test_stream_url_dedup_and_bloom_filter(spark, tmp_path):
+    """r12 twins: streamed URL dedup keeps one record per canonical
+    URL (== batch normalize+dropDuplicates count), and the stateless
+    bloom filter drops exactly the planted blocklist members."""
+    import json as _json
+
+    from entwiner_spark.operators.dedup import bloom_bitmap, bloom_build
+    from entwiner_spark.streaming.dedup import stream_bloom_filter, stream_url_dedup
+
+    data_dir = tmp_path / "urls"
+    data_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "url": "HTTP://WWW.A.com:80/x?utm_s=1", "text": "keep me"},
+        {"ts": "2024-01-01T00:01:00", "url": "http://a.com/x", "text": "dup of first"},
+        {"ts": "2024-01-01T00:02:00", "url": "http://b.com/y?b=2&a=1", "text": "blocked one"},
+        {"ts": "2024-01-01T00:03:00", "url": "http://b.com/y?a=1&b=2", "text": "dup of third"},
+        {"ts": "2024-01-01T00:04:00", "url": "http://c.com/z", "text": "keep me too"},
+    ]
+    (data_dir / "p.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(data_dir))
+    q = (
+        stream_url_dedup(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("url_dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT url_norm FROM url_dedup_test").collect()
+    finally:
+        q.stop()
+    assert sorted(r["url_norm"] for r in got) == [
+        "http://a.com/x",
+        "http://b.com/y?a=1&b=2",
+        "http://c.com/z",
+    ]
+
+    # bloom decontamination: block the two 'blocked' texts
+    members = spark.createDataFrame(
+        [("blocked one",), ("dup of third",)], "text string"
+    )
+    bm = bloom_bitmap(bloom_build(members, "text", num_bits=1 << 14), 1 << 14)
+    q2 = (
+        stream_bloom_filter(stream, bm, col="text", keep="non_members")
+        .writeStream.format("memory")
+        .queryName("bloom_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        kept = spark.sql("SELECT text FROM bloom_stream_test").collect()
+    finally:
+        q2.stop()
+    assert sorted(r["text"] for r in kept) == [
+        "dup of first",
+        "keep me",
+        "keep me too",
+    ]
