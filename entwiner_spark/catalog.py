@@ -3814,6 +3814,55 @@ def t23_url_normalize(spark, sf_dir):
 
 
 @q(
+    "t24_heavy_hitters",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY token)
+    SELECT token, n, TRUE AS ge_true, TRUE AS within_bound
+    FROM t ORDER BY n DESC, token LIMIT 10
+    """,
+)
+def t24_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches — Bloom's frequency
+    sibling): token frequencies estimated from a 2048×5 CMS whose build
+    exchange is ≤ depth×width rows regardless of corpus size, then read
+    back as a pure scan-side min-of-cells expression — the 100 TB
+    replacement for an exact groupBy over billion-token key spaces.
+
+    a2b contract over the top-10 exact tokens (exact groupBy exists
+    only for this harness): ``ge_true`` (CMS never undercounts —
+    one-sided, exact not statistical) and ``within_bound`` (estimate ≤
+    true + 3εN, ε = e/width) must both be TRUE; the raw estimates are
+    xxhash64-placement-specific, so they never enter the hash."""
+    from entwiner_spark.functions.text import words
+    from entwiner_spark.operators.sketches import cms_build, cms_estimate, cms_matrix
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("token"))
+    )
+    width, depth = 2048, 5
+    m = cms_matrix(cms_build(toks, "token", width=width, depth=depth), width, depth)
+    total = toks.count()
+    bound = 3 * 2.718281828 / width * total
+    est = cms_estimate(F.col("token"), m)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+        .select(
+            "token",
+            "n",
+            (est >= F.col("n")).alias("ge_true"),
+            (est <= F.col("n") + F.lit(bound)).alias("within_bound"),
+        )
+    )
+
+
+@q(
     "t12_unigram_logprob",
     """
     WITH w AS (

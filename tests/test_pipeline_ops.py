@@ -870,3 +870,52 @@ def test_normalize_url_rules(spark):
         for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()
     }
     assert got == cases
+
+
+# ---------------------------------------------------------------- cms
+
+
+def test_cms_one_sided_bound_and_merge(spark):
+    from entwiner_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_matrix,
+        cms_merge,
+    )
+
+    w, d = 256, 4
+    # skewed tokens: t0 x 400, t1 x 100, t2..t41 x 5 (N = 700)
+    rows = (
+        [("t0",)] * 400 + [("t1",)] * 100 + [(f"t{i}",) for i in range(2, 42) for _ in range(5)]
+    )
+    df = spark.createDataFrame(rows, "token string")
+    m = cms_matrix(cms_build(df, "token", width=w, depth=d), w, d)
+
+    truth = {"t0": 400, "t1": 100, "t5": 5, "absent": 0}
+    probe = spark.createDataFrame([(t,) for t in truth], "token string")
+    est = {
+        r["token"]: r["e"]
+        for r in probe.select(
+            "token", cms_estimate(F.col("token"), m).alias("e")
+        ).collect()
+    }
+    n, eps = 700, 2.718 / w
+    for t, true_n in truth.items():
+        assert est[t] >= true_n  # one-sided, always
+        assert est[t] <= true_n + eps * n * 3  # generous 3x the eps bound
+
+    # merge(first half, second half) == whole
+    a, b = df.limit(350), df.exceptAll(df.limit(350))
+    merged = cms_merge(
+        cms_build(a, "token", width=w, depth=d),
+        cms_build(b, "token", width=w, depth=d),
+    )
+    assert cms_matrix(merged, w, d) == m
+
+
+def test_cms_validates_sizing(spark):
+    from entwiner_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("x",)], "token string")
+    with pytest.raises(ValueError, match="positive"):
+        cms_build(df, "token", width=0)
