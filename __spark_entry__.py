@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r12
-# head = 9 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/cms/
+# head = 10 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/cms/
 # landmark-closeness/url) + 7 changed + the 38 remaining r8-vintage
 # rows = 53, three over the 50-row sample: the last three r8 rows
 # (u2/u3/w1, alphabetically) deliberately overflow and head the r13
@@ -41,6 +41,7 @@ _PRIORITY = [
     "t23_url_normalize",
     "t24_heavy_hitters",
     "g_closeness_landmarks",
+    "g_harmonic_landmarks",
     "s14_node_attr_ingest",
     "g_maneuver_classes",
     "g_relabel_roundtrip",

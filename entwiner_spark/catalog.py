@@ -5415,6 +5415,55 @@ def g_closeness_landmarks(spark, sf_dir):
 
 
 @q(
+    "g_harmonic_landmarks",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    all_nodes AS (
+      -- DISTINCT-over-UNION-ALL: see g_closeness_landmarks (DuckDB
+      -- WITH RECURSIVE gives a bare UNION union-all semantics)
+      SELECT DISTINCT n FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    ord AS (
+      SELECT n, row_number() OVER (ORDER BY CAST(n AS VARCHAR)) - 1 AS rn
+      FROM all_nodes
+    ),
+    lm AS (
+      SELECT n FROM ord
+      WHERE rn % greatest((SELECT count(*) FROM all_nodes) // 6, 1) = 0
+      ORDER BY rn LIMIT 6
+    ),
+    walk(src, node, dist) AS (
+      SELECT n, n, CAST(0 AS DOUBLE) FROM lm
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT src, node, min(dist) AS d FROM walk GROUP BY src, node)
+    SELECT node, round(sum(1.0 / d), 6) AS total_inv,
+           CAST(count(*) AS BIGINT) AS n_landmarks,
+           round(sum(1.0 / d) / count(*), 6) AS avg_inv
+    FROM best WHERE d > 0 GROUP BY node
+    """,
+)
+def g_harmonic_landmarks(spark, sf_dir):
+    """Landmark-sampled harmonic centrality (the disconnect-tolerant
+    sibling of g_closeness_landmarks — sampling matters most exactly
+    where harmonic is needed, on big disconnected graphs): per node,
+    sum of 1/d over the landmarks reaching it, self rows excluded
+    (d=0 carries no harmonic mass, the exact-``harmonic`` convention).
+    Same deterministic landmark replay as the closeness twin; inverse
+    sums are finite float sums of 1/int so round(6) is engine-stable."""
+    g = _graph_as_spark_graph(spark, sf_dir)
+    return g.harmonic_landmarks(n_landmarks=6, weight="w").select(
+        F.col("_n").cast("long").alias("node"),
+        F.round(F.col("total_inv"), 6).alias("total_inv"),
+        F.col("n_landmarks").cast("long").alias("n_landmarks"),
+        F.round(F.col("avg_inv"), 6).alias("avg_inv"),
+    )
+
+
+@q(
     "g_harmonic",
     f"""
     WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),

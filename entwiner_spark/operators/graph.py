@@ -3614,16 +3614,47 @@ class SparkGraph:
         is both cheaper and correct.  Small landmark counts rank
         coarsely — quality grows with k.
         """
+        all_d = self._landmark_dists(n_landmarks, weight, strategy)
+        return all_d.groupBy("_n").agg(
+            F.sum("_d").alias("total_dist"),
+            F.count(F.lit(1)).alias("n_landmarks"),
+        ).withColumn("avg_dist", F.col("total_dist") / F.col("n_landmarks"))
+
+    def harmonic_landmarks(
+        self,
+        n_landmarks: int = 16,
+        weight=None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Landmark-sampled harmonic centrality — the same escalation
+        as :meth:`closeness_landmarks` for the disconnect-tolerant
+        variant (where sampling matters MOST: harmonic exists because
+        real graphs are disconnected, and disconnected graphs are the
+        ones too big to run |V| SSSPs on).  Per node: sum of 1/d over
+        the landmarks reaching it (self rows excluded — d=0 carries no
+        harmonic mass, matching exact ``harmonic``), the reaching
+        count, and the count-normalized ``avg_inv`` for cross-node
+        ranking."""
+        all_d = self._landmark_dists(n_landmarks, weight, strategy)
+        inv = all_d.filter(F.col("_d") > 0).select(
+            "_n", (F.lit(1.0) / F.col("_d")).alias("_i")
+        )
+        return inv.groupBy("_n").agg(
+            F.sum("_i").alias("total_inv"),
+            F.count(F.lit(1)).alias("n_landmarks"),
+        ).withColumn("avg_inv", F.col("total_inv") / F.col("n_landmarks"))
+
+    def _landmark_dists(self, n_landmarks, weight, strategy) -> DataFrame:
+        """Shared landmark machinery: deterministic every-ceil(V/k)-th
+        string-sorted landmark sample, one SSSP each, ONE union of
+        narrow (_n, _d) frames.  Plan depth is constant in k (a k-deep
+        full_outer join chain grows the lineage linearly and chokes
+        Catalyst at k=64; this shape is one shuffle regardless of k).
+        Each SSSP result is checkpoint-truncated so the union's
+        children are leaf scans, not k iterative plans."""
         ids = sorted(r["_n"] for r in self.nodes.select("_n").collect())
         step = max(1, len(ids) // n_landmarks)
         landmarks = ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
-
-        # One narrow (_n, dist) frame per landmark, a single union, ONE
-        # groupBy — plan depth is constant in k (a k-deep full_outer
-        # join chain grows the lineage linearly and chokes Catalyst at
-        # k=64; this shape is one shuffle regardless of k).  Each SSSP
-        # result is checkpoint-truncated so the union's children are
-        # leaf scans, not k iterative plans.
         parts = []
         for lm in landmarks:
             d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)
@@ -3632,11 +3663,7 @@ class SparkGraph:
             )
         from functools import reduce
 
-        all_d = reduce(lambda a, b: a.unionByName(b), parts)
-        return all_d.groupBy("_n").agg(
-            F.sum("_d").alias("total_dist"),
-            F.count(F.lit(1)).alias("n_landmarks"),
-        ).withColumn("avg_dist", F.col("total_dist") / F.col("n_landmarks"))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def betweenness(
         self,

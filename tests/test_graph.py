@@ -2377,3 +2377,22 @@ def test_astar_equals_raw_sssp_on_uw(uwG):
         assert abs(sum(raw_w[(a, b)] for a, b in zip(path, path[1:])) - cost) < 1e-6
         checked += 1
     assert checked >= 2
+
+
+def test_harmonic_landmarks_all_equals_exact_on_symmetric_graph(uwG):
+    """With every node as a landmark on a symmetric graph, the sampled
+    harmonic sums equal exact harmonic (same 1/d mass, self excluded)."""
+    exact = {
+        r["_n"]: r["harmonic"]
+        for r in uwG.harmonic_centrality(weight="_length").collect()
+    }
+    approx = {
+        r["_n"]: r["total_inv"]
+        for r in uwG.harmonic_landmarks(
+            n_landmarks=10_000, weight="_length"
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for n, v in approx.items():
+        # exact harmonic_centrality rounds to 6 decimals; match that
+        assert abs(v - exact[n]) < 1e-6, n
