@@ -37,6 +37,29 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--out", default=None, help="write result parquet here")
     qp.add_argument("--show", type=int, default=20, help="rows to print")
     sub.add_parser("list", help="list all catalog query names")
+    r = sub.add_parser(
+        "route", help="point-to-point route over a graph store"
+    )
+    r.add_argument("store", help="graph store directory")
+    r.add_argument("source", help="source node id ('lon, lat')")
+    r.add_argument("target", help="target node id ('lon, lat')")
+    r.add_argument("--weight", default="_length")
+    r.add_argument(
+        "--via",
+        choices=["raw", "contracted"],
+        default="raw",
+        help="'contracted' builds a CH-lite chain contraction and "
+        "routes on the minor (build-once cost; big win on chain-heavy "
+        "street graphs)",
+    )
+    r.add_argument(
+        "--astar",
+        action="store_true",
+        help="A* with the admissible straight-line haversine bound "
+        "(requires 'lon, lat' node ids and a metric weight like "
+        "_length; raw routes only)",
+    )
+    r.add_argument("--strategy", default="auto", help="auto|pregel|local")
     a = sub.add_parser(
         "apply", help="merge GeoJSON delta file(s) into an existing store"
     )
@@ -81,6 +104,47 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}: {n} rows")
         else:
             df.show(args.show, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.cmd == "route":
+        from entwiner_spark.operators.graph import SparkGraph
+        from entwiner_spark.session import get_spark
+        from entwiner_spark.sources.geojson import nodes_from_edges
+        from entwiner_spark.sources.parquet_store import read_graph_tables
+
+        spark = get_spark("entwiner-route")
+        edges, nodes = read_graph_tables(spark, args.store)
+        if nodes is None:
+            nodes = nodes_from_edges(edges)
+        g = SparkGraph(nodes, edges)
+        heuristic = None
+        if args.astar:
+            if args.via == "contracted":
+                ap.error("--astar applies to raw routes (minor-node "
+                         "ids carry no coordinates)")
+            from entwiner_spark.functions.geo import haversine_heuristic
+
+            heuristic = haversine_heuristic(args.target)
+        res = g.shortest_path(
+            args.source,
+            args.target,
+            weight=args.weight,
+            strategy=args.strategy,
+            via=args.via,
+            heuristic=heuristic,
+        )
+        import json as _json
+
+        if res is None:
+            print(_json.dumps({"reachable": False}))
+            spark.stop()
+            return 1
+        path, cost = res
+        print(_json.dumps(
+            {"reachable": True, "cost": round(cost, 3),
+             "hops": len(path) - 1, "path": path}
+        ))
         spark.stop()
         return 0
 

@@ -128,3 +128,36 @@ def test_cli_apply_delta(tmp_path, tiny_geojson):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "upserted=2" in res.stdout and "edges=10" in res.stdout
+
+
+def test_cli_route(tmp_path, tiny_geojson, spark):
+    """r12: `route` subcommand — build a store, route between two real
+    node ids, and the A* flag must return the identical cost."""
+    import json as _json
+
+    out = str(tmp_path / "rstore")
+    res = subprocess.run(
+        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    from entwiner_spark.sources.parquet_store import read_graph_tables
+
+    edges, nodes = read_graph_tables(spark, out)
+    ids = sorted(r["_n"] for r in nodes.collect())
+    src_id, dst_id = ids[0], ids[-1]
+
+    def route(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "entwiner_spark", "route", out,
+             src_id, dst_id, *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    plain = route()
+    assert plain["reachable"] and plain["hops"] >= 1
+    assert plain["path"][0] == src_id and plain["path"][-1] == dst_id
+    astar = route("--astar", "--strategy", "pregel")
+    assert abs(astar["cost"] - plain["cost"]) < 1e-6
