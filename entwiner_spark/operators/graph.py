@@ -4429,6 +4429,23 @@ class SparkGraph:
             )
         return df
 
+    def run_relabeled(
+        self,
+        compute,
+        restore_cols: tuple[str, ...] = ("_n",),
+        method: str = "hash",
+    ) -> DataFrame:
+        """One-line form of the relabel lifecycle: re-key to longs, run
+        ``compute(long_keyed_graph) -> DataFrame``, join original ids
+        back onto ``restore_cols``.  Every iterative round inside
+        ``compute`` shuffles 8-byte keys instead of id strings (the
+        measured 1.73× Pregel wall cut — PLANS.md r12); the two
+        restore joins are paid once on exit, not per round.  For
+        build-once/compute-many pipelines call :meth:`relabel_ids`
+        directly and keep the mapping."""
+        g, mapping = self.relabel_ids(method=method)
+        return SparkGraph.restore_ids(compute(g), mapping, list(restore_cols))
+
     def to_networkx(self):
         """Collect to an nx.DiGraph — small graphs only (driver-side)."""
         import networkx as nx  # optional dependency

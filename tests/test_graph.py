@@ -2396,3 +2396,27 @@ def test_harmonic_landmarks_all_equals_exact_on_symmetric_graph(uwG):
     for n, v in approx.items():
         # exact harmonic_centrality rounds to 6 decimals; match that
         assert abs(v - exact[n]) < 1e-6, n
+
+
+def test_run_relabeled_one_liner(uwG):
+    """run_relabeled(compute) == the same compute on string keys, with
+    original ids restored — the one-line form of the relabel lifecycle."""
+    src = sorted(r["_n"] for r in uwG.nodes.collect())[0]
+
+    def compute(g):
+        s = g.nodes.orderBy("_n").limit(0)  # noqa: F841
+        import pyspark.sql.functions as F  # local to keep sig simple
+        sid = g.spark.createDataFrame  # noqa: F841
+        # recompute the source id on the relabeled graph via xxhash64
+        srcs = g.nodes.filter(F.xxhash64(F.lit(src)) == F.col("_n")).collect()
+        return g.shortest_path_lengths(srcs[0]["_n"], weight="_length")
+
+    got = {
+        r["_n"]: round(r["dist"], 6)
+        for r in uwG.run_relabeled(compute).collect()
+    }
+    want = {
+        r["_n"]: round(r["dist"], 6)
+        for r in uwG.shortest_path_lengths(src, weight="_length").collect()
+    }
+    assert got == want and len(got) > 1

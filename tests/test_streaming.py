@@ -1456,3 +1456,41 @@ def test_stream_url_dedup_and_bloom_filter(spark, tmp_path):
         "keep me",
         "keep me too",
     ]
+
+
+def test_cms_build_streams_natively(spark, tmp_path):
+    """r12: cms_build is a plain streaming aggregation (stateless cell
+    explode + groupBy sum), so continuous heavy-hitter sketching needs
+    no custom stateful operator — stream cells == batch cells."""
+    import json as _json
+
+    from entwiner_spark.operators.sketches import cms_build, cms_matrix
+
+    data_dir = tmp_path / "toks"
+    data_dir.mkdir()
+    rows = [{"token": f"t{i % 7}"} for i in range(200)]
+    (data_dir / "p.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType([T.StructField("token", T.StringType())])
+    w, d = 128, 3
+
+    stream = spark.readStream.schema(schema).json(str(data_dir))
+    q = (
+        cms_build(stream, "token", width=w, depth=d)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT row, col, cnt FROM cms_stream_test").collect()
+    finally:
+        q.stop()
+    stream_cells = {(r["row"], r["col"]): r["cnt"] for r in got}
+
+    batch = spark.read.schema(schema).json(str(data_dir))
+    m = cms_matrix(cms_build(batch, "token", width=w, depth=d), w, d)
+    batch_cells = {
+        (i, j): m[i][j] for i in range(d) for j in range(w) if m[i][j]
+    }
+    assert stream_cells == batch_cells

@@ -831,6 +831,33 @@ def main() -> None:
         # dist(k) == k for all k — the sum is a closed-form oracle
         assert wrow["s"] == wn * (wn - 1) / 2, "exact distances dist(k)=k"
 
+        # --- XL integer re-keying (r12): the same weighted SSSP on the
+        # xxhash64-relabeled graph must reproduce the closed-form
+        # distance set exactly after restore_ids; wall recorded for the
+        # A/B (PLANS.md r12 measured 1.73x on 22-byte coordinate keys —
+        # the short numeric ids here bound the win from below, the
+        # parity assert is the regression gate)
+        log("phase: XL relabeled SSSP parity")
+        t0 = time.time()
+        Gl, mapping = Gw.relabel_ids(method="hash")
+        mapping = mapping.localCheckpoint(eager=True)
+        Gl = SparkGraph(
+            Gl.nodes.localCheckpoint(eager=True),
+            Gl.edges.localCheckpoint(eager=True),
+            partitions=64,
+        )
+        out["relabel_xl_build_sec"] = round(time.time() - t0, 1)
+        src_id = mapping.filter(F.col("_n") == "0").collect()[0]["_id"]
+        t0 = time.time()
+        ld = Gl.shortest_path_lengths(src_id, weight="w", strategy="pregel")
+        lrow = SparkGraph.restore_ids(ld, mapping, cols=["_n"]).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        out["relabel_xl_sssp_sec"] = round(time.time() - t0, 1)
+        assert lrow["n"] == wn and lrow["s"] == wn * (wn - 1) / 2, (
+            "relabeled SSSP must reproduce the closed-form distances"
+        )
+
         # --- XL effective diameter: the ANF consumer on the same
         # 200k-node expander (r10-verdict task #5).  4-regular affine
         # digraph → balls grow ~4x/hop, so the q=0.9 mass lands around
@@ -938,6 +965,73 @@ def main() -> None:
         assert out["chain_xl_con_rounds"] * 3 < out["chain_xl_raw_rounds"], (
             "contraction must cut Pregel rounds by >3x on the chain topology"
         )
+
+        # --- A* routing parity (r12): center -> mid-east-edge on a
+        # 60x60 bidirectional haversine grid; the admissible bound must
+        # change NOTHING about the cost while pruning the away-side
+        # wavefront (8.4x wall measured on the 100x100 probe —
+        # PLANS.md r12; parity is the regression gate here)
+        log("phase: XL A* routing parity 60x60 grid")
+        from entwiner_spark.functions.geo import (
+            haversine_heuristic,
+            haversine_m,
+        )
+
+        gn = 60
+        gb = spark.range(gn * gn).select(
+            (F.col("id") % gn).cast("int").alias("x"),
+            (F.col("id") / gn).cast("int").alias("y"),
+        )
+        gx, gy = F.col("x"), F.col("y")
+        gid = lambda xc, yc: F.concat(  # noqa: E731
+            (xc.cast("double") * 0.01).cast("string"),
+            F.lit(", "),
+            (yc.cast("double") * 0.01).cast("string"),
+        )
+        ghv = lambda nx, ny: haversine_m(  # noqa: E731
+            gx.cast("double") * 0.01,
+            gy.cast("double") * 0.01,
+            nx.cast("double") * 0.01,
+            ny.cast("double") * 0.01,
+        )
+        garms = []
+        for dx, dy, cond in (
+            (1, 0, gx < gn - 1),
+            (-1, 0, gx > 0),
+            (0, 1, gy < gn - 1),
+            (0, -1, gy > 0),
+        ):
+            garms.append(
+                gb.filter(cond).select(
+                    gid(gx, gy).alias("_u"),
+                    gid(gx + dx, gy + dy).alias("_v"),
+                    ghv(gx + dx, gy + dy).alias("w"),
+                )
+            )
+        ge = garms[0]
+        for a in garms[1:]:
+            ge = ge.unionByName(a)
+        Gg = SparkGraph(
+            gb.select(gid(gx, gy).alias("_n")).localCheckpoint(eager=True),
+            ge.localCheckpoint(eager=True),
+            partitions=32,
+        )
+        g_src, g_dst = "0.3, 0.3", "0.59, 0.3"
+        t0 = time.time()
+        g_raw = Gg.shortest_path(g_src, g_dst, weight="w", strategy="pregel")
+        out["astar_xl_raw_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        g_ast = Gg.shortest_path(
+            g_src,
+            g_dst,
+            weight="w",
+            strategy="pregel",
+            heuristic=haversine_heuristic(g_dst),
+        )
+        out["astar_xl_sec"] = round(time.time() - t0, 1)
+        assert g_raw is not None and g_ast is not None
+        assert abs(g_raw[1] - g_ast[1]) < 1e-6, (g_raw[1], g_ast[1])
+        out["astar_xl_hops"] = len(g_ast[0]) - 1
 
     print(json.dumps(out))
     spark.stop()
