@@ -28,16 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver must re-hash changed code even if its last green row is
 # recent), then (c) all remaining queries in staleness order (oldest
 # newest-green round first, alphabetical within a round).  The r12
-# head = 10 new (relabel/ch-route/node-attr/gtfs/maneuver/bloom/cms/
-# landmark-closeness/url) + 7 changed + the 38 remaining r8-vintage
-# rows = 53, three over the 50-row sample: the last three r8 rows
-# (u2/u3/w1, alphabetically) deliberately overflow and head the r13
-# sample, so the staleness floor moves to r9 for 35 of 38 this round
-# and fully next round (r11 verdict task #5 — new/changed outrank
-# stale by rule).  Regenerate every round with the same rule.
+# head = 11 new (relabel/ch-route/astar/node-attr/gtfs/maneuver/
+# bloom/cms/landmark-closeness+harmonic/url) + 7 changed + the 38
+# remaining r8-vintage rows = 56, six over the 50-row sample: the
+# last six r8 rows (t2/t3/t4/u1/u2/u3 then w1 next, alphabetically)
+# deliberately overflow and head the r13 sample, so the staleness
+# floor moves to r9 for 32 of 38 this round and fully next round
+# (r11 verdict task #5 — new/changed outrank stale by rule).
+# Regenerate every round with the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 12) ---
     "d17_bloom_contamination",
+    "g_astar_route",
     "t23_url_normalize",
     "t24_heavy_hitters",
     "g_closeness_landmarks",
