@@ -4750,10 +4750,10 @@ _MNV_BRG = """
       FROM mnv
     )
     SELECT maneuver, CAST(count(*) AS BIGINT) AS n,
-           round(count(*) * (CASE maneuver WHEN 'right' THEN 5.0
-                                           WHEN 'left' THEN 15.0
-                                           WHEN 'uturn' THEN 100.0
-                                           ELSE 0.0 END), 6)
+           round(CAST(count(*) * (CASE maneuver WHEN 'right' THEN 5.0
+                                                WHEN 'left' THEN 15.0
+                                                WHEN 'uturn' THEN 100.0
+                                                ELSE 0.0 END) AS DOUBLE), 6)
              AS profile_cost
     FROM cls GROUP BY maneuver
     """,
