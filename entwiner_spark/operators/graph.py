@@ -3596,6 +3596,7 @@ class SparkGraph:
         n_landmarks: int = 16,
         weight=None,
         strategy: str = "auto",
+        landmarks: list | None = None,
     ) -> DataFrame:
         """Approximate closeness at scale: SSSP from a deterministic
         landmark sample instead of every node (the documented
@@ -3614,7 +3615,7 @@ class SparkGraph:
         is both cheaper and correct.  Small landmark counts rank
         coarsely — quality grows with k.
         """
-        all_d = self._landmark_dists(n_landmarks, weight, strategy)
+        all_d = self._landmark_dists(n_landmarks, weight, strategy, landmarks)
         return all_d.groupBy("_n").agg(
             F.sum("_d").alias("total_dist"),
             F.count(F.lit(1)).alias("n_landmarks"),
@@ -3625,6 +3626,7 @@ class SparkGraph:
         n_landmarks: int = 16,
         weight=None,
         strategy: str = "auto",
+        landmarks: list | None = None,
     ) -> DataFrame:
         """Landmark-sampled harmonic centrality — the same escalation
         as :meth:`closeness_landmarks` for the disconnect-tolerant
@@ -3635,7 +3637,7 @@ class SparkGraph:
         harmonic mass, matching exact ``harmonic``), the reaching
         count, and the count-normalized ``avg_inv`` for cross-node
         ranking."""
-        all_d = self._landmark_dists(n_landmarks, weight, strategy)
+        all_d = self._landmark_dists(n_landmarks, weight, strategy, landmarks)
         inv = all_d.filter(F.col("_d") > 0).select(
             "_n", (F.lit(1.0) / F.col("_d")).alias("_i")
         )
@@ -3644,17 +3646,27 @@ class SparkGraph:
             F.count(F.lit(1)).alias("n_landmarks"),
         ).withColumn("avg_inv", F.col("total_inv") / F.col("n_landmarks"))
 
-    def _landmark_dists(self, n_landmarks, weight, strategy) -> DataFrame:
+    def _landmark_dists(
+        self, n_landmarks, weight, strategy, landmarks=None
+    ) -> DataFrame:
         """Shared landmark machinery: deterministic every-ceil(V/k)-th
         string-sorted landmark sample, one SSSP each, ONE union of
         narrow (_n, _d) frames.  Plan depth is constant in k (a k-deep
         full_outer join chain grows the lineage linearly and chokes
         Catalyst at k=64; this shape is one shuffle regardless of k).
         Each SSSP result is checkpoint-truncated so the union's
-        children are leaf scans, not k iterative plans."""
-        ids = sorted(r["_n"] for r in self.nodes.select("_n").collect())
-        step = max(1, len(ids) // n_landmarks)
-        landmarks = ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
+        children are leaf scans, not k iterative plans.
+
+        ``landmarks``: explicit landmark ids — the 100 TB form.  The
+        default sampler collects EVERY node id to the driver to pick
+        deterministically (fine to ~10M ids); a billion-node graph
+        should pass known hubs (or a distributed sample) instead."""
+        if landmarks is None:
+            ids = sorted(r["_n"] for r in self.nodes.select("_n").collect())
+            step = max(1, len(ids) // n_landmarks)
+            landmarks = (
+                ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
+            )
         parts = []
         for lm in landmarks:
             d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)

@@ -2420,3 +2420,22 @@ def test_run_relabeled_one_liner(uwG):
         for r in uwG.shortest_path_lengths(src, weight="_length").collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_landmarks_explicit_override(uwG):
+    """Explicit landmarks (the no-driver-collect 100 TB form) must
+    equal the sampled path when given the same landmark set."""
+    ids = sorted(r["_n"] for r in uwG.nodes.collect())
+    step = max(1, len(ids) // 4)
+    lms = ids[::step][:4]
+    a = {
+        (r["_n"]): (r["total_dist"], r["n_landmarks"])
+        for r in uwG.closeness_landmarks(n_landmarks=4, weight="_length").collect()
+    }
+    b = {
+        (r["_n"]): (r["total_dist"], r["n_landmarks"])
+        for r in uwG.closeness_landmarks(
+            n_landmarks=4, weight="_length", landmarks=lms
+        ).collect()
+    }
+    assert a == b and len(a) > 1
