@@ -119,18 +119,31 @@ def main(argv: list[str] | None = None) -> int:
             nodes = nodes_from_edges(edges)
         g = SparkGraph(nodes, edges)
         heuristic = None
+        strategy = args.strategy
         if args.astar:
             if args.via == "contracted":
                 ap.error("--astar applies to raw routes (minor-node "
                          "ids carry no coordinates)")
+            if args.strategy == "local":
+                ap.error("--astar requires the distributed frontier "
+                         "(the local path is plain Dijkstra and "
+                         "ignores the heuristic); drop --strategy "
+                         "local or drop --astar")
+            # strategy=auto would pick the local path on small graphs
+            # and silently no-op the heuristic (ADVICE r12) — force
+            # the pregel A* branch so --astar means A*
+            strategy = "pregel"
             from entwiner_spark.functions.geo import haversine_heuristic
 
-            heuristic = haversine_heuristic(args.target)
+            try:
+                heuristic = haversine_heuristic(args.target)
+            except ValueError as exc:
+                ap.error(str(exc))
         res = g.shortest_path(
             args.source,
             args.target,
             weight=args.weight,
-            strategy=args.strategy,
+            strategy=strategy,
             via=args.via,
             heuristic=heuristic,
         )

@@ -274,8 +274,23 @@ def haversine_heuristic(target_node_id: str):
     circle), exactly 0 at the target.  Pass to
     ``SparkGraph.shortest_path(heuristic=...)``.  Pure Catalyst: one
     split + two casts + the shared haversine expression per frontier
-    row."""
-    tlon, tlat = (float(p) for p in target_node_id.split(", "))
+    row.
+
+    Raises a descriptive ValueError on non-coordinate ids (``gtfs:``
+    stops, relabeled longs, ...) — those carry no geometry, so no
+    admissible straight-line bound exists (ADVICE r12)."""
+    parts = str(target_node_id).split(", ")
+    try:
+        if len(parts) != 2:
+            raise ValueError
+        tlon, tlat = float(parts[0]), float(parts[1])
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"haversine_heuristic needs a canonical 'lon, lat' node id "
+            f"(functions/ids.py node_id format); got {target_node_id!r}"
+            " — non-coordinate nodes (e.g. 'gtfs:' stops) have no "
+            "straight-line bound; route without a heuristic instead"
+        ) from None
 
     def h(node_col: Column) -> Column:
         parts = F.split(node_col, ", ")

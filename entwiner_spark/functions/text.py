@@ -724,7 +724,9 @@ def dsir_weights(
 
 #: Query parameters stripped by normalize_url (tracking noise that
 #: fragments URL-level dedup groups without changing the fetched page).
-TRACKING_PARAMS_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+#: Case-insensitive ((?i)): crawlers see UTM_Source= and Fbclid= in the
+#: wild and the fetched page is identical either way (ADVICE r12).
+TRACKING_PARAMS_RE = "(?i)^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
 
 
 def normalize_url(url: Column) -> Column:
@@ -732,12 +734,15 @@ def normalize_url(url: Column) -> Column:
     dedup of web-crawl training pipelines (group crawl records by
     normalized URL before any content hashing touches the bytes):
 
-    - scheme and host lowercased; ``www.`` prefix and default ports
-      (``:80`` http, ``:443`` https) dropped from the host
+    - scheme and host lowercased; ``www.`` prefix, userinfo
+      (``user:pass@`` — never part of the fetched resource) and
+      default ports (``:80`` http, ``:443`` https) dropped from the
+      host
     - fragment (``#...``) dropped; trailing path slashes dropped
     - query parameters: tracking params (``TRACKING_PARAMS_RE``:
-      utm_*, fbclid, gclid, msclkid, ref) dropped, the rest SORTED so
-      param order cannot split a dedup group; empty query drops ``?``
+      utm_*, fbclid, gclid, msclkid, ref — case-insensitive) dropped,
+      the rest SORTED so param order cannot split a dedup group;
+      empty query drops ``?``
 
     Pure Catalyst (regexp + split + array HOFs — no UDF, wholestage
     codegen, usable as a scan-side projection on 100 TB of crawl
@@ -751,6 +756,9 @@ def normalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    # userinfo (user:pass@) addresses the client, not the resource —
+    # equivalent crawl URLs must not split on it (ADVICE r12)
+    hostport = F.regexp_replace(hostport, "^[^@/]*@", "")
     host = F.regexp_replace(hostport, "^www\\.", "")
     host = F.when(
         (scheme == "http"), F.regexp_replace(host, ":80$", "")

