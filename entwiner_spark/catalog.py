@@ -2124,6 +2124,157 @@ def s14_node_attr_ingest(spark, sf_dir):
     return nodes.select(F.col("_n").alias("node"), "kerb")
 
 
+def _s15_oracle_sql() -> str:
+    """Closed-form replay of the s15 OSM fixture: per part key k the
+    expected junction-split / oneway-filtered edge rows are derivable
+    arm-by-arm (the s14 UNION-ALL idiom), with node ids via the proven
+    round-VARCHAR twin of functions/ids.node_id and lengths via the
+    term-identical haversine (_hav_sql, the geo_a4 idiom — reversed
+    geometry lengths are bit-equal because IEEE sin²/cos products and
+    two-term sums are symmetric)."""
+    nid = (
+        lambda x, y: f"(CAST(round({x}, 7) AS VARCHAR) || ', ' || "  # noqa: E731
+        f"CAST(round({y}, 7) AS VARCHAR))"
+    )
+    hw = (
+        "(CASE CAST(k % 4 AS INT) WHEN 0 THEN 'residential' "
+        "WHEN 1 THEN 'primary' WHEN 2 THEN 'secondary' "
+        "ELSE 'tertiary' END)"
+    )
+    h01 = _hav_sql("x0", "y0", "x1", "y1")
+    h12 = _hav_sql("x1", "y1", "x2", "y2")
+    h1t = _hav_sql("x1", "y1", "xt", "yt")
+    return f"""
+    WITH pts AS (
+      SELECT p_partkey AS k,
+             {_PART_LON} AS x0, {_PART_LAT} AS y0,
+             ({_PART_LON} + 3.0e-3) AS x1, ({_PART_LAT} + 1.0e-3) AS y1,
+             ({_PART_LON} + 6.0e-3) AS x2, {_PART_LAT} AS y2,
+             ({_PART_LON} + 3.0e-3) AS xt, ({_PART_LAT} + 4.0e-3) AS yt
+      FROM part WHERE p_partkey < 10000
+    ),
+    b AS (
+      SELECT k, {hw} AS hw,
+             {nid('x0', 'y0')} AS n0, {nid('x1', 'y1')} AS n1,
+             {nid('x2', 'y2')} AS n2, {nid('xt', 'yt')} AS nt,
+             {h01} AS h01, {h12} AS h12, {h1t} AS h1t
+      FROM pts
+    )
+    -- W unsplit fwd (no crossing, highway kept)
+    SELECT CAST(k AS BIGINT) AS way_id, CAST(0 AS BIGINT) AS seg,
+           0 AS dir, n0 AS u, n2 AS v, hw AS highway,
+           CAST(3 AS BIGINT) AS n_pts, round(h01 + h12, 3) AS len_m
+    FROM b WHERE k % 7 != 0 AND k % 5 != 0
+    UNION ALL  -- W unsplit rev (two-way only)
+    SELECT CAST(k AS BIGINT), CAST(0 AS BIGINT), 1, n2, n0, hw,
+           CAST(3 AS BIGINT), round(h01 + h12, 3)
+    FROM b WHERE k % 7 != 0 AND k % 5 != 0 AND k % 3 != 0
+    UNION ALL  -- W split at the service-way junction: seg 0 fwd
+    SELECT CAST(k AS BIGINT), CAST(0 AS BIGINT), 0, n0, n1, hw,
+           CAST(2 AS BIGINT), round(h01, 3)
+    FROM b WHERE k % 7 != 0 AND k % 5 = 0
+    UNION ALL  -- seg 1 fwd
+    SELECT CAST(k AS BIGINT), CAST(1 AS BIGINT), 0, n1, n2, hw,
+           CAST(2 AS BIGINT), round(h12, 3)
+    FROM b WHERE k % 7 != 0 AND k % 5 = 0
+    UNION ALL  -- seg 0 rev
+    SELECT CAST(k AS BIGINT), CAST(0 AS BIGINT), 1, n1, n0, hw,
+           CAST(2 AS BIGINT), round(h01, 3)
+    FROM b WHERE k % 7 != 0 AND k % 5 = 0 AND k % 3 != 0
+    UNION ALL  -- seg 1 rev
+    SELECT CAST(k AS BIGINT), CAST(1 AS BIGINT), 1, n2, n1, hw,
+           CAST(2 AS BIGINT), round(h12, 3)
+    FROM b WHERE k % 7 != 0 AND k % 5 = 0 AND k % 3 != 0
+    UNION ALL  -- service spur fwd (emitted even when its W is parkland)
+    SELECT CAST(500000 + k AS BIGINT), CAST(0 AS BIGINT), 0, n1, nt,
+           'service', CAST(2 AS BIGINT), round(h1t, 3)
+    FROM b WHERE k % 5 = 0
+    UNION ALL  -- service spur rev
+    SELECT CAST(500000 + k AS BIGINT), CAST(0 AS BIGINT), 1, nt, n1,
+           'service', CAST(2 AS BIGINT), round(h1t, 3)
+    FROM b WHERE k % 5 = 0
+    """
+
+
+@q("s15_osm_ingest", _s15_oracle_sql())
+def s15_osm_ingest(spark, sf_dir):
+    """OSM XML ingest end-to-end under the driver gate (reference
+    TODO.md:29 "GeoJSON, OpenStreetMap, GTFS" — the r12-verdict top
+    next): synthesize a deterministic 4-file OSM extract from part
+    keys (way W(k): 3 nodes; every 5th way gets a 2-node service spur
+    touching W's MIDDLE node — a mid-way junction; every 3rd way is
+    oneway=yes; every 7th carries no highway tag; spur ways live in a
+    DIFFERENT shard than their nodes so the refs→coords join crosses
+    files), then run the REAL reader+builder
+    (``sources.osm.edges_from_osm``: mapInPandas XML parse per file,
+    refs→nodes equi-join, usage-count junction split, oneway
+    filtering, canonical rounded node ids, haversine lengths).  Every
+    emitted edge row — endpoints, tag, point count, geometry length —
+    is value-hashed against the closed-form arm-by-arm oracle."""
+    import os
+    import tempfile
+
+    from entwiner_spark.sources.osm import edges_from_osm
+
+    keys = sorted(
+        r["p_partkey"]
+        for r in _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 10000)
+        .select("p_partkey")
+        .collect()
+    )
+    shards: dict[int, list[str]] = {j: [] for j in range(4)}
+    for k in keys:
+        lon = -120.0 + (k % 100) * 0.01
+        lat = 45.0 + ((k // 100) % 100) * 0.01
+        x1, y1 = lon + 3.0e-3, lat + 1.0e-3
+        x2, y2 = lon + 6.0e-3, lat
+        sh = shards[k % 4]
+        sh.append(f'<node id="{3 * k}" lon="{lon!r}" lat="{lat!r}"/>')
+        sh.append(f'<node id="{3 * k + 1}" lon="{x1!r}" lat="{y1!r}"/>')
+        sh.append(f'<node id="{3 * k + 2}" lon="{x2!r}" lat="{y2!r}"/>')
+        hw = ("residential", "primary", "secondary", "tertiary")[k % 4]
+        tags = (
+            f'<tag k="highway" v="{hw}"/>'
+            if k % 7
+            else '<tag k="landuse" v="park"/>'
+        )
+        if k % 3 == 0:
+            tags += '<tag k="oneway" v="yes"/>'
+        sh.append(
+            f'<way id="{k}"><nd ref="{3 * k}"/><nd ref="{3 * k + 1}"/>'
+            f'<nd ref="{3 * k + 2}"/>{tags}</way>'
+        )
+        if k % 5 == 0:
+            xt, yt = lon + 3.0e-3, lat + 4.0e-3
+            sh.append(
+                f'<node id="{1000000 + k}" lon="{xt!r}" lat="{yt!r}"/>'
+            )
+            shards[(k + 1) % 4].append(
+                f'<way id="{500000 + k}"><nd ref="{3 * k + 1}"/>'
+                f'<nd ref="{1000000 + k}"/>'
+                '<tag k="highway" v="service"/></way>'
+            )
+    d = tempfile.mkdtemp(prefix="s15_osm_")
+    paths = []
+    for j, body in shards.items():
+        p = os.path.join(d, f"shard{j}.osm")
+        with open(p, "w") as fh:
+            fh.write("<osm>\n" + "\n".join(body) + "\n</osm>\n")
+        paths.append(p)
+    edges = edges_from_osm(spark, paths, tag_cols=("highway",))
+    return edges.select(
+        F.col("_way_id").alias("way_id"),
+        F.col("_seg").cast("long").alias("seg"),
+        F.col("_dir").cast("int").alias("dir"),
+        F.col("_u").alias("u"),
+        F.col("_v").alias("v"),
+        F.col("highway"),
+        F.size("geom.coordinates").cast("long").alias("n_pts"),
+        F.round("_length", 3).alias("len_m"),
+    )
+
+
 # =====================================================================
 # Text analysis + dedup over `documents` (SURVEY §2.14)
 # =====================================================================
@@ -3770,9 +3921,10 @@ def t23_url_normalize(spark, sf_dir):
     scheme/host, www. and default ports stripped, fragments and
     trailing slashes dropped, tracking params removed and the
     survivors SORTED.  Four synthesized URL families off `documents`
-    exercise every rule (mixed case + :80 + utm_* + unordered params
-    + fragment; :443 root; non-default port with tracking param mixed
-    into keepers; a non-URL that must pass through untouched).  The
+    exercise every rule (mixed case + userinfo + :80 + UPPERCASE utm_*
+    + unordered params + fragment; :443 root; non-default port with a
+    mixed-case tracking param among keepers; a non-URL that must pass
+    through untouched).  The
     oracle is CLOSED-FORM (the g_cc topology precedent): it constructs
     the expected canonical string per family independently, so a
     normalization regression cannot hide in a shared regex."""
@@ -3785,9 +3937,12 @@ def t23_url_normalize(spark, sf_dir):
         F.when(
             did % 4 == 0,
             F.concat(
-                F.lit("HTTP://WWW."), F.col("source"),
+                # bot:pw@ userinfo + UPPERCASE UTM_Source exercise the
+                # r12-ADVICE rules: both must vanish, so the oracle's
+                # closed-form expectation is unchanged
+                F.lit("HTTP://bot:pw@WWW."), F.col("source"),
                 F.lit(".Example.COM:80/p/"), s(did % 7),
-                F.lit("/?utm_source=x&b="), s(did % 3), F.lit("&a=1#f"),
+                F.lit("/?UTM_Source=x&b="), s(did % 3), F.lit("&a=1#f"),
             ),
         )
         .when(
@@ -3801,7 +3956,7 @@ def t23_url_normalize(spark, sf_dir):
             did % 4 == 2,
             F.concat(
                 F.lit("https://cdn."), F.col("source"), F.lit(".io:8443/x?z="),
-                s(did % 2), F.lit("&y=1&fbclid=abc"),
+                s(did % 2), F.lit("&y=1&Fbclid=abc"),
             ),
         )
         .otherwise(F.concat(F.lit("plain text "), F.col("source")))
@@ -5373,14 +5528,12 @@ def g_closeness(spark, sf_dir):
         SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
       )
     ),
-    ord AS (
-      SELECT n, row_number() OVER (ORDER BY CAST(n AS VARCHAR)) - 1 AS rn
-      FROM all_nodes
-    ),
     lm AS (
-      SELECT n FROM ord
-      WHERE rn % greatest((SELECT count(*) FROM all_nodes) // 6, 1) = 0
-      ORDER BY rn LIMIT 6
+      -- replay the engine's distributed default sampler (r12-verdict
+      -- task #7): the 6 minimum-md5(id) nodes (md5 of the id's string
+      -- repr agrees byte-for-byte cross-engine, the samp2 idiom)
+      SELECT n FROM all_nodes
+      ORDER BY md5(CAST(n AS VARCHAR)), CAST(n AS VARCHAR) LIMIT 6
     ),
     walk(src, node, dist) AS (
       SELECT n, n, CAST(0 AS DOUBLE) FROM lm
@@ -5397,14 +5550,14 @@ def g_closeness(spark, sf_dir):
 def g_closeness_landmarks(spark, sf_dir):
     """Landmark-sampled closeness — the documented at-scale escalation
     exact ``closeness``/``harmonic`` point to when they refuse |V|
-    SSSP runs (k SSSPs from a deterministic every-ceil(V/k)-th sorted
-    node instead): per node, distance-sum/count/avg FROM the landmarks
-    reaching it.  Fully value-hashed, not just a contract: the
-    landmark choice is stable string-sorted sampling, so the oracle
-    replays selection (row_number over VARCHAR order), the k weighted
-    SSSPs (recursive CTE) and the per-destination aggregation
-    term-for-term.  k=6 on the 25-node DAG exercises truncation
-    (ids[::4] picks 7, [:6] keeps 6)."""
+    SSSP runs (k SSSPs from the k minimum-md5(id) nodes — the
+    r13 DISTRIBUTED default sampler, TakeOrderedAndProject so only k
+    ids reach the driver): per node, distance-sum/count/avg FROM the
+    landmarks reaching it.  Fully value-hashed, not just a contract:
+    the landmark choice is deterministic md5 min-k, so the oracle
+    replays selection (ORDER BY md5 LIMIT k — DuckDB and Spark md5
+    the same UTF-8 bytes), the k weighted SSSPs (recursive CTE) and
+    the per-destination aggregation term-for-term."""
     g = _graph_as_spark_graph(spark, sf_dir)
     return g.closeness_landmarks(n_landmarks=6, weight="w").select(
         F.col("_n").cast("long").alias("node"),
@@ -5425,14 +5578,12 @@ def g_closeness_landmarks(spark, sf_dir):
         SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
       )
     ),
-    ord AS (
-      SELECT n, row_number() OVER (ORDER BY CAST(n AS VARCHAR)) - 1 AS rn
-      FROM all_nodes
-    ),
     lm AS (
-      SELECT n FROM ord
-      WHERE rn % greatest((SELECT count(*) FROM all_nodes) // 6, 1) = 0
-      ORDER BY rn LIMIT 6
+      -- replay the engine's distributed default sampler (r12-verdict
+      -- task #7): the 6 minimum-md5(id) nodes (md5 of the id's string
+      -- repr agrees byte-for-byte cross-engine, the samp2 idiom)
+      SELECT n FROM all_nodes
+      ORDER BY md5(CAST(n AS VARCHAR)), CAST(n AS VARCHAR) LIMIT 6
     ),
     walk(src, node, dist) AS (
       SELECT n, n, CAST(0 AS DOUBLE) FROM lm

@@ -1,0 +1,373 @@
+"""OpenStreetMap XML ingest (reference TODO.md:29 — the reference
+scopes itself as consuming "GeoJSON, OpenStreetMap, GTFS"; OSM is the
+one named input format it never built, and the format street networks
+actually come from).
+
+OSM's model differs from every other source here: a ``way`` stores node
+REFERENCES, not coordinates, so geometry needs a refs→nodes join; and
+way endpoints are NOT junctions — a street keeps one way id across
+many intersections — so building a routable graph means splitting ways
+at junction nodes (nodes referenced more than once).  Both steps are
+expressed as DataFrame ops:
+
+* **parse** — one executor task per ``.osm`` file (XML is not
+  splittable), stdlib ``xml.etree.iterparse`` INSIDE the task via
+  ``mapInPandas`` streaming Arrow batches: the
+  ``edges_from_ogr_distributed`` pattern (sources/ogr.py:19), no
+  driver materialization, bounded memory per task (elements are
+  cleared as soon as they complete).
+* **geometry join** — way members ⋈ node coordinates on the node id:
+  the scale hinge.  A hash-partitioned equi-join on an 8-byte long —
+  both sides shuffle once; at planet scale this is the canonical
+  "assemble geometries" shuffle every OSM pipeline pays exactly once.
+* **junction split** — usage counts (one groupBy on ref) mark junction
+  nodes; a per-way running sum of cut flags assigns each member row
+  its segment id(s); one groupBy((way, seg)) assembles ordered
+  coordinate arrays.  All windows partition by ``way_id`` — the OSM
+  spec caps ways at 2,000 nodes, so no window ever sees an unbounded
+  partition.
+* **oneway** — ``oneway=yes|1|true`` emits forward only,
+  ``oneway=-1|reverse`` emits the flipped direction only, everything
+  else emits the fwd+rev pair (the U1 union the GeoJSON ingest uses).
+
+PBF is environment-closed (no protobuf codec in this container) — the
+probe lives in COVERAGE.md; the XML path has no dependency beyond the
+stdlib.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entwiner_spark.functions.geo import bbox_columns, linestring_length_m
+from entwiner_spark.functions.ids import node_id, node_id_from_coord
+from entwiner_spark.schemas import DEFAULT_PRECISION
+
+#: One union schema for both element kinds so a single parse pass per
+#: file feeds both the node and the way-member branch.
+_ELEM_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 'node' | 'member'
+        T.StructField("osm_id", T.LongType()),  # node id (kind=node)
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("way_id", T.LongType()),  # kind=member
+        T.StructField("seq", T.IntegerType()),  # member position in way
+        T.StructField("ref", T.LongType()),  # referenced node id
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+_ELEM_COLS = [f.name for f in _ELEM_SCHEMA.fields]
+
+#: Arrow batch size for the streaming parser.
+_BATCH_ROWS = 65_536
+
+#: oneway tag values meaning "forward direction only" / "reversed".
+ONEWAY_FWD = ("yes", "1", "true")
+ONEWAY_REV = ("-1", "reverse")
+
+
+def _local_name(tag: str) -> str:
+    """Strip an XML namespace prefix ('{uri}node' -> 'node')."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _iter_osm_elements(path: str) -> Iterator[dict]:
+    """Stream (node | way-member) dict rows from one OSM XML file.
+
+    ``iterparse`` + clearing each completed top-level element keeps
+    memory bounded by the largest single way, not the file; runs
+    INSIDE executor tasks on the distributed path."""
+    import xml.etree.ElementTree as ET  # noqa: PLC0415
+
+    base = {k: None for k in _ELEM_COLS}
+    for _ev, elem in ET.iterparse(path, events=("end",)):
+        name = _local_name(elem.tag)
+        if name == "node":
+            tags = {
+                t.get("k"): t.get("v")
+                for t in elem
+                if _local_name(t.tag) == "tag"
+            }
+            lon, lat = elem.get("lon"), elem.get("lat")
+            if lon is not None and lat is not None:
+                yield {
+                    **base,
+                    "kind": "node",
+                    "osm_id": int(elem.get("id")),
+                    "lon": float(lon),
+                    "lat": float(lat),
+                    "tags": tags,
+                }
+            elem.clear()
+        elif name == "way":
+            tags = {}
+            refs = []
+            for child in elem:
+                cn = _local_name(child.tag)
+                if cn == "nd":
+                    refs.append(int(child.get("ref")))
+                elif cn == "tag":
+                    tags[child.get("k")] = child.get("v")
+            wid = int(elem.get("id"))
+            for i, r in enumerate(refs):
+                yield {
+                    **base,
+                    "kind": "member",
+                    "way_id": wid,
+                    "seq": i,
+                    "ref": r,
+                    "tags": tags,
+                }
+            elem.clear()
+        elif name in ("relation", "osm", "bounds"):
+            elem.clear()  # relations are out of scope (no area routing)
+
+
+def read_osm_elements(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Distributed OSM XML read: one task per file, union-schema rows
+    (``kind`` discriminates node vs way-member).  Downstream branches
+    filter on ``kind`` — note each ACTION re-parses the XML (the frame
+    is lazy); ``edges_from_osm`` structures its plan as one join so the
+    files are parsed once per branch, and a caller looping over many
+    actions should ``persist()`` this frame first."""
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                buf: list[dict] = []
+                for row in _iter_osm_elements(p):
+                    buf.append(row)
+                    if len(buf) >= _BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=_ELEM_COLS)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=_ELEM_COLS)
+
+    files = spark.createDataFrame(
+        [(p,) for p in path_list],
+        T.StructType([T.StructField("path", T.StringType())]),
+    ).repartition(max(len(path_list), 1))
+    return files.mapInPandas(parse, schema=_ELEM_SCHEMA)
+
+
+def osm_nodes(elems: DataFrame) -> DataFrame:
+    """``(osm_id, lon, lat, tags)`` from a ``read_osm_elements`` frame."""
+    return elems.filter(F.col("kind") == "node").select(
+        "osm_id", "lon", "lat", "tags"
+    )
+
+
+def osm_way_members(elems: DataFrame) -> DataFrame:
+    """``(way_id, seq, ref, tags)`` — one row per way-node reference."""
+    return elems.filter(F.col("kind") == "member").select(
+        "way_id", "seq", "ref", "tags"
+    )
+
+
+def edges_from_osm(
+    spark: SparkSession,
+    paths: str | list[str],
+    way_filter: str = "highway",
+    tag_cols: tuple[str, ...] = ("highway", "name"),
+    precision: int = DEFAULT_PRECISION,
+    with_length: bool = True,
+    elems: DataFrame | None = None,
+) -> DataFrame:
+    """Routable edge table from OSM XML: tag-filtered ways, geometry
+    assembled via the refs→nodes join, ways SPLIT at junction nodes,
+    oneway honored, node ids in the engine's canonical rounded
+    ``"lon, lat"`` form (functions/ids.py F1/F2 — so OSM graphs compose
+    with GTFS stop links, haversine heuristics, and every other
+    source).
+
+    Output: ``(_u, _v, _layer='osm', geom, _way_id, _seg, _dir,
+    _u_ref, _v_ref, <tag_cols>..., _minx/_maxx/_miny/_maxy
+    [, _length])`` — one row per direction per junction-to-junction
+    segment.
+
+    ``way_filter``: keep only ways carrying this tag key (``highway``
+    = the street network; pass ``None`` to keep every way).
+    ``tag_cols``: way tags surfaced as top-level columns.
+    ``elems``: pre-read (possibly persisted) element frame — pass it
+    when building edges AND node attrs from the same files to parse
+    the XML once.
+
+    Junction rule: a node is a cut point iff it is referenced more
+    than once across all KEPT ways (shared by two ways, or a loop
+    closure within one) or it is its way's first/last member.  Each
+    member row gets segment id = (running count of cut flags up to and
+    including it) - 1; interior cut rows additionally close the
+    previous segment — so consecutive cut-to-cut runs become segments
+    with the junction row present in both.  Dangling refs (members
+    whose node is missing from the extract — normal at extract
+    boundaries) drop in the inner geometry join, and any segment left
+    with fewer than 2 points is discarded.
+    """
+    if elems is None:
+        elems = read_osm_elements(spark, paths)
+    members = osm_way_members(elems)
+    if way_filter is not None:
+        members = members.filter(
+            F.col("tags").getItem(way_filter).isNotNull()
+        )
+    coords = osm_nodes(elems).select(
+        F.col("osm_id").alias("ref"), "lon", "lat"
+    )
+    # THE scale join: members shuffle on ref, nodes on osm_id — one
+    # hash exchange each, 8-byte long keys.  Inner join drops dangling
+    # refs by construction.
+    mj = members.join(coords, "ref")
+
+    use = mj.groupBy("ref").agg(F.count(F.lit(1)).alias("_use"))
+    wext = Window.partitionBy("way_id")
+    mjx = (
+        mj.join(use, "ref")
+        .withColumn("_minseq", F.min("seq").over(wext))
+        .withColumn("_maxseq", F.max("seq").over(wext))
+        .withColumn(
+            "_cut",
+            (F.col("_use") > 1)
+            | (F.col("seq") == F.col("_minseq"))
+            | (F.col("seq") == F.col("_maxseq")),
+        )
+    )
+    wseq = Window.partitionBy("way_id").orderBy("seq")
+    mjs = mjx.withColumn(
+        "_cuts_incl",
+        F.sum(F.col("_cut").cast("int")).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    primary = mjs.withColumn("_seg", F.col("_cuts_incl") - 1)
+    # an interior cut row closes the previous segment too (it is both
+    # the end of segment k-1 and the start of segment k)
+    closer = mjs.filter(
+        F.col("_cut") & (F.col("seq") > F.col("_minseq"))
+    ).withColumn("_seg", F.col("_cuts_incl") - 2)
+    rows = primary.unionByName(closer)
+
+    segs = (
+        rows.groupBy("way_id", "_seg")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq", "ref", "lon", "lat"))
+            ).alias("_pts"),
+            F.first("tags").alias("tags"),
+        )
+        # the way's last row starts a phantom 1-point segment; drop it
+        .filter(F.size("_pts") >= 2)
+    )
+    pts = F.col("_pts")
+    cs = F.transform(pts, lambda p: F.array(p["lon"], p["lat"]))
+    base = segs.select(
+        F.col("way_id").alias("_way_id"),
+        F.col("_seg"),
+        cs.alias("_coords"),
+        F.element_at(pts, 1)["ref"].alias("_first_ref"),
+        F.element_at(pts, -1)["ref"].alias("_last_ref"),
+        F.lower(F.coalesce(F.col("tags").getItem("oneway"), F.lit(""))).alias(
+            "_oneway"
+        ),
+        *[F.col("tags").getItem(t).alias(t) for t in tag_cols],
+    )
+
+    def _emit(reverse: bool) -> DataFrame:
+        c = F.reverse(F.col("_coords")) if reverse else F.col("_coords")
+        first = F.col("_last_ref") if reverse else F.col("_first_ref")
+        last = F.col("_first_ref") if reverse else F.col("_last_ref")
+        return base.select(
+            node_id_from_coord(F.element_at(c, 1), precision).alias("_u"),
+            node_id_from_coord(F.element_at(c, -1), precision).alias("_v"),
+            F.lit("osm").alias("_layer"),
+            F.struct(
+                F.lit("LineString").alias("type"), c.alias("coordinates")
+            ).alias("geom"),
+            "_way_id",
+            "_seg",
+            F.lit(1 if reverse else 0).alias("_dir"),
+            first.alias("_u_ref"),
+            last.alias("_v_ref"),
+            "_oneway",
+            *[F.col(t) for t in tag_cols],
+        )
+
+    fwd = _emit(False).filter(~F.col("_oneway").isin(*ONEWAY_REV))
+    rev = _emit(True).filter(~F.col("_oneway").isin(*ONEWAY_FWD))
+    edges = fwd.unionByName(rev).drop("_oneway")
+    edges = edges.withColumns(bbox_columns(F.col("geom.coordinates")))
+    if with_length:
+        edges = edges.withColumn(
+            "_length", linestring_length_m(F.col("geom.coordinates"))
+        )
+    return edges
+
+
+def node_attrs_from_osm(
+    elems: DataFrame,
+    keys: tuple[str, ...],
+    precision: int = DEFAULT_PRECISION,
+) -> DataFrame:
+    """Node-tag attributes (``highway=crossing``, ``kerb=...``, ...)
+    keyed by the engine's rounded ``"lon, lat"`` node id — the OSM
+    composition of the r12 Point-feature node-attribute path: feed the
+    result to ``nodes_from_edges(edges, point_attrs=...)``.  Only
+    nodes carrying at least one requested key are emitted; duplicates
+    per rounded id resolve last-write-wins on the OSM node id (the U2
+    idiom: later node wins)."""
+    pts = osm_nodes(elems)
+    keyed = pts.select(
+        node_id(F.col("lon"), F.col("lat"), precision).alias("_n"),
+        F.col("osm_id"),
+        *[F.col("tags").getItem(k).alias(k) for k in keys],
+    ).filter(
+        F.greatest(*[F.col(k).isNotNull() for k in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNotNull()
+    )
+    w = Window.partitionBy("_n").orderBy(F.col("osm_id").desc())
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "osm_id")
+    )
+
+
+def graph_from_osm(
+    spark: SparkSession,
+    paths: str | list[str],
+    way_filter: str = "highway",
+    tag_cols: tuple[str, ...] = ("highway", "name"),
+    node_attr_keys: tuple[str, ...] = (),
+    precision: int = DEFAULT_PRECISION,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call OSM → (nodes, edges): tag-filtered, junction-split,
+    oneway-honoring edges plus the endpoint-derived nodes table, node
+    tags joined on as attributes when ``node_attr_keys`` is given.
+    Feed the pair straight to ``SparkGraph`` (or ``bulk_load`` into a
+    parquet store)."""
+    from entwiner_spark.sources.geojson import nodes_from_edges
+
+    elems = read_osm_elements(spark, paths)
+    edges = edges_from_osm(
+        spark,
+        paths,
+        way_filter=way_filter,
+        tag_cols=tag_cols,
+        precision=precision,
+        elems=elems,
+    )
+    attrs = (
+        node_attrs_from_osm(elems, node_attr_keys, precision=precision)
+        if node_attr_keys
+        else None
+    )
+    nodes = nodes_from_edges(edges, precision=precision, point_attrs=attrs)
+    return nodes, edges

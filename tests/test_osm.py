@@ -1,0 +1,262 @@
+"""OSM XML ingest (sources/osm.py — reference TODO.md:29's named input
+format): parse, junction split, oneway, node attrs, and routing over
+the ingested graph."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.graph import SparkGraph
+from entwiner_spark.sources.osm import (
+    edges_from_osm,
+    graph_from_osm,
+    node_attrs_from_osm,
+    osm_nodes,
+    osm_way_members,
+    read_osm_elements,
+)
+
+# A 5-node street "plus": way 10 runs W(1)->C(2)->E(3) (residential,
+# two-way), way 20 runs S(4)->C(2)->N(5) (oneway=yes), so node 2 is a
+# mid-way junction on BOTH ways and each must split there.  Way 30 is a
+# riverbank (no highway tag -> filtered).  Way 40 references a node
+# absent from the extract (dangling ref -> dropped member).  Node 2
+# carries a highway=traffic_signals tag; node 3 a kerb tag.
+_OSM_XML = textwrap.dedent(
+    """\
+    <?xml version="1.0" encoding="UTF-8"?>
+    <osm version="0.6" generator="test">
+      <bounds minlat="45.0" minlon="-122.4" maxlat="45.1" maxlon="-122.2"/>
+      <node id="1" lon="-122.31" lat="45.05"/>
+      <node id="2" lon="-122.30" lat="45.05">
+        <tag k="highway" v="traffic_signals"/>
+      </node>
+      <node id="3" lon="-122.29" lat="45.05">
+        <tag k="kerb" v="raised"/>
+      </node>
+      <node id="4" lon="-122.30" lat="45.04"/>
+      <node id="5" lon="-122.30" lat="45.06"/>
+      <way id="10">
+        <nd ref="1"/><nd ref="2"/><nd ref="3"/>
+        <tag k="highway" v="residential"/>
+        <tag k="name" v="Main St"/>
+      </way>
+      <way id="20">
+        <nd ref="4"/><nd ref="2"/><nd ref="5"/>
+        <tag k="highway" v="primary"/>
+        <tag k="oneway" v="yes"/>
+      </way>
+      <way id="30">
+        <nd ref="1"/><nd ref="4"/>
+        <tag k="waterway" v="riverbank"/>
+      </way>
+      <way id="40">
+        <nd ref="5"/><nd ref="999"/>
+        <tag k="highway" v="service"/>
+      </way>
+    </osm>
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def osm_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("osm") / "plus.osm"
+    p.write_text(_OSM_XML)
+    return str(p)
+
+
+def test_read_osm_elements(spark, osm_file):
+    elems = read_osm_elements(spark, osm_file)
+    nodes = osm_nodes(elems).collect()
+    assert {r["osm_id"] for r in nodes} == {1, 2, 3, 4, 5}
+    byid = {r["osm_id"]: r for r in nodes}
+    assert byid[1]["lon"] == -122.31 and byid[1]["lat"] == 45.05
+    assert byid[2]["tags"] == {"highway": "traffic_signals"}
+    members = osm_way_members(elems).collect()
+    assert {r["way_id"] for r in members} == {10, 20, 30, 40}
+    w10 = sorted(
+        ((r["seq"], r["ref"]) for r in members if r["way_id"] == 10)
+    )
+    assert w10 == [(0, 1), (1, 2), (2, 3)]
+    assert all(
+        r["tags"].get("oneway") == "yes"
+        for r in members
+        if r["way_id"] == 20
+    )
+
+
+def test_edges_from_osm_junction_split_and_oneway(spark, osm_file):
+    e = edges_from_osm(spark, osm_file).collect()
+    # way 10 splits at junction 2 -> 2 segments x 2 directions = 4;
+    # way 20 splits too but is oneway -> 2 forward rows only;
+    # way 30 has no highway tag, way 40's second ref dangles -> 0
+    keys = {(r["_way_id"], r["_seg"], r["_dir"]) for r in e}
+    assert keys == {
+        (10, 0, 0),
+        (10, 0, 1),
+        (10, 1, 0),
+        (10, 1, 1),
+        (20, 0, 0),
+        (20, 1, 0),
+    }
+    by = {(r["_way_id"], r["_seg"], r["_dir"]): r for r in e}
+    # refs pin segment endpoints and orientation
+    assert (by[(10, 0, 0)]["_u_ref"], by[(10, 0, 0)]["_v_ref"]) == (1, 2)
+    assert (by[(10, 0, 1)]["_u_ref"], by[(10, 0, 1)]["_v_ref"]) == (2, 1)
+    assert (by[(20, 0, 0)]["_u_ref"], by[(20, 0, 0)]["_v_ref"]) == (4, 2)
+    assert (by[(20, 1, 0)]["_u_ref"], by[(20, 1, 0)]["_v_ref"]) == (2, 5)
+    # canonical rounded "lon, lat" node ids (F1/F2)
+    assert by[(10, 0, 0)]["_u"] == "-122.31, 45.05"
+    assert by[(10, 0, 0)]["_v"] == "-122.3, 45.05"
+    # geometry: 2-point LineStrings in travel order, reversed on rev
+    assert by[(10, 0, 0)]["geom"]["coordinates"] == [
+        [-122.31, 45.05],
+        [-122.3, 45.05],
+    ]
+    assert by[(10, 0, 1)]["geom"]["coordinates"] == [
+        [-122.3, 45.05],
+        [-122.31, 45.05],
+    ]
+    # tag columns + layer + bbox + length present
+    assert by[(10, 0, 0)]["highway"] == "residential"
+    assert by[(10, 0, 0)]["name"] == "Main St"
+    assert by[(20, 0, 0)]["highway"] == "primary"
+    assert all(r["_layer"] == "osm" for r in e)
+    assert all(r["_length"] > 0 for r in e)
+    assert by[(10, 0, 0)]["_minx"] == -122.31
+    assert by[(10, 0, 0)]["_maxx"] == -122.3
+
+
+def test_oneway_reverse_value(spark, tmp_path):
+    xml = _OSM_XML.replace('v="yes"', 'v="-1"')
+    p = tmp_path / "rev.osm"
+    p.write_text(xml)
+    e = edges_from_osm(spark, str(p)).collect()
+    w20 = {
+        (r["_u_ref"], r["_v_ref"]) for r in e if r["_way_id"] == 20
+    }
+    # oneway=-1: travel direction is AGAINST member order
+    assert w20 == {(2, 4), (5, 2)}
+
+
+def test_interior_nonjunction_nodes_stay_in_geometry(spark, tmp_path):
+    """A 4-node way with no crossing keeps ONE segment whose geometry
+    carries all 4 points (no junction -> no split)."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.002" lat="0.0"/>
+          <node id="4" lon="0.003" lat="0.0"/>
+          <way id="7">
+            <nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/>
+            <tag k="highway" v="path"/>
+          </way>
+        </osm>
+        """
+    )
+    p = tmp_path / "chain.osm"
+    p.write_text(xml)
+    e = edges_from_osm(spark, str(p)).collect()
+    assert {(r["_way_id"], r["_seg"], r["_dir"]) for r in e} == {
+        (7, 0, 0),
+        (7, 0, 1),
+    }
+    fwd = next(r for r in e if r["_dir"] == 0)
+    assert [c[0] for c in fwd["geom"]["coordinates"]] == [
+        0.0,
+        0.001,
+        0.002,
+        0.003,
+    ]
+
+
+def test_loop_way_splits_at_closure(spark, tmp_path):
+    """A closed loop (first ref == last ref) has its closure node
+    referenced twice -> it is a junction; the loop must not collapse
+    into a zero-length self-edge with hidden geometry."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.001" lat="0.001"/>
+          <way id="9">
+            <nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="1"/>
+            <tag k="highway" v="residential"/>
+          </way>
+        </osm>
+        """
+    )
+    p = tmp_path / "loop.osm"
+    p.write_text(xml)
+    e = edges_from_osm(spark, str(p)).collect()
+    fwd = [r for r in e if r["_dir"] == 0]
+    assert len(fwd) == 1  # endpoints are the only cuts: one loop edge
+    assert fwd[0]["_u_ref"] == 1 and fwd[0]["_v_ref"] == 1
+    assert len(fwd[0]["geom"]["coordinates"]) == 4
+
+
+def test_node_attrs_and_graph_composition(spark, osm_file):
+    elems = read_osm_elements(spark, osm_file)
+    attrs = {
+        r["_n"]: (r["highway"], r["kerb"])
+        for r in node_attrs_from_osm(
+            elems, keys=("highway", "kerb")
+        ).collect()
+    }
+    assert attrs["-122.3, 45.05"] == ("traffic_signals", None)
+    assert attrs["-122.29, 45.05"] == (None, "raised")
+
+    nodes, edges = graph_from_osm(
+        spark, osm_file, node_attr_keys=("highway", "kerb")
+    )
+    nd = {r["_n"]: r for r in nodes.collect()}
+    assert nd["-122.3, 45.05"]["highway"] == "traffic_signals"
+    assert nd["-122.29, 45.05"]["kerb"] == "raised"
+    assert nd["-122.31, 45.05"]["kerb"] is None
+
+    # routing over the ingested graph: W -> N must pass the junction;
+    # N -> S is unreachable (way 20 is oneway S->C->N)
+    g = SparkGraph(nodes, edges)
+    path, cost = g.shortest_path(
+        "-122.31, 45.05", "-122.3, 45.06", weight="_length"
+    )
+    assert path == ["-122.31, 45.05", "-122.3, 45.05", "-122.3, 45.06"]
+    assert cost > 0
+    assert g.shortest_path("-122.3, 45.06", "-122.3, 45.04") is None
+
+
+def test_multi_file_extract_shares_boundary_nodes(spark, tmp_path):
+    """Ways and the nodes they reference may live in DIFFERENT files
+    (region extracts share boundary nodes) — the refs->nodes join is
+    global across the file set."""
+    nodes_xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+        </osm>
+        """
+    )
+    ways_xml = textwrap.dedent(
+        """\
+        <osm>
+          <way id="5">
+            <nd ref="1"/><nd ref="2"/>
+            <tag k="highway" v="tertiary"/>
+          </way>
+        </osm>
+        """
+    )
+    pa, pb = tmp_path / "a.osm", tmp_path / "b.osm"
+    pa.write_text(nodes_xml)
+    pb.write_text(ways_xml)
+    e = edges_from_osm(spark, [str(pa), str(pb)])
+    assert e.count() == 2  # fwd + rev
+    assert e.filter(F.col("_dir") == 0).collect()[0]["_u"] == "0.0, 0.0"
