@@ -2275,6 +2275,147 @@ def s15_osm_ingest(spark, sf_dir):
     )
 
 
+def _mm_fixture():
+    """Map-matching fixture (SF-independent, the closed-form-topology
+    precedent): two parallel E-W roads ~100 m apart in 10 segments
+    each plus one N-S connector, and an 8-fix trace that walks the
+    SOUTH road with alternating lateral noise — except fix 4, which
+    leans far enough north that the NORTH road is nearer.  A per-point
+    snap provably flips to N4 there (pytest-pinned); the HMM must not."""
+    edges = []
+    for i in range(10):
+        x0, x1 = i * 1.0e-3, (i + 1) * 1.0e-3
+        edges.append((f"S{i}", f"s{i}", f"s{i + 1}", [[x0, 0.0], [x1, 0.0]]))
+        edges.append(
+            (f"N{i}", f"n{i}", f"n{i + 1}", [[x0, 9.0e-4], [x1, 9.0e-4]])
+        )
+    edges.append(("C", "s5", "n5", [[5.0e-3, 0.0], [5.0e-3, 9.0e-4]]))
+    trace = [
+        (0, 0.5e-3, 2.0e-4),
+        (1, 1.5e-3, -2.0e-4),
+        (2, 2.5e-3, 2.5e-4),
+        (3, 3.5e-3, -1.5e-4),
+        (4, 4.5e-3, 5.5e-4),  # the north-leaning outlier
+        (5, 5.5e-3, 1.0e-4),
+        (6, 6.5e-3, -1.0e-4),
+        (7, 7.5e-3, 2.0e-4),
+    ]
+    return edges, trace
+
+
+def _mm_oracle_sql() -> str:
+    """Literal-table oracle (the g_betweenness precedent): an
+    INDEPENDENT plain-Python map-matching replay — brute-force
+    point-to-segment distances over ALL edges (the engine's grid
+    cells are a conservative superset, so both enumerate exactly the
+    pairs within radius), the same (d/sigma)^2 + {0, adj, jump} cost
+    model, the same first-index tie-breaks — emitted as VALUES rows.
+    Floats only cross engines through the 3-dp snap distance; the
+    fixture keeps every candidate ordering and Viterbi margin far
+    from ULP scale."""
+    import math
+
+    edges, trace = _mm_fixture()
+    m_deg = 111320.0
+
+    def pseg(plon, plat, a, b):
+        cosl = math.cos(math.radians(plat))
+        px, py = plon * m_deg * cosl, plat * m_deg
+        ax, ay = a[0] * m_deg * cosl, a[1] * m_deg
+        bx, by = b[0] * m_deg * cosl, b[1] * m_deg
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = ((px - ax) * dx + (py - ay) * dy) / len2 if len2 > 0 else 0.0
+        t = min(1.0, max(0.0, t))
+        cx, cy = ax + t * dx, ay + t * dy
+        return math.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+
+    def plin(plon, plat, coords):
+        return min(
+            pseg(plon, plat, coords[i], coords[i + 1])
+            for i in range(len(coords) - 1)
+        )
+
+    layers = []
+    prev = None
+    for _seq, lon, lat in trace:
+        cs = [
+            (fid, u, v, plin(lon, lat, c))
+            for fid, u, v, c in edges
+            if plin(lon, lat, c) < 100.0
+        ]
+        cs.sort(key=lambda r: (r[3], r[0]))
+        cs = sorted(cs[:5], key=lambda r: r[0])  # DP order: by edge key
+        layer = []
+        for fid, u, v, d in cs:
+            emis = (d * d) / 400.0  # sigma = 20 m
+            if prev is None:
+                layer.append([emis, -1, (fid, u, v, d)])
+                continue
+            bc, bi = None, -1
+            for i, (pc, _pb, (pfid, pu, pv, _pd)) in enumerate(prev):
+                if pfid == fid:
+                    t = 0.0
+                elif {pu, pv} & {u, v}:
+                    t = 2.0
+                else:
+                    t = 20.0
+                c2 = pc + t
+                if bc is None or c2 < bc:
+                    bc, bi = c2, i
+            layer.append([bc + emis, bi, (fid, u, v, d)])
+        layers.append(layer)
+        prev = layer
+    j = min(range(len(layers[-1])), key=lambda i: (layers[-1][i][0], i))
+    picked = []
+    for layer in reversed(layers):
+        _cost, back, r = layer[j]
+        picked.append(r)
+        j = back
+    picked.reverse()
+    vals = ", ".join(
+        f"({seq}, '{fid}', {round(d, 3)!r})"
+        for (seq, _lon, _lat), (fid, _u, _v, d) in zip(trace, picked)
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, edge, "
+        "CAST(snap_m AS DOUBLE) AS snap_m "
+        f"FROM (VALUES {vals}) t(seq, edge, snap_m)"
+    )
+
+
+@q("geo_map_match", _mm_oracle_sql())
+def geo_map_match(spark, sf_dir):
+    """GPS-trace map matching under the driver gate (reference
+    TODO.md:56 "GPS data"; r12-verdict task #2): the full
+    ``operators.matching.map_match`` pipeline — ONE grid-bucketed
+    spatial candidate join (no cross product), top-k per fix, then
+    per-trajectory Viterbi via applyInPandas (the keyed-recurrence
+    pandas slot) with snap-distance emissions and adjacency-aware
+    transition penalties.  The fixture's fix 4 is nearer the parallel
+    road, so a value-hash match here certifies trajectory COHERENCE
+    (the HMM holds the south road), not just snapping; the oracle is
+    an independent Python replay (see _mm_oracle_sql)."""
+    from entwiner_spark.operators.matching import map_match
+
+    edge_rows, trace_rows = _mm_fixture()
+    edges = spark.createDataFrame(
+        edge_rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [("t", s, x, y) for s, x, y in trace_rows],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    out = map_match(trace, edges, max_dist_m=100.0, sigma_m=20.0)
+    return out.select(
+        F.col("seq"),
+        F.col("fid").alias("edge"),
+        F.round("snap_dist_m", 3).alias("snap_m"),
+    )
+
+
 # =====================================================================
 # Text analysis + dedup over `documents` (SURVEY §2.14)
 # =====================================================================

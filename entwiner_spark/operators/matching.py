@@ -1,0 +1,164 @@
+"""GPS-trace map matching (reference TODO.md:56 — "GPS data (use
+something like OpenLR?)" on its POI/ingest roadmap, never built).
+
+``nearest_edge_join`` (operators/spatial.py) snaps isolated points;
+a GPS TRACK snapped point-by-point flip-flops between parallel roads
+whenever noise leans the wrong way.  The standard fix (Newson &
+Krakauer 2009, the HMM every production matcher descends from) keeps
+the whole trajectory on a coherent path: candidate edges per point are
+HMM states, snap distance drives the emission probability, and
+transitions penalize hops between non-adjacent edges; Viterbi picks
+the jointly most likely edge sequence.
+
+Spark decomposition — exactly two distributed stages:
+
+1. **candidates**: ONE grid-bucketed spatial equi-join (the J5
+   machinery — no cross product, AQE-salted on dense cells) finds
+   every (point, edge) pair within ``max_dist_m``, then a window keyed
+   by the point keeps the ``k_candidates`` nearest.  All heavy lifting
+   — the 100 TB part — is here, and it is plain DataFrame algebra.
+2. **viterbi**: ``applyInPandas`` keyed by trace id — the canonical
+   legitimate pandas-UDF slot (keyed recurrence, the EWMA/stateful
+   discipline): state is O(points × k) per trajectory, never the
+   corpus.  Trajectories are independent, so parallelism = number of
+   traces; a pathological multi-day track is the documented skew knob
+   (split on time gaps upstream).
+
+Costs are negative log-likelihood shaped: emission ``(d/sigma)^2``,
+transition 0 on the same edge, ``trans_adjacent`` when the edges share
+an endpoint, ``trans_jump`` otherwise.  Ties break deterministically
+toward the smaller edge key (rows are pre-sorted), so reruns and the
+catalog oracle's pure-Python replay agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entwiner_spark.operators.spatial import spatial_join
+
+
+def map_match(
+    traces: DataFrame,
+    edges: DataFrame,
+    max_dist_m: float = 50.0,
+    k_candidates: int = 5,
+    sigma_m: float = 10.0,
+    trans_adjacent: float = 2.0,
+    trans_jump: float = 20.0,
+    trace_key: str = "trace_id",
+    seq_col: str = "seq",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    edge_key: str = "fid",
+    coords_col: str = "coordinates",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Match each GPS trace onto the edge table: one output row per
+    MATCHED point — ``(trace_key, seq, edge_key, _u, _v,
+    snap_dist_m)`` — where ``edge_key`` is the Viterbi-optimal edge.
+
+    ``traces``: ``(trace_key, seq, lon, lat)`` (seq orders the fixes).
+    ``edges`` must carry ``edge_key``, ``_u``, ``_v`` and
+    ``coords_col`` (a LineString array) — the adjacency test reads the
+    endpoint node ids, so no extra join is needed at Viterbi time.
+
+    Points with no edge within ``max_dist_m`` are absent from the
+    output (the nearest_edge_join filter semantics); the chain simply
+    continues across the gap — callers wanting hard trajectory breaks
+    should split the trace upstream (e.g. on time gaps)."""
+    pts = traces.withColumn(
+        "_pid", F.struct(F.col(trace_key), F.col(seq_col))
+    )
+    cand = spatial_join(
+        pts,
+        edges,
+        max_dist_m,
+        "_pid",
+        edge_key,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        coords_col=coords_col,
+        cell_deg=cell_deg,
+    )
+    wk = Window.partitionBy("_pid").orderBy(
+        F.col("_dist").asc(), F.col(edge_key).asc()
+    )
+    slim = (
+        cand.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k_candidates)
+        .select(trace_key, seq_col, edge_key, "_u", "_v", "_dist")
+    )
+    in_t = {f.name: f.dataType for f in slim.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(trace_key, in_t[trace_key]),
+            T.StructField(seq_col, in_t[seq_col]),
+            T.StructField(edge_key, in_t[edge_key]),
+            T.StructField("_u", in_t["_u"]),
+            T.StructField("_v", in_t["_v"]),
+            T.StructField("snap_dist_m", T.DoubleType()),
+        ]
+    )
+    sig2 = float(sigma_m) ** 2
+    adj_pen, jump_pen = float(trans_adjacent), float(trans_jump)
+    out_cols = [trace_key, seq_col, edge_key, "_u", "_v", "snap_dist_m"]
+
+    def viterbi(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        pdf = pdf.sort_values([seq_col, edge_key]).reset_index(drop=True)
+        layers: list[list[list]] = []  # [cost, back_idx, row] per cand
+        prev: list[list] | None = None
+        for _s, grp in pdf.groupby(seq_col, sort=True):
+            rows = grp.to_dict("records")
+            layer = []
+            for r in rows:
+                emis = (r["_dist"] * r["_dist"]) / sig2
+                if prev is None:
+                    layer.append([emis, -1, r])
+                    continue
+                bc, bi = None, -1
+                for i, (pc, _pb, pr) in enumerate(prev):
+                    if pr[edge_key] == r[edge_key]:
+                        t = 0.0
+                    elif {pr["_u"], pr["_v"]} & {r["_u"], r["_v"]}:
+                        t = adj_pen
+                    else:
+                        t = jump_pen
+                    c = pc + t
+                    # strict <: on ties the FIRST (smallest edge key,
+                    # rows pre-sorted) predecessor wins — deterministic
+                    if bc is None or c < bc:
+                        bc, bi = c, i
+                layer.append([bc + emis, bi, r])
+            layers.append(layer)
+            prev = layer
+        # backtrace from the cheapest terminal state (ties -> first)
+        j = min(range(len(layers[-1])), key=lambda i: (layers[-1][i][0], i))
+        picked = []
+        for layer in reversed(layers):
+            cost, back, r = layer[j]
+            picked.append(r)
+            j = back
+        picked.reverse()
+        return pd.DataFrame(
+            [
+                {
+                    trace_key: r[trace_key],
+                    seq_col: r[seq_col],
+                    edge_key: r[edge_key],
+                    "_u": r["_u"],
+                    "_v": r["_v"],
+                    "snap_dist_m": float(r["_dist"]),
+                }
+                for r in picked
+            ],
+            columns=out_cols,
+        )
+
+    return slim.groupBy(trace_key).applyInPandas(viterbi, schema=out_schema)
