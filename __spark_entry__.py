@@ -21,83 +21,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Sampling priority: the driver verifies a 50-query subset of the
 # catalog each round, drawing from the head of this dict.  Rotation
-# rule (r9 verdict task #1, AMENDED by r10 verdict task #1): the
-# ENTIRE catalog is listed with (a) never-sampled new queries at the
-# very head, then (b) queries whose implementation or oracle CHANGED
-# since their newest driver-green row ("changed outranks stale" — the
-# driver must re-hash changed code even if its last green row is
-# recent), then (c) all remaining queries in staleness order (oldest
-# newest-green round first, alphabetical within a round).  The r12
-# head = 11 new (relabel/ch-route/astar/node-attr/gtfs/maneuver/
-# bloom/cms/landmark-closeness+harmonic/url) + 7 changed + the 38
-# remaining r8-vintage rows = 56, six over the 50-row sample: the
-# last six r8 rows (t2/t3/t4/u1/u2/u3 then w1 next, alphabetically)
-# deliberately overflow and head the r13 sample, so the staleness
-# floor moves to r9 for 32 of 38 this round and fully next round
-# (r11 verdict task #5 — new/changed outrank stale by rule).
+# rule (r9 verdict, amended r10): (a) never-sampled new queries at
+# the head, then (b) queries whose implementation or oracle CHANGED
+# since their newest driver-green row ("changed outranks stale"),
+# then (c) everything else in staleness order (oldest newest-green
+# round first, alphabetical within a round).  r13 head = 4 new
+# (osm ingest, map match, full CH, k-shortest) + 3 changed (landmark
+# sampler now md5 min-k on BOTH engines; normalize_url gained
+# case-insensitive tracking strip + userinfo drop, fixture updated in
+# lockstep) + the final 6 r8-vintage rows (retiring the r8 staleness
+# floor per the r12 verdict task #4) + the 37 stalest r9 rows = 50.
 # Regenerate every round with the same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 12) ---
-    "d17_bloom_contamination",
-    "g_astar_route",
-    "t23_url_normalize",
-    "t24_heavy_hitters",
+    # --- never sampled (new in round 13) ---
+    "s15_osm_ingest",
+    "geo_map_match",
+    "g_ch_full",
+    "g_kshortest",
+    # --- changed in r13 but newest driver-green row predates the change ---
     "g_closeness_landmarks",
     "g_harmonic_landmarks",
-    "s14_node_attr_ingest",
-    "g_maneuver_classes",
-    "g_relabel_roundtrip",
-    "g_ch_route",
-    "geo_gtfs_stops",
-    # --- changed in r12 but newest driver-green row predates the
-    # --- change ("changed outranks stale"): ANF local-twin
-    # --- self-loop parity + eff-diameter q-validation/monotonize +
-    # --- contract_chains struct eids + to_linegraph coords_col
-    # --- select + t22-auto unpersist hook.  The graph._id_type()
-    # --- refactor (StringType -> derived) is byte-identical for
-    # --- every string-keyed catalog graph and is exercised by the
-    # --- NEW g_relabel_roundtrip/g_ch_route, so sssp-family rows
-    # --- are NOT re-flagged; all 190 are locally re-oracled anyway.
-    "g_anf",
-    "g_eff_diameter",
-    "g_contract_chains",
-    "g_linegraph",
-    "g_turn_routing",
-    "t22_repetition_removal",
-    "t22b_repetition_removal_explode",
-    # --- newest driver-green row: round 8 ---
-    "g_betweenness",
-    "g_closeness",
-    "g_j1_khop",
-    "g_layer_routing",
-    "g_neighbor_jaccard",
-    "g_p3_node_lookup",
-    "g_p6_predecessors",
-    "g_p8_pred_nodes",
-    "g_pagerank",
-    "g_ppr_sources",
-    "geo_j5_spatial_join",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_histogram",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "s4_lsh_buckets",
-    "set_except_custkeys",
-    "set_intersect_custkeys",
-    "t1_doc_stats",
-    "t2_stopword_langid",
+    "t23_url_normalize",
+    # --- newest driver-green row: round 8 (the final six) ---
     "t3_fingerprint",
     "t4_quality_score",
     "u1_union_parties",
@@ -247,6 +192,54 @@ _PRIORITY = [
     "t13_repetition_ratio",
     "t6b_quantiles_kll",
     "u4_props_json_roundtrip",
+    # --- newest driver-green row: round 12 ---
+    "d17_bloom_contamination",
+    "g_anf",
+    "g_astar_route",
+    "g_betweenness",
+    "g_ch_route",
+    "g_closeness",
+    "g_contract_chains",
+    "g_eff_diameter",
+    "g_j1_khop",
+    "g_layer_routing",
+    "g_linegraph",
+    "g_maneuver_classes",
+    "g_neighbor_jaccard",
+    "g_p3_node_lookup",
+    "g_p6_predecessors",
+    "g_p8_pred_nodes",
+    "g_pagerank",
+    "g_ppr_sources",
+    "g_relabel_roundtrip",
+    "g_turn_routing",
+    "geo_gtfs_stops",
+    "geo_j5_spatial_join",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_histogram",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "s14_node_attr_ingest",
+    "s4_lsh_buckets",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "t1_doc_stats",
+    "t22_repetition_removal",
+    "t22b_repetition_removal_explode",
+    "t24_heavy_hitters",
+    "t2_stopword_langid",
 ]
 
 def _ordered(d: dict) -> dict:

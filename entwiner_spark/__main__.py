@@ -46,11 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--weight", default="_length")
     r.add_argument(
         "--via",
-        choices=["raw", "contracted"],
+        choices=["raw", "contracted", "ch"],
         default="raw",
         help="'contracted' builds a CH-lite chain contraction and "
         "routes on the minor (build-once cost; big win on chain-heavy "
-        "street graphs)",
+        "street graphs); 'ch' builds FULL contraction hierarchies "
+        "(every node ranked, bidirectional upward query — the win "
+        "survives high-degree junctions where chain-folding stalls)",
     )
     r.add_argument(
         "--astar",
@@ -121,9 +123,10 @@ def main(argv: list[str] | None = None) -> int:
         heuristic = None
         strategy = args.strategy
         if args.astar:
-            if args.via == "contracted":
-                ap.error("--astar applies to raw routes (minor-node "
-                         "ids carry no coordinates)")
+            if args.via != "raw":
+                ap.error("--astar applies to raw routes (CH search "
+                         "orders by rank, minor-node ids carry no "
+                         "coordinates)")
             if args.strategy == "local":
                 ap.error("--astar requires the distributed frontier "
                          "(the local path is plain Dijkstra and "

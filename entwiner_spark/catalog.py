@@ -5312,6 +5312,127 @@ def g_ch_route(spark, sf_dir):
     )
 
 
+_DYADIC_WALK_SQL = f"""
+    WITH RECURSIVE raw AS (
+      SELECT u, v, row_number() OVER (ORDER BY u, v) AS r
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    e AS (SELECT u, v, 4.0 + power(2.0, -CAST(r AS DOUBLE)) AS w FROM raw),
+    walk(node, dist, path) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE), '0'
+      UNION ALL
+      SELECT e.v, walk.dist + e.w,
+             walk.path || '>' || CAST(e.v AS VARCHAR)
+      FROM walk JOIN e ON e.u = walk.node
+    )
+"""
+
+
+def _dyadic_graph(spark, sf_dir) -> SparkGraph:
+    """Nation DAG with the g_ch_route tie-freedom trick (w = 4 + 2^-rank:
+    every path cost's fractional bits uniquely encode its edge set, so
+    distinct paths can NEVER tie and float association order cannot
+    perturb sums) — shared by the full-CH and k-shortest gates."""
+    e = _graph_edges(spark, sf_dir).select(
+        "u",
+        "v",
+        (
+            F.lit(4.0)
+            + F.pow(
+                F.lit(2.0),
+                -F.row_number().over(Window.orderBy("u", "v")).cast("double"),
+            )
+        ).alias("w"),
+    )
+    edges = e.select(
+        F.col("u").cast("string").alias("_u"),
+        F.col("v").cast("string").alias("_v"),
+        "w",
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    return SparkGraph(nodes, edges, partitions=8)
+
+
+@q(
+    "g_ch_full",
+    f"""
+    {_DYADIC_WALK_SQL},
+    best AS (
+      SELECT dist, string_split(path, '>') AS p
+      FROM walk WHERE node = 24 ORDER BY dist LIMIT 1
+    ),
+    idx AS (
+      SELECT unnest(generate_series(1, len(p))) AS i, p, dist FROM best
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS step, p[i] AS node, dist FROM idx
+    """,
+)
+def g_ch_full(spark, sf_dir):
+    """FULL contraction hierarchies (reference TODO.md:70; r12-verdict
+    task #3 — the escalation past chain-only contract_chains): every
+    node contracted in edge-difference order via batched independent
+    sets (operators/ch.py), witness-pruned shortcuts, then the
+    bidirectional UPWARD search — forced ``strategy="pregel"`` so the
+    driver verifies the distributed query loop (one fused merge per
+    round, min(dist_f + dist_b) goal-stop) — and recursive shortcut
+    unpacking back to raw nodes.  The nation DAG has high-degree
+    junctions where chain-folding stalls, so this exercises real
+    contraction; dyadic tie-free weights make the optimum route
+    unique, and the unrounded cost plus the full unpacked node
+    sequence are value-hashed against the recursive-CTE walk."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _dyadic_graph(spark, sf_dir)
+    # both halves FORCED distributed: the driver hash certifies the
+    # batched-IS build (local_finish=8 leaves several real distributed
+    # rounds on 25 nodes, then the shared driver core contracts the
+    # top — the production hybrid) AND the bidirectional pregel query
+    # (the local twins are pytest-pinned in tests/test_ch.py)
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", local_finish=8
+    )
+    path, cost = ch.route("0", "24", strategy="pregel")
+    return spark.createDataFrame(
+        [(i, n, float(cost)) for i, n in enumerate(path)],
+        "step long, node string, dist double",
+    )
+
+
+@q(
+    "g_kshortest",
+    f"""
+    {_DYADIC_WALK_SQL},
+    fin AS (SELECT dist, path FROM walk WHERE node = 24),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY dist) AS rk, dist, path FROM fin
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, dist AS cost, path AS route
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def g_kshortest(spark, sf_dir):
+    """Yen's k-shortest loopless paths (r12-verdict task #6) under the
+    driver gate: the 3 best 0→24 routes on the dyadic-weighted nation
+    DAG (tie-free: no two distinct paths can cost the same, so the
+    ranking is unique and fully value-hashed — rank, UNROUNDED cost,
+    and the complete route string).  The oracle enumerates EVERY
+    simple path with a recursive CTE and keeps the top 3 — brute
+    force against algorithm, the strongest oracle shape."""
+    g = _dyadic_graph(spark, sf_dir)
+    alts = g.k_shortest_paths("0", "24", k=3, weight="w")
+    return spark.createDataFrame(
+        [
+            (i + 1, cost, ">".join(p))
+            for i, (p, cost) in enumerate(alts)
+        ],
+        "rank long, cost double, route string",
+    )
+
+
 # ---- graph point lookups on the nation DAG --------------------------
 
 @q(

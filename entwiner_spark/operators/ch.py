@@ -1,0 +1,811 @@
+"""Full contraction hierarchies (reference TODO.md:70 "contraction
+hierarchies" — roadmap, never built there; the r12-verdict task #3
+escalation of ``contract_chains``, which only folds degree-2 chains).
+
+Real CH contracts EVERY node in importance order, adding witness-
+checked shortcuts, and answers point-to-point queries with a
+bidirectional search that only ever walks "upward" in the hierarchy —
+the search space shrinks from the whole graph to two tiny cones, which
+is where the order-of-magnitude route speedups at continental scale
+live (Geisberger et al. 2008, the public algorithm every router uses).
+
+Distributed decomposition — the batched-IS form the PHAST/distributed
+CH literature uses, expressed as DataFrame fixpoints:
+
+* **build** — per round: (1) node priority = edge difference
+  (in·out − in − out) from two cheap degree aggregates; (2) contract
+  the INDEPENDENT SET of local priority minima (no two adjacent, so
+  simultaneous contractions cannot interact — the standard batched
+  rule; ties broken by xxhash64 then id, so the set is deterministic);
+  (3) shortcuts = in-edges × out-edges of each contracted node (one
+  equi-join), parallel-min'd and dominated-pruned (a direct active
+  edge ≤ the shortcut is a 1-hop witness — keeping extra shortcuts is
+  CORRECT, just less minimal, so the cheap witness keeps the build
+  join-only); (4) survivors ∪ shortcuts become the next round's
+  active graph.  Every round preserves all pairwise distances among
+  still-active nodes, which is the CH exactness invariant.
+* **core cutoff** — after ``max_rounds`` the remaining active nodes
+  (if any) become an uncontracted CORE sharing the top rank; queries
+  treat core-internal edges as upward for BOTH searches (the
+  standard "core-CH" construction — exact, because nothing inside
+  the core was contracted, so no shortcut is missing).
+* **query** — bidirectional upward search: ONE state frame with a
+  ``side`` column (fwd rows expand over rank-increasing edges,
+  bwd rows walk rank-increasing edges backwards), ONE fused
+  union+groupBy merge per round (the SSSP shape), and a probe that
+  stops both sides once no frontier f-value can undercut the best
+  meeting cost μ.  Below ``LOCAL_THRESHOLD`` search edges the query
+  runs as driver-local bidirectional Dijkstra (same results,
+  pytest-pinned parity).
+
+Shortcut unpacking records the bypassed node (``mid``) per shortcut
+and expands the route level-by-level on the driver — O(route length)
+rows collected, never the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Rank assigned to every uncontracted core node (top of hierarchy).
+CORE_RANK = 1 << 62
+
+#: Search-edge count below which route() collects and runs locally.
+LOCAL_THRESHOLD = 50_000
+
+
+def _min_edges(edges: DataFrame) -> DataFrame:
+    """Parallel-edge min: one row per (u, v) keeping the cheapest
+    weight (mid rides along in the struct-min, deterministically —
+    NULL mid, i.e. an original edge, sorts FIRST on ties, so an
+    equal-weight original beats a shortcut and unpacking stays
+    shallow)."""
+    return (
+        edges.groupBy("_u", "_v")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("w"),
+                    F.col("mid").isNotNull().alias("_is_sc"),
+                    F.col("mid"),
+                )
+            ).alias("b")
+        )
+        .select("_u", "_v", F.col("b.w").alias("w"), F.col("b.mid").alias("mid"))
+    )
+
+
+class ContractionHierarchy:
+    """Built artifact: ``ranks`` (_n, rank) and ``search`` — every
+    original edge plus every shortcut, parallel-min'd, annotated with
+    endpoint ranks.  Build once, route many (the r12 ``contracted=``
+    lifecycle)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ranks: DataFrame,
+        search: DataFrame,
+        n_search_edges: int,
+        rounds: int,
+        core_size: int,
+    ):
+        self.spark = spark
+        self.ranks = ranks
+        self.search = search
+        self.n_search_edges = n_search_edges
+        self.rounds = rounds
+        self.core_size = core_size
+        self._local_cache: tuple | None = None
+
+    # ----------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        graph,
+        weight: str | None = None,
+        max_rounds: int = 32,
+        strategy: str = "auto",
+        local_finish: int = 4096,
+    ) -> "ContractionHierarchy":
+        """Contract ``graph`` (a SparkGraph) bottom-up.  ``weight``:
+        edge-weight column (hop count when None) — must be positive.
+        ``max_rounds`` bounds the driver loop; anything still active
+        afterwards becomes the exact core (see module docstring).
+
+        ``strategy``: ``auto`` builds driver-locally below the
+        small-graph threshold (textbook lazy-priority-queue CH with a
+        BOUNDED witness Dijkstra — better shortcut minimality, zero
+        Spark rounds; contracts fully, so ``max_rounds``/core apply
+        to the distributed build only) and distributed above it;
+        ``local``/``pregel`` force.  Both produce the same artifact class, so route() and
+        unpacking are build-agnostic; different build orders give
+        different hierarchies but identical (exact) route results —
+        pytest-pinned."""
+        if strategy == "local" or (
+            strategy == "auto" and graph._edge_count() < LOCAL_THRESHOLD
+        ):
+            return cls._build_local(graph, weight, max_rounds)
+        return cls._build_pregel(
+            graph, weight, max_rounds, local_finish=local_finish
+        )
+
+    @staticmethod
+    def _contract_core(
+        emap: dict, nodes: set, start_rank: int = 0
+    ) -> tuple[dict, dict]:
+        """Driver-side contraction engine shared by the local build and
+        the distributed build's LOCAL FINISH: classic CH (lazy priority
+        queue on edge difference, witness search = Dijkstra bounded to
+        the shortcut cost with a settled-node cap — capping only ADDS
+        shortcuts, never loses one, so exactness is preserved).
+
+        ``emap``: ``{(u, v): w}`` parallel-min edges, no self loops.
+        Returns ``(ranks, updates)`` — ranks starting at
+        ``start_rank + 1``, and ONLY the new/improved shortcut edges
+        as ``{(u, v): (w, mid)}``."""
+        import heapq
+
+        adj: dict = {}
+        radj: dict = {}
+        for (u, v), w in emap.items():
+            adj.setdefault(u, {})[v] = w
+            radj.setdefault(v, {})[u] = w
+        best = dict(emap)  # min known weight per pair (orig + shortcuts)
+        updates: dict = {}
+        contracted: set = set()
+
+        def edge_diff(v):
+            ins = [u for u in radj.get(v, {}) if u not in contracted]
+            outs = [x for x in adj.get(v, {}) if x not in contracted]
+            return len(ins) * len(outs) - len(ins) - len(outs)
+
+        def witness(u, x, bound, skip, cap=60):
+            """True iff a path u->x avoiding ``skip`` costs <= bound."""
+            dist = {u: 0.0}
+            pq = [(0.0, id(u), u)]
+            settled = 0
+            while pq and settled < cap:
+                d, _i, a = heapq.heappop(pq)
+                if d > dist.get(a, float("inf")):
+                    continue
+                settled += 1
+                if a == x:
+                    return d <= bound
+                if d > bound:
+                    return False
+                for b, w in adj.get(a, {}).items():
+                    if b == skip or b in contracted:
+                        continue
+                    nd = d + w
+                    if nd < dist.get(b, float("inf")):
+                        dist[b] = nd
+                        heapq.heappush(pq, (nd, id(b), b))
+            return dist.get(x, float("inf")) <= bound
+
+        pq = [(edge_diff(v), str(v), v) for v in nodes]
+        heapq.heapify(pq)
+        ranks: dict = {}
+        rank = start_rank
+        while pq:
+            p, _s, v = heapq.heappop(pq)
+            if v in contracted:
+                continue
+            np = edge_diff(v)
+            if np > p:  # lazy re-evaluation
+                heapq.heappush(pq, (np, str(v), v))
+                continue
+            rank += 1
+            ranks[v] = rank
+            contracted.add(v)
+            ins = [
+                (u, w)
+                for u, w in radj.get(v, {}).items()
+                if u not in contracted
+            ]
+            outs = [
+                (x, w)
+                for x, w in adj.get(v, {}).items()
+                if x not in contracted
+            ]
+            for u, w1 in ins:
+                for x, w2 in outs:
+                    if u == x:
+                        continue
+                    sw = w1 + w2
+                    cur = adj.get(u, {}).get(x)
+                    if cur is not None and cur <= sw:
+                        continue
+                    if witness(u, x, sw, v):
+                        continue
+                    adj.setdefault(u, {})[x] = sw
+                    radj.setdefault(x, {})[u] = sw
+                    if (u, x) not in best or sw < best[(u, x)]:
+                        best[(u, x)] = sw
+                        updates[(u, x)] = (sw, v)
+        return ranks, updates
+
+    @classmethod
+    def _build_local(
+        cls, graph, weight, max_rounds
+    ) -> "ContractionHierarchy":
+        """Driver-local build: collect the (small) edge table, run the
+        shared contraction core, assemble the artifact."""
+        spark = graph.spark
+        idt = graph._id_type()
+        wcol = graph._weight_col(weight)
+        nodes = {r["_n"] for r in graph.nodes.select("_n").collect()}
+        emap: dict = {}
+        for r in (
+            graph.edges.select("_u", "_v", wcol.cast("double").alias("__w"))
+            .filter(F.col("_u") != F.col("_v"))
+            .collect()
+        ):
+            u, v, w = r["_u"], r["_v"], r["__w"]
+            nodes.add(u)
+            nodes.add(v)
+            if (u, v) not in emap or w < emap[(u, v)]:
+                emap[(u, v)] = w
+        ranks, updates = cls._contract_core(emap, nodes)
+        search = {k: (w, None) for k, w in emap.items()}
+        search.update(updates)
+        rows = [
+            (u, v, float(w), mid, ranks[u], ranks[v])
+            for (u, v), (w, mid) in sorted(
+                search.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]))
+            )
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("_u", idt, False),
+                T.StructField("_v", idt, False),
+                T.StructField("w", T.DoubleType(), False),
+                T.StructField("mid", idt, True),
+                T.StructField("_ru", T.LongType(), False),
+                T.StructField("_rv", T.LongType(), False),
+            ]
+        )
+        search_df = spark.createDataFrame(rows, schema)
+        ranks_df = spark.createDataFrame(
+            sorted(ranks.items(), key=lambda kv: str(kv[0])),
+            T.StructType(
+                [
+                    T.StructField("_n", idt, False),
+                    T.StructField("rank", T.LongType(), False),
+                ]
+            ),
+        )
+        return cls(spark, ranks_df, search_df, len(rows), len(ranks), 0)
+
+    @classmethod
+    def _build_pregel(
+        cls,
+        graph,
+        weight: str | None = None,
+        max_rounds: int = 32,
+        local_finish: int = 4096,
+    ) -> "ContractionHierarchy":
+        """Distributed batched-IS build.  ``local_finish``: once the
+        unranked remainder fits under this count, collect it and let
+        the shared driver-side core contract the TOP of the hierarchy
+        — the remainder is where the IS shrinks to a handful of nodes
+        per round and per-round Spark latency dominates (measured: the
+        25-node DAG spends most of its wall on the last 5 single-node
+        rounds).  The top of a CH is small and dense by construction,
+        so this is the standard hybrid; set 0 to disable (remainder
+        past max_rounds then becomes the exact CORE)."""
+        spark = graph.spark
+        idt = graph._id_type()
+        w = graph._weight_col(weight)
+        active = (
+            graph.edges.select(
+                F.col("_u"), F.col("_v"), w.cast("double").alias("w")
+            )
+            .filter(F.col("_u") != F.col("_v"))  # self loops never route
+            .withColumn("mid", F.lit(None).cast(idt))
+        )
+        active = _min_edges(active).localCheckpoint(eager=True)
+        # endpoints may reference nodes absent from the nodes table
+        # (partial loads); every endpoint MUST get a rank or the final
+        # inner rank-join would silently drop its search edges
+        all_nodes = (
+            graph.nodes.select("_n")
+            .unionByName(active.select(F.col("_u").alias("_n")))
+            .unionByName(active.select(F.col("_v").alias("_n")))
+            .distinct()
+        )
+        rank_schema = T.StructType(
+            [
+                T.StructField("_n", idt, False),
+                T.StructField("rank", T.LongType(), False),
+            ]
+        )
+        search_parts = [active]
+        rank_parts: list[DataFrame] = []
+        unranked = all_nodes.localCheckpoint(eager=True)
+        n_left = unranked.count()
+        rounds = 0
+        for r in range(1, max_rounds + 1):
+            if n_left == 0 or n_left <= local_finish:
+                break
+            rounds = r
+            outd = active.groupBy("_u").agg(F.count(F.lit(1)).alias("_od"))
+            ind = active.groupBy("_v").agg(F.count(F.lit(1)).alias("_id"))
+            prio = (
+                unranked.join(
+                    outd.withColumnRenamed("_u", "_n"), "_n", "left"
+                )
+                .join(ind.withColumnRenamed("_v", "_n"), "_n", "left")
+                .select(
+                    "_n",
+                    F.struct(
+                        (
+                            F.coalesce(F.col("_od"), F.lit(0))
+                            * F.coalesce(F.col("_id"), F.lit(0))
+                            - F.coalesce(F.col("_od"), F.lit(0))
+                            - F.coalesce(F.col("_id"), F.lit(0))
+                        ).alias("p"),
+                        F.xxhash64(F.col("_n").cast("string")).alias("h"),
+                        F.col("_n").alias("n"),
+                    ).alias("_key"),
+                )
+            )
+            # neighbor relation (both directions), then min neighbor key
+            nbr = (
+                active.select(F.col("_u").alias("_a"), F.col("_v").alias("_b"))
+                .unionByName(
+                    active.select(
+                        F.col("_v").alias("_a"), F.col("_u").alias("_b")
+                    )
+                )
+                .join(
+                    prio.select(
+                        F.col("_n").alias("_b"), F.col("_key").alias("_bkey")
+                    ),
+                    "_b",
+                )
+                .groupBy("_a")
+                .agg(F.min("_bkey").alias("_minnbr"))
+            )
+            # EAGER checkpoints throughout: a lazy localCheckpoint here
+            # nests every prior round's plan into this one and Catalyst
+            # analysis goes exponential (measured: 33s rounds on a
+            # 25-node graph by round 9 — the r13 build-loop lesson)
+            isdf = (
+                prio.join(nbr.withColumnRenamed("_a", "_n"), "_n", "left")
+                .filter(
+                    F.col("_minnbr").isNull()
+                    | (F.col("_key") < F.col("_minnbr"))
+                )
+                .select("_n")
+                .localCheckpoint(eager=True)
+            )
+            n_left -= isdf.count()
+            inc = active.join(
+                isdf.withColumnRenamed("_n", "_v"), "_v"
+            ).select(
+                F.col("_u").alias("_su"),
+                F.col("_v").alias("_mid"),
+                F.col("w").alias("_w1"),
+            )
+            out = active.join(
+                isdf.withColumnRenamed("_n", "_u"), "_u"
+            ).select(
+                F.col("_u").alias("_mid"),
+                F.col("_v").alias("_sv"),
+                F.col("w").alias("_w2"),
+            )
+            sc = (
+                inc.join(out, "_mid")
+                .filter(F.col("_su") != F.col("_sv"))
+                .select(
+                    F.col("_su").alias("_u"),
+                    F.col("_sv").alias("_v"),
+                    (F.col("_w1") + F.col("_w2")).alias("w"),
+                    F.col("_mid").alias("mid"),
+                )
+            )
+            sc = _min_edges(sc)
+            # 1-hop witness: an existing direct active edge that is at
+            # least as cheap dominates the shortcut (the witness path
+            # survives contraction — its endpoints are non-IS)
+            direct = active.select(
+                "_u", "_v", F.col("w").alias("_wd")
+            )
+            sc = (
+                sc.join(direct, ["_u", "_v"], "left")
+                .filter(F.col("_wd").isNull() | (F.col("w") < F.col("_wd")))
+                .drop("_wd")
+            )
+            survivors = active.join(
+                isdf.withColumnRenamed("_n", "_u"), "_u", "left_anti"
+            ).join(isdf.withColumnRenamed("_n", "_v"), "_v", "left_anti")
+            active = _min_edges(
+                survivors.select("_u", "_v", "w", "mid").unionByName(sc)
+            ).localCheckpoint(eager=True)
+            search_parts.append(
+                active.join(
+                    # only the NEW shortcuts need appending; survivors
+                    # are already in earlier parts.  Re-derive them by
+                    # mid∈IS (a shortcut's mid is its creation round's
+                    # contracted node, unique to this round).
+                    isdf.withColumnRenamed("_n", "mid"),
+                    "mid",
+                ).select("_u", "_v", "w", "mid")
+            )
+            rank_parts.append(
+                isdf.select("_n", F.lit(r).cast("long").alias("rank"))
+            )
+            unranked = unranked.join(isdf, "_n", "left_anti").localCheckpoint(
+                eager=True
+            )
+        from functools import reduce
+
+        core_size = 0
+        if n_left > 0 and n_left <= local_finish:
+            # LOCAL FINISH: contract the small remainder driver-side
+            # with the shared core, ranks stacked ABOVE every
+            # distributed round (these are the hierarchy's top nodes)
+            emap = {
+                (rw["_u"], rw["_v"]): rw["w"] for rw in active.collect()
+            }
+            rem_nodes = {rw["_n"] for rw in unranked.collect()}
+            lranks, lupdates = cls._contract_core(
+                emap, rem_nodes, start_rank=rounds
+            )
+            rank_parts.append(
+                spark.createDataFrame(
+                    sorted(lranks.items(), key=lambda kv: str(kv[0])),
+                    rank_schema,
+                )
+            )
+            if lupdates:
+                search_parts.append(
+                    spark.createDataFrame(
+                        [
+                            (u, v, float(w), mid)
+                            for (u, v), (w, mid) in sorted(
+                                lupdates.items(),
+                                key=lambda kv: (
+                                    str(kv[0][0]),
+                                    str(kv[0][1]),
+                                ),
+                            )
+                        ],
+                        T.StructType(
+                            [
+                                T.StructField("_u", idt, False),
+                                T.StructField("_v", idt, False),
+                                T.StructField("w", T.DoubleType(), False),
+                                T.StructField("mid", idt, True),
+                            ]
+                        ),
+                    )
+                )
+        elif n_left > 0:
+            # core: whatever outlasted max_rounds shares the top rank
+            core_size = n_left
+            rank_parts.append(
+                unranked.select(
+                    "_n", F.lit(CORE_RANK).cast("long").alias("rank")
+                )
+            )
+        ranks = reduce(
+            lambda a, b: a.unionByName(b),
+            rank_parts,
+            spark.createDataFrame([], rank_schema),
+        )
+        search = _min_edges(reduce(lambda a, b: a.unionByName(b), search_parts))
+        ru = ranks.select(
+            F.col("_n").alias("_u"), F.col("rank").alias("_ru")
+        )
+        rv = ranks.select(
+            F.col("_n").alias("_v"), F.col("rank").alias("_rv")
+        )
+        search = (
+            search.join(ru, "_u").join(rv, "_v").persist()
+        )
+        return cls(
+            spark,
+            ranks.localCheckpoint(eager=True),
+            search,
+            search.count(),
+            rounds,
+            core_size,
+        )
+
+    # ----------------------------------------------------------- query
+    def _up_down(self) -> tuple[DataFrame, DataFrame]:
+        core = F.lit(CORE_RANK)
+        up = self.search.filter(
+            (F.col("_ru") < F.col("_rv"))
+            | ((F.col("_ru") == core) & (F.col("_rv") == core))
+        )
+        down = self.search.filter(
+            (F.col("_ru") > F.col("_rv"))
+            | ((F.col("_ru") == core) & (F.col("_rv") == core))
+        )
+        return up, down
+
+    def route(
+        self,
+        source,
+        target,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> tuple[list, float] | None:
+        """Bidirectional upward search + shortcut unpacking: the raw
+        node path and exact cost, or None if unreachable."""
+        if source == target:
+            return [source], 0.0
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        if local:
+            return self._route_local(source, target)
+        return self._route_pregel(source, target, max_iterations)
+
+    # ------------------------------------------------------ local twin
+    def _collect_local(self):
+        if self._local_cache is None:
+            up: dict = {}
+            down: dict = {}
+            edges: dict = {}
+            for r in self.search.collect():
+                u, v, w, mid = r["_u"], r["_v"], r["w"], r["mid"]
+                edges[(u, v)] = (w, mid)
+                ru, rv = r["_ru"], r["_rv"]
+                both_core = ru == CORE_RANK and rv == CORE_RANK
+                if ru < rv or both_core:
+                    up.setdefault(u, []).append((v, w))
+                if ru > rv or both_core:
+                    down.setdefault(v, []).append((u, w))
+            self._local_cache = (up, down, edges)
+        return self._local_cache
+
+    def _route_local(self, source, target):
+        import heapq
+
+        up, down, edges = self._collect_local()
+
+        def dijkstra(adj, src):
+            dist = {src: 0.0}
+            pred: dict = {src: None}
+            pq = [(0.0, 0, src)]
+            order = 0
+            while pq:
+                d, _o, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        order += 1
+                        dist[v], pred[v] = nd, u
+                        heapq.heappush(pq, (nd, order, v))
+            return dist, pred
+
+        df, pf = dijkstra(up, source)
+        db, pb = dijkstra(down, target)
+        meet, mu = None, None
+        for n in df.keys() & db.keys():
+            c = df[n] + db[n]
+            if mu is None or c < mu or (c == mu and str(n) < str(meet)):
+                meet, mu = n, c
+        if meet is None:
+            return None
+        fwd = []
+        cur = meet
+        while cur is not None:
+            fwd.append(cur)
+            cur = pf[cur]
+        fwd.reverse()
+        cur = pb[meet]
+        while cur is not None:
+            fwd.append(cur)
+            cur = pb[cur]
+        return self._unpack_local(fwd, edges), mu
+
+    def _unpack_local(self, path, edges):
+        out = [path[0]]
+        for a, b in zip(path, path[1:]):
+            out.extend(self._expand_pair_local(a, b, edges))
+        return out
+
+    def _expand_pair_local(self, a, b, edges):
+        _w, mid = edges[(a, b)]
+        if mid is None:
+            return [b]
+        return self._expand_pair_local(a, mid, edges) + self._expand_pair_local(
+            mid, b, edges
+        )
+
+    # -------------------------------------------------- distributed
+    def _route_pregel(self, source, target, max_iterations):
+        up, down = self._up_down()
+        # key the expansion tables once: fwd by _u, bwd by _v
+        upk = up.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        downk = down.select(
+            F.col("_v").alias("_k"), F.col("_u").alias("_t"), "w"
+        ).persist()
+        schema = T.StructType(
+            [
+                T.StructField("side", T.StringType(), False),
+                T.StructField("_n", self.ranks.schema["_n"].dataType, False),
+                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("pred", self.ranks.schema["_n"].dataType, True),
+            ]
+        )
+        dist = self.spark.createDataFrame(
+            [("f", source, 0.0, None), ("b", target, 0.0, None)], schema
+        )
+        frontier = dist
+        mu = None
+        done = False
+        for it in range(max_iterations):
+            probe = (it + 1) % 2 == 0 or it == max_iterations - 1
+            fr = frontier.select(
+                "side",
+                F.col("_n").alias("_k"),
+                F.col("dist").alias("_fd"),
+            ).hint("broadcast")
+            msgs_f = fr.filter(F.col("side") == "f").join(upk, "_k").select(
+                F.lit("f").alias("side"),
+                F.col("_t").alias("_n"),
+                (F.col("_fd") + F.col("w")).alias("dist"),
+                F.col("_k").alias("pred"),
+            )
+            msgs_b = fr.filter(F.col("side") == "b").join(downk, "_k").select(
+                F.lit("b").alias("side"),
+                F.col("_t").alias("_n"),
+                (F.col("_fd") + F.col("w")).alias("dist"),
+                F.col("_k").alias("pred"),
+            )
+            merged = (
+                dist.select(
+                    "side", "_n", "dist", F.lit(False).alias("_new"), "pred"
+                )
+                .unionByName(
+                    msgs_f.unionByName(msgs_b).select(
+                        "side", "_n", "dist", F.lit(True).alias("_new"), "pred"
+                    )
+                )
+                .groupBy("side", "_n")
+                .agg(F.min(F.struct("dist", "_new", "pred")).alias("b"))
+                .select(
+                    "side",
+                    "_n",
+                    F.col("b.dist").alias("dist"),
+                    F.col("b.pred").alias("pred"),
+                    F.col("b._new").alias("_imp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            dist = merged.select("side", "_n", "dist", "pred")
+            frontier = merged.filter(F.col("_imp")).select(
+                "side", "_n", "dist"
+            )
+            if probe:
+                st = merged.groupBy("_n").agg(
+                    F.min(F.when(F.col("side") == "f", F.col("dist"))).alias(
+                        "_df"
+                    ),
+                    F.min(F.when(F.col("side") == "b", F.col("dist"))).alias(
+                        "_db"
+                    ),
+                    F.coalesce(
+                        F.sum(F.when(F.col("_imp"), 1)), F.lit(0)
+                    ).alias("_nf"),
+                    F.min(F.when(F.col("_imp"), F.col("dist"))).alias(
+                        "_fmin"
+                    ),
+                ).agg(
+                    F.min(F.col("_df") + F.col("_db")).alias("mu"),
+                    F.sum("_nf").alias("n_front"),
+                    F.min("_fmin").alias("f_min"),
+                ).collect()[0]
+                mu = st["mu"]
+                if st["n_front"] == 0 or (
+                    mu is not None
+                    and st["f_min"] is not None
+                    and st["f_min"] >= mu
+                ):
+                    done = True
+                    break
+        upk.unpersist()
+        downk.unpersist()
+        if not done:
+            raise RuntimeError(
+                "CH route hit the iteration cap without converging; "
+                "raise max_iterations"
+            )
+        if mu is None:
+            return None
+        # pick the meeting node deterministically (min cost, then id)
+        meet_rows = (
+            dist.groupBy("_n")
+            .agg(
+                F.min(F.when(F.col("side") == "f", F.col("dist"))).alias("_df"),
+                F.min(F.when(F.col("side") == "b", F.col("dist"))).alias("_db"),
+            )
+            .filter(F.col("_df").isNotNull() & F.col("_db").isNotNull())
+            .select("_n", (F.col("_df") + F.col("_db")).alias("_c"))
+            .orderBy("_c", F.col("_n").cast("string"))
+            .limit(1)
+            .collect()
+        )
+        meet = meet_rows[0]["_n"]
+        fwd_nodes = self._trace(dist, "f", meet)
+        bwd_nodes = self._trace(dist, "b", meet)
+        path = fwd_nodes[::-1] + bwd_nodes[1:]
+        return self._unpack_distributed(path), mu
+
+    def _trace(self, dist, side, meet):
+        """Walk preds driver-side, one filtered collect per hop batch
+        (upward searches are cone-sized; paths are route-sized)."""
+        rows = {
+            r["_n"]: r["pred"]
+            for r in dist.filter(F.col("side") == side)
+            .select("_n", "pred")
+            .collect()
+        }
+        out = [meet]
+        cur = rows.get(meet)
+        while cur is not None:
+            out.append(cur)
+            cur = rows.get(cur)
+        return out
+
+    def _unpack_distributed(self, path):
+        """Expand shortcut mids level-by-level: each level filters the
+        search table to the currently-needed (u, v) pairs (route-sized
+        isin lists) and splits any pair carrying a mid."""
+        pairs = list(zip(path, path[1:]))
+        if not pairs:
+            return list(path)
+        resolved: dict = {}
+        frontier = set(pairs)
+        for _ in range(64):
+            if not frontier:
+                break
+            nodes = sorted({str(n) for p in frontier for n in p})
+            rows = (
+                self.search.filter(
+                    F.col("_u").cast("string").isin(nodes)
+                    & F.col("_v").cast("string").isin(nodes)
+                )
+                .select("_u", "_v", "w", "mid")
+                .collect()
+            )
+            best: dict = {}
+            for r in rows:
+                k = (r["_u"], r["_v"])
+                if k in frontier and (
+                    k not in best or r["w"] < best[k][0]
+                ):
+                    best[k] = (r["w"], r["mid"])
+            nxt = set()
+            for k in frontier:
+                if k not in best:
+                    raise KeyError(f"no search edge {k[0]!r} -> {k[1]!r}")
+                w, mid = best[k]
+                resolved[k] = mid
+                if mid is not None:
+                    nxt.add((k[0], mid))
+                    nxt.add((mid, k[1]))
+            frontier = {k for k in nxt if k not in resolved}
+
+        def expand(a, b):
+            mid = resolved[(a, b)]
+            if mid is None:
+                return [b]
+            return expand(a, mid) + expand(mid, b)
+
+        out = [path[0]]
+        for a, b in pairs:
+            out.extend(expand(a, b))
+        return out

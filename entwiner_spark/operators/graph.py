@@ -1011,6 +1011,7 @@ class SparkGraph:
         via: str = "raw",
         contracted: "SparkGraph | None" = None,
         heuristic=None,
+        ch=None,
     ) -> tuple[list[str], float] | None:
         """Reconstructed path + total distance, or None if unreachable.
 
@@ -1054,7 +1055,31 @@ class SparkGraph:
         routing from an absorbed chain interior raises — CH-lite has
         no entry/exit shortcuts (the documented escalation).  Costs
         match the raw route exactly up to float association order
-        (shortcut weights fold in doubling order)."""
+        (shortcut weights fold in doubling order).
+
+        ``via="ch"`` (the r13 escalation PAST CH-lite): FULL
+        contraction hierarchies (operators/ch.py) — every node
+        contracted, bidirectional upward query, any endpoint routable
+        (no retained-node restriction).  Pass ``ch`` (a built
+        ``ContractionHierarchy``, the build-once/route-many form) or
+        one is built on the fly with ``weight``."""
+        if via == "ch":
+            if ch is None:
+                from entwiner_spark.operators.ch import (
+                    ContractionHierarchy,
+                )
+
+                ch = ContractionHierarchy.build(self, weight=weight)
+            return ch.route(
+                source,
+                target,
+                strategy=strategy,
+                **(
+                    {"max_iterations": max_iterations}
+                    if max_iterations is not None
+                    else {}
+                ),
+            )
         if via == "contracted":
             c = contracted
             if c is None:
@@ -1090,7 +1115,7 @@ class SparkGraph:
             return c.expand_contracted_path(cpath), cost
         if via != "raw":
             raise ValueError(
-                f"via must be 'raw' or 'contracted', got {via!r}"
+                f"via must be 'raw', 'contracted' or 'ch', got {via!r}"
             )
         if self._use_local(strategy):
             import heapq
@@ -1269,6 +1294,150 @@ class SparkGraph:
             path.append(cur)
             cur = by_node[cur]["pred"]
         return path[::-1], total
+
+    def k_shortest_paths(
+        self,
+        source,
+        target,
+        k: int = 3,
+        weight: str | None = None,
+        strategy: str = "auto",
+        via: str = "raw",
+        contracted: "SparkGraph | None" = None,
+    ) -> list[tuple[list, float]]:
+        """k shortest LOOPLESS paths, best first — Yen's algorithm
+        (the public 1971 construction; reference has no alternatives
+        feature, this is the next thing a routing user asks for after
+        point-to-point, r12-verdict task #6).  Returns up to ``k``
+        ``(path, cost)`` pairs; fewer when the graph has fewer
+        distinct simple routes.
+
+        Each spur iteration re-runs ``shortest_path`` on a subgraph
+        with the root prefix's nodes blocked and the previously-used
+        continuation edges removed — both path-sized driver lists
+        applied as one ``isin`` filter plus one broadcast anti-join,
+        so every spur query keeps the full distributed machinery
+        (including A*-style pruning when the caller's strategy
+        enables it).  Cost: O(k · |path|) SSSP runs — alternatives
+        are a per-route operation; at network scale run it
+        ``via="contracted"`` (below) or on a relabeled graph.
+
+        ``via="contracted"``: Yen runs ON the chain-contracted minor
+        (build once via ``contracted=`` or on the fly), then each
+        alternative expands back to raw nodes — valid because loopless
+        raw paths between retained endpoints map 1:1 onto minor paths
+        (a path cannot partially enter a chain and back out without
+        revisiting its entry node).  Parallel-chain alternatives that
+        share the SAME minor node sequence collapse to one route
+        (node-path uniqueness, standard Yen semantics).
+        """
+        if k < 1:
+            return []
+        if via == "contracted":
+            c = contracted
+            if c is None:
+                c = self.contract_chains(weight=weight, keep_path=True)
+            if "_via_path" not in c.edges.columns:
+                raise ValueError(
+                    "via='contracted' needs a contract_chains("
+                    "keep_path=True) graph (no _via_path column)"
+                )
+            present = {
+                r["_n"]
+                for r in c.nodes.filter(
+                    F.col("_n").isin([source, target])
+                ).collect()
+            }
+            missing = [n for n in (source, target) if n not in present]
+            if missing:
+                raise ValueError(
+                    f"endpoint(s) absorbed by contraction: {missing}; "
+                    "via='contracted' routes between retained nodes"
+                )
+            minor = c.k_shortest_paths(
+                source, target, k=k, weight="w", strategy=strategy
+            )
+            return [
+                (c.expand_contracted_path(p), cost) for p, cost in minor
+            ]
+        if via != "raw":
+            raise ValueError(f"via must be 'raw' or 'contracted', got {via!r}")
+        first = self.shortest_path(
+            source, target, weight=weight, strategy=strategy
+        )
+        if first is None:
+            return []
+        import heapq
+
+        wcol = self._weight_col(weight)
+        base = self.edges.select("_u", "_v", wcol.alias("_w"))
+        idt = self._id_type()
+        pair_schema = T.StructType(
+            [T.StructField("_u", idt, False), T.StructField("_v", idt, False)]
+        )
+
+        def pair_weights(path):
+            """Min parallel weight per consecutive pair (one filtered
+            collect, path-sized — a shortest path never rides a
+            non-min parallel edge)."""
+            wanted = set(zip(path, path[1:]))
+            out: dict = {}
+            for r in base.filter(
+                F.col("_u").isin(list(path)) & F.col("_v").isin(list(path))
+            ).collect():
+                kk = (r["_u"], r["_v"])
+                if kk in wanted and (kk not in out or r["_w"] < out[kk]):
+                    out[kk] = r["_w"]
+            return out
+
+        A: list[tuple[list, float]] = [first]
+        B: list[tuple[float, tuple]] = []
+        seen = {tuple(first[0])}
+        while len(A) < k:
+            prev = A[-1][0]
+            pw = pair_weights(prev)
+            prefix = [0.0]
+            for a, b in zip(prev, prev[1:]):
+                prefix.append(prefix[-1] + pw[(a, b)])
+            for i in range(len(prev) - 1):
+                spur = prev[i]
+                root = prev[: i + 1]
+                removed = {
+                    (p[i], p[i + 1])
+                    for p, _c in A
+                    if len(p) > i + 1 and p[: i + 1] == root
+                }
+                blocked = list(dict.fromkeys(root[:-1]))
+                sub = base
+                if blocked:
+                    sub = sub.filter(
+                        ~F.col("_u").isin(blocked)
+                        & ~F.col("_v").isin(blocked)
+                    )
+                if removed:
+                    rem = self.spark.createDataFrame(
+                        sorted(removed), pair_schema
+                    )
+                    sub = sub.join(
+                        F.broadcast(rem), ["_u", "_v"], "left_anti"
+                    )
+                g_sub = SparkGraph(self.nodes, sub)
+                r = g_sub.shortest_path(
+                    spur, target, weight="_w", strategy=strategy
+                )
+                if r is None:
+                    continue
+                spath, scost = r
+                cand = tuple(root[:-1]) + tuple(spath)
+                if cand in seen:
+                    continue
+                seen.add(cand)
+                heapq.heappush(B, (prefix[i] + scost, cand))
+            if not B:
+                break
+            cost, key = heapq.heappop(B)
+            A.append((list(key), cost))
+        return A
 
     def connected_components(
         self, max_iterations: int = 50, strategy: str = "auto"

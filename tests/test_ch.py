@@ -1,0 +1,236 @@
+"""Full contraction hierarchies (operators/ch.py — reference
+TODO.md:70): build invariants, exact-route parity vs plain Dijkstra on
+graphs where chain-folding stalls (high-degree junctions), core
+cutoff, and local==pregel query parity."""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.ch import CORE_RANK, ContractionHierarchy
+from entwiner_spark.operators.graph import SparkGraph
+
+
+def _grid_graph(spark, n):
+    """n x n bidirectional unit grid — every interior node is a 4-way
+    junction, so contract_chains (degree-2 only) folds NOTHING here;
+    full CH must still collapse it."""
+    base = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    )
+    nid = F.concat_ws(":", "x", "y")
+    parts = []
+    for dx, dy in ((1, 0), (0, 1)):
+        nbr = F.concat_ws(
+            ":", (F.col("x") + dx).cast("int"), (F.col("y") + dy).cast("int")
+        )
+        keep = base.filter(
+            (F.col("x") + dx < n) & (F.col("y") + dy < n)
+        )
+        # deterministic, irregular, tie-poor weights
+        wexpr = (
+            F.lit(1.0)
+            + (F.xxhash64(nid, nbr, F.lit(dx)) % 97).cast("double") / 100.0
+        )
+        parts.append(
+            keep.select(nid.alias("_u"), nbr.alias("_v"), wexpr.alias("w"))
+        )
+        parts.append(
+            keep.select(nbr.alias("_u"), nid.alias("_v"), wexpr.alias("w"))
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    return SparkGraph(nodes, edges, partitions=4)
+
+
+def _dijkstra(adj, src, dst):
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist.get(dst)
+
+
+@pytest.fixture(scope="module")
+def grid6(spark):
+    g = _grid_graph(spark, 6)
+    ch = ContractionHierarchy.build(g, weight="w")
+    adj = {}
+    for r in g.edges.collect():
+        adj.setdefault(r["_u"], []).append((r["_v"], r["w"]))
+    return g, ch, adj
+
+
+def test_ch_build_ranks_every_node(grid6):
+    g, ch, _adj = grid6
+    n = g.order()
+    assert ch.ranks.count() == n
+    # every node got a rank; the 6x6 grid should fully contract
+    assert ch.core_size == 0
+    assert ch.rounds >= 2
+    # search graph superset: all original edges present
+    assert ch.n_search_edges >= g.size()
+
+
+def test_ch_pregel_build_matches_local_routes(spark):
+    """The DISTRIBUTED batched-IS build produces a different hierarchy
+    than the local priority-queue build, but both must route exactly
+    (the CH exactness invariant is order-independent)."""
+    g = _grid_graph(spark, 4)
+    # local_finish=4: real distributed IS rounds on 16 nodes, then the
+    # shared driver core contracts the top (the production hybrid)
+    chp = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", local_finish=4
+    )
+    chl = ContractionHierarchy.build(g, weight="w", strategy="local")
+    assert chp.ranks.count() == g.order()
+    adj = {}
+    for r in g.edges.collect():
+        adj.setdefault(r["_u"], []).append((r["_v"], r["w"]))
+    for src, dst in [("0:0", "3:3"), ("3:0", "0:3"), ("1:2", "2:0")]:
+        want = _dijkstra(adj, src, dst)
+        _pp, cp = chp.route(src, dst, strategy="local")
+        _pl, cl = chl.route(src, dst, strategy="local")
+        assert cp == pytest.approx(want, rel=1e-12)
+        assert cl == pytest.approx(want, rel=1e-12)
+
+
+def test_ch_route_parity_on_junction_grid(grid6):
+    """CH cost == textbook Dijkstra for a spread of pairs, and the
+    expanded path is a REAL raw-edge walk whose weights sum to the
+    cost — on the graph shape where chain contraction can't help."""
+    g, ch, adj = grid6
+    wmap = {}
+    for u, lst in adj.items():
+        for v, w in lst:
+            k = (u, v)
+            wmap[k] = min(wmap.get(k, float("inf")), w)
+    for src, dst in [
+        ("0:0", "5:5"),
+        ("0:5", "5:0"),
+        ("2:3", "4:1"),
+        ("0:0", "0:1"),
+    ]:
+        want = _dijkstra(adj, src, dst)
+        path, cost = ch.route(src, dst, strategy="local")
+        assert cost == pytest.approx(want, rel=1e-12), (src, dst)
+        assert path[0] == src and path[-1] == dst
+        walk = sum(wmap[(a, b)] for a, b in zip(path, path[1:]))
+        assert walk == pytest.approx(cost, rel=1e-12)
+
+
+def test_ch_local_equals_pregel(grid6):
+    _g, ch, _adj = grid6
+    pl, cl = ch.route("0:0", "5:5", strategy="local")
+    pp, cp = ch.route("0:0", "5:5", strategy="pregel")
+    assert cl == pytest.approx(cp, rel=1e-12)
+    assert pl[0] == pp[0] and pl[-1] == pp[-1]
+    wl = {}
+    # equal-cost optima may differ between strategies; both must be
+    # real walks of the right cost (checked above for local)
+    for a, b in zip(pp, pp[1:]):
+        wl[(a, b)] = True
+    assert len(pp) >= 2
+
+
+def test_ch_core_cutoff_stays_exact(spark, grid6):
+    """max_rounds=1 leaves most of the grid as an uncontracted core —
+    queries must STILL be exact (core edges are bidirectionally
+    upward)."""
+    g, _ch, adj = grid6
+    ch1 = ContractionHierarchy.build(
+        g, weight="w", max_rounds=1, strategy="pregel", local_finish=0
+    )
+    assert ch1.core_size > 0
+    assert (
+        ch1.ranks.filter(F.col("rank") == CORE_RANK).count()
+        == ch1.core_size
+    )
+    want = _dijkstra(adj, "0:0", "5:5")
+    _p, cost = ch1.route("0:0", "5:5", strategy="local")
+    assert cost == pytest.approx(want, rel=1e-12)
+
+
+def test_ch_unreachable_and_trivial(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "d", 1.0)],
+        "_u string, _v string, w double",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "_n string"
+    )
+    g = SparkGraph(nodes, edges)
+    ch = ContractionHierarchy.build(g, weight="w")
+    assert ch.route("a", "d") is None
+    assert ch.route("a", "a") == (["a"], 0.0)
+    assert ch.route("a", "b")[1] == pytest.approx(1.0)
+
+
+def test_ch_build_is_deterministic(spark):
+    g = _grid_graph(spark, 4)
+    a = ContractionHierarchy.build(g, weight="w")
+    b = ContractionHierarchy.build(g, weight="w")
+    ra = {(r["_n"], r["rank"]) for r in a.ranks.collect()}
+    rb = {(r["_n"], r["rank"]) for r in b.ranks.collect()}
+    assert ra == rb
+    assert a.n_search_edges == b.n_search_edges
+    pa, ca = a.route("0:0", "3:3", strategy="local")
+    pb, cb = b.route("0:0", "3:3", strategy="local")
+    assert pa == pb and ca == cb
+
+
+def test_shortest_path_via_ch(grid6):
+    """SparkGraph.shortest_path(via='ch') — the integrated form,
+    build-once via ch= or on the fly."""
+    g, ch, adj = grid6
+    want = _dijkstra(adj, "0:0", "4:2")
+    path, cost = g.shortest_path("0:0", "4:2", weight="w", via="ch", ch=ch)
+    assert cost == pytest.approx(want, rel=1e-12)
+    assert path[0] == "0:0" and path[-1] == "4:2"
+    p2, c2 = g.shortest_path("0:0", "4:2", weight="w", via="ch")
+    assert c2 == pytest.approx(want, rel=1e-12) and p2[0] == "0:0"
+
+
+def test_ch_on_uw_matches_raw_sssp(spark):
+    """Street-graph parity: CH route cost == raw shortest_path on the
+    uw sidewalk network, path expands to raw nodes."""
+    from entwiner_spark.sources.geojson import (
+        edges_from_geojson,
+        nodes_from_edges,
+    )
+
+    edges = edges_from_geojson(
+        spark, "/root/reference/tests/data/uw.geojson", with_length=True
+    ).localCheckpoint()
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    ch = ContractionHierarchy.build(g, weight="_length")
+    # min-id -> probed farthest node (~838 m; uw is fully connected)
+    src = min(r["_n"] for r in g.nodes.select("_n").collect())
+    dst = "-122.31659, 47.6567855"
+    raw = g.shortest_path(src, dst, weight="_length", strategy="local")
+    assert raw is not None
+    got = ch.route(src, dst)
+    assert got is not None
+    path, cost = got
+    assert cost == pytest.approx(raw[1], rel=1e-9)
+    assert path[0] == src and path[-1] == dst
+    # every expanded hop is a raw uw edge
+    raw_pairs = {(r["_u"], r["_v"]) for r in edges.select("_u", "_v").collect()}
+    assert all((a, b) in raw_pairs for a, b in zip(path, path[1:]))
