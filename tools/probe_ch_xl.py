@@ -69,7 +69,11 @@ def main():
     print(f"grid {n}x{n}: {n * n} nodes, {n_edges:.0f} directed edges")
 
     t0 = time.time()
-    ch = ContractionHierarchy.build(g, weight="w", strategy="pregel", max_rounds=40)
+    # local_finish=512 (not the 4096 default) so the probe exercises
+    # real distributed IS rounds before the driver-side top finish
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", max_rounds=40, local_finish=512
+    )
     t_build = time.time() - t0
     print(
         f"CH build: {t_build:.1f}s, rounds={ch.rounds}, core={ch.core_size}, "
@@ -79,7 +83,11 @@ def main():
     pairs = [("0:0", f"{n - 1}:{n - 1}"), (f"{n - 1}:0", f"0:{n - 1}")]
     for src, dst in pairs:
         t0 = time.time()
-        raw = g.shortest_path(src, dst, weight="w", strategy="pregel")
+        # corner-to-corner needs ~2N hop rounds — the cost CH removes;
+        # cap generously so the raw baseline converges, not truncates
+        raw = g.shortest_path(
+            src, dst, weight="w", strategy="pregel", max_iterations=3 * n
+        )
         t_raw = time.time() - t0
         t0 = time.time()
         got = ch.route(src, dst, strategy="pregel")
