@@ -161,3 +161,7 @@ def test_cli_route(tmp_path, tiny_geojson, spark):
     assert plain["path"][0] == src_id and plain["path"][-1] == dst_id
     astar = route("--astar", "--strategy", "pregel")
     assert abs(astar["cost"] - plain["cost"]) < 1e-6
+    # r13: full-CH routing from the CLI must agree too
+    ch = route("--via", "ch")
+    assert abs(ch["cost"] - plain["cost"]) < 1e-6
+    assert ch["path"][0] == src_id and ch["path"][-1] == dst_id
