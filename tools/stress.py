@@ -1033,6 +1033,47 @@ def main() -> None:
         assert abs(g_raw[1] - g_ast[1]) < 1e-6, (g_raw[1], g_ast[1])
         out["astar_xl_hops"] = len(g_ast[0]) - 1
 
+        # --- FULL contraction hierarchies parity (r13): distributed
+        # batched-IS build (forced, local_finish leaves real rounds)
+        # + bidirectional upward pregel query on the same 60x60 grid;
+        # cost must equal raw SSSP and the unpacked path must be a
+        # genuine raw-edge walk summing to that cost
+        log("phase: XL full-CH build+route parity 60x60 grid")
+        from entwiner_spark.operators.ch import ContractionHierarchy
+
+        t0 = time.time()
+        chx = ContractionHierarchy.build(
+            Gg, weight="w", strategy="pregel", local_finish=512
+        )
+        out["chfull_xl_build_sec"] = round(time.time() - t0, 1)
+        out["chfull_xl_rounds"] = chx.rounds
+        out["chfull_xl_search_edges"] = chx.n_search_edges
+        assert chx.core_size == 0
+        t0 = time.time()
+        g_ch = chx.route(g_src, g_dst, strategy="pregel")
+        out["chfull_xl_route_sec"] = round(time.time() - t0, 1)
+        assert g_ch is not None
+        assert abs(g_ch[1] - g_raw[1]) < 1e-6, (g_ch[1], g_raw[1])
+        wmapx = {
+            (rw["_u"], rw["_v"]): rw["w"]
+            for rw in ge.select("_u", "_v", "w").collect()
+        }
+        walk = sum(wmapx[(a, b)] for a, b in zip(g_ch[0], g_ch[0][1:]))
+        assert abs(walk - g_ch[1]) < 1e-6, (walk, g_ch[1])
+
+        # --- Yen k-shortest sanity on the same grid: best-first, first
+        # alternative == raw shortest cost, all loopless and distinct
+        log("phase: XL Yen k-shortest on the grid")
+        t0 = time.time()
+        alts = Gg.k_shortest_paths(g_src, g_dst, k=3, weight="w")
+        out["kshortest_xl_sec"] = round(time.time() - t0, 1)
+        assert len(alts) == 3
+        assert abs(alts[0][1] - g_raw[1]) < 1e-6
+        costs = [c for _p, c in alts]
+        assert costs == sorted(costs)
+        assert len({tuple(p) for p, _c in alts}) == 3
+        assert all(len(p) == len(set(p)) for p, _c in alts)
+
     print(json.dumps(out))
     spark.stop()
 
