@@ -297,3 +297,210 @@ def stream_anomaly_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_map_match(
+    fixes: DataFrame,
+    edges: DataFrame,
+    max_dist_m: float = 50.0,
+    k_candidates: int = 5,
+    sigma_m: float = 10.0,
+    trans_adjacent: float = 2.0,
+    trans_jump: float = 20.0,
+    trace_key: str = "trace_id",
+    seq_col: str = "seq",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    edge_key: str = "fid",
+    coords_col: str = "coordinates",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Streaming ONLINE map matching — the §2.12 twin of
+    :func:`operators.matching.map_match` for live GPS feeds.
+
+    Candidates come from the SAME grid-cell machinery as batch (a
+    stream-static equi-join on (cx, cy) against the static edge
+    table + the exact point-to-LineString refine) — but the batch
+    per-point top-k window and pair dedup are NOT stream-expressible
+    (unbounded state), so both happen inside the stateful UDF per
+    microbatch (exact: a fix arrives once, so its cell-duplicate
+    candidates land in the same batch).  Per-trace state is the
+    RUNNING VITERBI LAYER (candidate edges of the last matched fix
+    with accumulated costs — bounded by k), extended per arriving fix
+    with the batch twin's exact cost model; each fix emits the
+    CURRENT layer argmin.
+
+    Semantics vs batch: this is forward-only online decoding — batch
+    Viterbi may revise EARLIER assignments when later evidence
+    arrives, a stream with emitted rows cannot.  On traces where the
+    batch backtrace agrees with the per-layer argmins (the common
+    unambiguous case — pytest pins it on the parallel-roads fixture,
+    outlier included) stream == batch row for row.  Late fixes
+    (seq below the trace's high-water mark) are dropped, not
+    retro-matched — split traces upstream if reordering matters.
+    """
+    from entwiner_spark.functions.geo import point_linestring_distance_m
+    from entwiner_spark.operators.spatial import M_PER_DEG, with_cells
+
+    if cell_deg is None:
+        cell_deg = 2.0 * max_dist_m / M_PER_DEG
+    dlat = F.lit(max_dist_m / M_PER_DEG)
+    dlon = F.lit(max_dist_m) / (
+        F.lit(M_PER_DEG) * F.cos(F.radians(F.col(lat_col)))
+    )
+    p = with_cells(
+        fixes,
+        F.col(lon_col) - dlon,
+        F.col(lon_col) + dlon,
+        F.col(lat_col) - dlat,
+        F.col(lat_col) + dlat,
+        cell_deg,
+    )
+    line_cols = edges.select(
+        F.col(edge_key),
+        F.col("_u"),
+        F.col("_v"),
+        F.col(coords_col).alias("__coords"),
+        F.array_min(
+            F.transform(F.col(coords_col), lambda c: c[0])
+        ).alias("_minx"),
+        F.array_max(
+            F.transform(F.col(coords_col), lambda c: c[0])
+        ).alias("_maxx"),
+        F.array_min(
+            F.transform(F.col(coords_col), lambda c: c[1])
+        ).alias("_miny"),
+        F.array_max(
+            F.transform(F.col(coords_col), lambda c: c[1])
+        ).alias("_maxy"),
+    )
+    ln = with_cells(
+        line_cols,
+        F.col("_minx"),
+        F.col("_maxx"),
+        F.col("_miny"),
+        F.col("_maxy"),
+        cell_deg,
+    )
+    cand = (
+        p.join(ln, ["cx", "cy"])
+        .withColumn(
+            "_dist",
+            point_linestring_distance_m(
+                F.col(lon_col), F.col(lat_col), F.col("__coords")
+            ),
+        )
+        .filter(F.col("_dist") < F.lit(float(max_dist_m)))
+        .select(trace_key, seq_col, edge_key, "_u", "_v", "_dist")
+    )
+    sig2 = float(sigma_m) ** 2
+    adj_pen, jump_pen = float(trans_adjacent), float(trans_jump)
+    out_cols = [trace_key, seq_col, edge_key, "_u", "_v", "snap_dist_m"]
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_seq, s_edges, s_us, s_vs, s_costs = state.get
+            layer = [
+                {"e": e, "u": u, "v": v, "c": c}
+                for e, u, v, c in zip(s_edges, s_us, s_vs, s_costs)
+            ]
+        else:
+            last_seq, layer = None, []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # per-microbatch dedup of cell duplicates: min dist per
+        # (seq, edge) — exact, a fix never spans batches
+        rows = (
+            rows.sort_values([seq_col, "_dist"])
+            .drop_duplicates([seq_col, edge_key])
+        )
+        out = []
+        for s, grp in rows.groupby(seq_col, sort=True):
+            if last_seq is not None and s <= last_seq:
+                continue  # late/duplicate fix: dropped, not re-matched
+            grp = grp.sort_values(["_dist", edge_key]).head(k_candidates)
+            grp = grp.sort_values(edge_key)  # batch-twin DP order
+            new_layer = []
+            for r in grp.to_dict("records"):
+                emis = (r["_dist"] * r["_dist"]) / sig2
+                if not layer:
+                    new_layer.append(
+                        {
+                            "e": r[edge_key],
+                            "u": r["_u"],
+                            "v": r["_v"],
+                            "c": emis,
+                            "d": r["_dist"],
+                        }
+                    )
+                    continue
+                bc = None
+                for pr in layer:
+                    if pr["e"] == r[edge_key]:
+                        t = 0.0
+                    elif {pr["u"], pr["v"]} & {r["_u"], r["_v"]}:
+                        t = adj_pen
+                    else:
+                        t = jump_pen
+                    c = pr["c"] + t
+                    if bc is None or c < bc:
+                        bc = c
+                new_layer.append(
+                    {
+                        "e": r[edge_key],
+                        "u": r["_u"],
+                        "v": r["_v"],
+                        "c": bc + emis,
+                        "d": r["_dist"],
+                    }
+                )
+            if not new_layer:
+                continue
+            layer = new_layer
+            last_seq = s
+            best = min(
+                range(len(layer)), key=lambda i: (layer[i]["c"], i)
+            )
+            b = layer[best]
+            out.append(
+                {
+                    trace_key: key[0],
+                    seq_col: s,
+                    edge_key: b["e"],
+                    "_u": b["u"],
+                    "_v": b["v"],
+                    "snap_dist_m": float(b["d"]),
+                }
+            )
+        if last_seq is not None:
+            state.update(
+                (
+                    int(last_seq),
+                    [x["e"] for x in layer],
+                    [x["u"] for x in layer],
+                    [x["v"] for x in layer],
+                    [float(x["c"]) for x in layer],
+                )
+            )
+        yield pd.DataFrame(out, columns=out_cols)
+
+    tk_t = fixes.schema[trace_key].dataType.simpleString()
+    seq_t = fixes.schema[seq_col].dataType.simpleString()
+    ek_t = edges.schema[edge_key].dataType.simpleString()
+    u_t = edges.schema["_u"].dataType.simpleString()
+    return cand.groupBy(trace_key).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{trace_key} {tk_t}, {seq_col} {seq_t}, {edge_key} {ek_t}, "
+            f"_u {u_t}, _v {u_t}, snap_dist_m double"
+        ),
+        stateStructType=(
+            f"last_seq long, edges array<{ek_t}>, us array<{u_t}>, "
+            f"vs array<{u_t}>, costs array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

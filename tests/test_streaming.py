@@ -1494,3 +1494,108 @@ def test_cms_build_streams_natively(spark, tmp_path):
         (i, j): m[i][j] for i in range(d) for j in range(w) if m[i][j]
     }
     assert stream_cells == batch_cells
+
+
+def test_stream_map_match_equals_batch(spark, tmp_path):
+    """Online map matching: single-batch arrival must equal the batch
+    HMM row for row on the parallel-roads fixture (outlier included —
+    the per-layer argmins agree with the batch backtrace there), and
+    a two-file arrival (state carried across microbatches) must give
+    the same answer."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from entwiner_spark.operators.matching import map_match
+    from entwiner_spark.streaming.stateful import stream_map_match
+
+    rows = []
+    for i in range(10):
+        x0, x1 = i * 1.0e-3, (i + 1) * 1.0e-3
+        rows.append((f"S{i}", f"s{i}", f"s{i + 1}", [[x0, 0.0], [x1, 0.0]]))
+        rows.append(
+            (f"N{i}", f"n{i}", f"n{i + 1}", [[x0, 9.0e-4], [x1, 9.0e-4]])
+        )
+    rows.append(("C", "s5", "n5", [[5.0e-3, 0.0], [5.0e-3, 9.0e-4]]))
+    edges = spark.createDataFrame(
+        rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = [
+        (0, 0.5e-3, 2.0e-4),
+        (1, 1.5e-3, -2.0e-4),
+        (2, 2.5e-3, 2.5e-4),
+        (3, 3.5e-3, -1.5e-4),
+        (4, 4.5e-3, 5.5e-4),  # north-leaning outlier
+        (5, 5.5e-3, 1.0e-4),
+        (6, 6.5e-3, -1.0e-4),
+        (7, 7.5e-3, 2.0e-4),
+    ]
+    fixes_df = spark.createDataFrame(
+        [("t1", s, x, y) for s, x, y in trace],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    want = {
+        (r["trace_id"], r["seq"]): (r["fid"], round(r["snap_dist_m"], 6))
+        for r in map_match(
+            fixes_df, edges, max_dist_m=100.0, sigma_m=20.0
+        ).collect()
+    }
+    assert {k[1]: v[0] for k, v in want.items()} == {
+        s: f"S{s}" for s, _x, _y in trace
+    }
+
+    schema = T.StructType(
+        [
+            T.StructField("trace_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+
+    def run(split_at, name):
+        d = tmp_path / name
+        d.mkdir()
+        recs = [
+            {"trace_id": "t1", "seq": s, "lon": x, "lat": y}
+            for s, x, y in trace
+        ]
+        (d / "a.json").write_text(
+            "\n".join(_json.dumps(r) for r in recs[:split_at])
+        )
+        if split_at < len(recs):
+            (d / "b.json").write_text(
+                "\n".join(_json.dumps(r) for r in recs[split_at:])
+            )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(str(d))
+        q = (
+            stream_map_match(
+                stream, edges, max_dist_m=100.0, sigma_m=20.0
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {
+                (r["trace_id"], r["seq"]): (
+                    r["fid"],
+                    round(r["snap_dist_m"], 6),
+                )
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            q.stop()
+
+    got_one = run(len(trace), "smm_one")
+    assert got_one == want
+    # state carried across microbatches: same output when the trace
+    # arrives split mid-way (including right before the outlier)
+    got_split = run(4, "smm_split")
+    assert got_split == want
