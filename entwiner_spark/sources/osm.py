@@ -70,6 +70,12 @@ _BATCH_ROWS = 65_536
 ONEWAY_FWD = ("yes", "1", "true")
 ONEWAY_REV = ("-1", "reverse")
 
+#: access tag values that exclude a way from the routable network
+#: (OSM wiki access=*: legal-access restriction; construction/proposed
+#: highways are not traversable yet either).
+ACCESS_DENIED = ("no", "private")
+HIGHWAY_NOT_BUILT = ("construction", "proposed")
+
 
 def _local_name(tag: str) -> str:
     """Strip an XML namespace prefix ('{uri}node' -> 'node')."""
@@ -180,6 +186,7 @@ def edges_from_osm(
     precision: int = DEFAULT_PRECISION,
     with_length: bool = True,
     elems: DataFrame | None = None,
+    respect_access: bool = True,
 ) -> DataFrame:
     """Routable edge table from OSM XML: tag-filtered ways, geometry
     assembled via the refs→nodes join, ways SPLIT at junction nodes,
@@ -195,6 +202,11 @@ def edges_from_osm(
 
     ``way_filter``: keep only ways carrying this tag key (``highway``
     = the street network; pass ``None`` to keep every way).
+    ``respect_access``: drop legally/physically untraversable ways —
+    ``access=no|private`` and ``highway=construction|proposed`` (the
+    standard router default; finer per-mode rules like ``foot=yes``
+    overriding ``access=no`` are a profile concern — read the tag via
+    ``tag_cols`` and filter downstream).
     ``tag_cols``: way tags surfaced as top-level columns.
     ``elems``: pre-read (possibly persisted) element frame — pass it
     when building edges AND node attrs from the same files to parse
@@ -217,6 +229,15 @@ def edges_from_osm(
     if way_filter is not None:
         members = members.filter(
             F.col("tags").getItem(way_filter).isNotNull()
+        )
+    if respect_access:
+        members = members.filter(
+            ~F.lower(
+                F.coalesce(F.col("tags").getItem("access"), F.lit(""))
+            ).isin(*ACCESS_DENIED)
+            & ~F.lower(
+                F.coalesce(F.col("tags").getItem("highway"), F.lit(""))
+            ).isin(*HIGHWAY_NOT_BUILT)
         )
     coords = osm_nodes(elems).select(
         F.col("osm_id").alias("ref"), "lon", "lat"

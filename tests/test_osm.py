@@ -260,3 +260,37 @@ def test_multi_file_extract_shares_boundary_nodes(spark, tmp_path):
     e = edges_from_osm(spark, [str(pa), str(pb)])
     assert e.count() == 2  # fwd + rev
     assert e.filter(F.col("_dir") == 0).collect()[0]["_u"] == "0.0, 0.0"
+
+
+def test_access_restrictions_drop_ways(spark, tmp_path):
+    """access=no|private and highway=construction ways are not
+    routable (router default); respect_access=False keeps them."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.002" lat="0.0"/>
+          <node id="4" lon="0.003" lat="0.0"/>
+          <way id="1"><nd ref="1"/><nd ref="2"/>
+            <tag k="highway" v="residential"/></way>
+          <way id="2"><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="service"/><tag k="access" v="private"/></way>
+          <way id="3"><nd ref="3"/><nd ref="4"/>
+            <tag k="highway" v="construction"/></way>
+        </osm>
+        """
+    )
+    p = tmp_path / "acc.osm"
+    p.write_text(xml)
+    open_ways = {
+        r["_way_id"] for r in edges_from_osm(spark, str(p)).collect()
+    }
+    assert open_ways == {1}
+    all_ways = {
+        r["_way_id"]
+        for r in edges_from_osm(
+            spark, str(p), respect_access=False
+        ).collect()
+    }
+    assert all_ways == {1, 2, 3}
