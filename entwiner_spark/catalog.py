@@ -5403,6 +5403,48 @@ def g_ch_full(spark, sf_dir):
 
 
 @q(
+    "g_ch_persist",
+    f"""
+    {_DYADIC_WALK_SQL},
+    best AS (
+      SELECT dist, string_split(path, '>') AS p
+      FROM walk WHERE node = 24 ORDER BY dist LIMIT 1
+    ),
+    idx AS (
+      SELECT unnest(generate_series(1, len(p))) AS i, p, dist FROM best
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS step, p[i] AS node, dist FROM idx
+    """,
+)
+def g_ch_persist(spark, sf_dir):
+    """CH artifact persistence (r13-verdict task #1): build the
+    hierarchy, ``save()`` it through the store's temp→atomic-rename
+    publish, ``load()`` it back into a FRESH artifact, and route
+    through the RELOADED parquet-backed tables — build-once/route-many
+    across sessions (the reference's on-disk ethos,
+    /root/reference/TODO.md:27-31; build.py:44-47 atomic publish).
+    Same dyadic tie-free weights and recursive-CTE walk oracle as
+    ``g_ch_full``, so the unrounded cost and full unpacked node
+    sequence are value-hashed end-to-end THROUGH the round-trip."""
+    import shutil
+    import tempfile
+
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _dyadic_graph(spark, sf_dir)
+    ch = ContractionHierarchy.build(g, weight="w")
+    tmp = tempfile.mkdtemp(prefix="ch_persist_gate_")
+    try:
+        ch.save(tmp + "/store")
+        reloaded = ContractionHierarchy.load(spark, tmp + "/store")
+        path, cost = reloaded.route("0", "24")
+        rows = [(i, n, float(cost)) for i, n in enumerate(path)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "step long, node string, dist double")
+
+
+@q(
     "g_kshortest",
     f"""
     {_DYADIC_WALK_SQL},

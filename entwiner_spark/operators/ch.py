@@ -102,6 +102,90 @@ class ContractionHierarchy:
         self.core_size = core_size
         self._local_cache: tuple | None = None
 
+    # ----------------------------------------------------- persistence
+    _META = "_ch_meta.json"
+
+    def save(self, store_dir: str, partitions: int | None = None) -> None:
+        """Persist the artifact — search table, ranks, counters — with
+        the parquet store's temp→atomic-rename publish (readers never
+        observe a half-written artifact; reference build.py:44-47
+        ethos: the expensive build must outlive the session,
+        /root/reference/TODO.md:27-31).  Search edges land
+        hash-partitioned and sorted by ``_u`` so a reloaded artifact's
+        upward expansions hit parquet min/max stats, same as the graph
+        store's adjacency layout."""
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        if "://" in store_dir:
+            raise ValueError(
+                f"{store_dir}: CH store publishes via local-FS rename; "
+                "use a local path"
+            )
+        parent = os.path.dirname(os.path.abspath(store_dir)) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="_chstore_tmp_", dir=parent)
+        try:
+            n = partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            (
+                self.search.repartition(n, "_u")
+                .sortWithinPartitions("_u")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/search.parquet")
+            )
+            (
+                self.ranks.repartition(max(1, n // 4), "_n")
+                .sortWithinPartitions("_n")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/ranks.parquet")
+            )
+            with open(os.path.join(tmp, self._META), "w") as fh:
+                json.dump(
+                    {
+                        "n_search_edges": self.n_search_edges,
+                        "rounds": self.rounds,
+                        "core_size": self.core_size,
+                    },
+                    fh,
+                )
+            if os.path.exists(store_dir):
+                shutil.rmtree(store_dir)
+            os.rename(tmp, store_dir)
+        finally:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, store_dir: str
+    ) -> "ContractionHierarchy":
+        """Reload a ``save()``d artifact into a routable hierarchy —
+        build once (hours at scale), route many, across sessions."""
+        import json
+        import os
+
+        meta_path = os.path.join(store_dir, cls._META)
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"{store_dir}: not a CH store (no {cls._META})"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        search = spark.read.parquet(f"{store_dir}/search.parquet")
+        ranks = spark.read.parquet(f"{store_dir}/ranks.parquet")
+        return cls(
+            spark,
+            ranks,
+            search,
+            int(meta["n_search_edges"]),
+            int(meta["rounds"]),
+            int(meta["core_size"]),
+        )
+
     # ----------------------------------------------------------- build
     @classmethod
     def build(
@@ -675,12 +759,21 @@ class ContractionHierarchy:
         return out
 
     def _expand_pair_local(self, a, b, edges):
-        _w, mid = edges[(a, b)]
-        if mid is None:
-            return [b]
-        return self._expand_pair_local(a, mid, edges) + self._expand_pair_local(
-            mid, b, edges
-        )
+        # iterative (explicit stack): shortcut nesting depth is
+        # unbounded on degenerate contraction orders (a path graph
+        # contracted sequentially nests linearly), so recursion would
+        # hit Python's limit around depth ~1000
+        out = []
+        stack = [(a, b)]
+        while stack:
+            u, v = stack.pop()
+            _w, mid = edges[(u, v)]
+            if mid is None:
+                out.append(v)
+            else:
+                stack.append((mid, v))
+                stack.append((u, mid))
+        return out
 
     # -------------------------------------------------- distributed
     def _route_pregel(self, source, target, max_iterations):
@@ -804,21 +897,39 @@ class ContractionHierarchy:
         path = fwd_nodes[::-1] + bwd_nodes[1:]
         return self._unpack_distributed(path), mu
 
+    # full-side collect allowed below this settled count; above it the
+    # trace falls back to a filtered per-hop walk so the driver never
+    # holds more than the cap even on degenerate hierarchies
+    _TRACE_COLLECT_CAP = 200_000
+
     def _trace(self, dist, side, meet):
-        """Walk preds driver-side, one filtered collect per hop batch
-        (upward searches are cone-sized; paths are route-sized)."""
-        rows = {
-            r["_n"]: r["pred"]
-            for r in dist.filter(F.col("side") == side)
-            .select("_n", "pred")
-            .collect()
-        }
+        """Walk preds driver-side.  Fast path: collect the settled side
+        (cone-sized by CH theory).  If the settled set exceeds the cap
+        (degenerate contraction order), fall back to hop-batched
+        filtered collects — bounded driver memory, one Spark job per
+        hop, path length bounded by hierarchy height."""
+        side_df = dist.filter(F.col("side") == side).select("_n", "pred")
+        if side_df.limit(self._TRACE_COLLECT_CAP + 1).count() <= (
+            self._TRACE_COLLECT_CAP
+        ):
+            rows = {r["_n"]: r["pred"] for r in side_df.collect()}
+            out = [meet]
+            cur = rows.get(meet)
+            while cur is not None:
+                out.append(cur)
+                cur = rows.get(cur)
+            return out
         out = [meet]
-        cur = rows.get(meet)
-        while cur is not None:
-            out.append(cur)
-            cur = rows.get(cur)
-        return out
+        cur = meet
+        while True:
+            hop = side_df.filter(
+                F.col("_n").cast("string") == str(cur)
+            ).collect()
+            nxt = hop[0]["pred"] if hop else None
+            if nxt is None:
+                return out
+            out.append(nxt)
+            cur = nxt
 
     def _unpack_distributed(self, path):
         """Expand shortcut mids level-by-level: each level filters the
@@ -829,9 +940,11 @@ class ContractionHierarchy:
             return list(path)
         resolved: dict = {}
         frontier = set(pairs)
-        for _ in range(64):
-            if not frontier:
-                break
+        # each level strictly descends the hierarchy (a shortcut's mid
+        # always ranks below both endpoints), so this terminates; depth
+        # is unbounded in general — sequential contraction of a chain
+        # nests shortcuts linearly — hence no fixed iteration cap
+        while frontier:
             nodes = sorted({str(n) for p in frontier for n in p})
             rows = (
                 self.search.filter(
@@ -860,10 +973,18 @@ class ContractionHierarchy:
             frontier = {k for k in nxt if k not in resolved}
 
         def expand(a, b):
-            mid = resolved[(a, b)]
-            if mid is None:
-                return [b]
-            return expand(a, mid) + expand(mid, b)
+            # iterative: nesting depth can exceed the recursion limit
+            seq = []
+            stack = [(a, b)]
+            while stack:
+                u, v = stack.pop()
+                mid = resolved[(u, v)]
+                if mid is None:
+                    seq.append(v)
+                else:
+                    stack.append((mid, v))
+                    stack.append((u, mid))
+            return seq
 
         out = [path[0]]
         for a, b in pairs:

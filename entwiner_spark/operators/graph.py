@@ -1426,7 +1426,12 @@ class SparkGraph:
                     sub = sub.join(
                         F.broadcast(rem), ["_u", "_v"], "left_anti"
                     )
-                g_sub = SparkGraph(self.nodes, sub)
+                # sub derives from the already-_u-partitioned edge
+                # table via filter / broadcast anti-join, both of
+                # which preserve the hash partitioning — skip the
+                # constructor's repartition (one full edge shuffle
+                # per spur otherwise; r13 ADVICE)
+                g_sub = SparkGraph(self.nodes, sub, _pre_partitioned=True)
                 r = g_sub.shortest_path(
                     spur, target, weight="_w", strategy=strategy
                 )
@@ -4144,6 +4149,7 @@ class SparkGraph:
         allow_uturn: bool = True,
         sep: str = "|",
         coords_col: str | None = None,
+        banned_turns: DataFrame | None = None,
     ) -> "SparkGraph":
         """Graph-minor / maneuver-graph derivation (reference
         TODO.md:62-70: "Deriving a minor (edges --> nodes) ... graph
@@ -4195,6 +4201,26 @@ class SparkGraph:
         )
         if not allow_uturn:
             j = j.filter(F.col("e2._v") != F.col("e1._u"))
+        if banned_turns is not None:
+            # OSM turn restrictions (sources/osm.banned_turn_pairs):
+            # a banned maneuver is a maneuver the minor graph simply
+            # does not contain — an infinite turn cost, expressed as
+            # a broadcast anti-join (restrictions are tiny vs |E|²
+            # adjacency fan-out; no extra shuffle)
+            ban = banned_turns.select(
+                F.col("_u1").alias("__b_u1"),
+                F.col("_v1").alias("__b_v1"),
+                F.col("_u2").alias("__b_u2"),
+                F.col("_v2").alias("__b_v2"),
+            )
+            j = j.join(
+                F.broadcast(ban),
+                (F.col("e1._u") == F.col("__b_u1"))
+                & (F.col("e1._v") == F.col("__b_v1"))
+                & (F.col("e2._u") == F.col("__b_u2"))
+                & (F.col("e2._v") == F.col("__b_v2")),
+                "left_anti",
+            )
         e1 = lambda c: F.col(f"e1.{c}")  # noqa: E731
         e2 = lambda c: F.col(f"e2.{c}")  # noqa: E731
         # base cost: downstream edge weight, or 1.0 hop semantics when

@@ -71,6 +71,7 @@ def write_corpus(
     sort_within: tuple[str, ...] = ("doc_id",),
     target_files: int = 1,
     compression: str = "zstd",
+    files_per_partition: int | None = None,
 ) -> None:
     """Write the corpus as partition-pruned, stat-sorted parquet:
     one directory per ``partition_by`` value combination (predicate on
@@ -86,7 +87,20 @@ def write_corpus(
     near the cluster's preferred 128-512 MB on real data — for
     per-directory fan-out at scale, pass partition-column cardinality
     × files-per-directory, or repartition with an extra salt column
-    before calling; 1 keeps small test corpora from fragmenting."""
+    before calling; 1 keeps small test corpora from fragmenting.
+
+    ``files_per_partition`` is the pre-r12 name for the same knob,
+    kept as a deprecated alias for one release."""
+    if files_per_partition is not None:
+        import warnings
+
+        warnings.warn(
+            "files_per_partition is deprecated; use target_files "
+            "(same repartition(n, *cols) semantics)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        target_files = files_per_partition
     out = df
     if partition_by:
         out = out.repartition(target_files, *[F.col(c) for c in partition_by])

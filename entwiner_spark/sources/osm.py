@@ -55,9 +55,12 @@ _ELEM_SCHEMA = T.StructType(
         T.StructField("osm_id", T.LongType()),  # node id (kind=node)
         T.StructField("lon", T.DoubleType()),
         T.StructField("lat", T.DoubleType()),
-        T.StructField("way_id", T.LongType()),  # kind=member
+        T.StructField("way_id", T.LongType()),  # kind=member: the way;
+        # kind=restriction: the FROM way
         T.StructField("seq", T.IntegerType()),  # member position in way
-        T.StructField("ref", T.LongType()),  # referenced node id
+        T.StructField("ref", T.LongType()),  # kind=member: referenced
+        # node id; kind=restriction: the VIA node
+        T.StructField("to_way", T.LongType()),  # kind=restriction only
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
     ]
 )
@@ -130,8 +133,56 @@ def _iter_osm_elements(path: str) -> Iterator[dict]:
                     "tags": tags,
                 }
             elem.clear()
-        elif name in ("relation", "osm", "bounds"):
-            elem.clear()  # relations are out of scope (no area routing)
+        elif name == "relation":
+            # type=restriction relations (no_left_turn, only_straight_on,
+            # no_u_turn, ...) are the one relation kind a router needs;
+            # everything else (multipolygons, routes) stays out of scope.
+            # Supported shape: one from WAY + one via NODE + one to WAY
+            # (the overwhelming majority; via-way restrictions — rare,
+            # dual-carriageway complexes — are skipped, documented).
+            tags = {}
+            f_way = t_way = v_node = None
+            ok = True
+            for child in elem:
+                cn = _local_name(child.tag)
+                if cn == "tag":
+                    tags[child.get("k")] = child.get("v")
+                elif cn == "member":
+                    role = child.get("role")
+                    mtype = child.get("type")
+                    mref = child.get("ref")
+                    if mref is None:
+                        continue
+                    if role == "from":
+                        ok = ok and f_way is None and mtype == "way"
+                        f_way = int(mref)
+                    elif role == "to":
+                        ok = ok and t_way is None and mtype == "way"
+                        t_way = int(mref)
+                    elif role == "via":
+                        if mtype != "node" or v_node is not None:
+                            ok = False  # via-way / multi-via: skip
+                        else:
+                            v_node = int(mref)
+            rtype = tags.get("restriction")
+            if (
+                tags.get("type") == "restriction"
+                and rtype
+                and ok
+                and None not in (f_way, v_node, t_way)
+            ):
+                yield {
+                    **base,
+                    "kind": "restriction",
+                    "osm_id": int(elem.get("id")),
+                    "way_id": f_way,
+                    "ref": v_node,
+                    "to_way": t_way,
+                    "tags": tags,
+                }
+            elem.clear()
+        elif name in ("osm", "bounds"):
+            elem.clear()
 
 
 def read_osm_elements(spark: SparkSession, paths: str | list[str]) -> DataFrame:
@@ -176,6 +227,76 @@ def osm_way_members(elems: DataFrame) -> DataFrame:
     return elems.filter(F.col("kind") == "member").select(
         "way_id", "seq", "ref", "tags"
     )
+
+
+def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
+    """``(rel_id, rtype, from_way, via_node, to_way)`` from
+    ``type=restriction`` relations (from-way / via-node / to-way form;
+    the parser skips via-way and malformed relations).  ``rtype`` is
+    the raw ``restriction=`` value — ``no_*`` bans the one maneuver,
+    ``only_*`` bans every OTHER maneuver from the same approach."""
+    return elems.filter(F.col("kind") == "restriction").select(
+        F.col("osm_id").alias("rel_id"),
+        F.col("tags").getItem("restriction").alias("rtype"),
+        F.col("way_id").alias("from_way"),
+        F.col("ref").alias("via_node"),
+        F.col("to_way"),
+    )
+
+
+def banned_turn_pairs(
+    edges: DataFrame, restrictions: DataFrame
+) -> DataFrame:
+    """Expand turn-restriction relations into banned maneuver pairs
+    over an ``edges_from_osm`` table: one row per banned adjacent edge
+    pair ``(_u1,_v1) -> (_u2,_v2)`` in the engine's rounded node ids —
+    the exact anti-join key ``SparkGraph.to_linegraph(banned_turns=)``
+    consumes (a banned maneuver is simply a maneuver the minor graph
+    does not contain; reference TODO.md:62-70's maneuver-graph model).
+
+    Resolution uses the OSM-ref columns the ingest carries
+    (``_way_id``, ``_u_ref``, ``_v_ref``): the approach side is every
+    edge row of the from way ENDING at the via node (both travel
+    directions of a two-way road that reach the junction), the
+    departure side every row LEAVING it.  ``no_*`` keeps departures on
+    the to way; ``only_*`` keeps departures NOT on it (ban-everything-
+    else semantics).  Restrictions are tiny next to the edge table —
+    both joins broadcast them; the edge side is touched twice with
+    single-column equi-predicates, no shuffle beyond the scan."""
+    r = restrictions.select(
+        "rel_id",
+        F.col("rtype").startswith("only_").alias("_only"),
+        "from_way",
+        "via_node",
+        "to_way",
+    )
+    approach = edges.join(
+        F.broadcast(r),
+        (F.col("_way_id") == F.col("from_way"))
+        & (F.col("_v_ref") == F.col("via_node")),
+    ).select(
+        F.col("_u").alias("_u1"),
+        F.col("_v").alias("_v1"),
+        "rel_id",
+        "_only",
+        "via_node",
+        "to_way",
+    )
+    depart = edges.select(
+        F.col("_u").alias("_u2"),
+        F.col("_v").alias("_v2"),
+        F.col("_way_id").alias("_wid2"),
+        F.col("_u_ref").alias("_uref2"),
+    )
+    # approach is restriction-bounded (≤ ~2 rows per relation), the
+    # departure side is the full edge table: broadcast the small side
+    paired = depart.join(
+        F.broadcast(approach), F.col("via_node") == F.col("_uref2")
+    ).filter(
+        (~F.col("_only") & (F.col("_wid2") == F.col("to_way")))
+        | (F.col("_only") & (F.col("_wid2") != F.col("to_way")))
+    )
+    return paired.select("_u1", "_v1", "_u2", "_v2").distinct()
 
 
 def edges_from_osm(
@@ -239,8 +360,17 @@ def edges_from_osm(
                 F.coalesce(F.col("tags").getItem("highway"), F.lit(""))
             ).isin(*HIGHWAY_NOT_BUILT)
         )
-    coords = osm_nodes(elems).select(
-        F.col("osm_id").alias("ref"), "lon", "lat"
+    # overlapping region extracts repeat boundary nodes; a duplicate
+    # definition would multiply member rows through the join (inflating
+    # _use into phantom junction splits and duplicating geometry
+    # points), so reduce to one deterministic row per ref first
+    coords = (
+        osm_nodes(elems)
+        .groupBy(F.col("osm_id").alias("ref"))
+        .agg(
+            F.max(F.struct("lon", "lat")).alias("_c"),
+        )
+        .select("ref", F.col("_c.lon").alias("lon"), F.col("_c.lat").alias("lat"))
     )
     # THE scale join: members shuffle on ref, nodes on osm_id — one
     # hash exchange each, 8-byte long keys.  Inner join drops dangling

@@ -234,3 +234,58 @@ def test_ch_on_uw_matches_raw_sssp(spark):
     # every expanded hop is a raw uw edge
     raw_pairs = {(r["_u"], r["_v"]) for r in edges.select("_u", "_v").collect()}
     assert all((a, b) in raw_pairs for a, b in zip(path, path[1:]))
+
+
+def test_ch_deep_hierarchy_path_graph(spark):
+    """Regression (r13 ADVICE high): a path graph contracted with
+    lexicographic tie-breaks nests shortcuts LINEARLY — depth ~N, far
+    past any fixed unpack cap and past Python's recursion limit if
+    expansion recursed.  route(strategy='pregel') must agree with
+    strategy='local' on the full unpacked walk."""
+    n = 200
+    ids = [f"n{i:03d}" for i in range(n)]
+    rows = []
+    for a, b in zip(ids, ids[1:]):
+        rows.append((a, b, 1.0))
+        rows.append((b, a, 1.0))
+    edges = spark.createDataFrame(rows, "_u string, _v string, w double")
+    nodes = spark.createDataFrame([(i,) for i in ids], "_n string")
+    g = SparkGraph(nodes, edges)
+    ch = ContractionHierarchy.build(g, weight="w", strategy="local")
+    pl, cl = ch.route(ids[0], ids[-1], strategy="local")
+    pp, cp = ch.route(ids[0], ids[-1], strategy="pregel")
+    assert cl == pytest.approx(float(n - 1))
+    assert cp == pytest.approx(cl)
+    assert pl == ids
+    assert pp == ids
+
+
+def test_ch_save_load_route_parity(spark, tmp_path, grid6):
+    """save() -> load() -> route must equal the in-memory route (path
+    AND cost) — build-once/route-many across sessions (r13 verdict
+    task #1; reference on-disk ethos TODO.md:27-31)."""
+    g, ch, adj = grid6
+    store = str(tmp_path / "ch_store")
+    ch.save(store)
+    ch2 = ContractionHierarchy.load(spark, store)
+    assert ch2.n_search_edges == ch.n_search_edges
+    assert ch2.core_size == ch.core_size
+    for src, dst in [("0:0", "5:5"), ("0:5", "5:0"), ("2:3", "4:1")]:
+        p0, c0 = ch.route(src, dst, strategy="local")
+        p1, c1 = ch2.route(src, dst, strategy="local")
+        assert c1 == pytest.approx(c0, rel=1e-12)
+        assert p1 == p0
+    # pregel query path over the reloaded parquet-backed tables too
+    pp, cp = ch2.route("0:0", "5:5", strategy="pregel")
+    assert cp == pytest.approx(ch.route("0:0", "5:5", strategy="local")[1])
+    # atomic overwrite: saving again over the same dir is safe
+    ch.save(store)
+    ch3 = ContractionHierarchy.load(spark, store)
+    assert ch3.route("0:0", "0:1", strategy="local")[1] == pytest.approx(
+        ch.route("0:0", "0:1", strategy="local")[1]
+    )
+
+
+def test_ch_load_rejects_non_store(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ContractionHierarchy.load(spark, str(tmp_path / "nope"))

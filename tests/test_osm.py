@@ -262,6 +262,44 @@ def test_multi_file_extract_shares_boundary_nodes(spark, tmp_path):
     assert e.filter(F.col("_dir") == 0).collect()[0]["_u"] == "0.0, 0.0"
 
 
+def test_duplicate_node_definitions_dedupe(spark, tmp_path):
+    """Overlapping region extracts repeat boundary nodes (r13 ADVICE):
+    a duplicated <node> must NOT multiply member rows — which would
+    inflate _use into phantom junction splits and duplicate geometry
+    points.  A 3-node way whose middle node is defined in BOTH files
+    must still come out as ONE unsplit 3-point segment."""
+    file_a = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <way id="7">
+            <nd ref="1"/><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="residential"/>
+          </way>
+        </osm>
+        """
+    )
+    file_b = textwrap.dedent(
+        """\
+        <osm>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.002" lat="0.0"/>
+        </osm>
+        """
+    )
+    pa, pb = tmp_path / "a.osm", tmp_path / "b.osm"
+    pa.write_text(file_a)
+    pb.write_text(file_b)
+    e = edges_from_osm(spark, [str(pa), str(pb)])
+    rows = e.filter(F.col("_dir") == 0).collect()
+    # one segment (no phantom split at node 2), 3 distinct points
+    assert len(rows) == 1
+    geom = rows[0]["geom"]
+    assert len(geom["coordinates"]) == 3
+    assert e.count() == 2  # fwd + rev only
+
+
 def test_access_restrictions_drop_ways(spark, tmp_path):
     """access=no|private and highway=construction ways are not
     routable (router default); respect_access=False keeps them."""
