@@ -2275,6 +2275,194 @@ def s15_osm_ingest(spark, sf_dir):
     )
 
 
+def _turn_fixture_xml() -> str:
+    """Closed-form OSM extract for the turn-restriction gate: an
+    east-west primary (way 100: nodes 1-2-3), a left turn north at its
+    middle junction (way 200: 2-4), and a rectangle detour (way 300:
+    3-5, way 400: 5-4), plus a ``no_left_turn`` relation banning
+    100→(via 2)→200.  The unrestricted optimum 1→4 IS the banned left;
+    the restricted route must detour 1-2-3-5-4."""
+    lon0, lat0 = -122.3, 47.6
+    pts = {
+        1: (lon0, lat0),
+        2: (lon0 + 1.0e-3, lat0),
+        3: (lon0 + 2.0e-3, lat0),
+        4: (lon0 + 1.0e-3, lat0 + 1.0e-3),
+        5: (lon0 + 2.0e-3, lat0 + 1.0e-3),
+    }
+    nodes = "\n".join(
+        f'<node id="{i}" lon="{x!r}" lat="{y!r}"/>'
+        for i, (x, y) in sorted(pts.items())
+    )
+    return f"""<osm>
+{nodes}
+<way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+  <tag k="highway" v="primary"/></way>
+<way id="200"><nd ref="2"/><nd ref="4"/>
+  <tag k="highway" v="residential"/></way>
+<way id="300"><nd ref="3"/><nd ref="5"/>
+  <tag k="highway" v="residential"/></way>
+<way id="400"><nd ref="5"/><nd ref="4"/>
+  <tag k="highway" v="residential"/></way>
+<relation id="900"><tag k="type" v="restriction"/>
+  <tag k="restriction" v="no_left_turn"/>
+  <member type="way" role="from" ref="100"/>
+  <member type="node" role="via" ref="2"/>
+  <member type="way" role="to" ref="200"/></relation>
+</osm>
+"""
+
+
+def _turn_oracle_sql() -> str:
+    """Independent pure-Python replay of the turn-restriction routing
+    (the geo_map_match literal-table idiom): haversine edge lengths
+    (atan2 form, R=6371000 — the engine's public formula), the same
+    maneuver-minor construction (edge→node, adjacent pairs→edges, no
+    u-turns), the same ban expansion (every approach of the from way
+    onto the to way at the via node), then plain Dijkstra with and
+    without the ban — emitted as VALUES rows keyed by OSM node refs.
+    Floats cross engines only through the 3-dp total cost; the detour
+    margin is ~100 m, ten thousand ULPs away."""
+    import heapq
+    import math
+
+    lon0, lat0 = -122.3, 47.6
+    pts = {
+        1: (lon0, lat0),
+        2: (lon0 + 1.0e-3, lat0),
+        3: (lon0 + 2.0e-3, lat0),
+        4: (lon0 + 1.0e-3, lat0 + 1.0e-3),
+        5: (lon0 + 2.0e-3, lat0 + 1.0e-3),
+    }
+
+    def hav(a, b):
+        (x1, y1), (x2, y2) = pts[a], pts[b]
+        dlat = math.radians(y2 - y1)
+        dlon = math.radians(x2 - x1)
+        s = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(y1))
+            * math.cos(math.radians(y2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6_371_000.0 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+
+    # junction split at node 2 (ways 100+200 share it): directed raw
+    # edges of the routable graph, two-way
+    segs = [(1, 2), (2, 3), (2, 4), (3, 5), (5, 4)]
+    dir_edges = [(u, v) for u, v in segs] + [(v, u) for u, v in segs]
+    banned = {((1, 2), (2, 4)), ((3, 2), (2, 4))}
+
+    def route(ban):
+        # minor Dijkstra: state = directed edge, cost = downstream
+        # edge length; no u-turns (allow_uturn=False twin)
+        start = (1, 2)
+        dist = {start: hav(1, 2)}
+        pred: dict = {start: None}
+        pq = [(dist[start], start)]
+        while pq:
+            d, e = heapq.heappop(pq)
+            if d > dist[e]:
+                continue
+            for e2 in dir_edges:
+                if e2[0] != e[1] or e2[1] == e[0]:
+                    continue
+                if ban and (e, e2) in banned:
+                    continue
+                nd = d + hav(*e2)
+                if nd < dist.get(e2, float("inf")):
+                    dist[e2], pred[e2] = nd, e
+                    heapq.heappush(pq, (nd, e2))
+        best = min(
+            (e for e in dist if e[1] == 4), key=lambda e: dist[e]
+        )
+        path, cur = [], best
+        while cur is not None:
+            path.append(cur)
+            cur = pred[cur]
+        return path[::-1], dist[best]
+
+    rows = []
+    for scen, ban in (("unrestricted", False), ("restricted", True)):
+        path, cost = route(ban)
+        for step, (u, v) in enumerate(path):
+            rows.append(
+                f"('{scen}', {step}, {u}, {v}, {round(cost, 3)!r})"
+            )
+    vals = ", ".join(rows)
+    return (
+        "SELECT scenario, CAST(step AS BIGINT) AS step, "
+        "CAST(u_ref AS BIGINT) AS u_ref, CAST(v_ref AS BIGINT) AS v_ref, "
+        "CAST(cost_m AS DOUBLE) AS cost_m "
+        f"FROM (VALUES {vals}) t(scenario, step, u_ref, v_ref, cost_m)"
+    )
+
+
+@q("g_turn_restriction", _turn_oracle_sql())
+def g_turn_restriction(spark, sf_dir):
+    """OSM turn restrictions end-to-end (r13-verdict task #2; reference
+    TODO.md:62-70 maneuver-graph model): parse a ``type=restriction``
+    relation from real XML (``osm_turn_restrictions``), expand it to
+    banned maneuver pairs over the junction-split edge table
+    (``banned_turn_pairs``), and route over the maneuver minor
+    (``to_linegraph(banned_turns=...)``, u-turns off) — the
+    unrestricted optimum provably TAKES the banned left turn, the
+    restricted route provably detours around the block.  Every step of
+    both routes (OSM node refs) plus the 3-dp total cost is
+    value-hashed against an independent pure-Python replay."""
+    import os
+    import tempfile
+
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.sources.geojson import nodes_from_edges
+    from entwiner_spark.sources.osm import (
+        banned_turn_pairs,
+        edges_from_osm,
+        osm_turn_restrictions,
+        read_osm_elements,
+    )
+
+    d = tempfile.mkdtemp(prefix="g_turn_")
+    p = os.path.join(d, "turn.osm")
+    with open(p, "w") as fh:
+        fh.write(_turn_fixture_xml())
+    elems = read_osm_elements(spark, p)
+    edges = edges_from_osm(spark, p, elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    erows = edges.select("_u", "_v", "_u_ref", "_v_ref").collect()
+    refs = {(r["_u"], r["_v"]): (r["_u_ref"], r["_v_ref"]) for r in erows}
+    src_uv = next(k for k, rr in refs.items() if rr == (1, 2))
+    tgt_ids = [f"{u}|{v}" for (u, v), rr in refs.items() if rr[1] == 4]
+    src = f"{src_uv[0]}|{src_uv[1]}"
+    out = []
+    for scen, ban in (("unrestricted", None), ("restricted", bans)):
+        minor = g.to_linegraph(
+            weight="_length", allow_uturn=False, banned_turns=ban
+        )
+        first_len = next(
+            r["_length"]
+            for r in edges.filter(
+                (F.col("_u") == src_uv[0]) & (F.col("_v") == src_uv[1])
+            ).collect()
+        )
+        best = None
+        for t in tgt_ids:
+            r = minor.shortest_path(src, t, weight="w")
+            if r is not None and (best is None or r[1] < best[1]):
+                best = r
+        path, mcost = best
+        cost = first_len + mcost
+        for step, mid in enumerate(path):
+            u, v = mid.split("|")
+            ur, vr = refs[(u, v)]
+            out.append((scen, step, ur, vr, round(cost, 3)))
+    return spark.createDataFrame(
+        out,
+        "scenario string, step long, u_ref long, v_ref long, cost_m double",
+    )
+
+
 def _mm_fixture():
     """Map-matching fixture (SF-independent, the closed-form-topology
     precedent): two parallel E-W roads ~100 m apart in 10 segments

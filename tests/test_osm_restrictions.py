@@ -1,0 +1,224 @@
+"""OSM turn restrictions (sources/osm.py relation parse +
+banned_turn_pairs; consumed by SparkGraph.to_linegraph(banned_turns=)
+— reference TODO.md:62-70's maneuver model: a banned maneuver is one
+the minor graph does not contain)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.graph import SparkGraph
+from entwiner_spark.sources.geojson import nodes_from_edges
+from entwiner_spark.sources.osm import (
+    banned_turn_pairs,
+    edges_from_osm,
+    osm_turn_restrictions,
+    read_osm_elements,
+)
+
+_T_XML = textwrap.dedent(
+    """\
+    <osm>
+      <node id="1" lon="0.0" lat="0.001"/>
+      <node id="2" lon="0.001" lat="0.001"/>
+      <node id="3" lon="0.002" lat="0.001"/>
+      <node id="4" lon="0.001" lat="0.002"/>
+      <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+        <tag k="highway" v="primary"/></way>
+      <way id="20"><nd ref="2"/><nd ref="4"/>
+        <tag k="highway" v="residential"/></way>
+      <relation id="99">
+        <tag k="type" v="restriction"/>
+        <tag k="restriction" v="no_left_turn"/>
+        <member type="way" role="from" ref="10"/>
+        <member type="node" role="via" ref="2"/>
+        <member type="way" role="to" ref="20"/>
+      </relation>
+    </osm>
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def t_graph(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("osmres") / "t.osm"
+    p.write_text(_T_XML)
+    elems = read_osm_elements(spark, str(p)).localCheckpoint()
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    return elems, edges
+
+
+def _ref_pairs(edges, bans):
+    """Banned pairs mapped back to OSM node refs for assertions."""
+    refs = {
+        (r["_u"], r["_v"]): (r["_u_ref"], r["_v_ref"])
+        for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect()
+    }
+    return {
+        (refs[(r["_u1"], r["_v1"])], refs[(r["_u2"], r["_v2"])])
+        for r in bans.collect()
+    }
+
+
+def test_restriction_relation_parses(t_graph):
+    elems, _edges = t_graph
+    rows = osm_turn_restrictions(elems).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["rel_id"], r["rtype"]) == (99, "no_left_turn")
+    assert (r["from_way"], r["via_node"], r["to_way"]) == (10, 2, 20)
+
+
+def test_no_restriction_bans_both_approaches(t_graph):
+    """no_*: every approach of the from way onto the to way at via —
+    the two-way from road reaches the junction from both ends."""
+    elems, edges = t_graph
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    assert _ref_pairs(edges, bans) == {
+        ((1, 2), (2, 4)),
+        ((3, 2), (2, 4)),
+    }
+
+
+def test_only_restriction_bans_complement(spark, tmp_path):
+    """only_*: every departure NOT on the to way is banned (including
+    continuing on the from way)."""
+    xml = _T_XML.replace("no_left_turn", "only_left_turn")
+    p = tmp_path / "only.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    got = _ref_pairs(edges, bans)
+    # approaches (1->2) and (3->2); banned departures: (2->3)/(2->1)
+    # (way 10) — the turn onto way 20 (2->4) stays open
+    assert got == {
+        ((1, 2), (2, 3)),
+        ((1, 2), (2, 1)),
+        ((3, 2), (2, 3)),
+        ((3, 2), (2, 1)),
+    }
+
+
+def test_no_u_turn_drops_reversal_pair(spark, tmp_path):
+    """no_u_turn from=to: the reversal maneuver disappears from the
+    minor even with allow_uturn=True."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.001"/>
+          <node id="2" lon="0.001" lat="0.001"/>
+          <node id="3" lon="0.002" lat="0.001"/>
+          <node id="4" lon="0.002" lat="0.002"/>
+          <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="20"><nd ref="3"/><nd ref="4"/>
+            <tag k="highway" v="residential"/></way>
+          <relation id="77">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_u_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="node" role="via" ref="3"/>
+            <member type="way" role="to" ref="10"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "uturn.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    # node 2 is interior (no junction), so way 10 is ONE segment 1..3;
+    # the banned reversal is that segment's about-face at via node 3
+    assert _ref_pairs(edges, bans) == {((1, 3), (3, 1))}
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    free = g.to_linegraph(weight="_length", allow_uturn=True)
+    restricted = g.to_linegraph(
+        weight="_length", allow_uturn=True, banned_turns=bans
+    )
+    assert restricted.size() == free.size() - bans.count()
+
+
+def test_malformed_and_via_way_relations_skipped(spark, tmp_path):
+    """Via-way, missing-member, and non-restriction relations all
+    parse to nothing (documented scope: from-way/via-node/to-way)."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <relation id="1">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_left_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="way" role="via" ref="15"/>
+            <member type="way" role="to" ref="20"/>
+          </relation>
+          <relation id="2">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_right_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="node" role="via" ref="2"/>
+          </relation>
+          <relation id="3">
+            <tag k="type" v="multipolygon"/>
+            <member type="way" role="outer" ref="10"/>
+          </relation>
+          <relation id="4">
+            <tag k="type" v="restriction"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="node" role="via" ref="2"/>
+            <member type="way" role="to" ref="20"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "bad.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    assert osm_turn_restrictions(elems).count() == 0
+
+
+def test_restricted_route_detours(spark, tmp_path):
+    """End-to-end flip: the unrestricted optimum takes the banned left;
+    the restricted minor's best route provably detours (longer cost,
+    different node sequence) — the catalog gate's semantics, pinned
+    against closed-form expectations here."""
+    from entwiner_spark.catalog import _turn_fixture_xml
+
+    p = tmp_path / "turn.osm"
+    p.write_text(_turn_fixture_xml())
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    refs = {
+        (r["_u"], r["_v"]): (r["_u_ref"], r["_v_ref"])
+        for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect()
+    }
+    src_uv = next(k for k, rr in refs.items() if rr == (1, 2))
+    src = f"{src_uv[0]}|{src_uv[1]}"
+    tgts = [f"{u}|{v}" for (u, v), rr in refs.items() if rr[1] == 4]
+
+    def best(minor):
+        res = None
+        for t in tgts:
+            r = minor.shortest_path(src, t, weight="w")
+            if r is not None and (res is None or r[1] < res[1]):
+                res = r
+        return res
+
+    free = best(g.to_linegraph(weight="_length", allow_uturn=False))
+    restr = best(
+        g.to_linegraph(
+            weight="_length", allow_uturn=False, banned_turns=bans
+        )
+    )
+    free_refs = [refs[tuple(m.split("|"))] for m in free[0]]
+    restr_refs = [refs[tuple(m.split("|"))] for m in restr[0]]
+    assert free_refs == [(1, 2), (2, 4)]  # the banned left
+    assert restr_refs == [(1, 2), (2, 3), (3, 5), (5, 4)]  # detour
+    assert restr[1] > free[1]
