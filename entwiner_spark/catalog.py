@@ -2463,6 +2463,149 @@ def g_turn_restriction(spark, sf_dir):
     )
 
 
+_COST_PTS = {
+    1: (-122.2, 47.5),  # A
+    2: (-122.2 + 1.0e-3, 47.5 + 2.0e-4),  # R (short residential via)
+    3: (-122.2 + 2.0e-3, 47.5),  # B
+    4: (-122.2 + 1.0e-3, 47.5 - 1.2e-3),  # P (long primary detour)
+}
+
+
+def _cost_fixture_xml() -> str:
+    """Closed-form OSM extract for the cost-profile gate: a diamond
+    A→B — the SHORT path rides residential ways (30 km/h default),
+    the LONG detour rides primary (65 km/h) with one leg carrying an
+    explicit ``maxspeed="50 mph"`` override (mph parse + precedence
+    over the class table).  Distance routing must pick the short
+    residential pair; time routing must pick the longer-but-faster
+    primary pair."""
+    nodes = "\n".join(
+        f'<node id="{i}" lon="{x!r}" lat="{y!r}"/>'
+        for i, (x, y) in sorted(_COST_PTS.items())
+    )
+    return f"""<osm>
+{nodes}
+<way id="11"><nd ref="1"/><nd ref="2"/>
+  <tag k="highway" v="residential"/></way>
+<way id="12"><nd ref="2"/><nd ref="3"/>
+  <tag k="highway" v="residential"/></way>
+<way id="21"><nd ref="1"/><nd ref="4"/>
+  <tag k="highway" v="primary"/></way>
+<way id="22"><nd ref="4"/><nd ref="3"/>
+  <tag k="highway" v="primary"/><tag k="maxspeed" v="50 mph"/></way>
+</osm>
+"""
+
+
+def _cost_oracle_sql() -> str:
+    """Independent Python replay of the cost-profile routing
+    (the g_turn_restriction literal-table idiom): same haversine
+    (atan2, R=6371000), same speed resolution (maxspeed wins, mph ×
+    1.609344, else class table 30/65, else default), plain Dijkstra
+    by distance and by time.  3-dp costs; the modal margin is tens of
+    meters / tens of percent — nowhere near ULP scale."""
+    import heapq
+    import math
+
+    def hav(a, b):
+        (x1, y1), (x2, y2) = _COST_PTS[a], _COST_PTS[b]
+        dlat = math.radians(y2 - y1)
+        dlon = math.radians(x2 - x1)
+        s = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(y1))
+            * math.cos(math.radians(y2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6_371_000.0 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+
+    segs = {
+        (1, 2): 30.0,
+        (2, 3): 30.0,
+        (1, 4): 65.0,
+        (4, 3): 50.0 * 1.609344,  # maxspeed="50 mph" override
+    }
+    adj: dict = {}
+    for (u, v), kmh in segs.items():
+        d = hav(u, v)
+        for a, b in ((u, v), (v, u)):
+            adj.setdefault(a, []).append((b, d, d / (kmh / 3.6)))
+
+    def route(idx):
+        dist = {1: 0.0}
+        pred: dict = {1: None}
+        pq = [(0.0, 1)]
+        while pq:
+            d, n = heapq.heappop(pq)
+            if d > dist[n]:
+                continue
+            for b, dm, dt in adj.get(n, []):
+                nd = d + (dm, dt)[idx]
+                if nd < dist.get(b, float("inf")):
+                    dist[b], pred[b] = nd, n
+                    heapq.heappush(pq, (nd, b))
+        path, cur = [], 3
+        while cur is not None:
+            path.append(cur)
+            cur = pred[cur]
+        return path[::-1], dist[3]
+
+    rows = []
+    for scen, idx in (("by_distance", 0), ("by_time", 1)):
+        path, cost = route(idx)
+        for step, ref in enumerate(path):
+            rows.append(f"('{scen}', {step}, {ref}, {round(cost, 3)!r})")
+    vals = ", ".join(rows)
+    return (
+        "SELECT scenario, CAST(step AS BIGINT) AS step, "
+        "CAST(node_ref AS BIGINT) AS node_ref, "
+        "CAST(cost AS DOUBLE) AS cost "
+        f"FROM (VALUES {vals}) t(scenario, step, node_ref, cost)"
+    )
+
+
+@q("g_cost_profile", _cost_oracle_sql())
+def g_cost_profile(spark, sf_dir):
+    """OSM cost profiles (r13-verdict task #5 / the r13 roadmap item):
+    ``traversal_seconds`` derives per-edge free-flow TIME from the
+    haversine length and the per-highway-class speed table
+    (``maxspeed`` tag wins, mph parsed, pure Catalyst CASE), making
+    ``graph_from_osm`` output routable by time.  The gate routes the
+    diamond both ways: by ``_length`` the short residential pair wins;
+    by ``_traversal_sec`` the route provably FLIPS to the
+    longer-but-faster primary detour (one leg's explicit ``50 mph``
+    exercising override precedence).  Node sequences + 3-dp costs are
+    value-hashed against an independent Python replay."""
+    import os
+    import tempfile
+
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.sources.geojson import nodes_from_edges
+    from entwiner_spark.sources.osm import edges_from_osm, traversal_seconds
+
+    d = tempfile.mkdtemp(prefix="g_cost_")
+    p = os.path.join(d, "cost.osm")
+    with open(p, "w") as fh:
+        fh.write(_cost_fixture_xml())
+    edges = traversal_seconds(
+        edges_from_osm(spark, p, tag_cols=("highway", "maxspeed"))
+    ).localCheckpoint()
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    refs = {
+        r["_u"]: r["_u_ref"]
+        for r in edges.select("_u", "_u_ref").collect()
+    }
+    ids = {v: k for k, v in refs.items()}
+    out = []
+    for scen, w in (("by_distance", "_length"), ("by_time", "_traversal_sec")):
+        path, cost = g.shortest_path(ids[1], ids[3], weight=w)
+        for step, n in enumerate(path):
+            out.append((scen, step, refs[n], round(cost, 3)))
+    return spark.createDataFrame(
+        out, "scenario string, step long, node_ref long, cost double"
+    )
+
+
 def _mm_fixture():
     """Map-matching fixture (SF-independent, the closed-form-topology
     precedent): two parallel E-W roads ~100 m apart in 10 segments

@@ -79,6 +79,29 @@ ONEWAY_REV = ("-1", "reverse")
 ACCESS_DENIED = ("no", "private")
 HIGHWAY_NOT_BUILT = ("construction", "proposed")
 
+#: Default free-flow speed per highway class, km/h — the standard
+#: car-profile defaults every public OSM router ships (OSRM/Valhalla
+#: ballpark); override per deployment via ``traversal_seconds(speeds=)``.
+DEFAULT_SPEEDS_KMH = {
+    "motorway": 110.0,
+    "motorway_link": 45.0,
+    "trunk": 90.0,
+    "trunk_link": 40.0,
+    "primary": 65.0,
+    "primary_link": 30.0,
+    "secondary": 55.0,
+    "secondary_link": 25.0,
+    "tertiary": 40.0,
+    "tertiary_link": 20.0,
+    "unclassified": 25.0,
+    "residential": 30.0,
+    "living_street": 10.0,
+    "service": 15.0,
+}
+
+#: miles → km (exact, international mile).
+_MPH_TO_KMH = 1.609344
+
 
 def _local_name(tag: str) -> str:
     """Strip an XML namespace prefix ('{uri}node' -> 'node')."""
@@ -488,6 +511,78 @@ def node_attrs_from_osm(
         keyed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "osm_id")
+    )
+
+
+def speed_kmh_col(
+    highway_col: str = "highway",
+    maxspeed_col: str | None = "maxspeed",
+    speeds: dict[str, float] | None = None,
+    default_kmh: float = 30.0,
+) -> F.Column:
+    """Free-flow speed Column (km/h) for an ``edges_from_osm`` table:
+    a parsed explicit ``maxspeed`` tag wins (plain number = km/h,
+    ``NN mph`` converted; unparseable values like ``none``/``walk``
+    fall through), else the ``speeds`` table keyed by highway class,
+    else ``default_kmh``.  Pure Catalyst CASE/regexp — whole-stage
+    codegen, no UDF."""
+    table = speeds if speeds is not None else DEFAULT_SPEEDS_KMH
+    by_class = None
+    for k, v in table.items():
+        cond = F.col(highway_col) == k
+        by_class = (
+            F.when(cond, float(v))
+            if by_class is None
+            else by_class.when(cond, float(v))
+        )
+    parts = []
+    if maxspeed_col is not None:
+        ms = F.col(maxspeed_col)
+        num = F.regexp_extract(ms, r"^\s*(\d+(?:\.\d+)?)", 1)
+        parsed = F.when(
+            num != "",
+            num.cast("double")
+            * F.when(
+                F.upper(ms).contains("MPH"), F.lit(_MPH_TO_KMH)
+            ).otherwise(F.lit(1.0)),
+        )
+        parts.append(parsed)
+    if by_class is not None:
+        parts.append(by_class)
+    parts.append(F.lit(float(default_kmh)))
+    return F.coalesce(*parts)
+
+
+def traversal_seconds(
+    edges: DataFrame,
+    speeds: dict[str, float] | None = None,
+    default_kmh: float = 30.0,
+    highway_col: str = "highway",
+    maxspeed_col: str | None = "maxspeed",
+    length_col: str = "_length",
+    out_col: str = "_traversal_sec",
+) -> DataFrame:
+    """Cost-profile column (reference "routing engine" scoping — the
+    r13 roadmap item): per-edge free-flow traversal TIME from the
+    haversine length and a per-highway-class speed table, so
+    ``graph_from_osm`` output routes by time
+    (``shortest_path(weight="_traversal_sec")``), composing with
+    ``layer_cost`` / maneuver costs like any other weight column.
+    Map-side column arithmetic — zero shuffles, survives any scale."""
+    if length_col not in edges.columns:
+        raise ValueError(
+            f"traversal_seconds needs {length_col!r} (pass "
+            "with_length=True to edges_from_osm)"
+        )
+    ms = maxspeed_col if maxspeed_col in edges.columns else None
+    kmh = speed_kmh_col(
+        highway_col=highway_col,
+        maxspeed_col=ms,
+        speeds=speeds,
+        default_kmh=default_kmh,
+    )
+    return edges.withColumn(
+        out_col, F.col(length_col) / (kmh / F.lit(3.6))
     )
 
 

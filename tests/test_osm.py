@@ -332,3 +332,63 @@ def test_access_restrictions_drop_ways(spark, tmp_path):
         ).collect()
     }
     assert all_ways == {1, 2, 3}
+
+
+def test_traversal_seconds_speed_resolution(spark, tmp_path):
+    """Cost profile precedence: explicit maxspeed (km/h number or
+    'NN mph') wins over the class table; unparseable values ('none',
+    'walk') fall through to the class; unknown classes take the
+    default."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.002" lat="0.0"/>
+          <node id="4" lon="0.003" lat="0.0"/>
+          <node id="5" lon="0.004" lat="0.0"/>
+          <node id="6" lon="0.005" lat="0.0"/>
+          <way id="1"><nd ref="1"/><nd ref="2"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="2"><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="primary"/><tag k="maxspeed" v="80"/></way>
+          <way id="3"><nd ref="3"/><nd ref="4"/>
+            <tag k="highway" v="primary"/><tag k="maxspeed" v="50 mph"/></way>
+          <way id="4"><nd ref="4"/><nd ref="5"/>
+            <tag k="highway" v="primary"/><tag k="maxspeed" v="none"/></way>
+          <way id="5"><nd ref="5"/><nd ref="6"/>
+            <tag k="highway" v="busway"/></way>
+        </osm>
+        """
+    )
+    p = tmp_path / "speeds.osm"
+    p.write_text(xml)
+    from entwiner_spark.sources.osm import edges_from_osm, traversal_seconds
+
+    e = traversal_seconds(
+        edges_from_osm(spark, str(p), tag_cols=("highway", "maxspeed")),
+        default_kmh=20.0,
+    )
+    rows = {
+        r["_way_id"]: (r["_length"], r["_traversal_sec"])
+        for r in e.filter(F.col("_dir") == 0).collect()
+    }
+    import pytest as _pt
+
+    def kmh(way):
+        ln, sec = rows[way]
+        return ln / sec * 3.6
+
+    assert kmh(1) == _pt.approx(65.0)  # class table
+    assert kmh(2) == _pt.approx(80.0)  # plain-number maxspeed
+    assert kmh(3) == _pt.approx(50.0 * 1.609344)  # mph parse
+    assert kmh(4) == _pt.approx(65.0)  # 'none' falls to class
+    assert kmh(5) == _pt.approx(20.0)  # unknown class -> default
+
+
+def test_traversal_seconds_requires_length(spark):
+    from entwiner_spark.sources.osm import traversal_seconds
+
+    df = spark.createDataFrame([("a",)], "highway string")
+    with pytest.raises(ValueError, match="_length"):
+        traversal_seconds(df)
