@@ -25,68 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r13 head = 4 new
-# (osm ingest, map match, full CH, k-shortest) + 3 changed (landmark
-# sampler now md5 min-k on BOTH engines; normalize_url gained
-# case-insensitive tracking strip + userinfo drop, fixture updated in
-# lockstep) + the final 6 r8-vintage rows (retiring the r8 staleness
-# floor per the r12 verdict task #4) + the 37 stalest r9 rows = 50.
-# Regenerate every round with the same rule.
+# round first, alphabetical within a round).  r14 head = 4 new
+# (CH persistence, cost profiles, turn restrictions, route-distance
+# map matching) + 6 changed-since-green (CH 2-hop route batching +
+# unbounded unpack + trace cap; Yen pre-partitioned spurs; OSM coord
+# dedupe; Viterbi core refactor; to_linegraph banned_turns) + the 12
+# r9-vintage rows + the 28 stalest r10 rows = 50, retiring the r9
+# staleness floor per the r13 verdict task #7.  Regenerate every
+# round with the same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 13) ---
-    "s15_osm_ingest",
-    "geo_map_match",
+    # --- never sampled (new in round 14) ---
+    "g_ch_persist",
+    "g_cost_profile",
+    "g_turn_restriction",
+    "geo_map_match_route",
+    # --- changed in r14 but newest driver-green row predates the change
+    # (2-hop CH route batching + unbounded unpack + trace cap; Yen
+    # pre-partitioned spur graphs; OSM coord dedupe before the geometry
+    # join; Viterbi core refactor; to_linegraph banned_turns arg) ---
     "g_ch_full",
     "g_kshortest",
-    # --- changed in r13 but newest driver-green row predates the change ---
-    "g_closeness_landmarks",
-    "g_harmonic_landmarks",
-    "t23_url_normalize",
-    # --- newest driver-green row: round 8 (the final six) ---
-    "t3_fingerprint",
-    "t4_quality_score",
-    "u1_union_parties",
-    "u2_last_write_wins",
-    "u3_union_missing_cols",
-    "w1_top3_per_customer",
+    "s15_osm_ingest",
+    "geo_map_match",
+    "g_turn_routing",
+    "g_maneuver_classes",
     # --- newest driver-green row: round 9 ---
-    "d10_dup_ngram_coverage",
-    "d11_sorted_neighborhood",
-    "d12_minhash_calibration",
-    "d13_er_pipeline",
-    "d9_embedding_dedup_clusters",
-    "e11_hll_weekly_rollup",
-    "e12_ewma",
-    "e13_anomaly_zscore",
-    "e7_hourly_unique_users",
-    "e8_funnel_conversion",
-    "e9_cohort_retention",
-    "ev2_json_schema",
-    "g_condensation",
-    "g_diameter_lb",
-    "g_feature_prop",
-    "g_isochrone",
-    "g_kcore",
-    "g_lpa_communities",
-    "g_motif_anchored",
-    "g_scc_fwbw",
-    "g_triangles",
-    "geo_a5_bbox",
-    "geo_f7_meter_bbox",
-    "geo_f8_point_distance",
-    "geo_j6_nearest_edge",
-    "mm2_frame_sample",
-    "mm3_resize_meta",
-    "o2_first_row",
-    "q16_supplier_cnt",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "s5_ivf_assign",
-    "s5b_ivf_topk",
-    "s5c_ivf_multiprobe",
-    "s6_derived_nodes",
-    "s7_quantize_int8",
     "samp1_stratified",
     "samp2_hash_bernoulli",
     "t10_corpus_filter",
@@ -204,7 +167,6 @@ _PRIORITY = [
     "g_j1_khop",
     "g_layer_routing",
     "g_linegraph",
-    "g_maneuver_classes",
     "g_neighbor_jaccard",
     "g_p3_node_lookup",
     "g_p6_predecessors",
@@ -212,7 +174,6 @@ _PRIORITY = [
     "g_pagerank",
     "g_ppr_sources",
     "g_relabel_roundtrip",
-    "g_turn_routing",
     "geo_gtfs_stops",
     "geo_j5_spatial_join",
     "q10_returned_items",
@@ -240,6 +201,53 @@ _PRIORITY = [
     "t22b_repetition_removal_explode",
     "t24_heavy_hitters",
     "t2_stopword_langid",
+    # --- newest driver-green row: round 13 ---
+    "d10_dup_ngram_coverage",
+    "d11_sorted_neighborhood",
+    "d12_minhash_calibration",
+    "d13_er_pipeline",
+    "d9_embedding_dedup_clusters",
+    "e11_hll_weekly_rollup",
+    "e12_ewma",
+    "e13_anomaly_zscore",
+    "e7_hourly_unique_users",
+    "e8_funnel_conversion",
+    "e9_cohort_retention",
+    "ev2_json_schema",
+    "g_closeness_landmarks",
+    "g_condensation",
+    "g_diameter_lb",
+    "g_feature_prop",
+    "g_harmonic_landmarks",
+    "g_isochrone",
+    "g_kcore",
+    "g_lpa_communities",
+    "g_motif_anchored",
+    "g_scc_fwbw",
+    "g_triangles",
+    "geo_a5_bbox",
+    "geo_f7_meter_bbox",
+    "geo_f8_point_distance",
+    "geo_j6_nearest_edge",
+    "mm2_frame_sample",
+    "mm3_resize_meta",
+    "o2_first_row",
+    "q16_supplier_cnt",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "s5_ivf_assign",
+    "s5b_ivf_topk",
+    "s5c_ivf_multiprobe",
+    "s6_derived_nodes",
+    "s7_quantize_int8",
+    "t23_url_normalize",
+    "t3_fingerprint",
+    "t4_quality_score",
+    "u1_union_parties",
+    "u2_last_write_wins",
+    "u3_union_missing_cols",
+    "w1_top3_per_customer",
 ]
 
 def _ordered(d: dict) -> dict:

@@ -2747,6 +2747,211 @@ def geo_map_match(spark, sf_dir):
     )
 
 
+def _mmr_fixture():
+    """Route-transition fixture (r13-verdict task #6): an eastbound
+    3-edge arterial A1-A2-A3 with a ONE-WAY WESTBOUND bypass bulge
+    (B2: n2→m, B1: m→n1) whose apex m passes ~8 m from fix 2 while A2
+    sits ~14.5 m away.  The simple adjacent/jump model provably flips
+    fix 2 onto B2 (B2 shares n2 with both A2 and A3, so the flip costs
+    two cheap adjacencies and wins on emission) — but driving B2
+    eastbound would require doubling back through the one-way, which
+    the bounded-hop route distance exposes (dnet(n2→m's entry) is
+    unreachable → jump fallback), so the route model holds A2.
+    Pytest pins BOTH behaviors; the driver gate hashes the route
+    model's output."""
+    edges = [
+        ("A1", "n0", "n1", [[0.0, 0.0], [0.001, 0.0]]),
+        ("A2", "n1", "n2", [[0.001, 0.0], [0.002, 0.0]]),
+        ("A3", "n2", "n3", [[0.002, 0.0], [0.003, 0.0]]),
+        ("B1", "m", "n1", [[0.0015, 0.0002], [0.001, 0.0]]),
+        ("B2", "n2", "m", [[0.002, 0.0], [0.0015, 0.0002]]),
+    ]
+    trace = [
+        (0, 0.0005, 0.00001),
+        (1, 0.0012, 0.00001),
+        (2, 0.0015, 0.00013),
+        (3, 0.0025, 0.00001),
+    ]
+    return edges, trace
+
+
+def _mmr_oracle_sql() -> str:
+    """Independent pure-Python replay of the ROUTE-transition matcher
+    (the _mm_oracle_sql idiom): brute-force planar candidates, planar
+    along-offsets (first-min segment), haversine edge lengths and
+    fix-to-fix great circles, a 2-hop directed network-distance BFS,
+    |droute − dgc|/beta transitions with the jump fallback, and the
+    same first-index tie-breaks — emitted as VALUES rows."""
+    import heapq
+    import math
+
+    edges, trace = _mmr_fixture()
+    m_deg = 111320.0
+    sigma, beta, jump, max_d, k = 5.0, 10.0, 20.0, 50.0, 5
+
+    def proj(plon, plat, a, b):
+        cosl = math.cos(math.radians(plat))
+        px, py = plon * m_deg * cosl, plat * m_deg
+        ax, ay = a[0] * m_deg * cosl, a[1] * m_deg
+        bx, by = b[0] * m_deg * cosl, b[1] * m_deg
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = ((px - ax) * dx + (py - ay) * dy) / len2 if len2 > 0 else 0.0
+        t = min(1.0, max(0.0, t))
+        cx, cy = ax + t * dx, ay + t * dy
+        return (
+            math.sqrt((px - cx) ** 2 + (py - cy) ** 2),
+            t,
+            math.sqrt(len2),
+        )
+
+    def dist_along(plon, plat, coords):
+        bd, ba, cum = float("inf"), 0.0, 0.0
+        for i in range(len(coords) - 1):
+            d, t, sl = proj(plon, plat, coords[i], coords[i + 1])
+            if d < bd:
+                bd, ba = d, cum + t * sl
+            cum += sl
+        return bd, ba
+
+    def hav(p, q):
+        dlat = math.radians(q[1] - p[1])
+        dlon = math.radians(q[0] - p[0])
+        s = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(p[1]))
+            * math.cos(math.radians(q[1]))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6_371_000.0 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+
+    def hlen(coords):
+        return sum(
+            hav(coords[i], coords[i + 1]) for i in range(len(coords) - 1)
+        )
+
+    emeta = {
+        fid: (u, v, c, hlen(c)) for fid, u, v, c in edges
+    }
+    # 2-hop directed network distances from every node
+    adj: dict = {}
+    for fid, (u, v, c, ln) in emeta.items():
+        adj.setdefault(u, []).append((v, ln))
+    dnet: dict = {}
+    for src in {u for u, _v, _c, _l in (emeta[f] for f in emeta)} | {
+        v for _u, v, _c, _l in (emeta[f] for f in emeta)
+    }:
+        best = {src: 0.0}
+        layer = [(src, 0.0)]
+        for _hop in range(2):
+            nxt = []
+            for n, d in layer:
+                for b, w in adj.get(n, []):
+                    nd = d + w
+                    if nd < best.get(b, float("inf")):
+                        best[b] = nd
+                        nxt.append((b, nd))
+            layer = nxt
+        dnet[src] = best
+
+    layers = []
+    prevs = None
+    prev_fix = None
+    for seq, lon, lat in trace:
+        cs = []
+        for fid, u, v, c, in ((f, *emeta[f][:3]) for f in emeta):
+            d, a = dist_along(lon, lat, c)
+            if d < max_d:
+                cs.append((fid, u, v, d, a))
+        cs.sort(key=lambda r: (r[3], r[0]))
+        cs = sorted(cs[:k], key=lambda r: r[0])  # DP order: edge key
+        layer = []
+        for fid, u, v, d, a in cs:
+            emis = (d * d) / (sigma * sigma)
+            if prevs is None:
+                layer.append([emis, -1, (fid, u, v, d)])
+                continue
+            bc, bi = None, -1
+            for i, (pc, _pb, (pfid, _pu, pv, _pd)) in enumerate(prevs):
+                pa = prev_alongs[i]
+                plen = emeta[pfid][3]
+                if pfid == fid:
+                    droute = abs(a - pa)
+                else:
+                    nd = dnet.get(pv, {}).get(u)
+                    droute = None if nd is None else plen - pa + nd + a
+                dgc = hav(prev_fix, (lon, lat))
+                t = jump if droute is None else abs(droute - dgc) / beta
+                c2 = pc + t
+                if bc is None or c2 < bc:
+                    bc, bi = c2, i
+            layer.append([bc + emis, bi, (fid, u, v, d)])
+        layers.append((seq, layer))
+        prevs = layer
+        prev_alongs = [
+            dist_along(lon, lat, emeta[r[2][0]][2])[1] for r in layer
+        ]
+        prev_fix = (lon, lat)
+    j = min(
+        range(len(layers[-1][1])), key=lambda i: (layers[-1][1][i][0], i)
+    )
+    picked = []
+    for _seq, layer in reversed(layers):
+        _cost, back, r = layer[j]
+        picked.append(r)
+        j = back
+    picked.reverse()
+    vals = ", ".join(
+        f"({seq}, '{fid}', {round(d, 3)!r})"
+        for (seq, _lon, _lat), (fid, _u, _v, d) in zip(trace, picked)
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, edge, "
+        "CAST(snap_m AS DOUBLE) AS snap_m "
+        f"FROM (VALUES {vals}) t(seq, edge, snap_m)"
+    )
+
+
+@q("geo_map_match_route", _mmr_oracle_sql())
+def geo_map_match_route(spark, sf_dir):
+    """Route-distance map-matching transitions (r13-verdict task #6 —
+    the full Newson-Krakauer model): transition cost
+    |route_distance − great_circle| / beta, with along-edge offsets
+    from the candidate join (one Catalyst HOF column), bounded 2-hop
+    network distances from one multi-source relaxation, and per-pair
+    costs reaching Viterbi through a cogrouped applyInPandas.  The
+    fixture's simple-model optimum provably snaps fix 2 onto a
+    one-way bypass it could only reach by doubling back (pytest pins
+    that failure); the route model recovers the arterial — certified
+    here by value-hash against an independent Python replay."""
+    from entwiner_spark.operators.matching import map_match
+
+    edge_rows, trace_rows = _mmr_fixture()
+    edges = spark.createDataFrame(
+        edge_rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [("t", s, x, y) for s, x, y in trace_rows],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    out = map_match(
+        trace,
+        edges,
+        max_dist_m=50.0,
+        sigma_m=5.0,
+        transition="route",
+        hop_window=2,
+        beta_m=10.0,
+    )
+    return out.select(
+        F.col("seq"),
+        F.col("fid").alias("edge"),
+        F.round("snap_dist_m", 3).alias("snap_m"),
+    )
+
+
 # =====================================================================
 # Text analysis + dedup over `documents` (SURVEY §2.14)
 # =====================================================================

@@ -188,6 +188,66 @@ def point_linestring_distance_m(plon: Column, plat: Column, coords: Column) -> C
     return F.array_min(dists)
 
 
+def point_linestring_along_m(
+    plon: Column, plat: Column, coords: Column
+) -> Column:
+    """Arclength (meters) from the LineString start to the SNAP point
+    of (plon, plat) — the along-track companion of
+    ``point_linestring_distance_m``: same local equirectangular
+    projection, same clamp, first-minimum segment on ties.  One
+    ``aggregate`` HOF pass (running cumulative length + best-so-far),
+    pure Catalyst — feeds the Newson-Krakauer route-distance
+    transition in operators/matching.py."""
+    cosl = F.cos(F.radians(plat))
+    px = plon * M_PER_DEG * cosl
+    py = plat * F.lit(M_PER_DEG)
+    n = F.size(coords)
+    heads = F.slice(coords, F.lit(1), n - F.lit(1))
+    tails = F.slice(coords, F.lit(2), n - F.lit(1))
+
+    def seg(a, b):
+        ax = F.element_at(a, 1) * M_PER_DEG * cosl
+        ay = F.element_at(a, 2) * F.lit(M_PER_DEG)
+        bx = F.element_at(b, 1) * M_PER_DEG * cosl
+        by = F.element_at(b, 2) * F.lit(M_PER_DEG)
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t_raw = F.when(
+            len2 > 0, ((px - ax) * dx + (py - ay) * dy) / len2
+        ).otherwise(F.lit(0.0))
+        t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+        cx = ax + t * dx
+        cy = ay + t * dy
+        return F.struct(
+            F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy)).alias(
+                "d"
+            ),
+            F.sqrt(len2).alias("len"),
+            t.alias("t"),
+        )
+
+    segs = F.zip_with(heads, tails, seg)
+    init = F.struct(
+        F.lit(float("inf")).alias("bd"),
+        F.lit(0.0).alias("ba"),
+        F.lit(0.0).alias("cum"),
+    )
+    res = F.aggregate(
+        segs,
+        init,
+        lambda acc, s: F.struct(
+            F.least(acc["bd"], s["d"]).alias("bd"),
+            F.when(
+                s["d"] < acc["bd"], acc["cum"] + s["t"] * s["len"]
+            )
+            .otherwise(acc["ba"])
+            .alias("ba"),
+            (acc["cum"] + s["len"]).alias("cum"),
+        ),
+    )
+    return res["ba"]
+
+
 def bbox_columns(coords: Column) -> dict[str, Column]:
     """MBR of a LineString as four columns (the r-tree analogue, X1).
 

@@ -818,12 +818,44 @@ class ContractionHierarchy:
                 (F.col("_fd") + F.col("w")).alias("dist"),
                 F.col("_k").alias("pred"),
             )
+
+            # second hop in the SAME round (r13-verdict task #4: route
+            # wall is per-round Spark latency on cone-sized frontiers,
+            # not data volume — one extra broadcast join halves the
+            # round count).  The 2-hop message's pred is the
+            # intermediate node, which receives its own 1-hop message
+            # this round at exactly the chained distance, so the pred
+            # walk stays consistent; any stale 2-hop value is repaired
+            # by later 1-hop relaxations (the Dijkstra invariant the
+            # convergence probe already certifies).
+            def second_hop(msgs, adjk, side_lit):
+                h1 = (
+                    msgs.groupBy("_n")
+                    .agg(F.min(F.struct("dist", "pred")).alias("b"))
+                    .select(
+                        F.col("_n").alias("_k"),
+                        F.col("b.dist").alias("_fd"),
+                    )
+                    .hint("broadcast")
+                )
+                return h1.join(adjk, "_k").select(
+                    F.lit(side_lit).alias("side"),
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                    F.col("_k").alias("pred"),
+                )
+
+            msgs_f2 = second_hop(msgs_f, upk, "f")
+            msgs_b2 = second_hop(msgs_b, downk, "b")
             merged = (
                 dist.select(
                     "side", "_n", "dist", F.lit(False).alias("_new"), "pred"
                 )
                 .unionByName(
-                    msgs_f.unionByName(msgs_b).select(
+                    msgs_f.unionByName(msgs_b)
+                    .unionByName(msgs_f2)
+                    .unionByName(msgs_b2)
+                    .select(
                         "side", "_n", "dist", F.lit(True).alias("_new"), "pred"
                     )
                 )

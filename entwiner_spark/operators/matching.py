@@ -55,6 +55,9 @@ def map_match(
     edge_key: str = "fid",
     coords_col: str = "coordinates",
     cell_deg: float | None = None,
+    transition: str = "simple",
+    hop_window: int = 2,
+    beta_m: float = 10.0,
 ) -> DataFrame:
     """Match each GPS trace onto the edge table: one output row per
     MATCHED point — ``(trace_key, seq, edge_key, _u, _v,
@@ -68,7 +71,23 @@ def map_match(
     Points with no edge within ``max_dist_m`` are absent from the
     output (the nearest_edge_join filter semantics); the chain simply
     continues across the gap — callers wanting hard trajectory breaks
-    should split the trace upstream (e.g. on time gaps)."""
+    should split the trace upstream (e.g. on time gaps).
+
+    ``transition="route"`` upgrades the transition model to the full
+    Newson-Krakauer form: cost = |route_distance − great_circle| /
+    ``beta_m``, where route distance runs from the previous snap point
+    to the next along the network — (len(e1) − along₁) + network
+    distance(end(e1) → start(e2), bounded to ``hop_window`` hops) +
+    along₂, or |along₂ − along₁| on the same edge.  The simple
+    adjacent/jump model can mis-rank candidates at junction-dense
+    spots (a CONNECTED side road is one cheap adjacency hop away even
+    when reaching it requires doubling back); route distances expose
+    that detour.  Pairs whose route exceeds the hop window fall back
+    to ``trans_jump``.  Scale shape: along-offsets ride the candidate
+    join (one HOF column), network distances are ONE bounded
+    multi-source relaxation (``hop_window`` broadcast-joined rounds
+    from the distinct candidate end-nodes — never all-pairs), and the
+    per-pair costs reach Viterbi via a cogrouped ``applyInPandas``."""
     pts = traces.withColumn(
         "_pid", F.struct(F.col(trace_key), F.col(seq_col))
     )
@@ -83,13 +102,31 @@ def map_match(
         coords_col=coords_col,
         cell_deg=cell_deg,
     )
+    if transition not in ("simple", "route"):
+        raise ValueError(
+            f"transition must be 'simple' or 'route', got {transition!r}"
+        )
     wk = Window.partitionBy("_pid").orderBy(
         F.col("_dist").asc(), F.col(edge_key).asc()
     )
+    extra = []
+    if transition == "route":
+        from entwiner_spark.functions.geo import (
+            linestring_length_m,
+            point_linestring_along_m,
+        )
+
+        cand = cand.withColumn(
+            "_along",
+            point_linestring_along_m(
+                F.col(lon_col), F.col(lat_col), F.col(coords_col)
+            ),
+        ).withColumn("_elen", linestring_length_m(F.col(coords_col)))
+        extra = [lon_col, lat_col, "_along", "_elen"]
     slim = (
         cand.withColumn("_rk", F.row_number().over(wk))
         .filter(F.col("_rk") <= k_candidates)
-        .select(trace_key, seq_col, edge_key, "_u", "_v", "_dist")
+        .select(trace_key, seq_col, edge_key, "_u", "_v", "_dist", *extra)
     )
     in_t = {f.name: f.dataType for f in slim.schema.fields}
     out_schema = T.StructType(
@@ -106,7 +143,10 @@ def map_match(
     adj_pen, jump_pen = float(trans_adjacent), float(trans_jump)
     out_cols = [trace_key, seq_col, edge_key, "_u", "_v", "snap_dist_m"]
 
-    def viterbi(pdf):
+    def _viterbi_core(pdf, trans):
+        """Shared DP.  ``trans``: None for the simple adjacent/jump
+        model, else a dict ``(seq, prev_edge, edge) -> cost`` (missing
+        pair -> jump_pen — outside the route hop window)."""
         import pandas as pd  # noqa: PLC0415
 
         if len(pdf) == 0:
@@ -114,7 +154,7 @@ def map_match(
         pdf = pdf.sort_values([seq_col, edge_key]).reset_index(drop=True)
         layers: list[list[list]] = []  # [cost, back_idx, row] per cand
         prev: list[list] | None = None
-        for _s, grp in pdf.groupby(seq_col, sort=True):
+        for s, grp in pdf.groupby(seq_col, sort=True):
             rows = grp.to_dict("records")
             layer = []
             for r in rows:
@@ -124,7 +164,11 @@ def map_match(
                     continue
                 bc, bi = None, -1
                 for i, (pc, _pb, pr) in enumerate(prev):
-                    if pr[edge_key] == r[edge_key]:
+                    if trans is not None:
+                        t = trans.get(
+                            (s, pr[edge_key], r[edge_key]), jump_pen
+                        )
+                    elif pr[edge_key] == r[edge_key]:
                         t = 0.0
                     elif {pr["_u"], pr["_v"]} & {r["_u"], r["_v"]}:
                         t = adj_pen
@@ -142,7 +186,7 @@ def map_match(
         j = min(range(len(layers[-1])), key=lambda i: (layers[-1][i][0], i))
         picked = []
         for layer in reversed(layers):
-            cost, back, r = layer[j]
+            _cost, back, r = layer[j]
             picked.append(r)
             j = back
         picked.reverse()
@@ -161,4 +205,114 @@ def map_match(
             columns=out_cols,
         )
 
-    return slim.groupBy(trace_key).applyInPandas(viterbi, schema=out_schema)
+    if transition == "simple":
+
+        def viterbi(pdf):
+            return _viterbi_core(pdf, None)
+
+        return slim.groupBy(trace_key).applyInPandas(
+            viterbi, schema=out_schema
+        )
+
+    # ---- transition="route": per-pair Newson-Krakauer costs ---------
+    from entwiner_spark.functions.geo import haversine_m, linestring_length_m
+
+    slim = slim.localCheckpoint()
+    # dense layer index: Viterbi steps between consecutive PRESENT
+    # seq values (points with zero candidates drop their layer)
+    lw = Window.partitionBy(trace_key).orderBy(seq_col)
+    seqs = (
+        slim.select(trace_key, seq_col)
+        .distinct()
+        .withColumn("_ly", F.row_number().over(lw))
+    )
+    lay = slim.join(seqs, [trace_key, seq_col])
+    c1 = lay.select(
+        F.col(trace_key).alias("_tk"),
+        F.col("_ly").alias("_ly1"),
+        F.col(edge_key).alias("_pe"),
+        F.col("_v").alias("_v1"),
+        F.col("_along").alias("_a1"),
+        F.col("_elen").alias("_l1"),
+        F.col(lon_col).alias("_x1"),
+        F.col(lat_col).alias("_y1"),
+    )
+    c2 = lay.select(
+        F.col(trace_key).alias("_tk"),
+        F.col(seq_col).alias("_seq2"),
+        F.col("_ly").alias("_ly2"),
+        F.col(edge_key).alias("_ce"),
+        F.col("_u").alias("_u2"),
+        F.col("_along").alias("_a2"),
+        F.col(lon_col).alias("_x2"),
+        F.col(lat_col).alias("_y2"),
+    )
+    pairs = c1.join(c2, "_tk").filter(F.col("_ly2") == F.col("_ly1") + 1)
+    # bounded multi-source network distances end(e1) -> start(e2):
+    # hop_window rounds of frontier ⋈ edges from the DISTINCT end
+    # nodes — candidate-bounded sources, never all-pairs
+    step = edges.select(
+        F.col("_u").alias("_node"),
+        F.col("_v").alias("_next"),
+        linestring_length_m(F.col(coords_col)).alias("_w"),
+    )
+    srcs = pairs.select(F.col("_v1").alias("_src")).distinct()
+    cur = srcs.select(
+        "_src", F.col("_src").alias("_node"), F.lit(0.0).alias("_d")
+    )
+    acc = cur
+    for _ in range(max(0, int(hop_window))):
+        cur = cur.join(step, "_node").select(
+            "_src",
+            F.col("_next").alias("_node"),
+            (F.col("_d") + F.col("_w")).alias("_d"),
+        )
+        acc = acc.unionByName(cur)
+    dnet = acc.groupBy("_src", "_node").agg(F.min("_d").alias("_dnet"))
+    beta = float(beta_m)
+    pcost = (
+        pairs.join(
+            dnet,
+            (F.col("_v1") == F.col("_src"))
+            & (F.col("_u2") == F.col("_node")),
+            "left",
+        )
+        .withColumn(
+            "_droute",
+            F.when(
+                F.col("_pe") == F.col("_ce"),
+                F.abs(F.col("_a2") - F.col("_a1")),
+            ).otherwise(
+                F.col("_l1") - F.col("_a1") + F.col("_dnet") + F.col("_a2")
+            ),
+        )
+        .withColumn(
+            "_dgc",
+            haversine_m(
+                F.col("_x1"), F.col("_y1"), F.col("_x2"), F.col("_y2")
+            ),
+        )
+        .select(
+            F.col("_tk").alias(trace_key),
+            "_seq2",
+            "_pe",
+            "_ce",
+            F.when(F.col("_droute").isNull(), F.lit(jump_pen))
+            .otherwise(F.abs(F.col("_droute") - F.col("_dgc")) / beta)
+            .alias("_t"),
+        )
+    )
+    pair_schema_names = [trace_key, "_seq2", "_pe", "_ce", "_t"]
+
+    def viterbi_route(cand_pdf, pair_pdf):
+        trans = {
+            (r["_seq2"], r["_pe"], r["_ce"]): r["_t"]
+            for r in pair_pdf[pair_schema_names[1:]].to_dict("records")
+        }
+        return _viterbi_core(cand_pdf, trans)
+
+    return (
+        slim.groupBy(trace_key)
+        .cogroup(pcost.groupBy(trace_key))
+        .applyInPandas(viterbi_route, schema=out_schema)
+    )

@@ -168,3 +168,90 @@ def test_uw_trace_recovers_edge_sequence(spark):
     }
     want = {i: e[2] for i, e in enumerate(seq_edges)}
     assert got == want
+
+
+def test_route_transition_recovers_oneway_bypass_flip(spark):
+    """The simple adjacent/jump model provably snaps fix 2 onto the
+    one-way WESTBOUND bypass edge B2 (reachable only by doubling
+    back); the route-distance model (|droute − dgc|/beta, bounded-hop
+    network distances) holds the arterial — both behaviors pinned."""
+    from entwiner_spark.catalog import _mmr_fixture
+
+    edge_rows, trace_rows = _mmr_fixture()
+    edges = spark.createDataFrame(
+        edge_rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [("t", s, x, y) for s, x, y in trace_rows],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    simple = {
+        r["seq"]: r["fid"]
+        for r in map_match(
+            trace, edges, max_dist_m=50.0, sigma_m=5.0
+        ).collect()
+    }
+    route = {
+        r["seq"]: r["fid"]
+        for r in map_match(
+            trace,
+            edges,
+            max_dist_m=50.0,
+            sigma_m=5.0,
+            transition="route",
+            hop_window=2,
+            beta_m=10.0,
+        ).collect()
+    }
+    assert simple == {0: "A1", 1: "A2", 2: "B2", 3: "A3"}  # the flaw
+    assert route == {0: "A1", 1: "A2", 2: "A2", 3: "A3"}  # recovered
+
+
+def test_route_transition_matches_simple_on_clean_trace(spark):
+    """On the parallel-roads fixture (no junction trap) both models
+    must agree — the route upgrade cannot regress the easy case."""
+    from entwiner_spark.catalog import _mm_fixture
+
+    edge_rows, trace_rows = _mm_fixture()
+    edges = spark.createDataFrame(
+        edge_rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [("t", s, x, y) for s, x, y in trace_rows],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    simple = {
+        r["seq"]: r["fid"]
+        for r in map_match(
+            trace, edges, max_dist_m=100.0, sigma_m=20.0
+        ).collect()
+    }
+    route = {
+        r["seq"]: r["fid"]
+        for r in map_match(
+            trace,
+            edges,
+            max_dist_m=100.0,
+            sigma_m=20.0,
+            transition="route",
+            hop_window=2,
+        ).collect()
+    }
+    assert route == simple
+
+
+def test_map_match_rejects_bad_transition(spark):
+    edges = spark.createDataFrame(
+        [("e", "a", "b", [[0.0, 0.0], [0.001, 0.0]])],
+        "fid string, _u string, _v string, coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [("t", 0, 0.0, 0.0)],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="transition"):
+        map_match(trace, edges, transition="bogus")
