@@ -514,6 +514,74 @@ def node_attrs_from_osm(
     )
 
 
+def split_osm_xml(
+    path: str, out_dir: str, target_bytes: int = 64 << 20
+) -> list[str]:
+    """Pre-split ONE large ``.osm`` file into many valid shard files —
+    the escape hatch for the documented one-task-per-file trap (XML is
+    not splittable, so a single planet-scale extract would parse in
+    one executor task; planet-scale reality is PBF, but big regional
+    XML extracts are common).
+
+    Streaming ``iterparse`` with per-element clearing — bounded memory
+    regardless of input size; each completed top-level element
+    (node / way / relation) is re-serialized into the current shard,
+    rotating at ``target_bytes``.  Shards need NOT be self-contained:
+    the refs→nodes geometry join is global across the file set by
+    construction (see module docstring), which is exactly what makes
+    this split safe.  Driver-side and one-off; returns shard paths in
+    document order (element order is preserved within and across
+    shards)."""
+    import os
+    import xml.etree.ElementTree as ET  # noqa: PLC0415
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    fh = None
+    written = 0
+
+    def rotate():
+        nonlocal fh, written
+        if fh is not None:
+            fh.write("</osm>\n")
+            fh.close()
+        p = os.path.join(out_dir, f"shard{len(paths):05d}.osm")
+        paths.append(p)
+        fh = open(p, "w", encoding="utf-8")
+        fh.write("<osm>\n")
+        written = 0
+
+    rotate()
+    root = None
+    for ev, elem in ET.iterparse(path, events=("start", "end")):
+        if ev == "start":
+            if root is None:
+                root = elem
+            continue
+        name = _local_name(elem.tag)
+        if name in ("node", "way", "relation"):
+            if written >= target_bytes:
+                rotate()
+            chunk = ET.tostring(elem, encoding="unicode")
+            fh.write(chunk)
+            if not chunk.endswith("\n"):
+                fh.write("\n")
+            written += len(chunk)
+            elem.clear()
+            if root is not None:
+                # drop the completed child from the root so the tree
+                # never accumulates (iterparse keeps children attached)
+                try:
+                    root.remove(elem)
+                except ValueError:
+                    pass
+        elif name in ("osm", "bounds"):
+            elem.clear()
+    fh.write("</osm>\n")
+    fh.close()
+    return paths
+
+
 def speed_kmh_col(
     highway_col: str = "highway",
     maxspeed_col: str | None = "maxspeed",

@@ -392,3 +392,51 @@ def test_traversal_seconds_requires_length(spark):
     df = spark.createDataFrame([("a",)], "highway string")
     with pytest.raises(ValueError, match="_length"):
         traversal_seconds(df)
+
+
+def test_split_osm_xml_roundtrip(spark, tmp_path):
+    """split_osm_xml shards a single big .osm at element boundaries;
+    ingesting the shards must produce EXACTLY the rows of the unsplit
+    file (the refs->nodes join is global, so shards need not be
+    self-contained), including restriction relations."""
+    import random
+
+    rnd = random.Random(7)
+    parts = []
+    for k in range(40):
+        lon = 10.0 + k * 0.01
+        parts.append(
+            f'<node id="{2 * k}" lon="{lon!r}" lat="1.0"/>'
+            f'<node id="{2 * k + 1}" lon="{lon + 0.003!r}" lat="1.0"/>'
+        )
+        hw = rnd.choice(["residential", "primary", "service"])
+        parts.append(
+            f'<way id="{k}"><nd ref="{2 * k}"/><nd ref="{2 * k + 1}"/>'
+            f'<tag k="highway" v="{hw}"/></way>'
+        )
+    parts.append(
+        '<relation id="900"><tag k="type" v="restriction"/>'
+        '<tag k="restriction" v="no_left_turn"/>'
+        '<member type="way" role="from" ref="0"/>'
+        '<member type="node" role="via" ref="1"/>'
+        '<member type="way" role="to" ref="1"/></relation>'
+    )
+    big = tmp_path / "big.osm"
+    big.write_text("<osm>\n" + "\n".join(parts) + "\n</osm>\n")
+    from entwiner_spark.sources.osm import (
+        osm_turn_restrictions,
+        split_osm_xml,
+    )
+
+    shards = split_osm_xml(str(big), str(tmp_path / "shards"), target_bytes=600)
+    assert len(shards) > 3  # actually split
+    whole = edges_from_osm(spark, str(big))
+    split = edges_from_osm(spark, [str(s) for s in shards])
+    key = lambda r: (r["_way_id"], r["_seg"], r["_dir"])  # noqa: E731
+    wrows = {key(r): (r["_u"], r["_v"], r["highway"]) for r in whole.collect()}
+    srows = {key(r): (r["_u"], r["_v"], r["highway"]) for r in split.collect()}
+    assert wrows == srows and len(wrows) == 80  # 40 two-way ways
+    rr = osm_turn_restrictions(
+        read_osm_elements(spark, [str(s) for s in shards])
+    ).collect()
+    assert [(r["rel_id"], r["rtype"]) for r in rr] == [(900, "no_left_turn")]
