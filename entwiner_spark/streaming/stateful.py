@@ -314,6 +314,7 @@ def stream_map_match(
     edge_key: str = "fid",
     coords_col: str = "coordinates",
     cell_deg: float | None = None,
+    reorder_window: int = 0,
 ) -> DataFrame:
     """Streaming ONLINE map matching — the §2.12 twin of
     :func:`operators.matching.map_match` for live GPS feeds.
@@ -338,6 +339,18 @@ def stream_map_match(
     outlier included) stream == batch row for row.  Late fixes
     (seq below the trace's high-water mark) are dropped, not
     retro-matched — split traces upstream if reordering matters.
+
+    ``reorder_window=W`` (seq units) adds a bounded per-trace reorder
+    buffer — the sorted-neighborhood replay discipline: an arriving
+    fix is HELD (its top-k candidates stored in state) until the
+    trace's high-water seq exceeds it by W, then flushed into the
+    Viterbi layer in seq order.  A fix up to W seqs out of order is
+    matched exactly where batch would put it (pytest pins
+    stream == batch across shuffled microbatch arrival); one more
+    than W late is still dropped.  State stays bounded: layer ≤ k,
+    pending ≤ W·k rows between batches.  Emission lags the high
+    water by W fixes (the streaming latency/completeness trade,
+    chosen per deployment).
     """
     from entwiner_spark.functions.geo import point_linestring_distance_m
     from entwiner_spark.operators.spatial import M_PER_DEG, with_cells
@@ -397,19 +410,34 @@ def stream_map_match(
     adj_pen, jump_pen = float(trans_adjacent), float(trans_jump)
     out_cols = [trace_key, seq_col, edge_key, "_u", "_v", "snap_dist_m"]
 
+    window = max(0, int(reorder_window))
+
     def update(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            last_seq, s_edges, s_us, s_vs, s_costs = state.get
+            (
+                last_seq,
+                s_edges,
+                s_us,
+                s_vs,
+                s_costs,
+                hw,
+                p_seqs,
+                p_edges,
+                p_us,
+                p_vs,
+                p_dists,
+            ) = state.get
             layer = [
                 {"e": e, "u": u, "v": v, "c": c}
                 for e, u, v, c in zip(s_edges, s_us, s_vs, s_costs)
             ]
+            pending = list(zip(p_seqs, p_edges, p_us, p_vs, p_dists))
         else:
-            last_seq, layer = None, []
+            last_seq, layer, hw, pending = None, [], None, []
         rows = pd.concat(list(pdfs), ignore_index=True)
         # per-microbatch dedup of cell duplicates: min dist per
         # (seq, edge) — exact, a fix never spans batches
@@ -417,72 +445,95 @@ def stream_map_match(
             rows.sort_values([seq_col, "_dist"])
             .drop_duplicates([seq_col, edge_key])
         )
-        out = []
+        # buffer each arriving fix's top-k candidates (a fix arrives
+        # once, so its rows never merge with an existing pending fix)
         for s, grp in rows.groupby(seq_col, sort=True):
             if last_seq is not None and s <= last_seq:
-                continue  # late/duplicate fix: dropped, not re-matched
+                continue  # later than the reorder window allows
             grp = grp.sort_values(["_dist", edge_key]).head(k_candidates)
             grp = grp.sort_values(edge_key)  # batch-twin DP order
-            new_layer = []
             for r in grp.to_dict("records"):
-                emis = (r["_dist"] * r["_dist"]) / sig2
-                if not layer:
+                pending.append(
+                    (int(s), r[edge_key], r["_u"], r["_v"], float(r["_dist"]))
+                )
+            hw = int(s) if hw is None else max(hw, int(s))
+        out = []
+        if pending:
+            pending.sort(key=lambda t: (t[0], t[1]))
+            flush_upto = hw - window  # seqs at/below this extend now
+            keep = []
+            cur_s, grp_rows = None, []
+
+            def extend(s, cand_rows):
+                nonlocal layer, last_seq
+                new_layer = []
+                for _s, e, u, v, d in cand_rows:
+                    emis = (d * d) / sig2
+                    if not layer:
+                        new_layer.append(
+                            {"e": e, "u": u, "v": v, "c": emis, "d": d}
+                        )
+                        continue
+                    bc = None
+                    for pr in layer:
+                        if pr["e"] == e:
+                            t = 0.0
+                        elif {pr["u"], pr["v"]} & {u, v}:
+                            t = adj_pen
+                        else:
+                            t = jump_pen
+                        c = pr["c"] + t
+                        if bc is None or c < bc:
+                            bc = c
                     new_layer.append(
-                        {
-                            "e": r[edge_key],
-                            "u": r["_u"],
-                            "v": r["_v"],
-                            "c": emis,
-                            "d": r["_dist"],
-                        }
+                        {"e": e, "u": u, "v": v, "c": bc + emis, "d": d}
                     )
-                    continue
-                bc = None
-                for pr in layer:
-                    if pr["e"] == r[edge_key]:
-                        t = 0.0
-                    elif {pr["u"], pr["v"]} & {r["_u"], r["_v"]}:
-                        t = adj_pen
-                    else:
-                        t = jump_pen
-                    c = pr["c"] + t
-                    if bc is None or c < bc:
-                        bc = c
-                new_layer.append(
+                if not new_layer:
+                    return
+                layer = new_layer
+                last_seq = s
+                best = min(
+                    range(len(layer)), key=lambda i: (layer[i]["c"], i)
+                )
+                b = layer[best]
+                out.append(
                     {
-                        "e": r[edge_key],
-                        "u": r["_u"],
-                        "v": r["_v"],
-                        "c": bc + emis,
-                        "d": r["_dist"],
+                        trace_key: key[0],
+                        seq_col: s,
+                        edge_key: b["e"],
+                        "_u": b["u"],
+                        "_v": b["v"],
+                        "snap_dist_m": float(b["d"]),
                     }
                 )
-            if not new_layer:
-                continue
-            layer = new_layer
-            last_seq = s
-            best = min(
-                range(len(layer)), key=lambda i: (layer[i]["c"], i)
-            )
-            b = layer[best]
-            out.append(
-                {
-                    trace_key: key[0],
-                    seq_col: s,
-                    edge_key: b["e"],
-                    "_u": b["u"],
-                    "_v": b["v"],
-                    "snap_dist_m": float(b["d"]),
-                }
-            )
-        if last_seq is not None:
+
+            for row in pending:
+                s = row[0]
+                if s > flush_upto:
+                    keep.append(row)
+                    continue
+                if cur_s is not None and s != cur_s:
+                    extend(cur_s, grp_rows)
+                    grp_rows = []
+                cur_s = s
+                grp_rows.append(row)
+            if grp_rows:
+                extend(cur_s, grp_rows)
+            pending = keep
+        if last_seq is not None or pending:
             state.update(
                 (
-                    int(last_seq),
+                    None if last_seq is None else int(last_seq),
                     [x["e"] for x in layer],
                     [x["u"] for x in layer],
                     [x["v"] for x in layer],
                     [float(x["c"]) for x in layer],
+                    None if hw is None else int(hw),
+                    [int(t[0]) for t in pending],
+                    [t[1] for t in pending],
+                    [t[2] for t in pending],
+                    [t[3] for t in pending],
+                    [float(t[4]) for t in pending],
                 )
             )
         yield pd.DataFrame(out, columns=out_cols)
@@ -499,7 +550,10 @@ def stream_map_match(
         ),
         stateStructType=(
             f"last_seq long, edges array<{ek_t}>, us array<{u_t}>, "
-            f"vs array<{u_t}>, costs array<double>"
+            f"vs array<{u_t}>, costs array<double>, hw long, "
+            f"p_seqs array<long>, p_edges array<{ek_t}>, "
+            f"p_us array<{u_t}>, p_vs array<{u_t}>, "
+            f"p_dists array<double>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
