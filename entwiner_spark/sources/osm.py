@@ -661,14 +661,30 @@ def graph_from_osm(
     tag_cols: tuple[str, ...] = ("highway", "name"),
     node_attr_keys: tuple[str, ...] = (),
     precision: int = DEFAULT_PRECISION,
-) -> tuple[DataFrame, DataFrame]:
+    with_traversal_time: bool = False,
+    speeds: dict[str, float] | None = None,
+    with_restrictions: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """One-call OSM → (nodes, edges): tag-filtered, junction-split,
     oneway-honoring edges plus the endpoint-derived nodes table, node
     tags joined on as attributes when ``node_attr_keys`` is given.
     Feed the pair straight to ``SparkGraph`` (or ``bulk_load`` into a
-    parquet store)."""
+    parquet store).
+
+    ``with_traversal_time=True`` appends the ``_traversal_sec`` cost
+    profile (``traversal_seconds``; ``maxspeed`` is auto-added to
+    ``tag_cols`` so explicit limits win over the ``speeds`` table) —
+    the result routes by TIME via
+    ``shortest_path(weight="_traversal_sec")``.
+
+    ``with_restrictions=True`` returns a THIRD frame: the banned
+    maneuver pairs from ``type=restriction`` relations
+    (``banned_turn_pairs``), ready for
+    ``to_linegraph(banned_turns=...)``."""
     from entwiner_spark.sources.geojson import nodes_from_edges
 
+    if with_traversal_time and "maxspeed" not in tag_cols:
+        tag_cols = (*tag_cols, "maxspeed")
     elems = read_osm_elements(spark, paths)
     edges = edges_from_osm(
         spark,
@@ -678,10 +694,15 @@ def graph_from_osm(
         precision=precision,
         elems=elems,
     )
+    if with_traversal_time:
+        edges = traversal_seconds(edges, speeds=speeds)
     attrs = (
         node_attrs_from_osm(elems, node_attr_keys, precision=precision)
         if node_attr_keys
         else None
     )
     nodes = nodes_from_edges(edges, precision=precision, point_attrs=attrs)
+    if with_restrictions:
+        bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+        return nodes, edges, bans
     return nodes, edges

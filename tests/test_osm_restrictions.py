@@ -222,3 +222,29 @@ def test_restricted_route_detours(spark, tmp_path):
     assert free_refs == [(1, 2), (2, 4)]  # the banned left
     assert restr_refs == [(1, 2), (2, 3), (3, 5), (5, 4)]  # detour
     assert restr[1] > free[1]
+
+
+def test_graph_from_osm_composes_time_and_restrictions(spark, tmp_path):
+    """One-call composition: with_traversal_time adds _traversal_sec
+    (maxspeed auto-requested) and with_restrictions returns the banned
+    pairs — the full time-routable, restriction-aware pipeline."""
+    from entwiner_spark.catalog import _turn_fixture_xml
+    from entwiner_spark.sources.osm import graph_from_osm
+
+    p = tmp_path / "g.osm"
+    p.write_text(_turn_fixture_xml())
+    nodes, edges, bans = graph_from_osm(
+        spark,
+        str(p),
+        with_traversal_time=True,
+        with_restrictions=True,
+    )
+    assert "_traversal_sec" in edges.columns
+    assert "maxspeed" in edges.columns
+    assert bans.count() == 2  # both approaches of way 100 onto 200
+    assert nodes.count() == 5
+    r = edges.filter(
+        (F.col("_way_id") == 100) & (F.col("_dir") == 0)
+    ).collect()[0]
+    # primary class: 65 km/h
+    assert r["_length"] / r["_traversal_sec"] * 3.6 == pytest.approx(65.0)
