@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round with the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 14) ---
+    "g_ch_matrix",
     "g_ch_persist",
     "g_cost_profile",
     "g_turn_restriction",

@@ -5939,6 +5939,49 @@ def g_ch_full(spark, sf_dir):
 
 
 @q(
+    "g_ch_matrix",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT u, v, row_number() OVER (ORDER BY u, v) AS r
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    e AS (SELECT u, v, 4.0 + power(2.0, -CAST(r AS DOUBLE)) AS w FROM raw),
+    walk(src, node, dist) AS (
+      SELECT s.s, s.s, CAST(0 AS DOUBLE)
+      FROM (VALUES (CAST(0 AS BIGINT)), (CAST(5 AS BIGINT)),
+                   (CAST(20 AS BIGINT))) s(s)
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w
+      FROM walk JOIN e ON e.u = walk.node
+    )
+    SELECT CAST(src AS VARCHAR) AS src, CAST(node AS VARCHAR) AS dst,
+           min(dist) AS dist
+    FROM walk WHERE node IN (14, 24) GROUP BY src, node
+    """,
+)
+def g_ch_matrix(spark, sf_dir):
+    """Many-to-many CH distance matrix (Knopp et al. 2007 bucket
+    algorithm, DataFrame form): ONE batched forward upward search from
+    all sources + one batched backward search from all targets (state
+    keyed (side, origin, node), one fused merge per round — every
+    round amortized across all queries, which is where the r14 A/B
+    showed the distributed loop pays), then a single hash join on the
+    meeting node yields every pair's exact distance.  FORCED
+    ``strategy="pregel"`` so the driver certifies the batched loop;
+    dyadic tie-free weights make all sums exact and
+    association-independent, so the unrounded doubles are value-hashed
+    against a multi-source recursive-CTE walk.  The unreachable
+    (20, 14) pair is absent on both engines."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _dyadic_graph(spark, sf_dir)
+    ch = ContractionHierarchy.build(g, weight="w")
+    return ch.distance_matrix(
+        ["0", "5", "20"], ["14", "24"], strategy="pregel"
+    )
+
+
+@q(
     "g_ch_persist",
     f"""
     {_DYADIC_WALK_SQL},

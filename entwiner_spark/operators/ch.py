@@ -679,9 +679,21 @@ class ContractionHierarchy:
         target,
         strategy: str = "auto",
         max_iterations: int = 200,
+        hops_per_round: int = 1,
     ) -> tuple[list, float] | None:
         """Bidirectional upward search + shortcut unpacking: the raw
-        node path and exact cost, or None if unreachable."""
+        node path and exact cost, or None if unreachable.
+
+        ``hops_per_round=2`` chains a second frontier expansion into
+        each distributed round (one extra broadcast join per side) to
+        halve the round count.  MEASURED SLOWER on local[32] (r14
+        interleaved warm A/B, 64x64 grid, 4 routes: 1-hop 71.7-76.1 s
+        total vs 2-hop 102.2-102.5 s, with and without a per-hop
+        reduce) — single-JVM rounds are cheap enough that the extra
+        per-round joins dominate, so the default stays 1.  On a real
+        multi-executor cluster with 100 ms+ barrier latency the trade
+        may reverse; the knob and the probe (tools/probe_ch_xl.py)
+        exist to re-measure there."""
         if source == target:
             return [source], 0.0
         local = strategy == "local" or (
@@ -689,7 +701,187 @@ class ContractionHierarchy:
         )
         if local:
             return self._route_local(source, target)
-        return self._route_pregel(source, target, max_iterations)
+        return self._route_pregel(
+            source, target, max_iterations, hops_per_round
+        )
+
+    def distance_matrix(
+        self,
+        sources: list,
+        targets: list,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> DataFrame:
+        """Many-to-many CH distances — the classic bucket algorithm
+        (Knopp et al. 2007) in DataFrame form, and the shape where the
+        DISTRIBUTED query loop actually wins: the r14 A/B showed a
+        single route's rounds are Spark-latency-bound, so the fix is
+        to amortize every round across ALL queries at once.
+
+        One batched forward upward search from all ``sources`` and one
+        batched backward upward search from all ``targets`` — state
+        keyed ``(origin, _n)``, still ONE fused merge per round — run
+        to upward-cone exhaustion (cones are hierarchy-height-sized by
+        CH theory; no per-pair μ bookkeeping needed), then a single
+        hash join on the meeting node computes all |S|×|T| minima:
+
+            dist(s, t) = min over n of  df(s, n) + db(t, n)
+
+        Returns a DataFrame ``(src, dst, dist)`` — unreachable pairs
+        are absent.  Distances only (the travel-time-matrix use case);
+        for a path, call :meth:`route` on the pair.  Scale shape:
+        round cost is (Σ cone frontiers) per hop — M+N searches for
+        the price of one loop — and the meet is one shuffle join on
+        ``_n``."""
+        if not sources or not targets:
+            raise ValueError("sources and targets must be non-empty")
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        if local:
+            return self._distance_matrix_local(sources, targets)
+        up, down = self._up_down()
+        upk = up.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        downk = down.select(
+            F.col("_v").alias("_k"), F.col("_u").alias("_t"), "w"
+        ).persist()
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("side", T.StringType(), False),
+                T.StructField("origin", idt, False),
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        init = [("f", s, s, 0.0) for s in dict.fromkeys(sources)] + [
+            ("b", t, t, 0.0) for t in dict.fromkeys(targets)
+        ]
+        dist = self.spark.createDataFrame(init, schema)
+        frontier = dist
+        for _ in range(max_iterations):
+            fr = frontier.select(
+                "side",
+                "origin",
+                F.col("_n").alias("_k"),
+                F.col("dist").alias("_fd"),
+            ).hint("broadcast")
+            msgs = (
+                fr.filter(F.col("side") == "f")
+                .join(upk, "_k")
+                .select(
+                    F.lit("f").alias("side"),
+                    "origin",
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                )
+                .unionByName(
+                    fr.filter(F.col("side") == "b")
+                    .join(downk, "_k")
+                    .select(
+                        F.lit("b").alias("side"),
+                        "origin",
+                        F.col("_t").alias("_n"),
+                        (F.col("_fd") + F.col("w")).alias("dist"),
+                    )
+                )
+            )
+            merged = (
+                dist.select(
+                    "side", "origin", "_n", "dist", F.lit(False).alias("_new")
+                )
+                .unionByName(
+                    msgs.select(
+                        "side",
+                        "origin",
+                        "_n",
+                        "dist",
+                        F.lit(True).alias("_new"),
+                    )
+                )
+                .groupBy("side", "origin", "_n")
+                .agg(F.min(F.struct("dist", "_new")).alias("b"))
+                .select(
+                    "side",
+                    "origin",
+                    "_n",
+                    F.col("b.dist").alias("dist"),
+                    F.col("b._new").alias("_imp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            dist = merged.select("side", "origin", "_n", "dist")
+            frontier = merged.filter(F.col("_imp")).select(
+                "side", "origin", "_n", "dist"
+            )
+            if frontier.limit(1).count() == 0:
+                break
+        else:
+            upk.unpersist()
+            downk.unpersist()
+            raise RuntimeError(
+                "distance_matrix hit the iteration cap before the "
+                "upward cones were exhausted; raise max_iterations"
+            )
+        fwd = dist.filter(F.col("side") == "f").select(
+            F.col("origin").alias("src"), "_n", F.col("dist").alias("_df")
+        )
+        bwd = dist.filter(F.col("side") == "b").select(
+            F.col("origin").alias("dst"), "_n", F.col("dist").alias("_db")
+        )
+        out = (
+            fwd.join(bwd, "_n")
+            .groupBy("src", "dst")
+            .agg(F.min(F.col("_df") + F.col("_db")).alias("dist"))
+        )
+        upk.unpersist()
+        downk.unpersist()
+        return out
+
+    def _distance_matrix_local(self, sources, targets) -> DataFrame:
+        import heapq
+
+        up, down, _edges = self._collect_local()
+
+        def dijkstra(adj, src):
+            d = {src: 0.0}
+            pq = [(0.0, 0, src)]
+            order = 0
+            while pq:
+                dd, _o, u = heapq.heappop(pq)
+                if dd > d.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = dd + w
+                    if nd < d.get(v, float("inf")):
+                        order += 1
+                        d[v] = nd
+                        heapq.heappush(pq, (nd, order, v))
+            return d
+
+        fwd = {s: dijkstra(up, s) for s in dict.fromkeys(sources)}
+        bwd = {t: dijkstra(down, t) for t in dict.fromkeys(targets)}
+        rows = []
+        for s, df in fwd.items():
+            for t, db in bwd.items():
+                meet = df.keys() & db.keys()
+                if meet:
+                    rows.append(
+                        (s, t, min(df[n] + db[n] for n in meet))
+                    )
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("src", idt, False),
+                T.StructField("dst", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            sorted(rows, key=lambda r: (str(r[0]), str(r[1]))), schema
+        )
 
     # ------------------------------------------------------ local twin
     def _collect_local(self):
@@ -776,7 +968,9 @@ class ContractionHierarchy:
         return out
 
     # -------------------------------------------------- distributed
-    def _route_pregel(self, source, target, max_iterations):
+    def _route_pregel(
+        self, source, target, max_iterations, hops_per_round=1
+    ):
         up, down = self._up_down()
         # key the expansion tables once: fwd by _u, bwd by _v
         upk = up.select(
@@ -829,15 +1023,15 @@ class ContractionHierarchy:
             # by later 1-hop relaxations (the Dijkstra invariant the
             # convergence probe already certifies).
             def second_hop(msgs, adjk, side_lit):
-                h1 = (
-                    msgs.groupBy("_n")
-                    .agg(F.min(F.struct("dist", "pred")).alias("b"))
-                    .select(
-                        F.col("_n").alias("_k"),
-                        F.col("b.dist").alias("_fd"),
-                    )
-                    .hint("broadcast")
-                )
+                # no per-hop reduce: duplicate messages (several 1-hop
+                # paths into the same intermediate) are tolerated —
+                # the round's single merge groupBy dedups them anyway,
+                # and skipping the reduce keeps the hop shuffle-free
+                # (frontiers are cone-sized, so the fan-out is small)
+                h1 = msgs.select(
+                    F.col("_n").alias("_k"),
+                    F.col("dist").alias("_fd"),
+                ).hint("broadcast")
                 return h1.join(adjk, "_k").select(
                     F.lit(side_lit).alias("side"),
                     F.col("_t").alias("_n"),
@@ -845,17 +1039,17 @@ class ContractionHierarchy:
                     F.col("_k").alias("pred"),
                 )
 
-            msgs_f2 = second_hop(msgs_f, upk, "f")
-            msgs_b2 = second_hop(msgs_b, downk, "b")
+            msgs = msgs_f.unionByName(msgs_b)
+            if hops_per_round >= 2:
+                msgs = msgs.unionByName(
+                    second_hop(msgs_f, upk, "f")
+                ).unionByName(second_hop(msgs_b, downk, "b"))
             merged = (
                 dist.select(
                     "side", "_n", "dist", F.lit(False).alias("_new"), "pred"
                 )
                 .unionByName(
-                    msgs_f.unionByName(msgs_b)
-                    .unionByName(msgs_f2)
-                    .unionByName(msgs_b2)
-                    .select(
+                    msgs.select(
                         "side", "_n", "dist", F.lit(True).alias("_new"), "pred"
                     )
                 )

@@ -289,3 +289,61 @@ def test_ch_save_load_route_parity(spark, tmp_path, grid6):
 def test_ch_load_rejects_non_store(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         ContractionHierarchy.load(spark, str(tmp_path / "nope"))
+
+
+def test_ch_distance_matrix_matches_dijkstra(grid6):
+    """Many-to-many distances == per-pair textbook Dijkstra on the
+    junction grid (local path), src==dst pairs cost 0, and unreachable
+    pairs are absent."""
+    g, ch, adj = grid6
+    srcs = ["0:0", "3:2", "5:5"]
+    tgts = ["5:0", "0:5", "0:0"]
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in ch.distance_matrix(srcs, tgts).collect()
+    }
+    assert len(got) == 9
+    for s in srcs:
+        for t in tgts:
+            want = 0.0 if s == t else _dijkstra(adj, s, t)
+            assert got[(s, t)] == pytest.approx(want, rel=1e-12), (s, t)
+
+
+def test_ch_distance_matrix_pregel_parity(spark):
+    """Forced-distributed batched searches == the local twin on the
+    4x4 grid (state keyed (side, origin, _n), one merge per round)."""
+    g = _grid_graph(spark, 4)
+    ch = ContractionHierarchy.build(g, weight="w", strategy="local")
+    srcs, tgts = ["0:0", "3:0"], ["3:3", "0:3"]
+    loc = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in ch._distance_matrix_local(srcs, tgts).collect()
+    }
+    dist = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in ch.distance_matrix(
+            srcs, tgts, strategy="pregel"
+        ).collect()
+    }
+    assert set(dist) == set(loc)
+    for k in loc:
+        assert dist[k] == pytest.approx(loc[k], rel=1e-12)
+
+
+def test_ch_distance_matrix_unreachable_absent(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "d", 2.0)],
+        "_u string, _v string, w double",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "_n string"
+    )
+    g = SparkGraph(nodes, edges)
+    ch = ContractionHierarchy.build(g, weight="w")
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in ch.distance_matrix(["a", "c"], ["b", "d"]).collect()
+    }
+    assert got == {("a", "b"): 1.0, ("c", "d"): 2.0}
+    with pytest.raises(ValueError):
+        ch.distance_matrix([], ["b"])
