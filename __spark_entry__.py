@@ -37,6 +37,7 @@ _PRIORITY = [
     # --- never sampled (new in round 14) ---
     "g_ch_matrix",
     "g_ch_persist",
+    "g_ch_phast",
     "g_cost_profile",
     "g_turn_restriction",
     "geo_map_match_route",

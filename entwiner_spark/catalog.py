@@ -5939,6 +5939,41 @@ def g_ch_full(spark, sf_dir):
 
 
 @q(
+    "g_ch_phast",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT u, v, row_number() OVER (ORDER BY u, v) AS r
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    e AS (SELECT u, v, 4.0 + power(2.0, -CAST(r AS DOUBLE)) AS w FROM raw),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.dist + e.w FROM walk JOIN e ON e.u = walk.node
+    )
+    SELECT CAST(node AS VARCHAR) AS node, min(dist) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def g_ch_phast(spark, sf_dir):
+    """PHAST one-to-all over the hierarchy (Delling et al. 2011):
+    upward cone search then a down-edges-only fixpoint — exact SSSP in
+    rounds bounded by hierarchy height instead of graph diameter
+    (the reason CH pays for one-to-all workloads at scale).  FORCED
+    ``strategy="pregel"`` so the driver certifies both distributed
+    phases; dyadic tie-free weights keep every sum exact and
+    association-independent, value-hashed per node against the
+    recursive-CTE walk."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _dyadic_graph(spark, sf_dir)
+    ch = ContractionHierarchy.build(g, weight="w")
+    return ch.sssp("0", strategy="pregel").select(
+        F.col("_n").alias("node"), "dist"
+    )
+
+
+@q(
     "g_ch_matrix",
     f"""
     WITH RECURSIVE raw AS (

@@ -840,6 +840,123 @@ class ContractionHierarchy:
         downk.unpersist()
         return out
 
+    def sssp(
+        self,
+        source,
+        strategy: str = "auto",
+        max_iterations: int = 400,
+    ) -> DataFrame:
+        """One-to-ALL distances over the hierarchy — PHAST (Delling et
+        al. 2011) in DataFrame form: (1) upward search from the source
+        to cone exhaustion, then (2) a down-sweep fixpoint that relaxes
+        only DOWNWARD edges from the settled set.  The CH theorem says
+        every shortest path decomposes into up-then-down, so the result
+        is exact; the payoff is the round count — phase 1 is
+        cone-height rounds and phase 2 is bounded by the hierarchy's
+        down-DAG depth (~build rounds, plus core diameter if a core
+        exists), NOT the graph diameter that plain pregel SSSP pays
+        (the 64×64 grid: ~21-level hierarchy vs ~126-hop diameter).
+        Returns ``(_n, dist)`` for every reachable node."""
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        if local:
+            return self._sssp_local(source)
+        up, down = self._up_down()
+        upk = up.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        # down edges traversed FORWARD (unlike the bidirectional
+        # route's backward keying): key by the tail
+        downf = down.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        dist = self.spark.createDataFrame([(source, 0.0)], schema)
+
+        def fixpoint(dist, adjk, phase):
+            frontier = dist
+            for _ in range(max_iterations):
+                fr = frontier.select(
+                    F.col("_n").alias("_k"), F.col("dist").alias("_fd")
+                ).hint("broadcast")
+                msgs = fr.join(adjk, "_k").select(
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                )
+                merged = (
+                    dist.select("_n", "dist", F.lit(False).alias("_new"))
+                    .unionByName(
+                        msgs.select(
+                            "_n", "dist", F.lit(True).alias("_new")
+                        )
+                    )
+                    .groupBy("_n")
+                    .agg(F.min(F.struct("dist", "_new")).alias("b"))
+                    .select(
+                        "_n",
+                        F.col("b.dist").alias("dist"),
+                        F.col("b._new").alias("_imp"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                dist = merged.select("_n", "dist")
+                frontier = merged.filter(F.col("_imp")).select("_n", "dist")
+                if frontier.limit(1).count() == 0:
+                    return dist
+            raise RuntimeError(
+                f"sssp {phase} phase hit the iteration cap; raise "
+                "max_iterations"
+            )
+
+        try:
+            dist = fixpoint(dist, upk, "upward")
+            dist = fixpoint(dist, downf, "down-sweep")
+        finally:
+            upk.unpersist()
+            downf.unpersist()
+        return dist
+
+    def _sssp_local(self, source) -> DataFrame:
+        """Driver twin: Dijkstra over ALL search edges — every search
+        edge is a real path of its weight (original or shortcut), so
+        search-graph distances equal original-graph distances."""
+        import heapq
+
+        _up, _down, edges = self._collect_local()
+        adj: dict = {}
+        for (u, v), (w, _mid) in edges.items():
+            adj.setdefault(u, []).append((v, w))
+        d = {source: 0.0}
+        pq = [(0.0, 0, source)]
+        order = 0
+        while pq:
+            dd, _o, u = heapq.heappop(pq)
+            if dd > d.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = dd + w
+                if nd < d.get(v, float("inf")):
+                    order += 1
+                    d[v] = nd
+                    heapq.heappush(pq, (nd, order, v))
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            sorted(d.items(), key=lambda kv: str(kv[0])), schema
+        )
+
     def _distance_matrix_local(self, sources, targets) -> DataFrame:
         import heapq
 

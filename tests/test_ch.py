@@ -347,3 +347,36 @@ def test_ch_distance_matrix_unreachable_absent(spark):
     assert got == {("a", "b"): 1.0, ("c", "d"): 2.0}
     with pytest.raises(ValueError):
         ch.distance_matrix([], ["b"])
+
+
+def test_ch_sssp_matches_full_dijkstra(grid6):
+    """PHAST one-to-all == textbook Dijkstra to EVERY node of the
+    junction grid (local twin), and the forced-distributed
+    up-then-down sweep agrees."""
+    g, ch, adj = grid6
+    want = {}
+    import heapq as _hq
+
+    dist = {"0:0": 0.0}
+    pq = [(0.0, "0:0")]
+    while pq:
+        d, u = _hq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                _hq.heappush(pq, (nd, v))
+    want = dist
+    got = {r["_n"]: r["dist"] for r in ch.sssp("0:0").collect()}
+    assert set(got) == set(want)
+    for n, d in want.items():
+        assert got[n] == pytest.approx(d, rel=1e-12), n
+    gotp = {
+        r["_n"]: r["dist"]
+        for r in ch.sssp("0:0", strategy="pregel").collect()
+    }
+    assert set(gotp) == set(want)
+    for n, d in want.items():
+        assert gotp[n] == pytest.approx(d, rel=1e-12), n
