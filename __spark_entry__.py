@@ -38,6 +38,7 @@ _PRIORITY = [
     "g_ch_matrix",
     "g_ch_persist",
     "g_ch_phast",
+    "g_ch_route_matrix",
     "g_cost_profile",
     "g_turn_restriction",
     "geo_map_match_route",

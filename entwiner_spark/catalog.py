@@ -6017,6 +6017,59 @@ def g_ch_matrix(spark, sf_dir):
 
 
 @q(
+    "g_ch_route_matrix",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT u, v, row_number() OVER (ORDER BY u, v) AS r
+      FROM ({_GRAPH_EDGES_SQL})
+    ),
+    e AS (SELECT u, v, 4.0 + power(2.0, -CAST(r AS DOUBLE)) AS w FROM raw),
+    walk(src, node, dist, path) AS (
+      SELECT s.s, s.s, CAST(0 AS DOUBLE), CAST(s.s AS VARCHAR)
+      FROM (VALUES (CAST(0 AS BIGINT)), (CAST(5 AS BIGINT)),
+                   (CAST(20 AS BIGINT))) s(s)
+      UNION ALL
+      SELECT walk.src, e.v, walk.dist + e.w,
+             walk.path || '>' || CAST(e.v AS VARCHAR)
+      FROM walk JOIN e ON e.u = walk.node
+    ),
+    fin AS (
+      SELECT src, node AS dst, dist, path,
+             row_number() OVER (
+               PARTITION BY src, node ORDER BY dist
+             ) AS rk
+      FROM walk WHERE node IN (14, 24)
+    )
+    SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
+           dist, path AS route
+    FROM fin WHERE rk = 1
+    """,
+)
+def g_ch_route_matrix(spark, sf_dir):
+    """Path-returning many-to-many routing (`route_matrix`): the
+    batched upward searches carry predecessors through the fused
+    merge, meets and pred walks assemble driver-side (the output IS
+    driver-sized — it contains the paths), and every pair's shortcut
+    expansion shares ONE batched ``_resolve_mids`` frontier.  FORCED
+    ``strategy="pregel"``; dyadic tie-free weights make each pair's
+    optimum route UNIQUE, so the full unpacked node sequence AND the
+    unrounded cost are value-hashed against the multi-source
+    recursive-CTE walk; the unreachable (20, 14) pair is absent on
+    both engines."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _dyadic_graph(spark, sf_dir)
+    ch = ContractionHierarchy.build(g, weight="w")
+    out = ch.route_matrix(["0", "5", "20"], ["14", "24"], strategy="pregel")
+    return out.select(
+        "src",
+        "dst",
+        "dist",
+        F.array_join("path", ">").alias("route"),
+    )
+
+
+@q(
     "g_ch_persist",
     f"""
     {_DYADIC_WALK_SQL},

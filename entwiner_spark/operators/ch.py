@@ -957,6 +957,221 @@ class ContractionHierarchy:
             sorted(d.items(), key=lambda kv: str(kv[0])), schema
         )
 
+    def route_matrix(
+        self,
+        sources: list,
+        targets: list,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> DataFrame:
+        """Path-returning companion of :meth:`distance_matrix`:
+        ``(src, dst, dist, path)`` for every reachable pair, with
+        ``path`` the fully unpacked raw-node sequence.
+
+        Same batched upward searches (preds carried through the fused
+        merge), then driver-side assembly: the settled cones are
+        collected ONCE (guarded by the trace cap — cones are
+        hierarchy-height-sized by CH theory), meets and pred walks are
+        in-memory per pair, and every pair's shortcut expansion shares
+        ONE batched ``_resolve_mids`` frontier so the per-level
+        collects amortize across the whole matrix.  The output is
+        driver-sized by definition (it contains the paths), so the
+        driver-side assembly is not a scale compromise."""
+        if not sources or not targets:
+            raise ValueError("sources and targets must be non-empty")
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        idt = self.ranks.schema["_n"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("src", idt, False),
+                T.StructField("dst", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("path", T.ArrayType(idt), False),
+            ]
+        )
+        if local:
+            rows = []
+            for s in dict.fromkeys(sources):
+                for t in dict.fromkeys(targets):
+                    r = (
+                        ([s], 0.0)
+                        if s == t
+                        else self._route_local(s, t)
+                    )
+                    if r is not None:
+                        rows.append((s, t, r[1], r[0]))
+            return self.spark.createDataFrame(
+                sorted(rows, key=lambda r: (str(r[0]), str(r[1]))),
+                out_schema,
+            )
+        up, down = self._up_down()
+        upk = up.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        downk = down.select(
+            F.col("_v").alias("_k"), F.col("_u").alias("_t"), "w"
+        ).persist()
+        schema = T.StructType(
+            [
+                T.StructField("side", T.StringType(), False),
+                T.StructField("origin", idt, False),
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("pred", idt, True),
+            ]
+        )
+        init = [
+            ("f", s, s, 0.0, None) for s in dict.fromkeys(sources)
+        ] + [("b", t, t, 0.0, None) for t in dict.fromkeys(targets)]
+        dist = self.spark.createDataFrame(init, schema)
+        frontier = dist
+        for _ in range(max_iterations):
+            fr = frontier.select(
+                "side",
+                "origin",
+                F.col("_n").alias("_k"),
+                F.col("dist").alias("_fd"),
+            ).hint("broadcast")
+            msgs = (
+                fr.filter(F.col("side") == "f")
+                .join(upk, "_k")
+                .select(
+                    F.lit("f").alias("side"),
+                    "origin",
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                    F.col("_k").alias("pred"),
+                )
+                .unionByName(
+                    fr.filter(F.col("side") == "b")
+                    .join(downk, "_k")
+                    .select(
+                        F.lit("b").alias("side"),
+                        "origin",
+                        F.col("_t").alias("_n"),
+                        (F.col("_fd") + F.col("w")).alias("dist"),
+                        F.col("_k").alias("pred"),
+                    )
+                )
+            )
+            merged = (
+                dist.select(
+                    "side",
+                    "origin",
+                    "_n",
+                    "dist",
+                    F.lit(False).alias("_new"),
+                    "pred",
+                )
+                .unionByName(
+                    msgs.select(
+                        "side",
+                        "origin",
+                        "_n",
+                        "dist",
+                        F.lit(True).alias("_new"),
+                        "pred",
+                    )
+                )
+                .groupBy("side", "origin", "_n")
+                .agg(F.min(F.struct("dist", "_new", "pred")).alias("b"))
+                .select(
+                    "side",
+                    "origin",
+                    "_n",
+                    F.col("b.dist").alias("dist"),
+                    F.col("b.pred").alias("pred"),
+                    F.col("b._new").alias("_imp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            dist = merged.select("side", "origin", "_n", "dist", "pred")
+            frontier = merged.filter(F.col("_imp")).select(
+                "side", "origin", "_n", "dist"
+            )
+            if frontier.limit(1).count() == 0:
+                break
+        else:
+            upk.unpersist()
+            downk.unpersist()
+            raise RuntimeError(
+                "route_matrix hit the iteration cap before the upward "
+                "cones were exhausted; raise max_iterations"
+            )
+        n_settled = dist.limit(self._TRACE_COLLECT_CAP + 1).count()
+        if n_settled > self._TRACE_COLLECT_CAP:
+            upk.unpersist()
+            downk.unpersist()
+            raise RuntimeError(
+                "route_matrix settled state exceeds the driver cap "
+                f"({self._TRACE_COLLECT_CAP} rows) — degenerate "
+                "hierarchy or very large batch; use distance_matrix "
+                "for distances or route() per pair"
+            )
+        fwd: dict = {}
+        bwd: dict = {}
+        for r in dist.collect():
+            side_map = fwd if r["side"] == "f" else bwd
+            side_map.setdefault(r["origin"], {})[r["_n"]] = (
+                r["dist"],
+                r["pred"],
+            )
+        upk.unpersist()
+        downk.unpersist()
+        pairs_out = []
+        all_pairs: set = set()
+        for s in dict.fromkeys(sources):
+            df = fwd.get(s, {})
+            for t in dict.fromkeys(targets):
+                db = bwd.get(t, {})
+                meet, mu = None, None
+                for n in df.keys() & db.keys():
+                    c = df[n][0] + db[n][0]
+                    if mu is None or c < mu or (
+                        c == mu and str(n) < str(meet)
+                    ):
+                        meet, mu = n, c
+                if meet is None:
+                    continue
+                walk = [meet]
+                cur = df[meet][1]
+                while cur is not None:
+                    walk.append(cur)
+                    cur = df[cur][1]
+                walk.reverse()
+                cur = db[meet][1]
+                while cur is not None:
+                    walk.append(cur)
+                    cur = db[cur][1]
+                pairs_out.append((s, t, mu, walk))
+                all_pairs.update(zip(walk, walk[1:]))
+        resolved = self._resolve_mids(all_pairs) if all_pairs else {}
+
+        def expand_all(walk):
+            out = [walk[0]]
+            for a, b in zip(walk, walk[1:]):
+                stack = [(a, b)]
+                while stack:
+                    u, v = stack.pop()
+                    mid = resolved[(u, v)]
+                    if mid is None:
+                        out.append(v)
+                    else:
+                        stack.append((mid, v))
+                        stack.append((u, mid))
+            return out
+
+        rows = [
+            (s, t, mu, expand_all(walk) if len(walk) > 1 else walk)
+            for s, t, mu, walk in pairs_out
+        ]
+        return self.spark.createDataFrame(
+            sorted(rows, key=lambda r: (str(r[0]), str(r[1]))),
+            out_schema,
+        )
+
     def _distance_matrix_local(self, sources, targets) -> DataFrame:
         import heapq
 
@@ -1281,8 +1496,34 @@ class ContractionHierarchy:
         pairs = list(zip(path, path[1:]))
         if not pairs:
             return list(path)
+        resolved = self._resolve_mids(set(pairs))
+
+        def expand(a, b):
+            # iterative: nesting depth can exceed the recursion limit
+            seq = []
+            stack = [(a, b)]
+            while stack:
+                u, v = stack.pop()
+                mid = resolved[(u, v)]
+                if mid is None:
+                    seq.append(v)
+                else:
+                    stack.append((mid, v))
+                    stack.append((u, mid))
+            return seq
+
+        out = [path[0]]
+        for a, b in pairs:
+            out.extend(expand(a, b))
+        return out
+
+    def _resolve_mids(self, frontier: set) -> dict:
+        """Shared shortcut resolver: map every needed (u, v) search
+        pair — starting from ``frontier``, recursing into mids — to
+        its bypass node (None = original edge).  Batching many paths'
+        pairs into ONE frontier amortizes the per-level collects
+        across all of them (the route_matrix case)."""
         resolved: dict = {}
-        frontier = set(pairs)
         # each level strictly descends the hierarchy (a shortcut's mid
         # always ranks below both endpoints), so this terminates; depth
         # is unbounded in general — sequential contraction of a chain
@@ -1314,22 +1555,4 @@ class ContractionHierarchy:
                     nxt.add((k[0], mid))
                     nxt.add((mid, k[1]))
             frontier = {k for k in nxt if k not in resolved}
-
-        def expand(a, b):
-            # iterative: nesting depth can exceed the recursion limit
-            seq = []
-            stack = [(a, b)]
-            while stack:
-                u, v = stack.pop()
-                mid = resolved[(u, v)]
-                if mid is None:
-                    seq.append(v)
-                else:
-                    stack.append((mid, v))
-                    stack.append((u, mid))
-            return seq
-
-        out = [path[0]]
-        for a, b in pairs:
-            out.extend(expand(a, b))
-        return out
+        return resolved

@@ -380,3 +380,52 @@ def test_ch_sssp_matches_full_dijkstra(grid6):
     assert set(gotp) == set(want)
     for n, d in want.items():
         assert gotp[n] == pytest.approx(d, rel=1e-12), n
+
+
+def test_ch_route_matrix_paths_and_costs(grid6):
+    """route_matrix == per-pair route (cost AND a real raw-edge walk
+    summing to it) on the junction grid; src==dst gives [src]/0."""
+    g, ch, adj = grid6
+    wmap = {}
+    for u, lst in adj.items():
+        for v, w in lst:
+            wmap[(u, v)] = min(wmap.get((u, v), float("inf")), w)
+    srcs, tgts = ["0:0", "5:5"], ["5:0", "0:0"]
+    rows = {
+        (r["src"], r["dst"]): (r["dist"], r["path"])
+        for r in ch.route_matrix(srcs, tgts).collect()
+    }
+    assert len(rows) == 4
+    for s in srcs:
+        for t in tgts:
+            d, p = rows[(s, t)]
+            if s == t:
+                assert (d, p) == (0.0, [s])
+                continue
+            want = _dijkstra(adj, s, t)
+            assert d == pytest.approx(want, rel=1e-12), (s, t)
+            assert p[0] == s and p[-1] == t
+            walk = sum(wmap[(a, b)] for a, b in zip(p, p[1:]))
+            assert walk == pytest.approx(d, rel=1e-12)
+
+
+def test_ch_route_matrix_pregel_parity(spark):
+    g = _grid_graph(spark, 4)
+    ch = ContractionHierarchy.build(g, weight="w", strategy="local")
+    srcs, tgts = ["0:0", "3:0"], ["3:3"]
+    loc = {
+        (r["src"], r["dst"]): (r["dist"], tuple(r["path"]))
+        for r in ch.route_matrix(srcs, tgts, strategy="local").collect()
+    }
+    dst = {
+        (r["src"], r["dst"]): (r["dist"], tuple(r["path"]))
+        for r in ch.route_matrix(srcs, tgts, strategy="pregel").collect()
+    }
+    assert set(loc) == set(dst)
+    adj = {}
+    for r in g.edges.collect():
+        adj.setdefault(r["_u"], []).append((r["_v"], r["w"]))
+    for k in loc:
+        assert dst[k][0] == pytest.approx(loc[k][0], rel=1e-12)
+        # equal-cost optima may differ; both ends must pin
+        assert dst[k][1][0] == k[0] and dst[k][1][-1] == k[1]
