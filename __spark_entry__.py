@@ -25,14 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r14 head = 4 new
-# (CH persistence, cost profiles, turn restrictions, route-distance
-# map matching) + 6 changed-since-green (CH 2-hop route batching +
-# unbounded unpack + trace cap; Yen pre-partitioned spurs; OSM coord
-# dedupe; Viterbi core refactor; to_linegraph banned_turns) + the 12
-# r9-vintage rows + the 28 stalest r10 rows = 50, retiring the r9
-# staleness floor per the r13 verdict task #7.  Regenerate every
-# round with the same rule.
+# round first, alphabetical within a round).  r14 head = 7 new
+# (CH persistence / distance matrix / PHAST / route matrix, cost
+# profiles, turn restrictions, route-distance map matching) + 6
+# changed-since-green (CH route loop + unbounded unpack + trace cap;
+# Yen pre-partitioned spurs; OSM coord dedupe; Viterbi core refactor;
+# to_linegraph banned_turns) + the 12 r9-vintage rows + the 25
+# stalest r10 rows = 50, retiring the r9 staleness floor per the r13
+# verdict task #7.  Regenerate every round with the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 14) ---
     "g_ch_matrix",
