@@ -2463,6 +2463,130 @@ def g_turn_restriction(spark, sf_dir):
     )
 
 
+def _ch_turn_oracle_sql() -> str:
+    """Independent pure-Python replay for the edge-based-CH gate: the
+    SAME maneuver-minor Dijkstra as ``_turn_oracle_sql`` (haversine
+    atan2 R=6371000 lengths, no u-turns, both approaches of the from
+    way banned onto the to way), restricted scenario only, emitted as
+    the ORIGINAL-node sequence — the edge-based hierarchy's route()
+    output shape.  3-dp cost; detour margin ~100 m."""
+    import heapq
+    import math
+
+    lon0, lat0 = -122.3, 47.6
+    pts = {
+        1: (lon0, lat0),
+        2: (lon0 + 1.0e-3, lat0),
+        3: (lon0 + 2.0e-3, lat0),
+        4: (lon0 + 1.0e-3, lat0 + 1.0e-3),
+        5: (lon0 + 2.0e-3, lat0 + 1.0e-3),
+    }
+
+    def hav(a, b):
+        (x1, y1), (x2, y2) = pts[a], pts[b]
+        dlat = math.radians(y2 - y1)
+        dlon = math.radians(x2 - x1)
+        s = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(y1))
+            * math.cos(math.radians(y2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6_371_000.0 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+
+    segs = [(1, 2), (2, 3), (2, 4), (3, 5), (5, 4)]
+    dir_edges = [(u, v) for u, v in segs] + [(v, u) for u, v in segs]
+    banned = {((1, 2), (2, 4)), ((3, 2), (2, 4))}
+    start = (1, 2)
+    dist = {start: hav(1, 2)}
+    pred: dict = {start: None}
+    pq = [(dist[start], start)]
+    while pq:
+        d, e = heapq.heappop(pq)
+        if d > dist[e]:
+            continue
+        for e2 in dir_edges:
+            if e2[0] != e[1] or e2[1] == e[0]:
+                continue
+            if (e, e2) in banned:
+                continue
+            nd = d + hav(*e2)
+            if nd < dist.get(e2, float("inf")):
+                dist[e2], pred[e2] = nd, e
+                heapq.heappush(pq, (nd, e2))
+    best = min((e for e in dist if e[1] == 4), key=lambda e: dist[e])
+    epath, cur = [], best
+    while cur is not None:
+        epath.append(cur)
+        cur = pred[cur]
+    epath.reverse()
+    node_path = [epath[0][0]] + [e[1] for e in epath]
+    cost = round(dist[best], 3)
+    vals = ", ".join(
+        f"({i}, {n}, {cost!r})" for i, n in enumerate(node_path)
+    )
+    return (
+        "SELECT CAST(step AS BIGINT) AS step, "
+        "CAST(node_ref AS BIGINT) AS node_ref, "
+        "CAST(cost_m AS DOUBLE) AS cost_m "
+        f"FROM (VALUES {vals}) t(step, node_ref, cost_m)"
+    )
+
+
+@q("g_ch_turn", _ch_turn_oracle_sql())
+def g_ch_turn(spark, sf_dir):
+    """Edge-based contraction hierarchy (r14-verdict task #1): the
+    maneuver minor of the OSM turn-restriction fixture is CONTRACTED
+    (operators/ch_edge.EdgeBasedCH — CH over to_linegraph, terminals
+    seeded with the first edge's weight), the artifact is ``save()``d
+    and ``load()``ed back, and the restricted route is answered
+    THROUGH the reloaded hierarchy — turn restrictions composed with
+    CH query speed, the composition the two driver-green halves
+    (g_turn_restriction and g_ch_full) previously lacked.  The
+    unrestricted optimum provably takes the banned left, so the
+    returned node sequence must be the detour; every step plus the
+    3-dp total cost is value-hashed against an independent
+    pure-Python maneuver-Dijkstra replay.  Route FORCED
+    ``strategy="pregel"`` so the driver certifies the distributed
+    batched route_matrix over the terminal pairs."""
+    import os
+    import shutil
+    import tempfile
+
+    from entwiner_spark.operators.ch_edge import EdgeBasedCH
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.sources.osm import graph_from_osm
+
+    d = tempfile.mkdtemp(prefix="g_ch_turn_")
+    try:
+        p = os.path.join(d, "turn.osm")
+        with open(p, "w") as fh:
+            fh.write(_turn_fixture_xml())
+        nodes, edges, bans = graph_from_osm(
+            spark, str(p), with_restrictions=True
+        )
+        edges = edges.localCheckpoint()
+        g = SparkGraph(nodes, edges)
+        node_ref = {}
+        for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect():
+            node_ref[r["_u"]] = r["_u_ref"]
+            node_ref[r["_v"]] = r["_v_ref"]
+        src = next(n for n, rr in node_ref.items() if rr == 1)
+        tgt = next(n for n, rr in node_ref.items() if rr == 4)
+        eb = EdgeBasedCH.build(g, weight="_length", banned_turns=bans)
+        eb.save(os.path.join(d, "store"))
+        reloaded = EdgeBasedCH.load(spark, os.path.join(d, "store"))
+        path, cost = reloaded.route(src, tgt, strategy="pregel")
+        rows = [
+            (i, node_ref[n], round(cost, 3)) for i, n in enumerate(path)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "step long, node_ref long, cost_m double"
+    )
+
+
 _COST_PTS = {
     1: (-122.2, 47.5),  # A
     2: (-122.2 + 1.0e-3, 47.5 + 2.0e-4),  # R (short residential via)

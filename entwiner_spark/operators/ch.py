@@ -93,6 +93,7 @@ class ContractionHierarchy:
         n_search_edges: int,
         rounds: int,
         core_size: int,
+        edge_fingerprint: str | None = None,
     ):
         self.spark = spark
         self.ranks = ranks
@@ -100,7 +101,59 @@ class ContractionHierarchy:
         self.n_search_edges = n_search_edges
         self.rounds = rounds
         self.core_size = core_size
+        self.edge_fingerprint = edge_fingerprint
         self._local_cache: tuple | None = None
+
+    # ------------------------------------------------------ freshness
+    @staticmethod
+    def _graph_fingerprint(graph, weight) -> str:
+        """Order-independent digest of the canonical routable edge
+        frame (self-loops dropped, parallel-min'd, weight projected) —
+        ``count:bit_xor(xxhash64(u, v, w))``.  Cheap (one aggregate scan)
+        and exactly the frame ``build`` contracts, so any keyed edge
+        mutation (M1/M2), weight change, or added/dropped edge flips
+        it."""
+        w = graph._weight_col(weight)
+        e = (
+            graph.edges.select("_u", "_v", w.cast("double").alias("w"))
+            .filter(F.col("_u") != F.col("_v"))
+            .groupBy("_u", "_v")
+            .agg(F.min("w").alias("w"))
+        )
+        row = e.select(
+            F.xxhash64(
+                F.col("_u").cast("string"),
+                F.col("_v").cast("string"),
+                F.col("w").cast("string"),
+            ).alias("_h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent and overflow-free (ANSI-safe,
+            # unlike sum over int64 hashes)
+            F.expr("bit_xor(_h)").alias("h"),
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"
+
+    def check_fresh(self, graph, weight: str | None = None) -> None:
+        """Raise unless ``graph``'s edge table still matches the one
+        this hierarchy was built from (same ``weight`` argument as the
+        build).  A persisted artifact outlives the session; after a
+        keyed update (operators/mutations M1/M2) it would otherwise
+        silently serve STALE shortcut costs — the contract is rebuild
+        (or refuse), never wrong answers."""
+        if self.edge_fingerprint is None:
+            raise ValueError(
+                "hierarchy carries no edge fingerprint (pre-r15 "
+                "artifact); rebuild to enable staleness checking"
+            )
+        live = self._graph_fingerprint(graph, weight)
+        if live != self.edge_fingerprint:
+            raise RuntimeError(
+                f"stale contraction hierarchy: built from edge table "
+                f"{self.edge_fingerprint} but the live graph hashes to "
+                f"{live} — the edges changed since build(); rebuild "
+                "the hierarchy before routing"
+            )
 
     # ----------------------------------------------------- persistence
     _META = "_ch_meta.json"
@@ -149,22 +202,43 @@ class ContractionHierarchy:
                         "n_search_edges": self.n_search_edges,
                         "rounds": self.rounds,
                         "core_size": self.core_size,
+                        "edge_fingerprint": self.edge_fingerprint,
                     },
                     fh,
                 )
+            # replace-aside publish: the previous artifact is renamed
+            # away (atomic) BEFORE the new one renames in, so a crash
+            # between the two leaves either the old store or the old
+            # store under .old — never a missing/half-written path —
+            # and the window where readers see no store at all is two
+            # renames, not an rmtree of the whole artifact
+            old = store_dir + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
             if os.path.exists(store_dir):
-                shutil.rmtree(store_dir)
+                os.rename(store_dir, old)
             os.rename(tmp, store_dir)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
         finally:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
 
     @classmethod
     def load(
-        cls, spark: SparkSession, store_dir: str
+        cls,
+        spark: SparkSession,
+        store_dir: str,
+        graph=None,
+        weight: str | None = None,
     ) -> "ContractionHierarchy":
         """Reload a ``save()``d artifact into a routable hierarchy —
-        build once (hours at scale), route many, across sessions."""
+        build once (hours at scale), route many, across sessions.
+
+        Pass ``graph`` (and the build's ``weight``) to verify the
+        artifact against the LIVE edge table before routing
+        (:meth:`check_fresh`) — a keyed update since ``save()`` raises
+        loudly instead of silently serving stale costs."""
         import json
         import os
 
@@ -177,14 +251,18 @@ class ContractionHierarchy:
             meta = json.load(fh)
         search = spark.read.parquet(f"{store_dir}/search.parquet")
         ranks = spark.read.parquet(f"{store_dir}/ranks.parquet")
-        return cls(
+        ch = cls(
             spark,
             ranks,
             search,
             int(meta["n_search_edges"]),
             int(meta["rounds"]),
             int(meta["core_size"]),
+            meta.get("edge_fingerprint"),
         )
+        if graph is not None:
+            ch.check_fresh(graph, weight)
+        return ch
 
     # ----------------------------------------------------------- build
     @classmethod
@@ -363,7 +441,15 @@ class ContractionHierarchy:
                 ]
             ),
         )
-        return cls(spark, ranks_df, search_df, len(rows), len(ranks), 0)
+        return cls(
+            spark,
+            ranks_df,
+            search_df,
+            len(rows),
+            len(ranks),
+            0,
+            cls._graph_fingerprint(graph, weight),
+        )
 
     @classmethod
     def _build_pregel(
@@ -658,6 +744,7 @@ class ContractionHierarchy:
             search.count(),
             rounds,
             core_size,
+            cls._graph_fingerprint(graph, weight),
         )
 
     # ----------------------------------------------------------- query
@@ -1477,17 +1564,34 @@ class ContractionHierarchy:
                 out.append(cur)
                 cur = rows.get(cur)
             return out
+        # bounded walk: a pred chain can never exceed the settled-side
+        # row count, and a zero-weight tie in the min-struct merge can
+        # in principle produce a pred CYCLE — track visited and raise
+        # loudly instead of looping one Spark job per hop forever.
+        # Filter with a typed literal (not string casts): cast-to-
+        # string formatting need not match Python's str() for every
+        # id type (e.g. floats), and the typed comparison keeps the
+        # parquet min/max pruning on _n.
         out = [meet]
+        seen = {meet}
         cur = meet
-        while True:
-            hop = side_df.filter(
-                F.col("_n").cast("string") == str(cur)
-            ).collect()
+        for _ in range(self._TRACE_COLLECT_CAP):
+            hop = side_df.filter(F.col("_n") == F.lit(cur)).collect()
             nxt = hop[0]["pred"] if hop else None
             if nxt is None:
                 return out
+            if nxt in seen:
+                raise RuntimeError(
+                    f"_trace: predecessor cycle at {nxt!r} (side "
+                    f"{side!r}) — zero-weight tie in the merge?"
+                )
             out.append(nxt)
+            seen.add(nxt)
             cur = nxt
+        raise RuntimeError(
+            "_trace: pred walk exceeded the settled-side cap "
+            f"({self._TRACE_COLLECT_CAP}) without reaching the origin"
+        )
 
     def _unpack_distributed(self, path):
         """Expand shortcut mids level-by-level: each level filters the

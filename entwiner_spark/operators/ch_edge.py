@@ -1,0 +1,305 @@
+"""Edge-based (turn-aware) contraction hierarchies — CH over the
+maneuver minor, so turn-RESTRICTED and turn-penalized routing gets CH
+query speed (reference TODO.md:62-76 lists "deriving a minor
+(maneuvers)" and "contraction hierarchies" as sibling roadmap bullets;
+production routers contract the edge-based graph for exactly this
+composition — e.g. OSRM's edge-expanded graph).
+
+The two halves already exist and are driver-green separately:
+``SparkGraph.to_linegraph(banned_turns=, turn_cost=)`` builds the
+maneuver minor (every directed edge a node, every legal adjacent-edge
+pair an arc weighted ``w(e2) + turn_cost(e1, e2)``), and
+``ContractionHierarchy`` contracts any SparkGraph.  This module is the
+composition: contract the MINOR, then answer node-to-node queries by
+mapping endpoints to minor terminals —
+
+* source node ``u``  →  every minor node ``u→x`` (edges leaving u),
+  seeded with offset ``w(u→x)`` (the minor's path cost excludes the
+  first edge's own weight by construction);
+* target node ``v``  →  every minor node ``y→v`` (edges entering v).
+
+A node-to-node query is then a tiny many-to-many over the hierarchy —
+``out-degree × in-degree`` pairs — which is exactly the batched
+:meth:`ContractionHierarchy.route_matrix` /
+:meth:`~ContractionHierarchy.distance_matrix` shape, so the terminal
+fan-out rides the amortized upward searches instead of multiplying
+query latency.  Exactness: a shortest legal edge sequence u→…→v is a
+shortest minor path from some out-terminal to some in-terminal plus
+the first edge's weight (to_linegraph docstring invariant), and CH
+queries over the minor are exact, so the minimum over terminal pairs
+is the exact turn-aware optimum.
+
+Scale shape: the minor has |E| nodes and Σ in·out arcs — the same
+fan-out the linegraph itself has — and the hierarchy is built ONCE
+(persistable via :meth:`save`); per-query work is two degree-sized
+terminal lookups plus one batched CH matrix query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entwiner_spark.operators.ch import ContractionHierarchy
+
+
+class EdgeBasedCH:
+    """Built artifact: a :class:`ContractionHierarchy` over the
+    maneuver minor plus the terminal registry ``(_n, _edge_u,
+    _edge_v, _w0)`` mapping every minor node back to its directed
+    original edge and that edge's own weight."""
+
+    def __init__(
+        self, ch: ContractionHierarchy, terminals: DataFrame
+    ):
+        self.ch = ch
+        self.spark = ch.spark
+        self.terminals = terminals
+
+    # ----------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        graph,
+        weight: str | None = None,
+        banned_turns: DataFrame | None = None,
+        turn_cost=None,
+        allow_uturn: bool = False,
+        coords_col: str | None = None,
+        **ch_kwargs,
+    ) -> "EdgeBasedCH":
+        """Contract ``graph``'s maneuver minor.  Arguments mirror
+        :meth:`SparkGraph.to_linegraph` (``allow_uturn`` defaults OFF
+        — the standard maneuver-model choice for road routing);
+        ``ch_kwargs`` pass through to
+        :meth:`ContractionHierarchy.build` (strategy, max_rounds,
+        local_finish)."""
+        minor = graph.to_linegraph(
+            weight=weight,
+            turn_cost=turn_cost,
+            allow_uturn=allow_uturn,
+            coords_col=coords_col,
+            banned_turns=banned_turns,
+        )
+        ch = ContractionHierarchy.build(minor, weight="w", **ch_kwargs)
+        w0 = (
+            F.col(weight).cast("double")
+            if weight is not None
+            else F.lit(1.0)
+        )
+        terminals = (
+            minor.nodes.select(
+                "_n", "_edge_u", "_edge_v", w0.alias("_w0")
+            )
+            .localCheckpoint(eager=False)
+        )
+        return cls(ch, terminals)
+
+    # ------------------------------------------------------ persistence
+    _META = "_chedge_meta.json"
+
+    def save(self, store_dir: str, partitions: int | None = None) -> None:
+        """Persist hierarchy + terminal registry with the same
+        replace-aside temp→rename publish as
+        :meth:`ContractionHierarchy.save`."""
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        if "://" in store_dir:
+            raise ValueError(
+                f"{store_dir}: edge-based CH store publishes via "
+                "local-FS rename; use a local path"
+            )
+        parent = os.path.dirname(os.path.abspath(store_dir)) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="_chedge_tmp_", dir=parent)
+        try:
+            self.ch.save(os.path.join(tmp, "ch"), partitions=partitions)
+            n = partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            (
+                self.terminals.repartition(max(1, n // 4), "_edge_u")
+                .sortWithinPartitions("_edge_u")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/terminals.parquet")
+            )
+            with open(os.path.join(tmp, self._META), "w") as fh:
+                json.dump({"kind": "edge_based_ch"}, fh)
+            old = store_dir + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(store_dir):
+                os.rename(store_dir, old)
+            os.rename(tmp, store_dir)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    @classmethod
+    def load(cls, spark: SparkSession, store_dir: str) -> "EdgeBasedCH":
+        import os
+
+        meta_path = os.path.join(store_dir, cls._META)
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"{store_dir}: not an edge-based CH store "
+                f"(no {cls._META})"
+            )
+        ch = ContractionHierarchy.load(spark, os.path.join(store_dir, "ch"))
+        terminals = spark.read.parquet(f"{store_dir}/terminals.parquet")
+        return cls(ch, terminals)
+
+    # ----------------------------------------------------------- query
+    def _source_terminals(self, source) -> list[tuple]:
+        return [
+            (r["_n"], float(r["_w0"]))
+            for r in self.terminals.filter(F.col("_edge_u") == F.lit(source))
+            .select("_n", "_w0")
+            .collect()
+        ]
+
+    def _target_terminals(self, target) -> list:
+        return [
+            r["_n"]
+            for r in self.terminals.filter(F.col("_edge_v") == F.lit(target))
+            .select("_n")
+            .collect()
+        ]
+
+    def _decode(self, minor_path: list) -> list:
+        """Minor-node path → original node path via the terminal
+        registry (route-sized isin filter; no string splitting, so
+        node ids containing the separator stay safe)."""
+        rows = (
+            self.terminals.filter(F.col("_n").isin(list(minor_path)))
+            .select("_n", "_edge_u", "_edge_v")
+            .collect()
+        )
+        m = {r["_n"]: (r["_edge_u"], r["_edge_v"]) for r in rows}
+        return [m[minor_path[0]][0]] + [m[x][1] for x in minor_path]
+
+    def route(
+        self,
+        source,
+        target,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> tuple[list, float] | None:
+        """Turn-aware point-to-point: the raw ORIGINAL-node path and
+        exact cost under the minor's metric (edge weights + turn
+        costs, banned maneuvers absent), or None if no legal route
+        exists.  One batched ``route_matrix`` over out-degree ×
+        in-degree terminal pairs."""
+        if source == target:
+            return [source], 0.0
+        srcs = self._source_terminals(source)
+        tgts = self._target_terminals(target)
+        if not srcs or not tgts:
+            return None
+        rm = self.ch.route_matrix(
+            [s for s, _ in srcs],
+            tgts,
+            strategy=strategy,
+            max_iterations=max_iterations,
+        )
+        w0 = dict(srcs)
+        best = None
+        for r in rm.collect():
+            c = w0[r["src"]] + r["dist"]
+            key = (c, str(r["src"]), str(r["dst"]))
+            if best is None or key < best[0]:
+                best = (key, r["path"])
+        if best is None:
+            return None
+        return self._decode(list(best[1])), best[0][0]
+
+    def distance_matrix(
+        self,
+        sources: list,
+        targets: list,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> DataFrame:
+        """Turn-aware many-to-many distances ``(src, dst, dist)`` —
+        all sources' out-terminals and all targets' in-terminals ride
+        ONE batched hierarchy query (Knopp-style), then two broadcast
+        map joins + a groupBy-min fold the terminal pairs back to
+        node pairs.  Unreachable pairs are absent; a node appearing on
+        both sides contributes its trivial ``(s, s, 0.0)`` row."""
+        if not sources or not targets:
+            raise ValueError("sources and targets must be non-empty")
+        sources = list(dict.fromkeys(sources))
+        targets = list(dict.fromkeys(targets))
+        idt = self.terminals.schema["_edge_u"].dataType
+        srows = [
+            (r["_n"], r["_edge_u"], float(r["_w0"]))
+            for r in self.terminals.filter(F.col("_edge_u").isin(sources))
+            .select("_n", "_edge_u", "_w0")
+            .collect()
+        ]
+        trows = [
+            (r["_n"], r["_edge_v"])
+            for r in self.terminals.filter(F.col("_edge_v").isin(targets))
+            .select("_n", "_edge_v")
+            .collect()
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("src", idt, False),
+                T.StructField("dst", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        trivial = [
+            (s, s, 0.0) for s in sources if s in set(targets)
+        ]
+        if not srows or not trows:
+            return self.spark.createDataFrame(trivial, out_schema)
+        lmat = self.ch.distance_matrix(
+            [s for s, _u, _w in srows],
+            [t for t, _v in trows],
+            strategy=strategy,
+            max_iterations=max_iterations,
+        )
+        smap = self.spark.createDataFrame(
+            srows,
+            T.StructType(
+                [
+                    T.StructField("src", T.StringType(), False),
+                    T.StructField("_osrc", idt, False),
+                    T.StructField("_w0", T.DoubleType(), False),
+                ]
+            ),
+        )
+        tmap = self.spark.createDataFrame(
+            trows,
+            T.StructType(
+                [
+                    T.StructField("dst", T.StringType(), False),
+                    T.StructField("_odst", idt, False),
+                ]
+            ),
+        )
+        folded = (
+            lmat.join(F.broadcast(smap), "src")
+            .join(F.broadcast(tmap), "dst")
+            .groupBy(
+                F.col("_osrc").alias("src"), F.col("_odst").alias("dst")
+            )
+            .agg(F.min(F.col("_w0") + F.col("dist")).alias("dist"))
+        )
+        if trivial:
+            folded = (
+                folded.unionByName(
+                    self.spark.createDataFrame(trivial, out_schema)
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return folded

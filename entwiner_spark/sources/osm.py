@@ -289,6 +289,18 @@ def banned_turn_pairs(
     r = restrictions.select(
         "rel_id",
         F.col("rtype").startswith("only_").alias("_only"),
+        # same-way no_* (no_u_turn, or any no_* whose from == to):
+        # way-granularity would ban EVERY departure on the way at the
+        # via node — including continuing straight through an interior
+        # junction — when the restricted maneuver is only the
+        # REVERSAL; match those by the departure's far end instead
+        (
+            ~F.col("rtype").startswith("only_")
+            & (
+                (F.col("rtype") == "no_u_turn")
+                | (F.col("from_way") == F.col("to_way"))
+            )
+        ).alias("_rev_only"),
         "from_way",
         "via_node",
         "to_way",
@@ -300,8 +312,10 @@ def banned_turn_pairs(
     ).select(
         F.col("_u").alias("_u1"),
         F.col("_v").alias("_v1"),
+        F.col("_u_ref").alias("_uref1"),
         "rel_id",
         "_only",
+        "_rev_only",
         "via_node",
         "to_way",
     )
@@ -310,13 +324,21 @@ def banned_turn_pairs(
         F.col("_v").alias("_v2"),
         F.col("_way_id").alias("_wid2"),
         F.col("_u_ref").alias("_uref2"),
+        F.col("_v_ref").alias("_vref2"),
     )
     # approach is restriction-bounded (≤ ~2 rows per relation), the
     # departure side is the full edge table: broadcast the small side
     paired = depart.join(
         F.broadcast(approach), F.col("via_node") == F.col("_uref2")
     ).filter(
-        (~F.col("_only") & (F.col("_wid2") == F.col("to_way")))
+        (
+            ~F.col("_only")
+            & (F.col("_wid2") == F.col("to_way"))
+            # reversal-only restrictions additionally pin the
+            # departure's far end to the approach's near end — the
+            # exact u-turn pair, nothing else on the way
+            & (~F.col("_rev_only") | (F.col("_vref2") == F.col("_uref1")))
+        )
         | (F.col("_only") & (F.col("_wid2") != F.col("to_way")))
     )
     return paired.select("_u1", "_v1", "_u2", "_v2").distinct()

@@ -315,6 +315,7 @@ def stream_map_match(
     coords_col: str = "coordinates",
     cell_deg: float | None = None,
     reorder_window: int = 0,
+    stall_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming ONLINE map matching — the §2.12 twin of
     :func:`operators.matching.map_match` for live GPS feeds.
@@ -351,6 +352,15 @@ def stream_map_match(
     pending ≤ W·k rows between batches.  Emission lags the high
     water by W fixes (the streaming latency/completeness trade,
     chosen per deployment).
+
+    ``stall_timeout_ms``: the reorder buffer flushes on high-water
+    ADVANCE, so a trace that stops transmitting would hold its tail
+    pending forever.  With a timeout set, a trace group that receives
+    no data for that long (processing time) flushes its ENTIRE
+    pending buffer in seq order on the next trigger — bounded
+    emission latency for stalled traces; a fix arriving after the
+    flush is late (seq ≤ last_seq) and drops, the documented
+    reorder-window contract.
     """
     from entwiner_spark.functions.geo import point_linestring_distance_m
     from entwiner_spark.operators.spatial import M_PER_DEG, with_cells
@@ -438,29 +448,51 @@ def stream_map_match(
             pending = list(zip(p_seqs, p_edges, p_us, p_vs, p_dists))
         else:
             last_seq, layer, hw, pending = None, [], None, []
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        # per-microbatch dedup of cell duplicates: min dist per
-        # (seq, edge) — exact, a fix never spans batches
-        rows = (
-            rows.sort_values([seq_col, "_dist"])
-            .drop_duplicates([seq_col, edge_key])
-        )
-        # buffer each arriving fix's top-k candidates (a fix arrives
-        # once, so its rows never merge with an existing pending fix)
-        for s, grp in rows.groupby(seq_col, sort=True):
-            if last_seq is not None and s <= last_seq:
-                continue  # later than the reorder window allows
-            grp = grp.sort_values(["_dist", edge_key]).head(k_candidates)
-            grp = grp.sort_values(edge_key)  # batch-twin DP order
-            for r in grp.to_dict("records"):
-                pending.append(
-                    (int(s), r[edge_key], r["_u"], r["_v"], float(r["_dist"]))
+        timed_out = stall_timeout_ms is not None and state.hasTimedOut
+        chunks = [] if timed_out else list(pdfs)
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            # per-microbatch dedup of cell duplicates: min dist per
+            # (seq, edge) — exact, a fix never spans batches
+            rows = (
+                rows.sort_values([seq_col, "_dist"])
+                .drop_duplicates([seq_col, edge_key])
+            )
+            # buffer each arriving fix's top-k candidates
+            for s, grp in rows.groupby(seq_col, sort=True):
+                if last_seq is not None and s <= last_seq:
+                    continue  # later than the reorder window allows
+                grp = grp.sort_values(["_dist", edge_key]).head(
+                    k_candidates
                 )
-            hw = int(s) if hw is None else max(hw, int(s))
+                grp = grp.sort_values(edge_key)  # batch-twin DP order
+                for r in grp.to_dict("records"):
+                    pending.append(
+                        (
+                            int(s),
+                            r[edge_key],
+                            r["_u"],
+                            r["_v"],
+                            float(r["_dist"]),
+                        )
+                    )
+                hw = int(s) if hw is None else max(hw, int(s))
+            # cross-batch dedup: a DUPLICATE fix whose seq is still
+            # pending (> last_seq) re-appends its candidates; keep the
+            # min-dist row per (seq, edge) so the flushed Viterbi layer
+            # matches the batch twin's (seq, edge) dedup exactly
+            if pending:
+                best_pend: dict = {}
+                for t in pending:
+                    k2 = (t[0], t[1])
+                    if k2 not in best_pend or t[4] < best_pend[k2][4]:
+                        best_pend[k2] = t
+                pending = list(best_pend.values())
         out = []
         if pending:
             pending.sort(key=lambda t: (t[0], t[1]))
-            flush_upto = hw - window  # seqs at/below this extend now
+            # stalled-trace flush: on timeout, drain the whole buffer
+            flush_upto = hw if timed_out else hw - window
             keep = []
             cur_s, grp_rows = None, []
 
@@ -536,6 +568,10 @@ def stream_map_match(
                     [float(t[4]) for t in pending],
                 )
             )
+            # (re)arm the stall clock only while something is pending;
+            # a drained trace needs no wake-up
+            if stall_timeout_ms is not None and pending:
+                state.setTimeoutDuration(int(stall_timeout_ms))
         yield pd.DataFrame(out, columns=out_cols)
 
     tk_t = fixes.schema[trace_key].dataType.simpleString()
@@ -556,5 +592,9 @@ def stream_map_match(
             f"p_dists array<double>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if stall_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

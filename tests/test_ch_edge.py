@@ -1,0 +1,243 @@
+"""Edge-based (turn-aware) contraction hierarchies
+(operators/ch_edge.py): CH over the maneuver minor so restricted /
+turn-penalized routing composes with the hierarchy (reference
+TODO.md:62-76 — maneuver minor and CH as sibling roadmap bullets)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entwiner_spark.operators.ch_edge import EdgeBasedCH
+from entwiner_spark.operators.graph import SparkGraph
+
+
+def _grid_graph(spark, n=5):
+    """Directed n×n grid, two-way, distinct dyadic-ish weights so all
+    optima are unique."""
+    rows = []
+    k = 0
+    for i in range(n):
+        for j in range(n):
+            for di, dj in ((0, 1), (1, 0)):
+                ii, jj = i + di, j + dj
+                if ii < n and jj < n:
+                    k += 1
+                    w = 4.0 + 2.0 ** (-k)
+                    a, b = f"{i},{j}", f"{ii},{jj}"
+                    rows.append((a, b, w))
+                    rows.append((b, a, w + 2.0 ** (-40 - k)))
+    edges = spark.createDataFrame(rows, "_u string, _v string, w double")
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    return SparkGraph(nodes, edges, partitions=8)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return _grid_graph(spark)
+
+
+def test_unrestricted_matches_node_routing(spark, grid):
+    """With u-turns allowed and no turn costs, the edge-based route
+    equals plain node-graph shortest_path exactly (cost and path)."""
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    for s, t in (("0,0", "4,4"), ("2,1", "0,3"), ("4,0", "1,4")):
+        want = grid.shortest_path(s, t, weight="w")
+        got = eb.route(s, t)
+        assert got is not None
+        assert got[0] == want[0]
+        assert got[1] == pytest.approx(want[1], abs=1e-12)
+
+
+def test_banned_turn_forces_detour(spark):
+    """A banned maneuver on the unique optimum provably detours — and
+    equals the linegraph-SSSP composition (the raw restricted
+    oracle)."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "d", 1.0),
+            ("a", "c", 2.0),
+            ("c", "d", 2.0),
+            ("b", "c", 5.0),
+        ],
+        "_u string, _v string, w double",
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=4)
+    ban = spark.createDataFrame(
+        [("a", "b", "b", "d")],
+        "_u1 string, _v1 string, _u2 string, _v2 string",
+    )
+    free = EdgeBasedCH.build(g, weight="w")
+    assert free.route("a", "d") == (["a", "b", "d"], 2.0)
+    eb = EdgeBasedCH.build(g, weight="w", banned_turns=ban)
+    got = eb.route("a", "d")
+    # linegraph oracle: a->b then b->c->d = 1+5+2 = 8 vs a->c->d = 4
+    assert got == (["a", "c", "d"], 4.0)
+    # raw linegraph SSSP oracle: min over (first edge w0 + minor cost)
+    minor = g.to_linegraph(weight="w", allow_uturn=False, banned_turns=ban)
+    cands = []
+    for s0, w0 in (("a|b", 1.0), ("a|c", 2.0)):
+        for t in ("b|d", "c|d"):
+            r = minor.shortest_path(s0, t, weight="w")
+            if r is not None:
+                cands.append(w0 + r[1])
+    assert got[1] == pytest.approx(min(cands), abs=1e-12)
+
+
+def test_turn_cost_penalty_flips_route(spark, grid):
+    """A 90°-turn penalty makes the zig-zag optimum lose to the
+    straight-then-turn route; parity against the raw penalized minor."""
+    eb = EdgeBasedCH.build(
+        grid,
+        weight="w",
+        allow_uturn=True,
+        turn_cost=lambda e1, e2: F.when(
+            (e1("_u") != e2("_v"))
+            & (
+                F.split(e1("_u"), ",")[0] != F.split(e2("_v"), ",")[0]
+            )
+            & (
+                F.split(e1("_u"), ",")[1] != F.split(e2("_v"), ",")[1]
+            ),
+            F.lit(3.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    got = eb.route("0,0", "2,2")
+    minor = grid.to_linegraph(
+        weight="w",
+        allow_uturn=True,
+        turn_cost=lambda e1, e2: F.when(
+            (e1("_u") != e2("_v"))
+            & (
+                F.split(e1("_u"), ",")[0] != F.split(e2("_v"), ",")[0]
+            )
+            & (
+                F.split(e1("_u"), ",")[1] != F.split(e2("_v"), ",")[1]
+            ),
+            F.lit(3.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    w0s = {
+        r["_n"]: r["w"]
+        for r in minor.nodes.filter(F.col("_edge_u") == "0,0")
+        .select("_n", "w")
+        .collect()
+    }
+    tgts = [
+        r["_n"]
+        for r in minor.nodes.filter(F.col("_edge_v") == "2,2")
+        .select("_n")
+        .collect()
+    ]
+    best = None
+    for s0, w0 in w0s.items():
+        for t in tgts:
+            r = minor.shortest_path(s0, t, weight="w")
+            if r is not None:
+                c = w0 + r[1]
+                if best is None or c < best:
+                    best = c
+    assert got[1] == pytest.approx(best, abs=1e-12)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "d", 1.0),
+            ("a", "c", 2.0),
+            ("c", "d", 2.0),
+            ("b", "c", 5.0),
+        ],
+        "_u string, _v string, w double",
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=4)
+    ban = spark.createDataFrame(
+        [("a", "b", "b", "d")],
+        "_u1 string, _v1 string, _u2 string, _v2 string",
+    )
+    eb = EdgeBasedCH.build(g, weight="w", banned_turns=ban)
+    store = str(tmp_path / "ebch")
+    eb.save(store)
+    re1 = EdgeBasedCH.load(spark, store)
+    assert re1.route("a", "d") == eb.route("a", "d")
+    # atomic overwrite: save again over the existing store
+    eb.save(store)
+    re2 = EdgeBasedCH.load(spark, store)
+    assert re2.route("a", "d") == (["a", "c", "d"], 4.0)
+
+
+def test_distance_matrix_matches_routes(spark, grid):
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    srcs, tgts = ["0,0", "2,2"], ["4,4", "0,0"]
+    mat = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in eb.distance_matrix(srcs, tgts).collect()
+    }
+    for s in srcs:
+        for t in tgts:
+            if s == t:
+                assert mat[(s, t)] == 0.0
+                continue
+            want = eb.route(s, t)
+            assert mat[(s, t)] == pytest.approx(want[1], abs=1e-12)
+
+
+def test_unreachable_and_missing_terminals(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "_u string, _v string, w double"
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("z",)], "_n string"
+    )
+    g = SparkGraph(nodes, edges, partitions=2)
+    eb = EdgeBasedCH.build(g, weight="w")
+    assert eb.route("b", "a") is None  # no out-edges from b
+    assert eb.route("z", "b") is None  # isolated node
+    assert eb.route("a", "a") == (["a"], 0.0)
+
+
+def test_osm_restriction_composition(spark, tmp_path):
+    """End-to-end OSM composition: graph_from_osm(with_restrictions)
+    → EdgeBasedCH → the restricted optimum detours exactly like the
+    raw linegraph route (the g_turn_restriction expectations)."""
+    from entwiner_spark.catalog import _turn_fixture_xml
+    from entwiner_spark.sources.osm import graph_from_osm
+
+    p = tmp_path / "turn.osm"
+    p.write_text(_turn_fixture_xml())
+    nodes, edges, bans = graph_from_osm(
+        spark, str(p), with_restrictions=True
+    )
+    g = SparkGraph(nodes, edges)
+    refs = {
+        (r["_u"], r["_v"]): (r["_u_ref"], r["_v_ref"])
+        for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect()
+    }
+    node_ref = {}
+    for (u, v), (ur, vr) in refs.items():
+        node_ref[u], node_ref[v] = ur, vr
+    src = next(u for u, r in node_ref.items() if r == 1)
+    tgt = next(u for u, r in node_ref.items() if r == 4)
+    free = EdgeBasedCH.build(g, weight="_length")
+    restr = EdgeBasedCH.build(g, weight="_length", banned_turns=bans)
+    free_refs = [node_ref[n] for n in free.route(src, tgt)[0]]
+    restr_refs = [node_ref[n] for n in restr.route(src, tgt)[0]]
+    assert free_refs == [1, 2, 4]  # takes the banned left
+    assert restr_refs == [1, 2, 3, 5, 4]  # detours
+    assert restr.route(src, tgt)[1] > free.route(src, tgt)[1]

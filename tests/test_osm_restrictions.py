@@ -248,3 +248,79 @@ def test_graph_from_osm_composes_time_and_restrictions(spark, tmp_path):
     ).collect()[0]
     # primary class: 65 km/h
     assert r["_length"] / r["_traversal_sec"] * 3.6 == pytest.approx(65.0)
+
+
+def test_no_u_turn_interior_junction_keeps_straight(spark, tmp_path):
+    """r14-ADVICE over-ban fix: no_u_turn with from == to at an
+    INTERIOR junction of the way bans only the reversal of each
+    approach — continuing straight through the junction on the same
+    way stays open (way-granularity matching would have banned it)."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.001"/>
+          <node id="2" lon="0.001" lat="0.001"/>
+          <node id="3" lon="0.002" lat="0.001"/>
+          <node id="4" lon="0.001" lat="0.002"/>
+          <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="20"><nd ref="2"/><nd ref="4"/>
+            <tag k="highway" v="residential"/></way>
+          <relation id="88">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_u_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="node" role="via" ref="2"/>
+            <member type="way" role="to" ref="10"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "uturn_mid.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    # node 2 IS a junction (ways 10 and 20 share it): segments
+    # 1-2 / 2-3 / 2-4 each two-way.  Banned: ONLY the two reversals
+    # at node 2 — (1,2)->(2,1) and (3,2)->(2,3).  Straight-through
+    # (1,2)->(2,3) / (3,2)->(2,1) and the side turn (…)->(2,4) open.
+    assert _ref_pairs(edges, bans) == {
+        ((1, 2), (2, 1)),
+        ((3, 2), (2, 3)),
+    }
+
+
+def test_same_way_no_left_turn_is_reversal_scoped(spark, tmp_path):
+    """Any no_* with from_way == to_way (not just no_u_turn) matches
+    the reversal, not every same-way departure."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.001"/>
+          <node id="2" lon="0.001" lat="0.001"/>
+          <node id="3" lon="0.002" lat="0.001"/>
+          <node id="4" lon="0.001" lat="0.002"/>
+          <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="20"><nd ref="2"/><nd ref="4"/>
+            <tag k="highway" v="residential"/></way>
+          <relation id="89">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_left_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="node" role="via" ref="2"/>
+            <member type="way" role="to" ref="10"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "sameway.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    assert _ref_pairs(edges, bans) == {
+        ((1, 2), (2, 1)),
+        ((3, 2), (2, 3)),
+    }

@@ -1704,3 +1704,187 @@ def test_stream_map_match_reorder_window(spark, tmp_path):
     # semantics), so only the drop set is pinned here.
     got0 = run("smm_reorder0", 0)
     assert set(got0) == {1, 3, 5}
+
+
+def test_stream_map_match_duplicate_fix_idempotent(spark, tmp_path):
+    """r14-ADVICE: a fix re-delivered in a LATER microbatch while its
+    seq is still pending must not duplicate candidates in the reorder
+    buffer — pending dedups on (seq, edge) keeping min dist, so
+    re-delivery is idempotent and stream == batch holds."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from entwiner_spark.operators.matching import map_match
+    from entwiner_spark.streaming.stateful import stream_map_match
+
+    rows = []
+    for i in range(8):
+        x0, x1 = i * 1.0e-3, (i + 1) * 1.0e-3
+        rows.append((f"S{i}", f"s{i}", f"s{i + 1}", [[x0, 0.0], [x1, 0.0]]))
+    edges = spark.createDataFrame(
+        rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = [(s, (s + 0.5) * 1.0e-3, 1.0e-4) for s in range(6)]
+    fixes_df = spark.createDataFrame(
+        [("t1", s, x, y) for s, x, y in trace],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    want = {
+        r["seq"]: (r["fid"], round(r["snap_dist_m"], 6))
+        for r in map_match(
+            fixes_df, edges, max_dist_m=100.0, sigma_m=20.0
+        ).collect()
+    }
+    schema = T.StructType(
+        [
+            T.StructField("trace_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+    by_seq = {s: (x, y) for s, x, y in trace}
+    # batch 1: seqs 0-2 (hw=2, window=2 -> only seq 0 flushes, 1-2
+    # pending); batch 2 RE-DELIVERS seq 2 plus seqs 3-5
+    files = [[0, 1, 2], [2, 3, 4, 5]]
+    d = tmp_path / "smm_dup"
+    d.mkdir()
+    for i, seqs in enumerate(files):
+        recs = [
+            {
+                "trace_id": "t1",
+                "seq": s,
+                "lon": by_seq[s][0],
+                "lat": by_seq[s][1],
+            }
+            for s in seqs
+        ]
+        (d / f"f{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in recs)
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = (
+        stream_map_match(
+            stream,
+            edges,
+            max_dist_m=100.0,
+            sigma_m=20.0,
+            reorder_window=2,
+        )
+        .writeStream.format("memory")
+        .queryName("smm_dup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_rows = spark.sql("SELECT * FROM smm_dup").collect()
+    finally:
+        q.stop()
+    seqs_emitted = [r["seq"] for r in got_rows]
+    assert sorted(seqs_emitted) == seqs_emitted  # in order
+    assert len(seqs_emitted) == len(set(seqs_emitted))  # exactly once
+    got = {
+        r["seq"]: (r["fid"], round(r["snap_dist_m"], 6)) for r in got_rows
+    }
+    assert got == {s: want[s] for s in got}
+    assert set(got) == {0, 1, 2, 3}  # 4,5 still inside the window
+
+
+def test_stream_map_match_stall_timeout_flush(spark, tmp_path):
+    """stall_timeout_ms: a trace that stops transmitting flushes its
+    pending tail on the next trigger after the timeout — the buffered
+    fixes emit (matching batch) instead of being held forever."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from entwiner_spark.operators.matching import map_match
+    from entwiner_spark.streaming.stateful import stream_map_match
+
+    rows = []
+    for i in range(8):
+        x0, x1 = i * 1.0e-3, (i + 1) * 1.0e-3
+        rows.append((f"S{i}", f"s{i}", f"s{i + 1}", [[x0, 0.0], [x1, 0.0]]))
+    edges = spark.createDataFrame(
+        rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = [(s, (s + 0.5) * 1.0e-3, 1.0e-4) for s in range(6)]
+    fixes_df = spark.createDataFrame(
+        [("t1", s, x, y) for s, x, y in trace],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    want = {
+        r["seq"]: (r["fid"], round(r["snap_dist_m"], 6))
+        for r in map_match(
+            fixes_df, edges, max_dist_m=100.0, sigma_m=20.0
+        ).collect()
+    }
+    schema = T.StructType(
+        [
+            T.StructField("trace_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+    d = tmp_path / "smm_stall"
+    d.mkdir()
+    recs = [
+        {"trace_id": "t1", "seq": s, "lon": x, "lat": y}
+        for s, x, y in trace
+    ]
+    (d / "a.json").write_text("\n".join(_json.dumps(r) for r in recs))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = (
+        stream_map_match(
+            stream,
+            edges,
+            max_dist_m=100.0,
+            sigma_m=20.0,
+            reorder_window=2,
+            stall_timeout_ms=1000,
+        )
+        .writeStream.format("memory")
+        .queryName("smm_stall")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["seq"] for r in spark.sql("SELECT * FROM smm_stall").collect()
+        }
+        # hw=5, window=2: seqs 4-5 pending after the only data batch
+        assert got1 == {0, 1, 2, 3}
+        # trace t1 goes silent; a later unrelated trigger (another
+        # trace's fix) arrives after the stall timeout and drains it
+        _time.sleep(2.0)
+        (d / "b.json").write_text(
+            _json.dumps(
+                {"trace_id": "t2", "seq": 0, "lon": 0.0005, "lat": 1e-4}
+            )
+        )
+        q.processAllAvailable()
+        got_rows = [
+            r
+            for r in spark.sql("SELECT * FROM smm_stall").collect()
+            if r["trace_id"] == "t1"
+        ]
+    finally:
+        q.stop()
+    got = {
+        r["seq"]: (r["fid"], round(r["snap_dist_m"], 6)) for r in got_rows
+    }
+    # the full trace emitted, every row equal to batch
+    assert got == want
