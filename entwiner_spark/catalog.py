@@ -879,6 +879,38 @@ def g_isochrone(spark, sf_dir):
 
 
 @q(
+    "g_isochrone_ch",
+    f"""
+    WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT e.v, walk.dist + e.w FROM walk JOIN edges e ON e.u = walk.node
+    ),
+    best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+    SELECT node, dist FROM best WHERE dist <= 12.0
+    """,
+)
+def g_isochrone_ch(spark, sf_dir):
+    """Isochrone over the CONTRACTED hierarchy (r14-verdict task #3):
+    the same 12-unit accessibility set as ``g_isochrone``, but the
+    one-to-all sweep runs as PHAST (``isochrone(ch=...)`` → upward
+    cone + down-edges-only fixpoint — rounds bounded by hierarchy
+    height instead of graph diameter, the build-once/query-many
+    isochrone-service shape).  FORCED ``strategy="pregel"`` so the
+    driver certifies both distributed PHAST phases; integer-valued
+    dyadic-free weights keep the doubles exact, and the SAME
+    recursive-CTE oracle as ``g_isochrone`` value-hashes the set."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    g = _graph_as_spark_graph(spark, sf_dir)
+    ch = ContractionHierarchy.build(g, weight="w")
+    return g.isochrone("0", 12.0, ch=ch, strategy="pregel").select(
+        F.col("_n").cast("long").alias("node"), F.col("dist")
+    )
+
+
+@q(
     "g_layer_routing",
     f"""
     WITH RECURSIVE edges AS (

@@ -1010,6 +1010,105 @@ class ContractionHierarchy:
             downf.unpersist()
         return dist
 
+    def sssp_multi(
+        self,
+        sources: list,
+        strategy: str = "auto",
+        max_iterations: int = 400,
+    ) -> DataFrame:
+        """Batched PHAST — one-to-all from EVERY source in one pair of
+        fixpoints, state keyed ``(src, _n)`` so each round's
+        expand+merge amortizes across all sources (the same
+        amortization that makes :meth:`distance_matrix` pay; here it
+        serves the landmark-centrality / k-isochrone workloads, which
+        are k one-to-all sweeps).  Returns ``(src, _n, dist)`` for
+        every reachable (source, node) pair — exact per source by the
+        PHAST up-then-down decomposition, round count bounded by
+        hierarchy height + down-DAG depth, NOT graph diameter."""
+        if not sources:
+            raise ValueError("sources must be non-empty")
+        sources = list(dict.fromkeys(sources))
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("src", idt, False),
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        if local:
+            rows = []
+            for s in sources:
+                for r in self._sssp_local(s).collect():
+                    rows.append((s, r["_n"], r["dist"]))
+            return self.spark.createDataFrame(
+                sorted(rows, key=lambda r: (str(r[0]), str(r[1]))), schema
+            )
+        up, down = self._up_down()
+        upk = up.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        downf = down.select(
+            F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        dist = self.spark.createDataFrame(
+            [(s, s, 0.0) for s in sources], schema
+        )
+
+        def fixpoint(dist, adjk, phase):
+            frontier = dist
+            for _ in range(max_iterations):
+                fr = frontier.select(
+                    "src",
+                    F.col("_n").alias("_k"),
+                    F.col("dist").alias("_fd"),
+                ).hint("broadcast")
+                msgs = fr.join(adjk, "_k").select(
+                    "src",
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                )
+                merged = (
+                    dist.select(
+                        "src", "_n", "dist", F.lit(False).alias("_new")
+                    )
+                    .unionByName(
+                        msgs.select(
+                            "src", "_n", "dist", F.lit(True).alias("_new")
+                        )
+                    )
+                    .groupBy("src", "_n")
+                    .agg(F.min(F.struct("dist", "_new")).alias("b"))
+                    .select(
+                        "src",
+                        "_n",
+                        F.col("b.dist").alias("dist"),
+                        F.col("b._new").alias("_imp"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                dist = merged.select("src", "_n", "dist")
+                frontier = merged.filter(F.col("_imp")).select(
+                    "src", "_n", "dist"
+                )
+                if frontier.limit(1).count() == 0:
+                    return dist
+            raise RuntimeError(
+                f"sssp_multi {phase} phase hit the iteration cap; "
+                "raise max_iterations"
+            )
+
+        try:
+            dist = fixpoint(dist, upk, "upward")
+            dist = fixpoint(dist, downf, "down-sweep")
+        finally:
+            upk.unpersist()
+            downf.unpersist()
+        return dist
+
     def _sssp_local(self, source) -> DataFrame:
         """Driver twin: Dijkstra over ALL search edges — every search
         edge is a real path of its weight (original or shortcut), so

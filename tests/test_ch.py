@@ -429,3 +429,123 @@ def test_ch_route_matrix_pregel_parity(spark):
         assert dst[k][0] == pytest.approx(loc[k][0], rel=1e-12)
         # equal-cost optima may differ; both ends must pin
         assert dst[k][1][0] == k[0] and dst[k][1][-1] == k[1]
+
+
+def test_ch_staleness_guard(spark, tmp_path, grid6):
+    """r14-verdict task #5: a persisted hierarchy refuses to route a
+    MUTATED graph — load(graph=) / check_fresh compare the live edge
+    table's fingerprint against the one recorded at build, raising on
+    mismatch instead of silently serving stale shortcut costs."""
+    g, ch, _adj = grid6
+    store = str(tmp_path / "ch_fresh")
+    ch.save(store)
+    # unchanged graph: load verifies clean
+    ch2 = ContractionHierarchy.load(spark, store, graph=g, weight="w")
+    assert ch2.edge_fingerprint == ch.edge_fingerprint
+    # keyed update (the M1/M2 shape): one edge weight changes
+    mutated = SparkGraph(
+        g.nodes,
+        g.edges.withColumn(
+            "w",
+            F.when(
+                (F.col("_u") == "0:0") & (F.col("_v") == "1:0"),
+                F.col("w") + 5.0,
+            ).otherwise(F.col("w")),
+        ),
+        partitions=4,
+    )
+    with pytest.raises(RuntimeError, match="stale"):
+        ContractionHierarchy.load(spark, store, graph=mutated, weight="w")
+    with pytest.raises(RuntimeError, match="stale"):
+        ch2.check_fresh(mutated, "w")
+    # edge added / dropped also flips it
+    dropped = SparkGraph(
+        g.nodes,
+        g.edges.filter(~((F.col("_u") == "0:0") & (F.col("_v") == "1:0"))),
+        partitions=4,
+    )
+    with pytest.raises(RuntimeError, match="stale"):
+        ch2.check_fresh(dropped, "w")
+    # pre-fingerprint artifacts degrade loudly, not silently
+    ch2.edge_fingerprint = None
+    with pytest.raises(ValueError, match="no edge fingerprint"):
+        ch2.check_fresh(g, "w")
+
+
+def test_ch_sssp_multi_matches_per_source(grid6):
+    """Batched PHAST == per-source sssp (exact, every reachable node),
+    on both strategies."""
+    g, ch, adj = grid6
+    sources = ["0:0", "3:3", "5:0"]
+    want = {}
+    for s in sources:
+        for r in ch.sssp(s, strategy="pregel").collect():
+            want[(s, r["_n"])] = r["dist"]
+    got = {
+        (r["src"], r["_n"]): r["dist"]
+        for r in ch.sssp_multi(sources, strategy="pregel").collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    got_local = {
+        (r["src"], r["_n"]): r["dist"]
+        for r in ch.sssp_multi(sources, strategy="local").collect()
+    }
+    assert got_local.keys() == want.keys()
+    for k in want:
+        assert got_local[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_isochrone_via_ch_equals_raw(grid6):
+    """isochrone(ch=) == raw pregel isochrone — same reachable set,
+    same distances, PHAST rounds instead of diameter rounds."""
+    g, ch, _adj = grid6
+    budget = 6.0
+    raw = {
+        r["_n"]: r["dist"]
+        for r in g.isochrone("0:0", budget, weight="w").collect()
+    }
+    via = {
+        r["_n"]: r["dist"]
+        for r in g.isochrone("0:0", budget, ch=ch, strategy="pregel").collect()
+    }
+    assert via.keys() == raw.keys()
+    for k in raw:
+        assert via[k] == pytest.approx(raw[k], rel=1e-12)
+
+
+def test_closeness_landmarks_contracted_parity(grid6):
+    """closeness/harmonic landmark sweeps over the hierarchy
+    (contracted=) == the raw k-SSSP path, same landmarks."""
+    g, ch, _adj = grid6
+    lms = ["0:0", "5:5", "2:4"]
+    raw = {
+        r["_n"]: (r["total_dist"], r["n_landmarks"], r["avg_dist"])
+        for r in g.closeness_landmarks(
+            weight="w", landmarks=lms
+        ).collect()
+    }
+    got = {
+        r["_n"]: (r["total_dist"], r["n_landmarks"], r["avg_dist"])
+        for r in g.closeness_landmarks(
+            weight="w", landmarks=lms, contracted=ch
+        ).collect()
+    }
+    assert got.keys() == raw.keys()
+    for k in raw:
+        assert got[k][1] == raw[k][1]
+        assert got[k][0] == pytest.approx(raw[k][0], rel=1e-12)
+    h_raw = {
+        r["_n"]: r["total_inv"]
+        for r in g.harmonic_landmarks(weight="w", landmarks=lms).collect()
+    }
+    h_got = {
+        r["_n"]: r["total_inv"]
+        for r in g.harmonic_landmarks(
+            weight="w", landmarks=lms, contracted=ch
+        ).collect()
+    }
+    assert h_got.keys() == h_raw.keys()
+    for k in h_raw:
+        assert h_got[k] == pytest.approx(h_raw[k], rel=1e-12)
