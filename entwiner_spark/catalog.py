@@ -6298,6 +6298,132 @@ def g_kshortest(spark, sf_dir):
     )
 
 
+def _kshortest_ch_edges() -> list[tuple[str, str, float]]:
+    """Closed-form 4×4 two-way grid with dyadic tie-free weights
+    (forward 4 + 2^-k, reverse + 2^-(30+k)): every path cost is a sum
+    of distinct binary powers, so all optima are unique and every sum
+    is float-exact — shared verbatim by the Spark gate and the
+    pure-Python replay oracle."""
+    rows = []
+    n, k = 4, 0
+    for i in range(n):
+        for j in range(n):
+            for di, dj in ((0, 1), (1, 0)):
+                ii, jj = i + di, j + dj
+                if ii < n and jj < n:
+                    k += 1
+                    w = 4.0 + 2.0 ** (-k)
+                    a, b = f"{i}:{j}", f"{ii}:{jj}"
+                    rows.append((a, b, w))
+                    rows.append((b, a, w + 2.0 ** (-30 - k)))
+    return rows
+
+
+def _kshortest_ch_oracle_sql() -> str:
+    """Independent replay of the penalty method (the literal-table
+    idiom): textbook Dijkstra on the closed-form grid, multiply every
+    on-route edge weight by 2 (compounding) after each iteration,
+    keep the first 3 distinct routes, report each under the ORIGINAL
+    metric.  Dyadic weights make all floats exact, so the UNROUNDED
+    costs value-hash."""
+    import heapq
+
+    basew = {(u, v): w for u, v, w in _kshortest_ch_edges()}
+    adj: dict = {}
+    for (u, v), w in basew.items():
+        adj.setdefault(u, []).append(v)
+    pen: dict = {}
+    out = []
+    seen: set = set()
+    s, t, k_want = "0:0", "3:3", 3
+    for _ in range(4 * k_want):
+        dist = {s: 0.0}
+        pred: dict = {s: None}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v in adj.get(u, ()):
+                nd = d + basew[(u, v)] * (2.0 ** pen.get((u, v), 0))
+                if nd < dist.get(v, float("inf")):
+                    dist[v], pred[v] = nd, u
+                    heapq.heappush(pq, (nd, v))
+        if t not in dist:
+            break
+        path, cur = [], t
+        while cur is not None:
+            path.append(cur)
+            cur = pred[cur]
+        path.reverse()
+        if tuple(path) not in seen:
+            seen.add(tuple(path))
+            out.append(
+                (
+                    len(out) + 1,
+                    sum(basew[p] for p in zip(path, path[1:])),
+                    ">".join(path),
+                )
+            )
+            if len(out) >= k_want:
+                break
+        for p in zip(path, path[1:]):
+            pen[p] = pen.get(p, 0) + 1
+    # NB: bare 17-digit literals parse as DECIMAL in DuckDB (losing
+    # the last bit before the cast); string→double parses exact IEEE
+    vals = ", ".join(
+        f"({rk}, CAST('{c!r}' AS DOUBLE), '{route}')"
+        for rk, c, route in out
+    )
+    return (
+        "SELECT CAST(rank AS BIGINT) AS rank, "
+        "CAST(cost AS DOUBLE) AS cost, route "
+        f"FROM (VALUES {vals}) t(rank, cost, route)"
+    )
+
+
+@q("g_kshortest_ch", _kshortest_ch_oracle_sql())
+def g_kshortest_ch(spark, sf_dir):
+    """Alternative routes ON the contraction hierarchy via the penalty
+    method (r14-verdict task #4 — the composition Yen can't have:
+    edge REMOVAL invalidates shortcuts, penalties only change the
+    metric, which CCH customization absorbs): build a CUSTOMIZABLE
+    hierarchy (witness pruning weakened to direct-arc dominance so
+    the triangle closure survives re-metrics), then iterate
+    route → double the on-route edge weights → re-CUSTOMIZE
+    (per-level triangle relaxation, no recontraction) → re-route
+    until 3 distinct routes emerge.  Build, customization, and every
+    route FORCED ``strategy="pregel"`` so the driver certifies the
+    distributed level-relax loop; dyadic tie-free weights make every
+    cost float-exact, value-hashed (rank, UNROUNDED original-metric
+    cost, full route) against an independent penalty-Dijkstra
+    replay."""
+    from entwiner_spark.operators.ch import ContractionHierarchy
+
+    edges = spark.createDataFrame(
+        _kshortest_ch_edges(), "_u string, _v string, w double"
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=8)
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", local_finish=4, customizable=True
+    )
+    alts = ch.alternatives(
+        "0:0", "3:3", k=3, penalty=2.0, strategy="pregel"
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, cost, ">".join(path))
+            for i, (path, cost) in enumerate(alts)
+        ],
+        "rank long, cost double, route string",
+    )
+
+
 # ---- graph point lookups on the nation DAG --------------------------
 
 @q(

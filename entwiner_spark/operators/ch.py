@@ -94,6 +94,8 @@ class ContractionHierarchy:
         rounds: int,
         core_size: int,
         edge_fingerprint: str | None = None,
+        customizable: bool = False,
+        orig_edges: DataFrame | None = None,
     ):
         self.spark = spark
         self.ranks = ranks
@@ -102,6 +104,8 @@ class ContractionHierarchy:
         self.rounds = rounds
         self.core_size = core_size
         self.edge_fingerprint = edge_fingerprint
+        self.customizable = customizable
+        self.orig_edges = orig_edges
         self._local_cache: tuple | None = None
 
     # ------------------------------------------------------ freshness
@@ -196,6 +200,13 @@ class ContractionHierarchy:
                 .write.mode("overwrite")
                 .parquet(f"{tmp}/ranks.parquet")
             )
+            if self.customizable and self.orig_edges is not None:
+                (
+                    self.orig_edges.repartition(max(1, n // 4), "_u")
+                    .sortWithinPartitions("_u")
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/orig.parquet")
+                )
             with open(os.path.join(tmp, self._META), "w") as fh:
                 json.dump(
                     {
@@ -203,6 +214,7 @@ class ContractionHierarchy:
                         "rounds": self.rounds,
                         "core_size": self.core_size,
                         "edge_fingerprint": self.edge_fingerprint,
+                        "customizable": self.customizable,
                     },
                     fh,
                 )
@@ -251,6 +263,10 @@ class ContractionHierarchy:
             meta = json.load(fh)
         search = spark.read.parquet(f"{store_dir}/search.parquet")
         ranks = spark.read.parquet(f"{store_dir}/ranks.parquet")
+        customizable = bool(meta.get("customizable", False))
+        orig = None
+        if customizable and os.path.exists(f"{store_dir}/orig.parquet"):
+            orig = spark.read.parquet(f"{store_dir}/orig.parquet")
         ch = cls(
             spark,
             ranks,
@@ -259,6 +275,8 @@ class ContractionHierarchy:
             int(meta["rounds"]),
             int(meta["core_size"]),
             meta.get("edge_fingerprint"),
+            customizable=customizable,
+            orig_edges=orig,
         )
         if graph is not None:
             ch.check_fresh(graph, weight)
@@ -273,6 +291,7 @@ class ContractionHierarchy:
         max_rounds: int = 32,
         strategy: str = "auto",
         local_finish: int = 4096,
+        customizable: bool = False,
     ) -> "ContractionHierarchy":
         """Contract ``graph`` (a SparkGraph) bottom-up.  ``weight``:
         edge-weight column (hop count when None) — must be positive.
@@ -287,18 +306,37 @@ class ContractionHierarchy:
         ``local``/``pregel`` force.  Both produce the same artifact class, so route() and
         unpacking are build-agnostic; different build orders give
         different hierarchies but identical (exact) route results —
-        pytest-pinned."""
+        pytest-pinned.
+
+        ``customizable=True`` builds a RE-METRIC-ABLE hierarchy (the
+        CCH shape, Dibbelt-Strasser-Wagner): witness pruning weakens
+        to direct-arc dominance only, so every contraction triangle's
+        closing arc survives into the search graph, and the original
+        edge frame is retained — :meth:`customize` can then assign
+        exact arc weights for ANY positive metric without
+        recontracting (the penalty-method :meth:`alternatives`
+        lifecycle).  Costs more shortcuts than a witness-pruned build
+        (the standard CCH trade)."""
         if strategy == "local" or (
             strategy == "auto" and graph._edge_count() < LOCAL_THRESHOLD
         ):
-            return cls._build_local(graph, weight, max_rounds)
+            return cls._build_local(
+                graph, weight, max_rounds, customizable=customizable
+            )
         return cls._build_pregel(
-            graph, weight, max_rounds, local_finish=local_finish
+            graph,
+            weight,
+            max_rounds,
+            local_finish=local_finish,
+            customizable=customizable,
         )
 
     @staticmethod
     def _contract_core(
-        emap: dict, nodes: set, start_rank: int = 0
+        emap: dict,
+        nodes: set,
+        start_rank: int = 0,
+        full_witness: bool = True,
     ) -> tuple[dict, dict]:
         """Driver-side contraction engine shared by the local build and
         the distributed build's LOCAL FINISH: classic CH (lazy priority
@@ -309,7 +347,16 @@ class ContractionHierarchy:
         ``emap``: ``{(u, v): w}`` parallel-min edges, no self loops.
         Returns ``(ranks, updates)`` — ranks starting at
         ``start_rank + 1``, and ONLY the new/improved shortcut edges
-        as ``{(u, v): (w, mid)}``."""
+        as ``{(u, v): (w, mid)}``.
+
+        ``full_witness=False`` (customizable hierarchies): prune only
+        on a dominating DIRECT arc, never on a multi-hop witness — the
+        arc set then contains every contraction triangle's closing arc
+        (either the shortcut or the direct arc that dominated it), the
+        invariant :meth:`customize` needs to re-derive exact arc
+        weights for a NEW metric (Dibbelt-Strasser-Wagner CCH
+        customization; a multi-hop witness can get worse under the new
+        metric, and the pruned shortcut would then be missing)."""
         import heapq
 
         adj: dict = {}
@@ -382,7 +429,7 @@ class ContractionHierarchy:
                     cur = adj.get(u, {}).get(x)
                     if cur is not None and cur <= sw:
                         continue
-                    if witness(u, x, sw, v):
+                    if full_witness and witness(u, x, sw, v):
                         continue
                     adj.setdefault(u, {})[x] = sw
                     radj.setdefault(x, {})[u] = sw
@@ -393,7 +440,7 @@ class ContractionHierarchy:
 
     @classmethod
     def _build_local(
-        cls, graph, weight, max_rounds
+        cls, graph, weight, max_rounds, customizable: bool = False
     ) -> "ContractionHierarchy":
         """Driver-local build: collect the (small) edge table, run the
         shared contraction core, assemble the artifact."""
@@ -412,7 +459,9 @@ class ContractionHierarchy:
             nodes.add(v)
             if (u, v) not in emap or w < emap[(u, v)]:
                 emap[(u, v)] = w
-        ranks, updates = cls._contract_core(emap, nodes)
+        ranks, updates = cls._contract_core(
+            emap, nodes, full_witness=not customizable
+        )
         search = {k: (w, None) for k, w in emap.items()}
         search.update(updates)
         rows = [
@@ -441,6 +490,24 @@ class ContractionHierarchy:
                 ]
             ),
         )
+        orig = None
+        if customizable:
+            orig = spark.createDataFrame(
+                [
+                    (u, v, float(w))
+                    for (u, v), w in sorted(
+                        emap.items(),
+                        key=lambda kv: (str(kv[0][0]), str(kv[0][1])),
+                    )
+                ],
+                T.StructType(
+                    [
+                        T.StructField("_u", idt, False),
+                        T.StructField("_v", idt, False),
+                        T.StructField("w", T.DoubleType(), False),
+                    ]
+                ),
+            )
         return cls(
             spark,
             ranks_df,
@@ -449,6 +516,8 @@ class ContractionHierarchy:
             len(ranks),
             0,
             cls._graph_fingerprint(graph, weight),
+            customizable=customizable,
+            orig_edges=orig,
         )
 
     @classmethod
@@ -458,6 +527,7 @@ class ContractionHierarchy:
         weight: str | None = None,
         max_rounds: int = 32,
         local_finish: int = 4096,
+        customizable: bool = False,
     ) -> "ContractionHierarchy":
         """Distributed batched-IS build.  ``local_finish``: once the
         unranked remainder fits under this count, collect it and let
@@ -479,6 +549,7 @@ class ContractionHierarchy:
             .withColumn("mid", F.lit(None).cast(idt))
         )
         active = _min_edges(active).localCheckpoint(eager=True)
+        orig0 = active.select("_u", "_v", "w") if customizable else None
         # endpoints may reference nodes absent from the nodes table
         # (partial loads); every endpoint MUST get a rank or the final
         # inner rank-join would silently drop its search edges
@@ -604,46 +675,56 @@ class ContractionHierarchy:
             # dominated shortcuts never loses a needed one: exactness
             # untouched.
             direct = survivors.select("_u", "_v", F.col("w").alias("_wd"))
-            # restrict the 2-path enumeration to legs that can matter:
-            # first leg starts at a shortcut source, second leg ends
-            # at a shortcut target (two semi-joins against the
-            # round-sized candidate endpoint sets)
-            leg_a = survivors.join(
-                sc.select("_u").distinct(), "_u", "left_semi"
-            )
-            leg_b = survivors.join(
-                sc.select("_v").distinct(), "_v", "left_semi"
-            )
-            p2 = (
-                leg_a.select(
-                    F.col("_u").alias("_pu"),
-                    F.col("_v").alias("_pm"),
-                    F.col("w").alias("_wa"),
-                )
-                .join(
-                    leg_b.select(
-                        F.col("_u").alias("_pm"),
-                        F.col("_v").alias("_pv"),
-                        F.col("w").alias("_wb"),
-                    ),
-                    "_pm",
-                )
-                .filter(F.col("_pu") != F.col("_pv"))
-                .groupBy(
-                    F.col("_pu").alias("_u"), F.col("_pv").alias("_v")
-                )
-                .agg(F.min(F.col("_wa") + F.col("_wb")).alias("_w2h"))
-            )
             sc = (
                 sc.join(direct, ["_u", "_v"], "left")
                 .filter(F.col("_wd").isNull() | (F.col("w") < F.col("_wd")))
                 .drop("_wd")
-                .join(p2, ["_u", "_v"], "left")
-                .filter(
-                    F.col("_w2h").isNull() | (F.col("w") < F.col("_w2h"))
-                )
-                .drop("_w2h")
             )
+            if not customizable:
+                # multi-hop witness: customizable builds MUST keep
+                # these shortcuts — a 2-hop witness path can get worse
+                # under a re-metric and the pruned shortcut would then
+                # be missing (direct-arc dominance is safe: the
+                # dominating arc itself survives into the search graph
+                # and customize() re-relaxes its weight).
+                # Restrict the 2-path enumeration to legs that can
+                # matter: first leg starts at a shortcut source,
+                # second leg ends at a shortcut target (two semi-joins
+                # against the round-sized candidate endpoint sets)
+                leg_a = survivors.join(
+                    sc.select("_u").distinct(), "_u", "left_semi"
+                )
+                leg_b = survivors.join(
+                    sc.select("_v").distinct(), "_v", "left_semi"
+                )
+                p2 = (
+                    leg_a.select(
+                        F.col("_u").alias("_pu"),
+                        F.col("_v").alias("_pm"),
+                        F.col("w").alias("_wa"),
+                    )
+                    .join(
+                        leg_b.select(
+                            F.col("_u").alias("_pm"),
+                            F.col("_v").alias("_pv"),
+                            F.col("w").alias("_wb"),
+                        ),
+                        "_pm",
+                    )
+                    .filter(F.col("_pu") != F.col("_pv"))
+                    .groupBy(
+                        F.col("_pu").alias("_u"), F.col("_pv").alias("_v")
+                    )
+                    .agg(F.min(F.col("_wa") + F.col("_wb")).alias("_w2h"))
+                )
+                sc = (
+                    sc.join(p2, ["_u", "_v"], "left")
+                    .filter(
+                        F.col("_w2h").isNull()
+                        | (F.col("w") < F.col("_w2h"))
+                    )
+                    .drop("_w2h")
+                )
             active = rebase_checkpoint(
                 _min_edges(
                     survivors.select("_u", "_v", "w", "mid").unionByName(sc)
@@ -683,7 +764,10 @@ class ContractionHierarchy:
             }
             rem_nodes = {rw["_n"] for rw in unranked.collect()}
             lranks, lupdates = cls._contract_core(
-                emap, rem_nodes, start_rank=rounds
+                emap,
+                rem_nodes,
+                start_rank=rounds,
+                full_witness=not customizable,
             )
             rank_parts.append(
                 spark.createDataFrame(
@@ -745,7 +829,400 @@ class ContractionHierarchy:
             rounds,
             core_size,
             cls._graph_fingerprint(graph, weight),
+            customizable=customizable,
+            orig_edges=orig0,
         )
+
+    # ------------------------------------ customization (CCH re-metric)
+    def customize(
+        self,
+        new_edges: DataFrame,
+        strategy: str = "auto",
+        checkpoint_every: int = 4,
+    ) -> "ContractionHierarchy":
+        """Re-derive EXACT arc weights for a NEW positive metric
+        without recontracting — the customization phase of
+        Customizable Contraction Hierarchies (Dibbelt, Strasser,
+        Wagner 2014, public algorithm): process contraction levels
+        bottom-up and relax every lower triangle
+        ``w(u,x) = min(w(u,x), w(u,v) + w(v,x))`` where ``v`` is the
+        lowest-ranked corner.  Requires ``build(customizable=True)``
+        (witness pruning weakened to direct-arc dominance, so every
+        triangle's closing arc exists in the search graph — the
+        invariant that makes the relaxation complete; a multi-hop
+        witness pruned under the OLD metric could be worse under the
+        new one).
+
+        ``new_edges``: ``(_u, _v, w)`` covering EVERY original edge
+        (pairs are parallel-min'd; uncovered originals disconnect).
+        Returns a NEW hierarchy over the same ranks whose queries are
+        exact for the new metric — shortcut ``mid``s re-point at each
+        triangle's argmin so unpacking stays consistent.
+
+        Scale shape: the distributed path is one (ins ⋈ outs → relax)
+        join pass per BUILD LEVEL (same-round IS nodes relax together;
+        their triangles cannot interact because same-level nodes are
+        never adjacent), then the dense top block (the local-finish
+        remainder, small by construction) relaxes driver-side — the
+        same hybrid split as the build itself."""
+        if not self.customizable:
+            raise ValueError(
+                "customize() requires a hierarchy built with "
+                "customizable=True (witness-pruned builds may lack "
+                "triangle-closing arcs under a new metric)"
+            )
+        base = (
+            new_edges.select(
+                "_u", "_v", F.col("w").cast("double").alias("w")
+            )
+            .filter(F.col("_u") != F.col("_v"))
+            .groupBy("_u", "_v")
+            .agg(F.min("w").alias("w"))
+        )
+        local = strategy == "local" or (
+            strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
+        )
+        if local:
+            return self._customize_local(base)
+        return self._customize_pregel(base, checkpoint_every)
+
+    def _customized_result(
+        self, search: DataFrame, base: DataFrame
+    ) -> "ContractionHierarchy":
+        out = ContractionHierarchy(
+            self.spark,
+            self.ranks,
+            search,
+            self.n_search_edges,
+            self.rounds,
+            self.core_size,
+            None,
+            customizable=True,
+            orig_edges=base,
+        )
+        return out
+
+    def _customize_local(self, base: DataFrame) -> "ContractionHierarchy":
+        """Driver twin: in-memory bottom-up triangle relaxation.
+        Dynamically inserts any missing closing arc (never needed on a
+        customizable build by the closure invariant, but it makes the
+        local path robust to hand-built artifacts)."""
+        rank = {r["_n"]: r["rank"] for r in self.ranks.collect()}
+        arcs = {
+            (r["_u"], r["_v"])
+            for r in self.search.select("_u", "_v").collect()
+        }
+        w = {}
+        mid = {}
+        for a in arcs:
+            w[a] = float("inf")
+            mid[a] = None
+        for r in base.collect():
+            k = (r["_u"], r["_v"])
+            if k in arcs:
+                w[k] = r["w"]
+            else:
+                arcs.add(k)
+                w[k], mid[k] = r["w"], None
+        inn: dict = {}
+        outn: dict = {}
+        for u, v in arcs:
+            if rank.get(u, 0) > rank.get(v, 0):
+                inn.setdefault(v, set()).add(u)
+            elif rank.get(u, 0) < rank.get(v, 0):
+                outn.setdefault(u, set()).add(v)
+            # equal ranks: core-internal arc — never part of a lower
+            # triangle (nothing ranks above the core), skip
+        order = sorted(
+            (n for n, rk in rank.items() if rk < CORE_RANK),
+            key=lambda n: (rank[n], str(n)),
+        )
+        for v in order:
+            ins = [
+                (u, w[(u, v)]) for u in inn.get(v, ()) if w[(u, v)] < float("inf")
+            ]
+            outs = [
+                (x, w[(v, x)]) for x in outn.get(v, ()) if w[(v, x)] < float("inf")
+            ]
+            for u, w1 in ins:
+                for x, w2 in outs:
+                    if u == x:
+                        continue
+                    k = (u, x)
+                    c = w1 + w2
+                    if k not in w:
+                        arcs.add(k)
+                        w[k], mid[k] = c, v
+                        if rank.get(u, 0) > rank.get(x, 0):
+                            inn.setdefault(x, set()).add(u)
+                        elif rank.get(u, 0) < rank.get(x, 0):
+                            outn.setdefault(u, set()).add(x)
+                    elif c < w[k]:
+                        w[k], mid[k] = c, v
+        idt = self.ranks.schema["_n"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("_u", idt, False),
+                T.StructField("_v", idt, False),
+                T.StructField("w", T.DoubleType(), False),
+                T.StructField("mid", idt, True),
+                T.StructField("_ru", T.LongType(), False),
+                T.StructField("_rv", T.LongType(), False),
+            ]
+        )
+        rows = [
+            (u, v, w[(u, v)], mid[(u, v)], rank[u], rank[v])
+            for (u, v) in sorted(arcs, key=lambda p: (str(p[0]), str(p[1])))
+            if w[(u, v)] < float("inf")
+        ]
+        return self._customized_result(
+            self.spark.createDataFrame(rows, schema), base
+        )
+
+    def _customize_pregel(
+        self, base: DataFrame, checkpoint_every: int
+    ) -> "ContractionHierarchy":
+        """Distributed customization: one relax pass per distributed
+        build level (ranks 1..rounds are per-round independent sets),
+        then the dense top block (ranks above ``rounds`` — the
+        local-finish remainder plus core) relaxes driver-side."""
+        idt = self.ranks.schema["_n"].dataType
+        arcs = (
+            self.search.select("_u", "_v", "_ru", "_rv")
+            .join(base, ["_u", "_v"], "left")
+            .select(
+                "_u",
+                "_v",
+                F.coalesce("w", F.lit(float("inf"))).alias("w"),
+                F.lit(None).cast(idt).alias("mid"),
+                "_ru",
+                "_rv",
+            )
+            .localCheckpoint(eager=True)
+        )
+        for lvl in range(1, self.rounds + 1):
+            ins = arcs.filter(
+                (F.col("_rv") == lvl) & (F.col("_ru") > lvl)
+            ).select(
+                F.col("_u").alias("_tu"),
+                F.col("_v").alias("_via"),
+                F.col("w").alias("_w1"),
+            )
+            outs = arcs.filter(
+                (F.col("_ru") == lvl) & (F.col("_rv") > lvl)
+            ).select(
+                F.col("_u").alias("_via"),
+                F.col("_v").alias("_tx"),
+                F.col("w").alias("_w2"),
+            )
+            cand = (
+                ins.join(outs, "_via")
+                .filter(F.col("_tu") != F.col("_tx"))
+                .groupBy(
+                    F.col("_tu").alias("_u"), F.col("_tx").alias("_v")
+                )
+                .agg(
+                    F.min(
+                        F.struct(
+                            (F.col("_w1") + F.col("_w2")).alias("wc"),
+                            F.col("_via").alias("m"),
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    "_u",
+                    "_v",
+                    F.col("b.wc").alias("_wc"),
+                    F.col("b.m").alias("_m"),
+                )
+            )
+            arcs = (
+                arcs.join(cand, ["_u", "_v"], "left")
+                .select(
+                    "_u",
+                    "_v",
+                    F.when(
+                        F.col("_wc").isNotNull()
+                        & (F.col("_wc") < F.col("w")),
+                        F.col("_wc"),
+                    )
+                    .otherwise(F.col("w"))
+                    .alias("w"),
+                    F.when(
+                        F.col("_wc").isNotNull()
+                        & (F.col("_wc") < F.col("w")),
+                        F.col("_m"),
+                    )
+                    .otherwise(F.col("mid"))
+                    .alias("mid"),
+                    "_ru",
+                    "_rv",
+                )
+            )
+            if lvl % checkpoint_every == 0 or lvl == self.rounds:
+                arcs = rebase_checkpoint(arcs)
+        # top block: both endpoints above the distributed rounds
+        top_pred = (F.col("_ru") > self.rounds) & (
+            F.col("_rv") > self.rounds
+        )
+        top_rows = arcs.filter(top_pred).collect()
+        rank = {
+            r["_n"]: r["rank"]
+            for r in self.ranks.filter(
+                F.col("rank") > self.rounds
+            ).collect()
+        }
+        w = {}
+        mid = {}
+        inn: dict = {}
+        outn: dict = {}
+        for r in top_rows:
+            k = (r["_u"], r["_v"])
+            w[k], mid[k] = r["w"], r["mid"]
+            if r["_ru"] > r["_rv"]:
+                inn.setdefault(r["_v"], set()).add(r["_u"])
+            elif r["_ru"] < r["_rv"]:
+                outn.setdefault(r["_u"], set()).add(r["_v"])
+        order = sorted(
+            (n for n, rk in rank.items() if rk < CORE_RANK),
+            key=lambda n: (rank[n], str(n)),
+        )
+        for v in order:
+            ins = [
+                (u, w[(u, v)]) for u in inn.get(v, ()) if w[(u, v)] < float("inf")
+            ]
+            outs = [
+                (x, w[(v, x)]) for x in outn.get(v, ()) if w[(v, x)] < float("inf")
+            ]
+            for u, w1 in ins:
+                for x, w2 in outs:
+                    if u == x:
+                        continue
+                    k = (u, x)
+                    c = w1 + w2
+                    if k in w and c < w[k]:
+                        w[k], mid[k] = c, v
+        schema = T.StructType(
+            [
+                T.StructField("_u", idt, False),
+                T.StructField("_v", idt, False),
+                T.StructField("w", T.DoubleType(), False),
+                T.StructField("mid", idt, True),
+                T.StructField("_ru", T.LongType(), False),
+                T.StructField("_rv", T.LongType(), False),
+            ]
+        )
+        top_df = self.spark.createDataFrame(
+            sorted(
+                (
+                    (u, v, w[(u, v)], mid[(u, v)], rank[u], rank[v])
+                    for (u, v) in w
+                    if w[(u, v)] < float("inf")
+                ),
+                key=lambda r: (str(r[0]), str(r[1])),
+            ),
+            schema,
+        )
+        out_search = (
+            arcs.filter(~top_pred)
+            .filter(F.col("w") < float("inf"))
+            .unionByName(top_df)
+            .localCheckpoint(eager=True)
+        )
+        return self._customized_result(out_search, base)
+
+    def alternatives(
+        self,
+        source,
+        target,
+        k: int = 3,
+        penalty: float = 2.0,
+        strategy: str = "auto",
+        max_iter: int | None = None,
+    ) -> list[tuple[list, float]]:
+        """Alternative routes via the PENALTY METHOD over a
+        customizable hierarchy (the standing r13 design note; public
+        algorithm: iterated penalization, e.g. Bader et al. 2011
+        "Alternative Route Graphs"): route, multiply the weight of
+        every edge ON the found route by ``penalty`` (compounding), RE-
+        CUSTOMIZE (not rebuild — penalties change the metric, which is
+        exactly what customization absorbs; Yen-style edge REMOVAL
+        can't compose with CH because deleted edges invalidate
+        shortcuts), and re-route until ``k`` distinct routes emerge.
+
+        Returns up to ``k`` ``(path, base_cost)`` pairs in discovery
+        order — the first is the exact optimum under the ORIGINAL
+        metric; later entries are progressively-penalized detours
+        whose reported cost is still the original metric (the standard
+        alternatives convention).  Stops early after ``max_iter``
+        (default ``4 * k``) penalization rounds without k distinct
+        routes (heavily-overlapping networks legitimately have fewer
+        good alternatives)."""
+        if not self.customizable or self.orig_edges is None:
+            raise ValueError(
+                "alternatives() requires build(customizable=True) "
+                "(keeps the original edge frame and a re-metric-able "
+                "arc set)"
+            )
+        if penalty <= 1.0:
+            raise ValueError("penalty must be > 1")
+        base = self.orig_edges
+        idt = self.ranks.schema["_n"].dataType
+        pen_counts: dict = {}
+        cur = self
+        out: list[tuple[list, float]] = []
+        seen: set = set()
+        limit = max_iter or (4 * k)
+        for _ in range(limit):
+            r = cur.route(source, target, strategy=strategy)
+            if r is None:
+                break
+            path = r[0]
+            pairs = list(zip(path, path[1:]))
+            if tuple(path) not in seen:
+                seen.add(tuple(path))
+                wrows = base.filter(
+                    F.col("_u").isin([p[0] for p in pairs])
+                    & F.col("_v").isin([p[1] for p in pairs])
+                ).collect()
+                wmap = {(x["_u"], x["_v"]): x["w"] for x in wrows}
+                cost = 0.0
+                for p in pairs:
+                    cost += wmap[p]
+                out.append((list(path), cost))
+                if len(out) >= k:
+                    break
+            for p in pairs:
+                pen_counts[p] = pen_counts.get(p, 0) + 1
+            pen_df = self.spark.createDataFrame(
+                sorted(
+                    ((u, v, c) for (u, v), c in pen_counts.items()),
+                    key=lambda t: (str(t[0]), str(t[1])),
+                ),
+                T.StructType(
+                    [
+                        T.StructField("_u", idt, False),
+                        T.StructField("_v", idt, False),
+                        T.StructField("_pc", T.IntegerType(), False),
+                    ]
+                ),
+            )
+            new_w = (
+                base.join(F.broadcast(pen_df), ["_u", "_v"], "left")
+                .select(
+                    "_u",
+                    "_v",
+                    (
+                        F.col("w")
+                        * F.pow(
+                            F.lit(float(penalty)),
+                            F.coalesce(F.col("_pc"), F.lit(0)),
+                        )
+                    ).alias("w"),
+                )
+            )
+            cur = self.customize(new_w, strategy=strategy)
+        return out
 
     # ----------------------------------------------------------- query
     def _up_down(self) -> tuple[DataFrame, DataFrame]:

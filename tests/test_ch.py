@@ -549,3 +549,127 @@ def test_closeness_landmarks_contracted_parity(grid6):
     assert h_got.keys() == h_raw.keys()
     for k in h_raw:
         assert h_got[k] == pytest.approx(h_raw[k], rel=1e-12)
+
+
+def _pen_replay(adj_rows, s, t, k, pen):
+    """Textbook penalty-method replay: Dijkstra on the penalized
+    metric, double on-route weights each round, first k distinct
+    routes reported under the original metric."""
+    basew = {}
+    adj = {}
+    for u, v, w in adj_rows:
+        basew[(u, v)] = w
+        adj.setdefault(u, []).append(v)
+    pen_counts, out, seen = {}, [], set()
+    for _ in range(4 * k):
+        dist = {s: 0.0}
+        pred = {s: None}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v in adj.get(u, ()):
+                nd = d + basew[(u, v)] * (pen ** pen_counts.get((u, v), 0))
+                if nd < dist.get(v, float("inf")):
+                    dist[v], pred[v] = nd, u
+                    heapq.heappush(pq, (nd, v))
+        if t not in dist:
+            break
+        path, cur = [], t
+        while cur is not None:
+            path.append(cur)
+            cur = pred[cur]
+        path.reverse()
+        if tuple(path) not in seen:
+            seen.add(tuple(path))
+            out.append(
+                (path, sum(basew[p] for p in zip(path, path[1:])))
+            )
+            if len(out) >= k:
+                break
+        for p in zip(path, path[1:]):
+            pen_counts[p] = pen_counts.get(p, 0) + 1
+    return out
+
+
+def test_ch_customize_requires_flag(grid6):
+    g, ch, _adj = grid6
+    with pytest.raises(ValueError, match="customizable"):
+        ch.customize(g.edges.select("_u", "_v", "w"))
+    with pytest.raises(ValueError, match="customizable"):
+        ch.alternatives("0:0", "5:5")
+
+
+def test_ch_customize_re_metric_exact(spark):
+    """CCH customization: new metric → exact routes without
+    recontraction, on BOTH the local and the distributed paths."""
+    g = _grid_graph(spark, 5)
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", local_finish=6,
+        customizable=True,
+    )
+    new = g.edges.select(
+        "_u",
+        "_v",
+        F.when(F.col("_u").startswith("0"), F.col("w") * 4)
+        .otherwise(F.col("w"))
+        .alias("w"),
+    )
+    adj2 = {}
+    for r in new.collect():
+        adj2.setdefault(r["_u"], []).append((r["_v"], r["w"]))
+    for strat in ("local", "pregel"):
+        cust = ch.customize(new, strategy=strat)
+        for s, t in [("0:0", "4:4"), ("0:0", "1:1"), ("3:0", "0:4")]:
+            got = cust.route(s, t, strategy=strat)
+            want = _dijkstra(adj2, s, t)
+            assert got[1] == pytest.approx(want, rel=1e-12), (strat, s, t)
+    # same-metric customization reproduces the original routes
+    cust0 = ch.customize(g.edges.select("_u", "_v", "w"))
+    adj0 = {}
+    for r in g.edges.collect():
+        adj0.setdefault(r["_u"], []).append((r["_v"], r["w"]))
+    assert cust0.route("0:0", "4:4")[1] == pytest.approx(
+        _dijkstra(adj0, "0:0", "4:4"), rel=1e-12
+    )
+
+
+def test_ch_alternatives_match_penalty_replay(spark):
+    """alternatives() == the independent penalty-Dijkstra replay —
+    path-for-path and cost-for-cost (dyadic weights: exact floats);
+    first route is the true optimum; all routes distinct."""
+    g = _grid_graph(spark, 4)
+    rows = [
+        (r["_u"], r["_v"], r["w"]) for r in g.edges.collect()
+    ]
+    ch = ContractionHierarchy.build(g, weight="w", customizable=True)
+    got = ch.alternatives("0:0", "3:3", k=3, penalty=2.0)
+    want = _pen_replay(rows, "0:0", "3:3", 3, 2.0)
+    assert len(got) == len(want) == 3
+    for (gp, gc), (wp, wc) in zip(got, want):
+        assert gp == wp
+        assert gc == pytest.approx(wc, rel=1e-12)
+    assert len({tuple(p) for p, _c in got}) == 3
+    adj0 = {}
+    for u, v, w in rows:
+        adj0.setdefault(u, []).append((v, w))
+    assert got[0][1] == pytest.approx(
+        _dijkstra(adj0, "0:0", "3:3"), rel=1e-12
+    )
+
+
+def test_ch_customizable_save_load_alternatives(spark, tmp_path):
+    """A customizable artifact round-trips (orig edge frame included)
+    and supports alternatives after reload."""
+    g = _grid_graph(spark, 4)
+    ch = ContractionHierarchy.build(g, weight="w", customizable=True)
+    store = str(tmp_path / "cch")
+    ch.save(store)
+    re = ContractionHierarchy.load(spark, store)
+    assert re.customizable and re.orig_edges is not None
+    got = re.alternatives("0:0", "3:3", k=2, penalty=2.0)
+    want = ch.alternatives("0:0", "3:3", k=2, penalty=2.0)
+    assert [(p, round(c, 12)) for p, c in got] == [
+        (p, round(c, 12)) for p, c in want
+    ]
