@@ -61,6 +61,8 @@ _ELEM_SCHEMA = T.StructType(
         T.StructField("ref", T.LongType()),  # kind=member: referenced
         # node id; kind=restriction: the VIA node
         T.StructField("to_way", T.LongType()),  # kind=restriction only
+        T.StructField("via_way", T.LongType()),  # kind=restriction with
+        # a via WAY member (ref is then NULL)
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
     ]
 )
@@ -160,11 +162,13 @@ def _iter_osm_elements(path: str) -> Iterator[dict]:
             # type=restriction relations (no_left_turn, only_straight_on,
             # no_u_turn, ...) are the one relation kind a router needs;
             # everything else (multipolygons, routes) stays out of scope.
-            # Supported shape: one from WAY + one via NODE + one to WAY
-            # (the overwhelming majority; via-way restrictions — rare,
-            # dual-carriageway complexes — are skipped, documented).
+            # Supported shapes: one from WAY + one via NODE + one to
+            # WAY (the overwhelming majority), and — r15 — one from
+            # WAY + one via WAY + one to WAY (the dual-carriageway
+            # connector form; multi-via chains stay skipped,
+            # documented).
             tags = {}
-            f_way = t_way = v_node = None
+            f_way = t_way = v_node = v_way = None
             ok = True
             for child in elem:
                 cn = _local_name(child.tag)
@@ -183,16 +187,22 @@ def _iter_osm_elements(path: str) -> Iterator[dict]:
                         ok = ok and t_way is None and mtype == "way"
                         t_way = int(mref)
                     elif role == "via":
-                        if mtype != "node" or v_node is not None:
-                            ok = False  # via-way / multi-via: skip
-                        else:
+                        if v_node is not None or v_way is not None:
+                            ok = False  # multi-via chain: skip
+                        elif mtype == "node":
                             v_node = int(mref)
+                        elif mtype == "way":
+                            v_way = int(mref)
+                        else:
+                            ok = False
             rtype = tags.get("restriction")
             if (
                 tags.get("type") == "restriction"
                 and rtype
                 and ok
-                and None not in (f_way, v_node, t_way)
+                and f_way is not None
+                and t_way is not None
+                and (v_node is not None or v_way is not None)
             ):
                 yield {
                     **base,
@@ -201,6 +211,7 @@ def _iter_osm_elements(path: str) -> Iterator[dict]:
                     "way_id": f_way,
                     "ref": v_node,
                     "to_way": t_way,
+                    "via_way": v_way,
                     "tags": tags,
                 }
             elem.clear()
@@ -253,16 +264,19 @@ def osm_way_members(elems: DataFrame) -> DataFrame:
 
 
 def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
-    """``(rel_id, rtype, from_way, via_node, to_way)`` from
-    ``type=restriction`` relations (from-way / via-node / to-way form;
-    the parser skips via-way and malformed relations).  ``rtype`` is
-    the raw ``restriction=`` value — ``no_*`` bans the one maneuver,
-    ``only_*`` bans every OTHER maneuver from the same approach."""
+    """``(rel_id, rtype, from_way, via_node, via_way, to_way)`` from
+    ``type=restriction`` relations — from-way/via-NODE/to-way rows
+    carry ``via_node`` (``via_way`` NULL), from-way/via-WAY/to-way
+    rows the reverse; multi-via chains and malformed relations are
+    skipped at parse.  ``rtype`` is the raw ``restriction=`` value —
+    ``no_*`` bans the one maneuver, ``only_*`` bans every OTHER
+    maneuver from the same approach."""
     return elems.filter(F.col("kind") == "restriction").select(
         F.col("osm_id").alias("rel_id"),
         F.col("tags").getItem("restriction").alias("rtype"),
         F.col("way_id").alias("from_way"),
         F.col("ref").alias("via_node"),
+        F.col("via_way"),
         F.col("to_way"),
     )
 
@@ -285,7 +299,28 @@ def banned_turn_pairs(
     the to way; ``only_*`` keeps departures NOT on it (ban-everything-
     else semantics).  Restrictions are tiny next to the edge table —
     both joins broadcast them; the edge side is touched twice with
-    single-column equi-predicates, no shuffle beyond the scan."""
+    single-column equi-predicates, no shuffle beyond the scan.
+
+    Via-WAY relations (r15; the dual-carriageway connector form) are
+    expanded driver-side from the restriction-bounded edge subset:
+    junction A = the node the from and via ways share, B = via∩to,
+    the via chain walked A→B over the via way's directed segments,
+    and the ban emitted as the EXIT pair (last chain edge → every
+    to-way departure at B).  For the canonical connector (the via way
+    reachable only from the from way, the overwhelming real-world
+    shape) this is exact; when the via way has other entrances it
+    conservatively also restricts their exit onto the to way — the
+    standard pair-based approximation (exact sequence bans need
+    stateful edge splitting).  ``only_*`` via-way relations and
+    unresolvable chains (ambiguous shared junctions, no directed
+    path) are skipped."""
+    if "via_way" in restrictions.columns:
+        via_way_rows = restrictions.filter(
+            F.col("via_way").isNotNull()
+        ).collect()
+        restrictions = restrictions.filter(F.col("via_way").isNull())
+    else:  # pre-r15 caller-built frames
+        via_way_rows = []
     r = restrictions.select(
         "rel_id",
         F.col("rtype").startswith("only_").alias("_only"),
@@ -341,7 +376,79 @@ def banned_turn_pairs(
         )
         | (F.col("_only") & (F.col("_wid2") != F.col("to_way")))
     )
-    return paired.select("_u1", "_v1", "_u2", "_v2").distinct()
+    out = paired.select("_u1", "_v1", "_u2", "_v2").distinct()
+    vw_pairs = _via_way_pairs(edges, via_way_rows)
+    if vw_pairs:
+        out = out.unionByName(
+            edges.sparkSession.createDataFrame(
+                sorted(vw_pairs), out.schema
+            )
+        ).distinct()
+    return out
+
+
+def _via_way_pairs(edges: DataFrame, vrows: list) -> list[tuple]:
+    """Driver-side via-way chain resolution (restriction-bounded: only
+    the few ways a relation names are ever collected).  Returns banned
+    ``(_u1, _v1, _u2, _v2)`` exit pairs — see ``banned_turn_pairs``
+    for the semantics and the documented approximation."""
+    from collections import deque
+
+    vrows = [
+        r
+        for r in vrows
+        if r["rtype"] is not None and not r["rtype"].startswith("only_")
+    ]
+    if not vrows:
+        return []
+    way_ids = sorted(
+        {
+            w
+            for r in vrows
+            for w in (r["from_way"], r["via_way"], r["to_way"])
+        }
+    )
+    erows = (
+        edges.filter(F.col("_way_id").isin(way_ids))
+        .select("_u", "_v", "_way_id", "_u_ref", "_v_ref")
+        .collect()
+    )
+    by_way: dict = {}
+    for e in erows:
+        by_way.setdefault(e["_way_id"], []).append(e)
+    pairs: set = set()
+    for r in vrows:
+        f_e = by_way.get(r["from_way"], [])
+        v_e = by_way.get(r["via_way"], [])
+        t_e = by_way.get(r["to_way"], [])
+        f_nodes = {x["_u_ref"] for x in f_e} | {x["_v_ref"] for x in f_e}
+        v_nodes = {x["_u_ref"] for x in v_e} | {x["_v_ref"] for x in v_e}
+        t_nodes = {x["_u_ref"] for x in t_e} | {x["_v_ref"] for x in t_e}
+        a_set = (f_nodes & v_nodes) - t_nodes
+        b_set = (t_nodes & v_nodes) - f_nodes
+        if len(a_set) != 1 or len(b_set) != 1:
+            continue  # ambiguous topology: skip, documented
+        a, b = next(iter(a_set)), next(iter(b_set))
+        # BFS over the via way's DIRECTED segments from A to B (a
+        # oneway via only carries one direction)
+        adj: dict = {}
+        for x in v_e:
+            adj.setdefault(x["_u_ref"], []).append(x)
+        prev: dict = {a: None}
+        qd = deque([a])
+        while qd and b not in prev:
+            cur = qd.popleft()
+            for x in adj.get(cur, []):
+                if x["_v_ref"] not in prev:
+                    prev[x["_v_ref"]] = x
+                    qd.append(x["_v_ref"])
+        last = prev.get(b)
+        if last is None:
+            continue  # no directed via path: skip
+        for t in t_e:
+            if t["_u_ref"] == b:
+                pairs.add((last["_u"], last["_v"], t["_u"], t["_v"]))
+    return list(pairs)
 
 
 def edges_from_osm(

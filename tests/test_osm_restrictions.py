@@ -143,9 +143,10 @@ def test_no_u_turn_drops_reversal_pair(spark, tmp_path):
     assert restricted.size() == free.size() - bans.count()
 
 
-def test_malformed_and_via_way_relations_skipped(spark, tmp_path):
-    """Via-way, missing-member, and non-restriction relations all
-    parse to nothing (documented scope: from-way/via-node/to-way)."""
+def test_malformed_and_multi_via_relations_skipped(spark, tmp_path):
+    """Multi-via chains, missing-member, and non-restriction relations
+    parse to nothing; a single via-WAY relation parses with via_way
+    set (r15 scope extension)."""
     xml = textwrap.dedent(
         """\
         <osm>
@@ -173,13 +174,24 @@ def test_malformed_and_via_way_relations_skipped(spark, tmp_path):
             <member type="node" role="via" ref="2"/>
             <member type="way" role="to" ref="20"/>
           </relation>
+          <relation id="5">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_u_turn"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="way" role="via" ref="15"/>
+            <member type="way" role="via" ref="16"/>
+            <member type="way" role="to" ref="20"/>
+          </relation>
         </osm>
         """
     )
     p = tmp_path / "bad.osm"
     p.write_text(xml)
     elems = read_osm_elements(spark, str(p))
-    assert osm_turn_restrictions(elems).count() == 0
+    rows = osm_turn_restrictions(elems).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["rel_id"], r["via_way"], r["via_node"]) == (1, 15, None)
 
 
 def test_restricted_route_detours(spark, tmp_path):
@@ -324,3 +336,81 @@ def test_same_way_no_left_turn_is_reversal_scoped(spark, tmp_path):
         ((1, 2), (2, 1)),
         ((3, 2), (2, 3)),
     }
+
+
+_VIA_WAY_XML = textwrap.dedent(
+    """\
+    <osm>
+      <node id="1" lon="0.0" lat="0.001"/>
+      <node id="2" lon="0.001" lat="0.001"/>
+      <node id="3" lon="0.001" lat="0.002"/>
+      <node id="4" lon="0.002" lat="0.002"/>
+      <node id="6" lon="0.0" lat="0.002"/>
+      <way id="100"><nd ref="1"/><nd ref="2"/>
+        <tag k="highway" v="primary"/></way>
+      <way id="150"><nd ref="2"/><nd ref="3"/>
+        <tag k="highway" v="primary_link"/></way>
+      <way id="200"><nd ref="3"/><nd ref="4"/>
+        <tag k="highway" v="primary"/></way>
+      <way id="300"><nd ref="6"/><nd ref="3"/>
+        <tag k="highway" v="residential"/></way>
+      <relation id="42">
+        <tag k="type" v="restriction"/>
+        <tag k="restriction" v="no_left_turn"/>
+        <member type="way" role="from" ref="100"/>
+        <member type="way" role="via" ref="150"/>
+        <member type="way" role="to" ref="200"/>
+      </relation>
+    </osm>
+    """
+)
+
+
+def test_via_way_restriction_bans_exit_pair(spark, tmp_path):
+    """r14-verdict task #7: a via-WAY relation expands to the banned
+    EXIT pair — the via chain's last edge onto every to-way departure
+    at the via∩to junction (exact for the canonical connector; the
+    documented conservative pair approximation otherwise)."""
+    p = tmp_path / "viaway.osm"
+    p.write_text(_VIA_WAY_XML)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    restr = osm_turn_restrictions(elems)
+    assert restr.collect()[0]["via_way"] == 150
+    bans = banned_turn_pairs(edges, restr)
+    # chain: A = from∩via = 2, B = via∩to = 3; last via edge (2,3);
+    # the one to-way departure at 3 is (3,4) — nothing else banned
+    # (way 300's exit at 3, the via entry (1,2)->(2,3), and the
+    # reverse directions all stay open)
+    assert _ref_pairs(edges, bans) == {((2, 3), (3, 4))}
+    # the maneuver really disappears from the minor
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    free = g.to_linegraph(weight="_length", allow_uturn=True)
+    restricted = g.to_linegraph(
+        weight="_length", allow_uturn=True, banned_turns=bans
+    )
+    assert restricted.size() == free.size() - 1
+
+
+def test_via_way_only_and_unresolvable_skipped(spark, tmp_path):
+    """only_* via-way rows and chains whose junctions cannot be
+    resolved produce no pairs (documented scope)."""
+    xml = _VIA_WAY_XML.replace("no_left_turn", "only_straight_on")
+    p = tmp_path / "viaway_only.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    assert banned_turn_pairs(edges, osm_turn_restrictions(elems)).count() == 0
+    # unresolvable: via way disjoint from the to way (no B junction)
+    xml2 = _VIA_WAY_XML.replace(
+        '<way id="200"><nd ref="3"/><nd ref="4"/>',
+        '<way id="200"><nd ref="6"/><nd ref="4"/>',
+    )
+    p2 = tmp_path / "viaway_bad.osm"
+    p2.write_text(xml2)
+    elems2 = read_osm_elements(spark, str(p2))
+    edges2 = edges_from_osm(spark, str(p2), elems=elems2).localCheckpoint()
+    assert (
+        banned_turn_pairs(edges2, osm_turn_restrictions(elems2)).count()
+        == 0
+    )
