@@ -25,72 +25,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r14 head = 7 new
-# (CH persistence / distance matrix / PHAST / route matrix, cost
-# profiles, turn restrictions, route-distance map matching) + 6
-# changed-since-green (CH route loop + unbounded unpack + trace cap;
-# Yen pre-partitioned spurs; OSM coord dedupe; Viterbi core refactor;
-# to_linegraph banned_turns) + the 12 r9-vintage rows + the 25
-# stalest r10 rows = 50, retiring the r9 staleness floor per the r13
-# verdict task #7.  Regenerate every round with the same rule.
+# round first, alphabetical within a round).  r15 head = 3 new
+# (edge-based CH turn routing, PHAST isochrone, penalty-method CH
+# alternatives) + 11 changed-since-green (every CH gate: fingerprint/
+# save/trace/build-branch changes; the OSM restriction gates:
+# banned_turn_pairs rework + via-way parser; landmark centralities:
+# contracted= dispatch) + the 23 remaining r10-vintage rows + the 13
+# stalest r11 rows = 50 — after this round the oldest vintage is r11
+# (r13 verdict task, continued).  Regenerate every round with the
+# same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 14) ---
+    # --- never sampled (new in round 15) ---
+    "g_ch_turn",
+    "g_isochrone_ch",
+    "g_kshortest_ch",
+    # --- changed in r15 since newest driver-green (ch.py: replace-aside
+    # save, edge fingerprint, bounded _trace, customizable build
+    # branch; osm.py: banned_turn_pairs same-way no_* + via-way
+    # expansion, parser via-way; graph.py: landmark contracted=
+    # dispatch) ---
+    "g_ch_full",
     "g_ch_matrix",
     "g_ch_persist",
     "g_ch_phast",
+    "g_ch_route",
     "g_ch_route_matrix",
+    "g_closeness_landmarks",
     "g_cost_profile",
+    "g_harmonic_landmarks",
     "g_turn_restriction",
-    "geo_map_match_route",
-    # --- changed in r14 but newest driver-green row predates the change
-    # (2-hop CH route batching + unbounded unpack + trace cap; Yen
-    # pre-partitioned spur graphs; OSM coord dedupe before the geometry
-    # join; Viterbi core refactor; to_linegraph banned_turns arg) ---
-    "g_ch_full",
-    "g_kshortest",
     "s15_osm_ingest",
-    "geo_map_match",
-    "g_turn_routing",
-    "g_maneuver_classes",
-    # --- newest driver-green row: round 9 ---
-    "samp1_stratified",
-    "samp2_hash_bernoulli",
-    "t10_corpus_filter",
-    "t5_bpe_tokens",
-    "t6_length_quantiles",
-    "t7_pack_chunks",
-    "t8_tfidf_top_terms",
-    "t9_winnow_fingerprints",
-    "w2_moving_avg",
-    "w3_rank_dense",
-    "w4_lag_lead",
-    "w5_distribution_ranks",
     # --- newest driver-green row: round 10 ---
-    "a1_table_counts",
-    "a2_orders_per_customer",
-    "a3_weighted_size",
-    "agg_cube_docs",
-    "agg_rollup_status",
-    "d14_semdedup",
-    "d15_dsir_weights",
-    "d1_exact_dedup",
-    "d2_minhash_signatures",
-    "d3_minhash_lsh_pairs",
-    "d4_simhash",
-    "e1_tumbling_hourly",
-    "e2_sliding_30min",
-    "e4_topk_users",
-    "ev_json_extract",
-    "g_a2_out_degree",
-    "g_cc_components",
-    "g_clustering_coef",
-    "g_condensation_depth",
-    "g_harmonic",
-    "g_j1_bfs_hops",
-    "g_j1_sssp_weighted",
-    "g_ktruss",
-    "g_motif_ffw_triangle",
-    "g_motif_open_wedge",
     "g_node2vec_walks",
     "g_skipgram_pairs",
     "g_topo_levels",
@@ -114,7 +79,7 @@ _PRIORITY = [
     "t21_feature_hashing",
     "w6_range_interval",
     "x5_zorder_values",
-    # --- newest driver-green row: round 11 ---
+    # --- newest driver-green row: round 11 (head fill to 50) ---
     "a2b_approx_degree",
     "d16_dup_span_removal",
     "d4b_simhash_neardup",
@@ -128,6 +93,7 @@ _PRIORITY = [
     "e6_interval_join",
     "g_adamic_adar",
     "g_am_weighted_degree",
+    # --- newest driver-green row: round 11 (tail) ---
     "g_msf",
     "g_p5_successors",
     "g_scc_components",
@@ -163,7 +129,6 @@ _PRIORITY = [
     "g_anf",
     "g_astar_route",
     "g_betweenness",
-    "g_ch_route",
     "g_closeness",
     "g_contract_chains",
     "g_eff_diameter",
@@ -217,11 +182,9 @@ _PRIORITY = [
     "e8_funnel_conversion",
     "e9_cohort_retention",
     "ev2_json_schema",
-    "g_closeness_landmarks",
     "g_condensation",
     "g_diameter_lb",
     "g_feature_prop",
-    "g_harmonic_landmarks",
     "g_isochrone",
     "g_kcore",
     "g_lpa_communities",
@@ -251,6 +214,49 @@ _PRIORITY = [
     "u2_last_write_wins",
     "u3_union_missing_cols",
     "w1_top3_per_customer",
+    # --- newest driver-green row: round 14 ---
+    "a1_table_counts",
+    "a2_orders_per_customer",
+    "a3_weighted_size",
+    "agg_cube_docs",
+    "agg_rollup_status",
+    "d14_semdedup",
+    "d15_dsir_weights",
+    "d1_exact_dedup",
+    "d2_minhash_signatures",
+    "d3_minhash_lsh_pairs",
+    "d4_simhash",
+    "e1_tumbling_hourly",
+    "e2_sliding_30min",
+    "e4_topk_users",
+    "ev_json_extract",
+    "g_a2_out_degree",
+    "g_cc_components",
+    "g_clustering_coef",
+    "g_condensation_depth",
+    "g_harmonic",
+    "g_j1_bfs_hops",
+    "g_j1_sssp_weighted",
+    "g_kshortest",
+    "g_ktruss",
+    "g_maneuver_classes",
+    "g_motif_ffw_triangle",
+    "g_motif_open_wedge",
+    "g_turn_routing",
+    "geo_map_match",
+    "geo_map_match_route",
+    "samp1_stratified",
+    "samp2_hash_bernoulli",
+    "t10_corpus_filter",
+    "t5_bpe_tokens",
+    "t6_length_quantiles",
+    "t7_pack_chunks",
+    "t8_tfidf_top_terms",
+    "t9_winnow_fingerprints",
+    "w2_moving_avg",
+    "w3_rank_dense",
+    "w4_lag_lead",
+    "w5_distribution_ranks",
 ]
 
 def _ordered(d: dict) -> dict:

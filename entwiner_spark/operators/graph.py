@@ -4001,9 +4001,9 @@ class SparkGraph:
             # one-to-all sweep shares the round loop (state keyed
             # (src, _n)), rounds bounded by hierarchy height instead
             # of k × graph diameter
-            return contracted.sssp_multi(landmarks).select(
-                "_n", F.col("dist").alias("_d")
-            )
+            return contracted.sssp_multi(
+                landmarks, strategy=strategy
+            ).select("_n", F.col("dist").alias("_d"))
         parts = []
         for lm in landmarks:
             d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)

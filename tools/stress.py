@@ -1074,6 +1074,44 @@ def main() -> None:
         assert len({tuple(p) for p, _c in alts}) == 3
         assert all(len(p) == len(set(p)) for p, _c in alts)
 
+        # --- XL landmark closeness A/B (r14-verdict task #3): k
+        # one-to-all sweeps raw (k sequential pregel SSSPs,
+        # diameter-bound rounds) vs through the SAME prebuilt
+        # hierarchy (ONE batched PHAST, height-bound rounds shared by
+        # all landmarks).  Parity asserted on the summed distances.
+        log("phase: XL landmark closeness raw vs contracted (PHAST)")
+        lms = [
+            r["_n"]
+            for r in Gg.nodes.select("_n")
+            .orderBy(F.md5(F.col("_n").cast("string")), "_n")
+            .limit(4)
+            .collect()
+        ]
+        t0 = time.time()
+        raw_lm = {
+            r["_n"]: r["total_dist"]
+            for r in Gg.closeness_landmarks(
+                weight="w", landmarks=lms, strategy="pregel"
+            ).collect()
+        }
+        out["landmark_raw_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        ch_lm = {
+            r["_n"]: r["total_dist"]
+            for r in Gg.closeness_landmarks(
+                weight="w",
+                landmarks=lms,
+                strategy="pregel",
+                contracted=chx,
+            ).collect()
+        }
+        out["landmark_ch_sec"] = round(time.time() - t0, 1)
+        assert ch_lm.keys() == raw_lm.keys()
+        assert all(
+            abs(ch_lm[k] - raw_lm[k]) < 1e-6 * max(1.0, abs(raw_lm[k]))
+            for k in raw_lm
+        )
+
     print(json.dumps(out))
     spark.stop()
 
