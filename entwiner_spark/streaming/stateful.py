@@ -357,10 +357,16 @@ def stream_map_match(
     ADVANCE, so a trace that stops transmitting would hold its tail
     pending forever.  With a timeout set, a trace group that receives
     no data for that long (processing time) flushes its ENTIRE
-    pending buffer in seq order on the next trigger — bounded
-    emission latency for stalled traces; a fix arriving after the
-    flush is late (seq ≤ last_seq) and drops, the documented
-    reorder-window contract.
+    pending buffer in seq order — bounded emission latency for
+    stalled traces; a fix arriving after the flush is late
+    (seq ≤ last_seq) and drops, the documented reorder-window
+    contract.  Engine semantics to know: with ProcessingTimeTimeout
+    Spark schedules state-cleanup batches CONTINUOUSLY
+    (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    unconditionally true for this conf), so the drain happens by
+    itself within ~the timeout — but the query never quiesces, so
+    ``processAllAvailable()`` blocks forever on such queries: poll
+    the sink (or use awaitTermination with a timeout) instead.
     """
     from entwiner_spark.functions.geo import point_linestring_distance_m
     from entwiner_spark.operators.spatial import M_PER_DEG, with_cells

@@ -1798,8 +1798,12 @@ def test_stream_map_match_duplicate_fix_idempotent(spark, tmp_path):
 
 def test_stream_map_match_stall_timeout_flush(spark, tmp_path):
     """stall_timeout_ms: a trace that stops transmitting flushes its
-    pending tail on the next trigger after the timeout — the buffered
-    fixes emit (matching batch) instead of being held forever."""
+    pending reorder tail within ~the timeout — with
+    ProcessingTimeTimeout, Spark keeps scheduling state-cleanup
+    batches (shouldRunAnotherBatch is unconditionally true), so the
+    drain needs no further input.  NB: such queries never quiesce, so
+    the sink is POLLED (processAllAvailable would block forever — the
+    documented engine caveat in the docstring)."""
     import json as _json
     import time as _time
 
@@ -1853,7 +1857,7 @@ def test_stream_map_match_stall_timeout_flush(spark, tmp_path):
             max_dist_m=100.0,
             sigma_m=20.0,
             reorder_window=2,
-            stall_timeout_ms=1000,
+            stall_timeout_ms=2000,
         )
         .writeStream.format("memory")
         .queryName("smm_stall")
@@ -1861,30 +1865,21 @@ def test_stream_map_match_stall_timeout_flush(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
-        got1 = {
-            r["seq"] for r in spark.sql("SELECT * FROM smm_stall").collect()
-        }
-        # hw=5, window=2: seqs 4-5 pending after the only data batch
-        assert got1 == {0, 1, 2, 3}
-        # trace t1 goes silent; a later unrelated trigger (another
-        # trace's fix) arrives after the stall timeout and drains it
-        _time.sleep(2.0)
-        (d / "b.json").write_text(
-            _json.dumps(
-                {"trace_id": "t2", "seq": 0, "lon": 0.0005, "lat": 1e-4}
-            )
-        )
-        q.processAllAvailable()
-        got_rows = [
-            r
-            for r in spark.sql("SELECT * FROM smm_stall").collect()
-            if r["trace_id"] == "t1"
-        ]
+        # hw=5, window=2: seqs 0-3 flush with the data batch; 4-5 sit
+        # in the reorder buffer until the stall timeout drains them —
+        # poll the sink with a deadline
+        deadline = _time.time() + 120
+        got_rows = []
+        while _time.time() < deadline:
+            got_rows = spark.sql("SELECT * FROM smm_stall").collect()
+            if len(got_rows) >= len(trace):
+                break
+            _time.sleep(1.0)
     finally:
         q.stop()
     got = {
         r["seq"]: (r["fid"], round(r["snap_dist_m"], 6)) for r in got_rows
     }
-    # the full trace emitted, every row equal to batch
+    # the full trace emitted (tail drained by the timeout), every row
+    # equal to batch
     assert got == want
