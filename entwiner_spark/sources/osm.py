@@ -270,7 +270,10 @@ def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
     rows the reverse; multi-via chains and malformed relations are
     skipped at parse.  ``rtype`` is the raw ``restriction=`` value —
     ``no_*`` bans the one maneuver, ``only_*`` bans every OTHER
-    maneuver from the same approach."""
+    maneuver from the same approach.  ``except_tag`` surfaces the
+    ``except=`` transport-mode list (``psv;bicycle`` style) so
+    profile-aware expansion can skip restrictions that don't apply
+    to the routed mode (``banned_turn_pairs(profile=)``)."""
     return elems.filter(F.col("kind") == "restriction").select(
         F.col("osm_id").alias("rel_id"),
         F.col("tags").getItem("restriction").alias("rtype"),
@@ -278,11 +281,14 @@ def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
         F.col("ref").alias("via_node"),
         F.col("via_way"),
         F.col("to_way"),
+        F.col("tags").getItem("except").alias("except_tag"),
     )
 
 
 def banned_turn_pairs(
-    edges: DataFrame, restrictions: DataFrame
+    edges: DataFrame,
+    restrictions: DataFrame,
+    profile: str | None = None,
 ) -> DataFrame:
     """Expand turn-restriction relations into banned maneuver pairs
     over an ``edges_from_osm`` table: one row per banned adjacent edge
@@ -313,7 +319,23 @@ def banned_turn_pairs(
     standard pair-based approximation (exact sequence bans need
     stateful edge splitting).  ``only_*`` via-way relations and
     unresolvable chains (ambiguous shared junctions, no directed
-    path) are skipped."""
+    path) are skipped.
+
+    ``profile``: the routed transport mode (``"motorcar"``,
+    ``"bicycle"``, ``"psv"``, …).  A restriction whose ``except=``
+    list names the profile does not apply to it and is dropped
+    before expansion (OSM semantics: ``except=bicycle`` on a
+    no_left_turn means cyclists MAY turn).  ``None`` (default) keeps
+    every restriction — the conservative choice for an unspecified
+    mode.  ``restriction:conditional`` values remain out of scope
+    (the condition would need time-dependent metrics, documented)."""
+    if profile is not None and "except_tag" in restrictions.columns:
+        restrictions = restrictions.filter(
+            ~F.array_contains(
+                F.split(F.coalesce(F.col("except_tag"), F.lit("")), ";"),
+                profile,
+            )
+        )
     if "via_way" in restrictions.columns:
         via_way_rows = restrictions.filter(
             F.col("via_way").isNotNull()
@@ -793,6 +815,7 @@ def graph_from_osm(
     with_traversal_time: bool = False,
     speeds: dict[str, float] | None = None,
     with_restrictions: bool = False,
+    profile: str | None = None,
 ) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """One-call OSM → (nodes, edges): tag-filtered, junction-split,
     oneway-honoring edges plus the endpoint-derived nodes table, node
@@ -809,7 +832,9 @@ def graph_from_osm(
     ``with_restrictions=True`` returns a THIRD frame: the banned
     maneuver pairs from ``type=restriction`` relations
     (``banned_turn_pairs``), ready for
-    ``to_linegraph(banned_turns=...)``."""
+    ``to_linegraph(banned_turns=...)``; ``profile`` names the routed
+    mode so ``except=``-listed restrictions drop (see
+    ``banned_turn_pairs``)."""
     from entwiner_spark.sources.geojson import nodes_from_edges
 
     if with_traversal_time and "maxspeed" not in tag_cols:
@@ -832,6 +857,8 @@ def graph_from_osm(
     )
     nodes = nodes_from_edges(edges, precision=precision, point_attrs=attrs)
     if with_restrictions:
-        bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+        bans = banned_turn_pairs(
+            edges, osm_turn_restrictions(elems), profile=profile
+        )
         return nodes, edges, bans
     return nodes, edges

@@ -414,3 +414,29 @@ def test_via_way_only_and_unresolvable_skipped(spark, tmp_path):
         banned_turn_pairs(edges2, osm_turn_restrictions(elems2)).count()
         == 0
     )
+
+
+def test_except_tag_profile_filtering(spark, tmp_path):
+    """except=: a restriction listing the routed profile does not
+    apply to it — banned_turn_pairs(profile=) drops it before
+    expansion; other profiles (and the conservative None default)
+    keep it."""
+    xml = _T_XML.replace(
+        '<tag k="restriction" v="no_left_turn"/>',
+        '<tag k="restriction" v="no_left_turn"/>\n'
+        '    <tag k="except" v="bicycle;psv"/>',
+    )
+    p = tmp_path / "except.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    restr = osm_turn_restrictions(elems)
+    assert restr.collect()[0]["except_tag"] == "bicycle;psv"
+    # exempted profiles: no bans
+    assert banned_turn_pairs(edges, restr, profile="bicycle").count() == 0
+    assert banned_turn_pairs(edges, restr, profile="psv").count() == 0
+    # non-exempted profile and the conservative default: banned
+    assert (
+        banned_turn_pairs(edges, restr, profile="motorcar").count() == 2
+    )
+    assert banned_turn_pairs(edges, restr).count() == 2
