@@ -219,6 +219,71 @@ class EdgeBasedCH:
             return None
         return self._decode(list(best[1])), best[0][0]
 
+    def isochrone(
+        self,
+        source,
+        budget: float,
+        strategy: str = "auto",
+        max_iterations: int = 400,
+    ) -> DataFrame:
+        """Turn-aware accessibility set: every ORIGINAL node reachable
+        from ``source`` within ``budget`` under the minor's metric
+        (edge weights + turn costs, banned maneuvers absent) —
+        ``(_n, dist)``.  One batched PHAST from the source's
+        out-terminals (offsets = first-edge weights folded in
+        afterwards), minor nodes folded back to their head original
+        node by a groupBy-min over the terminal registry.  The
+        restricted wheelchair/"how far in N minutes" query the
+        maneuver model exists for."""
+        srcs = self._source_terminals(source)
+        idt = self.terminals.schema["_edge_u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("_n", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+            ]
+        )
+        self_row = [(source, 0.0)]
+        if not srcs or budget < 0:
+            return self.spark.createDataFrame(
+                self_row if budget >= 0 else [], out_schema
+            )
+        d = self.ch.sssp_multi(
+            [s for s, _w in srcs],
+            strategy=strategy,
+            max_iterations=max_iterations,
+        )
+        offs = self.spark.createDataFrame(
+            [(s, w) for s, w in srcs],
+            T.StructType(
+                [
+                    T.StructField("src", T.StringType(), False),
+                    T.StructField("_w0", T.DoubleType(), False),
+                ]
+            ),
+        )
+        folded = (
+            d.join(F.broadcast(offs), "src")
+            # minor node == a directed edge; standing at it means
+            # having ARRIVED at its head node (_edge_v)
+            .join(
+                self.terminals.select(
+                    F.col("_n").alias("_mn"), "_edge_v"
+                ),
+                F.col("_n") == F.col("_mn"),
+            )
+            .groupBy(F.col("_edge_v").alias("_n"))
+            .agg(F.min(F.col("_w0") + F.col("dist")).alias("dist"))
+            .filter(F.col("dist") <= float(budget))
+        )
+        return (
+            folded.unionByName(
+                self.spark.createDataFrame(self_row, out_schema)
+            )
+            .groupBy("_n")
+            .agg(F.min("dist").alias("dist"))
+        )
+
     def distance_matrix(
         self,
         sources: list,

@@ -241,3 +241,41 @@ def test_osm_restriction_composition(spark, tmp_path):
     assert free_refs == [1, 2, 4]  # takes the banned left
     assert restr_refs == [1, 2, 3, 5, 4]  # detours
     assert restr.route(src, tgt)[1] > free.route(src, tgt)[1]
+
+
+def test_edge_based_isochrone(spark, grid):
+    """Turn-aware isochrone == per-target edge-based route distances,
+    budget-filtered; the source itself appears at dist 0; a banned
+    maneuver shrinks the set."""
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    budget = 9.0
+    iso = {
+        r["_n"]: r["dist"] for r in eb.isochrone("0,0", budget).collect()
+    }
+    assert iso["0,0"] == 0.0
+    # oracle: route to every node, keep those within budget
+    want = {"0,0": 0.0}
+    for r in grid.nodes.collect():
+        t = r["_n"]
+        if t == "0,0":
+            continue
+        res = eb.route("0,0", t)
+        if res is not None and res[1] <= budget:
+            want[t] = res[1]
+    assert iso.keys() == want.keys()
+    for k in want:
+        assert iso[k] == pytest.approx(want[k], abs=1e-12)
+    # a ban on the cheapest first maneuver shrinks or re-prices the set
+    ban = spark.createDataFrame(
+        [("0,0", "0,1", "0,1", "0,2"), ("0,0", "1,0", "1,0", "2,0")],
+        "_u1 string, _v1 string, _u2 string, _v2 string",
+    )
+    eb2 = EdgeBasedCH.build(
+        grid, weight="w", allow_uturn=True, banned_turns=ban
+    )
+    iso2 = {
+        r["_n"]: r["dist"] for r in eb2.isochrone("0,0", budget).collect()
+    }
+    assert set(iso2) <= set(iso)
+    assert all(iso2[k] >= iso[k] - 1e-12 for k in iso2)
+    assert iso2 != iso
