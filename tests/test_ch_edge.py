@@ -279,3 +279,58 @@ def test_edge_based_isochrone(spark, grid):
     assert set(iso2) <= set(iso)
     assert all(iso2[k] >= iso[k] - 1e-12 for k in iso2)
     assert iso2 != iso
+
+
+def test_osm_time_metric_restricted_composition(spark, tmp_path):
+    """Full stack: OSM cost profiles (traversal seconds) + turn
+    restrictions + edge-based CH — time routing through the
+    contracted minor equals the raw restricted linegraph optimum on
+    the time metric."""
+    from entwiner_spark.catalog import _turn_fixture_xml
+    from entwiner_spark.sources.osm import graph_from_osm
+
+    p = tmp_path / "turn_t.osm"
+    p.write_text(_turn_fixture_xml())
+    nodes, edges, bans = graph_from_osm(
+        spark,
+        str(p),
+        with_traversal_time=True,
+        with_restrictions=True,
+    )
+    g = SparkGraph(nodes, edges)
+    node_ref = {}
+    for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect():
+        node_ref[r["_u"]] = r["_u_ref"]
+        node_ref[r["_v"]] = r["_v_ref"]
+    src = next(n for n, rr in node_ref.items() if rr == 1)
+    tgt = next(n for n, rr in node_ref.items() if rr == 4)
+    eb = EdgeBasedCH.build(
+        g, weight="_traversal_sec", banned_turns=bans
+    )
+    got = eb.route(src, tgt)
+    assert [node_ref[n] for n in got[0]] == [1, 2, 3, 5, 4]  # detour
+    # raw linegraph oracle on the same metric
+    minor = g.to_linegraph(
+        weight="_traversal_sec", allow_uturn=False, banned_turns=bans
+    )
+    w0s = {
+        r["_n"]: r["_traversal_sec"]
+        for r in minor.nodes.filter(F.col("_edge_u") == src)
+        .select("_n", "_traversal_sec")
+        .collect()
+    }
+    tgts = [
+        r["_n"]
+        for r in minor.nodes.filter(F.col("_edge_v") == tgt)
+        .select("_n")
+        .collect()
+    ]
+    best = None
+    for s0, w0 in w0s.items():
+        for t in tgts:
+            r = minor.shortest_path(s0, t, weight="w")
+            if r is not None:
+                c = w0 + r[1]
+                if best is None or c < best:
+                    best = c
+    assert got[1] == pytest.approx(best, rel=1e-12)
