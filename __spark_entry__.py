@@ -25,18 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r15 head = 3 new
-# (edge-based CH turn routing, PHAST isochrone, penalty-method CH
+# round first, alphabetical within a round).  r15 head = 4 new
+# (edge-based CH turn routing, the restrictions×customize×
+# alternatives composition, PHAST isochrone, penalty-method CH
 # alternatives) + 11 changed-since-green (every CH gate: fingerprint/
 # save/trace/build-branch changes; the OSM restriction gates:
 # banned_turn_pairs rework + via-way parser; landmark centralities:
-# contracted= dispatch) + the 23 remaining r10-vintage rows + the 13
+# contracted= dispatch) + the 23 remaining r10-vintage rows + the 12
 # stalest r11 rows = 50 — after this round the oldest vintage is r11
 # (r13 verdict task, continued).  Regenerate every round with the
 # same rule.
 _PRIORITY = [
     # --- never sampled (new in round 15) ---
     "g_ch_turn",
+    "g_ch_turn_alts",
     "g_isochrone_ch",
     "g_kshortest_ch",
     # --- changed in r15 since newest driver-green (ch.py: replace-aside
@@ -92,8 +94,8 @@ _PRIORITY = [
     "e5_asof_last_view",
     "e6_interval_join",
     "g_adamic_adar",
-    "g_am_weighted_degree",
     # --- newest driver-green row: round 11 (tail) ---
+    "g_am_weighted_degree",
     "g_msf",
     "g_p5_successors",
     "g_scc_components",

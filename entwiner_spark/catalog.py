@@ -6424,6 +6424,143 @@ def g_kshortest_ch(spark, sf_dir):
     )
 
 
+def _ch_turn_alts_oracle_sql() -> str:
+    """Independent replay of turn-aware penalty alternatives over the
+    maneuver minor of the closed-form dyadic grid: minor arcs = legal
+    adjacent directed-edge pairs (one maneuver BANNED), arc weight =
+    the downstream edge's weight; per iteration a minor Dijkstra from
+    every source terminal (first-edge offsets, both penalized ×2 per
+    traversal, compounding), min over terminal pairs with the
+    engine's (cost, src, dst) tie-break; first 2 distinct node paths
+    reported under the ORIGINAL metric.  Dyadic weights keep every
+    float exact."""
+    import heapq
+
+    basew = {(u, v): w for u, v, w in _kshortest_ch_edges()}
+    banned = (("0:0", "1:0"), ("1:0", "2:0"))
+    arcs: dict = {}
+    for e1 in basew:
+        for e2 in basew:
+            if e1[1] != e2[0] or (e1, e2) == banned:
+                continue
+            arcs[(f"{e1[0]}|{e1[1]}", f"{e2[0]}|{e2[1]}")] = basew[e2]
+    terms = {f"{u}|{v}": (u, v, w) for (u, v), w in basew.items()}
+    srcs = {n: w for n, (u, _v, w) in terms.items() if u == "0:0"}
+    tgts = {n for n, (_u, v, _w) in terms.items() if v == "3:3"}
+    adj: dict = {}
+    for a, b in arcs:
+        adj.setdefault(a, []).append(b)
+    pen_arcs: dict = {}
+    pen_first: dict = {}
+    out = []
+    seen: set = set()
+    for _ in range(8):
+        best = None
+        for s0 in srcs:
+            dist = {s0: 0.0}
+            pred: dict = {s0: None}
+            pq = [(0.0, s0)]
+            while pq:
+                d, a = heapq.heappop(pq)
+                if d > dist.get(a, float("inf")):
+                    continue
+                for b in adj.get(a, ()):
+                    nd = d + arcs[(a, b)] * (
+                        2.0 ** pen_arcs.get((a, b), 0)
+                    )
+                    if nd < dist.get(b, float("inf")):
+                        dist[b], pred[b] = nd, a
+                        heapq.heappush(pq, (nd, b))
+            for t in tgts:
+                if t not in dist:
+                    continue
+                c = srcs[s0] * (2.0 ** pen_first.get(s0, 0)) + dist[t]
+                key = (c, s0, t)
+                if best is None or key < best[0]:
+                    mp, cur = [], t
+                    while cur is not None:
+                        mp.append(cur)
+                        cur = pred[cur]
+                    best = (key, mp[::-1])
+        if best is None:
+            break
+        mpath = best[1]
+        node_path = [terms[mpath[0]][0]] + [terms[m][1] for m in mpath]
+        if tuple(node_path) not in seen:
+            seen.add(tuple(node_path))
+            out.append(
+                (
+                    len(out) + 1,
+                    srcs[mpath[0]]
+                    + sum(arcs[p] for p in zip(mpath, mpath[1:])),
+                    ">".join(node_path),
+                )
+            )
+            if len(out) >= 2:
+                break
+        pen_first[mpath[0]] = pen_first.get(mpath[0], 0) + 1
+        for p in zip(mpath, mpath[1:]):
+            pen_arcs[p] = pen_arcs.get(p, 0) + 1
+    vals = ", ".join(
+        f"({rk}, CAST('{c!r}' AS DOUBLE), '{route}')"
+        for rk, c, route in out
+    )
+    return (
+        "SELECT CAST(rank AS BIGINT) AS rank, "
+        "CAST(cost AS DOUBLE) AS cost, route "
+        f"FROM (VALUES {vals}) t(rank, cost, route)"
+    )
+
+
+@q("g_ch_turn_alts", _ch_turn_alts_oracle_sql())
+def g_ch_turn_alts(spark, sf_dir):
+    """The full routing-stack composition: turn RESTRICTIONS (a
+    banned maneuver on the unrestricted optimum) × CUSTOMIZABLE
+    edge-based CH (the minor built witness-weak so it re-metrics) ×
+    penalty-method ALTERNATIVES — k=2 turn-aware alternative routes
+    through `EdgeBasedCH.alternatives` (route over the contracted
+    minor, ×2-penalize the maneuvers on the found route plus the
+    first-edge offset, re-CUSTOMIZE the minor, re-route), value-hashed
+    (rank, UNROUNDED original-metric cost, full node route) against an
+    independent penalty-Dijkstra replay over the same closed-form
+    dyadic minor.  The distributed loops this composes are each
+    force-certified by their own gates (pregel minor route_matrix:
+    ``g_ch_turn``; pregel build/customize/route: ``g_kshortest_ch``),
+    so this gate runs ``auto`` and certifies the COMPOSITION —
+    all-pregel end-to-end was measured green once at 157 s and left
+    out of the per-round sample budget."""
+    from entwiner_spark.operators.ch_edge import EdgeBasedCH
+
+    edges = spark.createDataFrame(
+        _kshortest_ch_edges(), "_u string, _v string, w double"
+    )
+    nodes = (
+        edges.select(F.col("_u").alias("_n"))
+        .unionByName(edges.select(F.col("_v").alias("_n")))
+        .distinct()
+    )
+    g = SparkGraph(nodes, edges, partitions=8)
+    ban = spark.createDataFrame(
+        [("0:0", "1:0", "1:0", "2:0")],
+        "_u1 string, _v1 string, _u2 string, _v2 string",
+    )
+    eb = EdgeBasedCH.build(
+        g,
+        weight="w",
+        allow_uturn=True,
+        banned_turns=ban,
+        customizable=True,
+    )
+    alts = eb.alternatives("0:0", "3:3", k=2, penalty=2.0)
+    return spark.createDataFrame(
+        [
+            (i + 1, cost, ">".join(path))
+            for i, (path, cost) in enumerate(alts)
+        ],
+        "rank long, cost double, route string",
+    )
+
+
 # ---- graph point lookups on the nation DAG --------------------------
 
 @q(

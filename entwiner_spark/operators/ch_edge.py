@@ -219,6 +219,118 @@ class EdgeBasedCH:
             return None
         return self._decode(list(best[1])), best[0][0]
 
+    def alternatives(
+        self,
+        source,
+        target,
+        k: int = 3,
+        penalty: float = 2.0,
+        strategy: str = "auto",
+        max_iter: int | None = None,
+    ) -> list[tuple[list, float]]:
+        """Turn-aware alternative routes: the penalty method over the
+        CUSTOMIZABLE minor hierarchy (requires
+        ``build(..., customizable=True)``) — route, multiply the
+        weight of every MANEUVER on the found route by ``penalty``
+        (the minor's arcs carry ``w(e2) + turn_cost``, so each road
+        edge is penalized in the context of its predecessor; the
+        first edge's weight, which lives in the terminal offset, is
+        penalized alongside), re-customize the minor, re-route.
+        Returns up to ``k`` ``(node_path, base_cost)`` pairs in
+        discovery order, costs under the ORIGINAL metric; the first
+        is the exact turn-aware optimum.  Composes restrictions,
+        turn costs, and alternatives — Yen cannot (edge removal
+        invalidates shortcuts), and road-edge-global penalties cannot
+        see maneuvers."""
+        if not self.ch.customizable or self.ch.orig_edges is None:
+            raise ValueError(
+                "alternatives() requires EdgeBasedCH.build("
+                "customizable=True)"
+            )
+        if penalty <= 1.0:
+            raise ValueError("penalty must be > 1")
+        if source == target:
+            return [([source], 0.0)]
+        srcs = self._source_terminals(source)
+        tgts = self._target_terminals(target)
+        if not srcs or not tgts:
+            return []
+        base_minor = self.ch.orig_edges
+        w0_orig = dict(srcs)
+        idt = self.ch.ranks.schema["_n"].dataType
+        pen_arcs: dict = {}
+        pen_first: dict = {}
+        cur = self.ch
+        out: list[tuple[list, float]] = []
+        seen: set = set()
+        limit = max_iter or (4 * k)
+        for _ in range(limit):
+            rm = cur.route_matrix(
+                [s for s, _w in srcs], tgts, strategy=strategy
+            )
+            best = None
+            for r in rm.collect():
+                c = (
+                    w0_orig[r["src"]]
+                    * (penalty ** pen_first.get(r["src"], 0))
+                    + r["dist"]
+                )
+                key = (c, str(r["src"]), str(r["dst"]))
+                if best is None or key < best[0]:
+                    best = (key, list(r["path"]))
+            if best is None:
+                break
+            mpath = best[1]
+            node_path = self._decode(mpath)
+            if tuple(node_path) not in seen:
+                seen.add(tuple(node_path))
+                pairs = list(zip(mpath, mpath[1:]))
+                if pairs:
+                    wrows = base_minor.filter(
+                        F.col("_u").isin([p[0] for p in pairs])
+                        & F.col("_v").isin([p[1] for p in pairs])
+                    ).collect()
+                    warc = {(x["_u"], x["_v"]): x["w"] for x in wrows}
+                    cost = w0_orig[mpath[0]] + sum(
+                        warc[p] for p in pairs
+                    )
+                else:
+                    cost = w0_orig[mpath[0]]
+                out.append((node_path, cost))
+                if len(out) >= k:
+                    break
+            pen_first[mpath[0]] = pen_first.get(mpath[0], 0) + 1
+            for p in zip(mpath, mpath[1:]):
+                pen_arcs[p] = pen_arcs.get(p, 0) + 1
+            pen_df = self.spark.createDataFrame(
+                sorted(
+                    ((u, v, c) for (u, v), c in pen_arcs.items()),
+                    key=lambda t: (str(t[0]), str(t[1])),
+                ),
+                T.StructType(
+                    [
+                        T.StructField("_u", idt, False),
+                        T.StructField("_v", idt, False),
+                        T.StructField("_pc", T.IntegerType(), False),
+                    ]
+                ),
+            )
+            new_w = base_minor.join(
+                F.broadcast(pen_df), ["_u", "_v"], "left"
+            ).select(
+                "_u",
+                "_v",
+                (
+                    F.col("w")
+                    * F.pow(
+                        F.lit(float(penalty)),
+                        F.coalesce(F.col("_pc"), F.lit(0)),
+                    )
+                ).alias("w"),
+            )
+            cur = self.ch.customize(new_w, strategy=strategy)
+        return out
+
     def isochrone(
         self,
         source,

@@ -334,3 +334,104 @@ def test_osm_time_metric_restricted_composition(spark, tmp_path):
                 if best is None or c < best:
                     best = c
     assert got[1] == pytest.approx(best, rel=1e-12)
+
+
+def test_edge_based_alternatives_match_replay(spark, grid):
+    """Turn-aware penalty alternatives == an independent penalty-
+    Dijkstra replay over the maneuver minor (penalized arcs +
+    penalized first-edge offsets, same tie-breaks): node paths and
+    original-metric costs, with a banned maneuver in force."""
+    import heapq
+
+    ban = spark.createDataFrame(
+        [("0,0", "1,0", "1,0", "2,0")],
+        "_u1 string, _v1 string, _u2 string, _v2 string",
+    )
+    eb = EdgeBasedCH.build(
+        grid,
+        weight="w",
+        allow_uturn=True,
+        banned_turns=ban,
+        customizable=True,
+    )
+    got = eb.alternatives("0,0", "3,3", k=3, penalty=2.0)
+
+    minor = grid.to_linegraph(weight="w", allow_uturn=True, banned_turns=ban)
+    arcs = {
+        (r["_u"], r["_v"]): r["w"]
+        for r in minor.edges.select("_u", "_v", "w").collect()
+    }
+    terms = {
+        r["_n"]: (r["_edge_u"], r["_edge_v"], r["w"])
+        for r in minor.nodes.select("_n", "_edge_u", "_edge_v", "w").collect()
+    }
+    srcs = {n: w for n, (u, _v, w) in terms.items() if u == "0,0"}
+    tgts = {n for n, (_u, v, _w) in terms.items() if v == "3,3"}
+    adj = {}
+    for (a, b) in arcs:
+        adj.setdefault(a, []).append(b)
+
+    pen_arcs, pen_first = {}, {}
+    want, seen = [], set()
+    for _ in range(12):
+        best = None
+        for s0 in srcs:
+            dist = {s0: 0.0}
+            pred = {s0: None}
+            pq = [(0.0, s0)]
+            while pq:
+                d, a = heapq.heappop(pq)
+                if d > dist.get(a, float("inf")):
+                    continue
+                for b in adj.get(a, ()):
+                    nd = d + arcs[(a, b)] * (
+                        2.0 ** pen_arcs.get((a, b), 0)
+                    )
+                    if nd < dist.get(b, float("inf")):
+                        dist[b], pred[b] = nd, a
+                        heapq.heappush(pq, (nd, b))
+            for t in tgts:
+                if t not in dist:
+                    continue
+                c = srcs[s0] * (2.0 ** pen_first.get(s0, 0)) + dist[t]
+                key = (c, str(s0), str(t))
+                if best is None or key < best[0]:
+                    mp, cur = [], t
+                    while cur is not None:
+                        mp.append(cur)
+                        cur = pred[cur]
+                    best = (key, mp[::-1])
+        if best is None:
+            break
+        mpath = best[1]
+        node_path = [terms[mpath[0]][0]] + [terms[m][1] for m in mpath]
+        if tuple(node_path) not in seen:
+            seen.add(tuple(node_path))
+            want.append(
+                (
+                    node_path,
+                    srcs[mpath[0]]
+                    + sum(arcs[p] for p in zip(mpath, mpath[1:])),
+                )
+            )
+            if len(want) >= 3:
+                break
+        pen_first[mpath[0]] = pen_first.get(mpath[0], 0) + 1
+        for p in zip(mpath, mpath[1:]):
+            pen_arcs[p] = pen_arcs.get(p, 0) + 1
+
+    assert len(got) == len(want) == 3
+    for (gp, gc), (wp, wc) in zip(got, want):
+        assert gp == wp
+        assert gc == pytest.approx(wc, rel=1e-12)
+    # the first alternative is the true restricted optimum
+    assert got[0][0] == eb.route("0,0", "3,3")[0]
+    # banned maneuver absent from every alternative
+    for p, _c in got:
+        assert ("0,0", "1,0", "2,0") not in set(zip(p, p[1:], p[2:]))
+
+
+def test_edge_based_alternatives_requires_customizable(spark, grid):
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    with pytest.raises(ValueError, match="customizable"):
+        eb.alternatives("0,0", "3,3")
