@@ -884,6 +884,19 @@ class ContractionHierarchy:
         )
         if local:
             return self._customize_local(base)
+        if self.rounds > 1024:
+            # a LOCAL-built hierarchy assigns every node its own rank
+            # (rounds == node count), so the per-level distributed loop
+            # would run one join pass PER NODE — pregel customization
+            # is only sensible over pregel-built level structure
+            # (rounds ≤ max_rounds, default 32)
+            raise ValueError(
+                f"{self.rounds} contraction levels — this hierarchy "
+                "was built driver-locally (one rank per node), so "
+                "per-level distributed customization would run one "
+                "join per node; use strategy='local' or rebuild with "
+                "build(strategy='pregel')"
+            )
         return self._customize_pregel(base, checkpoint_every)
 
     def _customized_result(

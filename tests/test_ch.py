@@ -673,3 +673,17 @@ def test_ch_customizable_save_load_alternatives(spark, tmp_path):
     assert [(p, round(c, 12)) for p, c in got] == [
         (p, round(c, 12)) for p, c in want
     ]
+
+
+def test_ch_customize_pregel_rejects_local_built(spark):
+    """Forcing distributed customization onto a LOCAL-built hierarchy
+    (one rank per node) would run one join pass per node — refused
+    loudly with rebuild guidance; the local path serves it fine."""
+    g = _grid_graph(spark, 36)  # 1296 nodes > the 1024-level guard
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="local", customizable=True
+    )
+    new = g.edges.select("_u", "_v", "w")
+    with pytest.raises(ValueError, match="driver-locally"):
+        ch.customize(new, strategy="pregel")
+    assert ch.customize(new, strategy="local") is not None
