@@ -51,11 +51,34 @@ class EdgeBasedCH:
     original edge and that edge's own weight."""
 
     def __init__(
-        self, ch: ContractionHierarchy, terminals: DataFrame
+        self,
+        ch: ContractionHierarchy,
+        terminals: DataFrame,
+        base_fingerprint: str | None = None,
     ):
         self.ch = ch
         self.spark = ch.spark
         self.terminals = terminals
+        self.base_fingerprint = base_fingerprint
+
+    def check_fresh(self, graph, weight: str | None = None) -> None:
+        """Raise unless ``graph``'s edge table still matches the BASE
+        graph this minor hierarchy was built from (same ``weight`` as
+        the build) — the ContractionHierarchy guard lifted to the
+        edge-based artifact: a keyed edge update silently invalidates
+        both the minor's arcs and the terminal offsets."""
+        if self.base_fingerprint is None:
+            raise ValueError(
+                "artifact carries no base-graph fingerprint (pre-r15 "
+                "store); rebuild to enable staleness checking"
+            )
+        live = ContractionHierarchy._graph_fingerprint(graph, weight)
+        if live != self.base_fingerprint:
+            raise RuntimeError(
+                f"stale edge-based hierarchy: built from edge table "
+                f"{self.base_fingerprint} but the live graph hashes "
+                f"to {live} — rebuild before routing"
+            )
 
     # ----------------------------------------------------------- build
     @classmethod
@@ -94,7 +117,11 @@ class EdgeBasedCH:
             )
             .localCheckpoint(eager=False)
         )
-        return cls(ch, terminals)
+        return cls(
+            ch,
+            terminals,
+            ContractionHierarchy._graph_fingerprint(graph, weight),
+        )
 
     # ------------------------------------------------------ persistence
     _META = "_chedge_meta.json"
@@ -128,7 +155,13 @@ class EdgeBasedCH:
                 .parquet(f"{tmp}/terminals.parquet")
             )
             with open(os.path.join(tmp, self._META), "w") as fh:
-                json.dump({"kind": "edge_based_ch"}, fh)
+                json.dump(
+                    {
+                        "kind": "edge_based_ch",
+                        "base_fingerprint": self.base_fingerprint,
+                    },
+                    fh,
+                )
             old = store_dir + ".old"
             if os.path.exists(old):
                 shutil.rmtree(old)
@@ -142,7 +175,17 @@ class EdgeBasedCH:
                 shutil.rmtree(tmp, ignore_errors=True)
 
     @classmethod
-    def load(cls, spark: SparkSession, store_dir: str) -> "EdgeBasedCH":
+    def load(
+        cls,
+        spark: SparkSession,
+        store_dir: str,
+        graph=None,
+        weight: str | None = None,
+    ) -> "EdgeBasedCH":
+        """Reload; pass ``graph`` (and the build's ``weight``) to
+        verify the artifact against the live BASE edge table before
+        routing (:meth:`check_fresh`)."""
+        import json
         import os
 
         meta_path = os.path.join(store_dir, cls._META)
@@ -151,9 +194,14 @@ class EdgeBasedCH:
                 f"{store_dir}: not an edge-based CH store "
                 f"(no {cls._META})"
             )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
         ch = ContractionHierarchy.load(spark, os.path.join(store_dir, "ch"))
         terminals = spark.read.parquet(f"{store_dir}/terminals.parquet")
-        return cls(ch, terminals)
+        eb = cls(ch, terminals, meta.get("base_fingerprint"))
+        if graph is not None:
+            eb.check_fresh(graph, weight)
+        return eb
 
     # ----------------------------------------------------------- query
     def _source_terminals(self, source) -> list[tuple]:

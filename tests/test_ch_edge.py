@@ -435,3 +435,30 @@ def test_edge_based_alternatives_requires_customizable(spark, grid):
     eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
     with pytest.raises(ValueError, match="customizable"):
         eb.alternatives("0,0", "3,3")
+
+
+def test_edge_based_staleness_guard(spark, tmp_path, grid):
+    """load(graph=) on the edge-based store refuses a mutated BASE
+    graph — the ContractionHierarchy fingerprint guard lifted to the
+    minor artifact."""
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    store = str(tmp_path / "ebch_fresh")
+    eb.save(store)
+    re1 = EdgeBasedCH.load(spark, store, graph=grid, weight="w")
+    assert re1.base_fingerprint == eb.base_fingerprint
+    mutated = SparkGraph(
+        grid.nodes,
+        grid.edges.withColumn(
+            "w",
+            F.when(
+                (F.col("_u") == "0,0") & (F.col("_v") == "1,0"),
+                F.col("w") + 7.0,
+            ).otherwise(F.col("w")),
+        ),
+        partitions=8,
+    )
+    with pytest.raises(RuntimeError, match="stale"):
+        EdgeBasedCH.load(spark, store, graph=mutated, weight="w")
+    re1.base_fingerprint = None
+    with pytest.raises(ValueError, match="no base-graph fingerprint"):
+        re1.check_fresh(grid, "w")
