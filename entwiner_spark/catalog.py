@@ -905,9 +905,11 @@ def g_isochrone_ch(spark, sf_dir):
 
     g = _graph_as_spark_graph(spark, sf_dir)
     ch = ContractionHierarchy.build(g, weight="w")
-    return g.isochrone("0", 12.0, ch=ch, strategy="pregel").select(
-        F.col("_n").cast("long").alias("node"), F.col("dist")
-    )
+    # weight= alongside ch= asserts the hierarchy matches this graph
+    # under this metric (check_fresh) before the sweep (r15 ADVICE)
+    return g.isochrone(
+        "0", 12.0, weight="w", ch=ch, strategy="pregel"
+    ).select(F.col("_n").cast("long").alias("node"), F.col("dist"))
 
 
 @q(

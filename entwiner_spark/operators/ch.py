@@ -219,11 +219,11 @@ class ContractionHierarchy:
                     fh,
                 )
             # replace-aside publish: the previous artifact is renamed
-            # away (atomic) BEFORE the new one renames in, so a crash
-            # between the two leaves either the old store or the old
-            # store under .old — never a missing/half-written path —
-            # and the window where readers see no store at all is two
-            # renames, not an rmtree of the whole artifact
+            # away (atomic) BEFORE the new one renames in.  A crash
+            # between the two renames leaves the store path ABSENT with
+            # the previous artifact intact at .old — load() recovers
+            # that case by falling back to .old.  No state ever exposes
+            # a half-written artifact under the store path itself.
             old = store_dir + ".old"
             if os.path.exists(old):
                 shutil.rmtree(old)
@@ -256,9 +256,21 @@ class ContractionHierarchy:
 
         meta_path = os.path.join(store_dir, cls._META)
         if not os.path.exists(meta_path):
-            raise FileNotFoundError(
-                f"{store_dir}: not a CH store (no {cls._META})"
-            )
+            # crash-window recovery: save() publishes via two renames
+            # (store -> .old, tmp -> store); a crash between them
+            # leaves the previous artifact intact at .old with no
+            # store dir.  Serve that artifact rather than failing —
+            # it is the last fully-published version.
+            old = store_dir + ".old"
+            if not os.path.exists(store_dir) and os.path.exists(
+                os.path.join(old, cls._META)
+            ):
+                store_dir = old
+                meta_path = os.path.join(store_dir, cls._META)
+            else:
+                raise FileNotFoundError(
+                    f"{store_dir}: not a CH store (no {cls._META})"
+                )
         with open(meta_path) as fh:
             meta = json.load(fh)
         search = spark.read.parquet(f"{store_dir}/search.parquet")

@@ -50,23 +50,87 @@ class EdgeBasedCH:
     _edge_v, _w0)`` mapping every minor node back to its directed
     original edge and that edge's own weight."""
 
+    #: sentinel distinguishing "caller did not supply this turn-config
+    #: argument" from an explicit None (None == the build default)
+    _UNSET = object()
+
     def __init__(
         self,
         ch: ContractionHierarchy,
         terminals: DataFrame,
         base_fingerprint: str | None = None,
+        turn_fingerprint: str | None = None,
     ):
         self.ch = ch
         self.spark = ch.spark
         self.terminals = terminals
         self.base_fingerprint = base_fingerprint
+        self.turn_fingerprint = turn_fingerprint
 
-    def check_fresh(self, graph, weight: str | None = None) -> None:
+    @staticmethod
+    def _turn_fingerprint_of(
+        banned_turns: DataFrame | None,
+        turn_cost,
+        allow_uturn: bool,
+    ) -> str:
+        """Order-independent digest of the TURN configuration that
+        shaped the minor — banned pairs (``count:bit_xor(xxhash64)``
+        over the four pair columns), ``allow_uturn``, and the turn-cost
+        expression.  Columns fingerprint by their expression string;
+        callables by qualname (identity approximation: a same-named
+        function with changed internals is NOT detected — documented
+        limit, the caller owns semantic versioning of cost callables)."""
+        if banned_turns is None:
+            bfp = "none"
+        else:
+            row = (
+                banned_turns.select(
+                    F.xxhash64(
+                        F.col("_u1").cast("string"),
+                        F.col("_v1").cast("string"),
+                        F.col("_u2").cast("string"),
+                        F.col("_v2").cast("string"),
+                    ).alias("_h")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(_h)").alias("h"),
+                )
+                .collect()[0]
+            )
+            bfp = f"{row['n']}:{row['h']}"
+        if turn_cost is None:
+            tfp = "none"
+        elif callable(turn_cost):
+            tfp = "fn:" + getattr(
+                turn_cost, "__qualname__", type(turn_cost).__name__
+            )
+        else:  # a Column — its expression string is stable per-expr
+            tfp = "col:" + str(turn_cost)
+        return f"turns={bfp}|uturn={bool(allow_uturn)}|cost={tfp}"
+
+    def check_fresh(
+        self,
+        graph,
+        weight: str | None = None,
+        banned_turns=_UNSET,
+        turn_cost=_UNSET,
+        allow_uturn=_UNSET,
+    ) -> None:
         """Raise unless ``graph``'s edge table still matches the BASE
         graph this minor hierarchy was built from (same ``weight`` as
         the build) — the ContractionHierarchy guard lifted to the
         edge-based artifact: a keyed edge update silently invalidates
-        both the minor's arcs and the terminal offsets."""
+        both the minor's arcs and the terminal offsets.
+
+        The base fingerprint covers the EDGE TABLE only; the minor is
+        also shaped by the turn configuration (``banned_turns``,
+        ``turn_cost``, ``allow_uturn``).  Pass any of those kwargs to
+        additionally verify the turn fingerprint — unset ones fill
+        with the build defaults (None / None / False) — e.g. after
+        re-deriving restrictions from a refreshed OSM extract.  When
+        none are passed, turn semantics are NOT checked (the caller
+        holds no claim about them)."""
         if self.base_fingerprint is None:
             raise ValueError(
                 "artifact carries no base-graph fingerprint (pre-r15 "
@@ -78,6 +142,30 @@ class EdgeBasedCH:
                 f"stale edge-based hierarchy: built from edge table "
                 f"{self.base_fingerprint} but the live graph hashes "
                 f"to {live} — rebuild before routing"
+            )
+        supplied = [
+            x
+            for x in (banned_turns, turn_cost, allow_uturn)
+            if x is not EdgeBasedCH._UNSET
+        ]
+        if not supplied:
+            return
+        if self.turn_fingerprint is None:
+            raise ValueError(
+                "artifact carries no turn fingerprint (pre-r16 store); "
+                "rebuild to enable turn-config staleness checking"
+            )
+        live_turn = self._turn_fingerprint_of(
+            None if banned_turns is EdgeBasedCH._UNSET else banned_turns,
+            None if turn_cost is EdgeBasedCH._UNSET else turn_cost,
+            False if allow_uturn is EdgeBasedCH._UNSET else allow_uturn,
+        )
+        if live_turn != self.turn_fingerprint:
+            raise RuntimeError(
+                f"stale edge-based hierarchy: built with turn config "
+                f"{self.turn_fingerprint} but the live config hashes "
+                f"to {live_turn} — the restriction set / turn costs "
+                "changed since build(); rebuild before routing"
             )
 
     # ----------------------------------------------------------- build
@@ -121,6 +209,7 @@ class EdgeBasedCH:
             ch,
             terminals,
             ContractionHierarchy._graph_fingerprint(graph, weight),
+            cls._turn_fingerprint_of(banned_turns, turn_cost, allow_uturn),
         )
 
     # ------------------------------------------------------ persistence
@@ -159,6 +248,7 @@ class EdgeBasedCH:
                     {
                         "kind": "edge_based_ch",
                         "base_fingerprint": self.base_fingerprint,
+                        "turn_fingerprint": self.turn_fingerprint,
                     },
                     fh,
                 )
@@ -190,15 +280,30 @@ class EdgeBasedCH:
 
         meta_path = os.path.join(store_dir, cls._META)
         if not os.path.exists(meta_path):
-            raise FileNotFoundError(
-                f"{store_dir}: not an edge-based CH store "
-                f"(no {cls._META})"
-            )
+            # crash-window recovery (mirrors ContractionHierarchy.load):
+            # a crash between the publish's two renames leaves the
+            # previous artifact at .old with no store dir — serve it.
+            old = store_dir + ".old"
+            if not os.path.exists(store_dir) and os.path.exists(
+                os.path.join(old, cls._META)
+            ):
+                store_dir = old
+                meta_path = os.path.join(store_dir, cls._META)
+            else:
+                raise FileNotFoundError(
+                    f"{store_dir}: not an edge-based CH store "
+                    f"(no {cls._META})"
+                )
         with open(meta_path) as fh:
             meta = json.load(fh)
         ch = ContractionHierarchy.load(spark, os.path.join(store_dir, "ch"))
         terminals = spark.read.parquet(f"{store_dir}/terminals.parquet")
-        eb = cls(ch, terminals, meta.get("base_fingerprint"))
+        eb = cls(
+            ch,
+            terminals,
+            meta.get("base_fingerprint"),
+            meta.get("turn_fingerprint"),
+        )
         if graph is not None:
             eb.check_fresh(graph, weight)
         return eb

@@ -3866,8 +3866,20 @@ class SparkGraph:
         fixpoint; rounds bounded by hierarchy height, not graph
         diameter — the r14-measured 1.66× that widens with scale)
         instead of raw pregel SSSP.  Build once, query many origins:
-        the city-scale isochrone service shape."""
+        the city-scale isochrone service shape.
+
+        With ``ch``, the metric is the HIERARCHY's build weight.  Pass
+        ``weight`` alongside ``ch`` to assert they agree: the artifact
+        is validated against THIS graph under that weight
+        (:meth:`~entwiner_spark.operators.ch.ContractionHierarchy.
+        check_fresh`), so a hierarchy built on a different weight
+        column or a since-mutated edge table raises instead of
+        returning a wrong accessibility set.  ``weight=None`` with
+        ``ch`` skips the check (the build weight is not re-stated, so
+        there is no claim to verify) — the artifact is trusted as-is."""
         if ch is not None:
+            if weight is not None:
+                ch.check_fresh(self, weight)
             d = ch.sssp(source, strategy=strategy)
         else:
             d = self.shortest_path_lengths(

@@ -346,17 +346,20 @@ def banned_turn_pairs(
     r = restrictions.select(
         "rel_id",
         F.col("rtype").startswith("only_").alias("_only"),
-        # same-way no_* (no_u_turn, or any no_* whose from == to):
+        # same-way no_* (from == to, the classic no_u_turn shape):
         # way-granularity would ban EVERY departure on the way at the
         # via node — including continuing straight through an interior
         # junction — when the restricted maneuver is only the
-        # REVERSAL; match those by the departure's far end instead
+        # REVERSAL; match those by the departure's far end instead.
+        # The pin applies ONLY when from_way == to_way: a cross-way
+        # no_u_turn (dual-carriageway/merge form, from != to) has its
+        # approach and departure on DIFFERENT node chains, so the
+        # far-end==near-end pin would never match and the restriction
+        # would expand to zero pairs — those keep the way-granularity
+        # ban of all to-way departures at the via node.
         (
             ~F.col("rtype").startswith("only_")
-            & (
-                (F.col("rtype") == "no_u_turn")
-                | (F.col("from_way") == F.col("to_way"))
-            )
+            & (F.col("from_way") == F.col("to_way"))
         ).alias("_rev_only"),
         "from_way",
         "via_node",

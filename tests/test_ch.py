@@ -472,6 +472,23 @@ def test_ch_staleness_guard(spark, tmp_path, grid6):
         ch2.check_fresh(g, "w")
 
 
+def test_ch_load_old_fallback(spark, tmp_path, grid6):
+    """r15 ADVICE: a crash between the publish's two renames leaves
+    the artifact only at <store>.old — load() serves that last
+    fully-published version instead of FileNotFoundError."""
+    import os
+
+    g, ch, _adj = grid6
+    store = str(tmp_path / "ch_crash")
+    ch.save(store)
+    os.rename(store, store + ".old")  # the crash window state
+    ch2 = ContractionHierarchy.load(spark, store, graph=g, weight="w")
+    assert ch2.edge_fingerprint == ch.edge_fingerprint
+    # a store that never existed still fails loudly
+    with pytest.raises(FileNotFoundError):
+        ContractionHierarchy.load(spark, str(tmp_path / "nope"))
+
+
 def test_ch_sssp_multi_matches_per_source(grid6):
     """Batched PHAST == per-source sssp (exact, every reachable node),
     on both strategies."""
@@ -508,11 +525,20 @@ def test_isochrone_via_ch_equals_raw(grid6):
     }
     via = {
         r["_n"]: r["dist"]
-        for r in g.isochrone("0:0", budget, ch=ch, strategy="pregel").collect()
+        for r in g.isochrone(
+            "0:0", budget, weight="w", ch=ch, strategy="pregel"
+        ).collect()
     }
     assert via.keys() == raw.keys()
     for k in raw:
         assert via[k] == pytest.approx(raw[k], rel=1e-12)
+    # weight alongside ch asserts agreement: a DIFFERENT metric (hop
+    # count via weight-as-Column) against the w-built hierarchy raises
+    # instead of sweeping a wrong accessibility set (r15 ADVICE)
+    import pyspark.sql.functions as _F
+
+    with pytest.raises(RuntimeError, match="stale"):
+        g.isochrone("0:0", budget, weight=_F.lit(1.0), ch=ch)
 
 
 def test_closeness_landmarks_contracted_parity(grid6):

@@ -462,3 +462,47 @@ def test_edge_based_staleness_guard(spark, tmp_path, grid):
     re1.base_fingerprint = None
     with pytest.raises(ValueError, match="no base-graph fingerprint"):
         re1.check_fresh(grid, "w")
+
+
+def test_edge_based_turn_config_staleness(spark, tmp_path, grid):
+    """r15 ADVICE: the base fingerprint covers only the edge table —
+    the TURN configuration (banned pairs, allow_uturn, turn_cost)
+    fingerprints separately, and check_fresh verifies it when the
+    caller re-states any turn kwarg."""
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    store = str(tmp_path / "ebch_turncfg")
+    eb.save(store)
+    re1 = EdgeBasedCH.load(spark, store, graph=grid, weight="w")
+    assert re1.turn_fingerprint == eb.turn_fingerprint
+    # re-stating the build config verifies clean
+    re1.check_fresh(grid, "w", allow_uturn=True)
+    # a flipped allow_uturn is a different minor — stale
+    with pytest.raises(RuntimeError, match="turn config"):
+        re1.check_fresh(grid, "w", allow_uturn=False)
+    # a restriction set the build never saw — stale
+    bans = spark.createDataFrame(
+        [("0,0", "1,0", "1,0", "2,0")], ["_u1", "_v1", "_u2", "_v2"]
+    )
+    with pytest.raises(RuntimeError, match="turn config"):
+        re1.check_fresh(grid, "w", banned_turns=bans, allow_uturn=True)
+    # no turn kwargs → only the base edge table is checked (no claim)
+    re1.check_fresh(grid, "w")
+    # pre-r16 artifacts degrade loudly when a turn claim IS made
+    re1.turn_fingerprint = None
+    with pytest.raises(ValueError, match="no turn fingerprint"):
+        re1.check_fresh(grid, "w", allow_uturn=True)
+
+
+def test_edge_based_load_old_fallback(spark, tmp_path, grid):
+    """Crash-window recovery mirrors the node-CH store: artifact only
+    at <store>.old still loads."""
+    import os
+
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    store = str(tmp_path / "ebch_crash")
+    eb.save(store)
+    os.rename(store, store + ".old")
+    re1 = EdgeBasedCH.load(spark, store, graph=grid, weight="w")
+    assert re1.base_fingerprint == eb.base_fingerprint
+    with pytest.raises(FileNotFoundError):
+        EdgeBasedCH.load(spark, str(tmp_path / "nope"))

@@ -303,6 +303,46 @@ def test_no_u_turn_interior_junction_keeps_straight(spark, tmp_path):
     }
 
 
+def test_cross_way_no_u_turn_bans_to_way_departure(spark, tmp_path):
+    """r15-ADVICE regression fix: no_u_turn with from_way != to_way
+    (the dual-carriageway/merge form — approach and departure on
+    DIFFERENT carriageways) keeps the way-granularity ban of all
+    to-way departures at the via node.  The reversal pin
+    (_vref2 == _uref1) can never match across carriageways, so
+    applying it here expanded the restriction to ZERO pairs."""
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.001"/>
+          <node id="2" lon="0.001" lat="0.001"/>
+          <node id="5" lon="0.0" lat="0.0"/>
+          <way id="30"><nd ref="1"/><nd ref="2"/>
+            <tag k="highway" v="primary"/>
+            <tag k="oneway" v="yes"/></way>
+          <way id="40"><nd ref="2"/><nd ref="5"/>
+            <tag k="highway" v="primary"/>
+            <tag k="oneway" v="yes"/></way>
+          <relation id="66">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="no_u_turn"/>
+            <member type="way" role="from" ref="30"/>
+            <member type="node" role="via" ref="2"/>
+            <member type="way" role="to" ref="40"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "dualcarr.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    bans = banned_turn_pairs(edges, osm_turn_restrictions(elems))
+    # one approach (1->2 on way 30), one to-way departure (2->5 on
+    # way 40) — exactly that pair is banned (the u-turn onto the
+    # opposite carriageway)
+    assert _ref_pairs(edges, bans) == {((1, 2), (2, 5))}
+
+
 def test_same_way_no_left_turn_is_reversal_scoped(spark, tmp_path):
     """Any no_* with from_way == to_way (not just no_u_turn) matches
     the reversal, not every same-way departure."""
