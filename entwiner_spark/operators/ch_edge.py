@@ -72,6 +72,7 @@ class EdgeBasedCH:
         banned_turns: DataFrame | None,
         turn_cost,
         allow_uturn: bool,
+        via_splits: DataFrame | None = None,
     ) -> str:
         """Order-independent digest of the TURN configuration that
         shaped the minor — banned pairs (``count:bit_xor(xxhash64)``
@@ -107,7 +108,29 @@ class EdgeBasedCH:
             )
         else:  # a Column — its expression string is stable per-expr
             tfp = "col:" + str(turn_cost)
-        return f"turns={bfp}|uturn={bool(allow_uturn)}|cost={tfp}"
+        if via_splits is None:
+            vfp = "none"
+        else:
+            row = (
+                via_splits.select(
+                    F.xxhash64(
+                        F.col("rel_id").cast("string"),
+                        F.col("kind"),
+                        F.col("seq").cast("string"),
+                        F.col("_u").cast("string"),
+                        F.col("_v").cast("string"),
+                    ).alias("_h")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(_h)").alias("h"),
+                )
+                .collect()[0]
+            )
+            vfp = f"{row['n']}:{row['h']}"
+        return (
+            f"turns={bfp}|uturn={bool(allow_uturn)}|cost={tfp}|via={vfp}"
+        )
 
     def check_fresh(
         self,
@@ -116,6 +139,7 @@ class EdgeBasedCH:
         banned_turns=_UNSET,
         turn_cost=_UNSET,
         allow_uturn=_UNSET,
+        via_splits=_UNSET,
     ) -> None:
         """Raise unless ``graph``'s edge table still matches the BASE
         graph this minor hierarchy was built from (same ``weight`` as
@@ -145,7 +169,7 @@ class EdgeBasedCH:
             )
         supplied = [
             x
-            for x in (banned_turns, turn_cost, allow_uturn)
+            for x in (banned_turns, turn_cost, allow_uturn, via_splits)
             if x is not EdgeBasedCH._UNSET
         ]
         if not supplied:
@@ -159,6 +183,7 @@ class EdgeBasedCH:
             None if banned_turns is EdgeBasedCH._UNSET else banned_turns,
             None if turn_cost is EdgeBasedCH._UNSET else turn_cost,
             False if allow_uturn is EdgeBasedCH._UNSET else allow_uturn,
+            None if via_splits is EdgeBasedCH._UNSET else via_splits,
         )
         if live_turn != self.turn_fingerprint:
             raise RuntimeError(
@@ -178,11 +203,14 @@ class EdgeBasedCH:
         turn_cost=None,
         allow_uturn: bool = False,
         coords_col: str | None = None,
+        via_splits: DataFrame | None = None,
         **ch_kwargs,
     ) -> "EdgeBasedCH":
         """Contract ``graph``'s maneuver minor.  Arguments mirror
         :meth:`SparkGraph.to_linegraph` (``allow_uturn`` defaults OFF
-        — the standard maneuver-model choice for road routing);
+        — the standard maneuver-model choice for road routing;
+        ``via_splits`` composes exact via-way restrictions with the
+        hierarchy — the shadow minor nodes contract like any other);
         ``ch_kwargs`` pass through to
         :meth:`ContractionHierarchy.build` (strategy, max_rounds,
         local_finish)."""
@@ -192,6 +220,7 @@ class EdgeBasedCH:
             allow_uturn=allow_uturn,
             coords_col=coords_col,
             banned_turns=banned_turns,
+            via_splits=via_splits,
         )
         ch = ContractionHierarchy.build(minor, weight="w", **ch_kwargs)
         w0 = (
@@ -209,7 +238,9 @@ class EdgeBasedCH:
             ch,
             terminals,
             ContractionHierarchy._graph_fingerprint(graph, weight),
-            cls._turn_fingerprint_of(banned_turns, turn_cost, allow_uturn),
+            cls._turn_fingerprint_of(
+                banned_turns, turn_cost, allow_uturn, via_splits
+            ),
         )
 
     # ------------------------------------------------------ persistence
@@ -371,6 +402,102 @@ class EdgeBasedCH:
         if best is None:
             return None
         return self._decode(list(best[1])), best[0][0]
+
+    def route_matrix(
+        self,
+        sources: list,
+        targets: list,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> DataFrame:
+        """Turn-aware many-to-many PATHS ``(src, dst, dist, path)`` —
+        the path-returning companion of :meth:`distance_matrix` (the
+        fleet-routing shape: restricted paths for every vehicle ×
+        every job).  All sources' out-terminals and all targets'
+        in-terminals ride ONE batched
+        :meth:`~entwiner_spark.operators.ch.ContractionHierarchy.
+        route_matrix` over the minor; per node pair the best terminal
+        pair is picked driver-side (deterministic cost-then-id
+        tie-break, same as :meth:`route`) and every winning minor path
+        is decoded through ONE batched terminal lookup.  The output is
+        driver-sized by definition (it contains the paths), so the
+        driver-side assembly is not a scale compromise.  Unreachable
+        pairs are absent; a node on both sides contributes its trivial
+        ``(s, s, 0.0, [s])`` row."""
+        if not sources or not targets:
+            raise ValueError("sources and targets must be non-empty")
+        sources = list(dict.fromkeys(sources))
+        targets = list(dict.fromkeys(targets))
+        idt = self.terminals.schema["_edge_u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("src", idt, False),
+                T.StructField("dst", idt, False),
+                T.StructField("dist", T.DoubleType(), False),
+                T.StructField("path", T.ArrayType(idt), False),
+            ]
+        )
+        trivial = [
+            (s, s, 0.0, [s]) for s in sources if s in set(targets)
+        ]
+        srows = [
+            (r["_n"], r["_edge_u"], float(r["_w0"]))
+            for r in self.terminals.filter(F.col("_edge_u").isin(sources))
+            .select("_n", "_edge_u", "_w0")
+            .collect()
+        ]
+        trows = [
+            (r["_n"], r["_edge_v"])
+            for r in self.terminals.filter(F.col("_edge_v").isin(targets))
+            .select("_n", "_edge_v")
+            .collect()
+        ]
+        if not srows or not trows:
+            return self.spark.createDataFrame(trivial, out_schema)
+        w0 = {m: w for m, _o, w in srows}
+        osrc = {m: o for m, o, _w in srows}
+        odst = {m: o for m, o in trows}
+        rm = self.ch.route_matrix(
+            [m for m, _o, _w in srows],
+            [m for m, _o in trows],
+            strategy=strategy,
+            max_iterations=max_iterations,
+        ).collect()
+        best: dict = {}
+        for r in rm:
+            cand = (
+                w0[r["src"]] + r["dist"],
+                str(r["src"]),
+                str(r["dst"]),
+                list(r["path"]),
+            )
+            key = (osrc[r["src"]], odst[r["dst"]])
+            if key not in best or cand[:3] < best[key][:3]:
+                best[key] = cand
+        # one batched decode for every winning minor path (route-set-
+        # sized isin — the same driver role as _decode, amortized)
+        need = sorted(
+            {m for c in best.values() for m in c[3]}, key=str
+        )
+        emap = {
+            r["_n"]: (r["_edge_u"], r["_edge_v"])
+            for r in self.terminals.filter(F.col("_n").isin(need))
+            .select("_n", "_edge_u", "_edge_v")
+            .collect()
+        }
+        rows = trivial + [
+            (
+                s,
+                t,
+                c[0],
+                [emap[c[3][0]][0]] + [emap[m][1] for m in c[3]],
+            )
+            for (s, t), c in sorted(
+                best.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]))
+            )
+            if (s, t) not in {(x, x) for x in sources}
+        ]
+        return self.spark.createDataFrame(rows, out_schema)
 
     def alternatives(
         self,

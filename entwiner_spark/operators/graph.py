@@ -2599,7 +2599,9 @@ class SparkGraph:
             F.col("a").alias("_n"), F.col("core_degree").cast("long")
         )
 
-    def label_propagation(self, iterations: int = 4) -> DataFrame:
+    def label_propagation(
+        self, iterations: int = 4, strategy: str = "auto"
+    ) -> DataFrame:
         """Community detection by synchronous label propagation
         (Raghavan et al. 2007), made DETERMINISTIC: every node
         simultaneously adopts the most frequent label among its
@@ -2607,6 +2609,12 @@ class SparkGraph:
         for a FIXED number of iterations (async/random-order LPA is
         run-dependent, which would make results unverifiable).
         Returns ``(_n, label)``.
+
+        ``strategy``: the standard auto/local/pregel split (r15
+        CHECK_TIMES watch item — LPA's many-tiny-rounds shape pays
+        ~3 scheduler jobs per round, which dominates under
+        LOCAL_THRESHOLD; the local twin runs the identical
+        synchronous update driver-side).
 
         Rides the public ``pregel`` primitive (r8 VERDICT task #6 —
         one tuned loop instead of four): per round ONE superstep
@@ -2619,6 +2627,44 @@ class SparkGraph:
         round) disappears.  Isolated nodes keep their label via the
         NULL-agg coalesce in update.
         """
+        if self._use_local(strategy):
+            from collections import Counter
+
+            pairs = {
+                (min(r["_u"], r["_v"]), max(r["_u"], r["_v"]))
+                for r in self.edges.select("_u", "_v").collect()
+                if r["_u"] != r["_v"]
+            }
+            node_ids = [r["_n"] for r in self.nodes.select("_n").collect()]
+            adj: dict = {}
+            for u, v in pairs:
+                adj.setdefault(u, []).append(v)
+                adj.setdefault(v, []).append(u)
+            labels = {n: n for n in node_ids}
+            for _ in range(iterations):
+                new = {}
+                for n in node_ids:
+                    # endpoints absent from the nodes table send no
+                    # message (matches the superstep's state join)
+                    neigh = [m for m in adj.get(n, ()) if m in labels]
+                    if not neigh:
+                        new[n] = labels[n]
+                        continue
+                    counts = Counter(labels[m] for m in neigh)
+                    new[n] = min(
+                        counts.items(), key=lambda kv: (-kv[1], kv[0])
+                    )[0]
+                labels = new
+            idt = self.nodes.schema["_n"].dataType
+            return self.spark.createDataFrame(
+                sorted(labels.items()),
+                T.StructType(
+                    [
+                        T.StructField("_n", idt, False),
+                        T.StructField("label", idt, True),
+                    ]
+                ),
+            )
         ue = (
             self.edges.select(
                 F.least("_u", "_v").alias("_u"), F.greatest("_u", "_v").alias("_v")
@@ -4214,6 +4260,7 @@ class SparkGraph:
         sep: str = "|",
         coords_col: str | None = None,
         banned_turns: DataFrame | None = None,
+        via_splits: DataFrame | None = None,
     ) -> "SparkGraph":
         """Graph-minor / maneuver-graph derivation (reference
         TODO.md:62-70: "Deriving a minor (edges --> nodes) ... graph
@@ -4238,6 +4285,22 @@ class SparkGraph:
         ``(u→v, v→u)`` reversal pairs entirely (the common maneuver-
         model choice) instead of pricing them.
 
+        ``via_splits``: exact via-WAY restriction handling by stateful
+        edge splitting (r15-verdict task #2; the design sketched in
+        ``sources/osm.banned_turn_pairs``) — a ``(rel_id, kind, seq,
+        _u, _v)`` frame (:func:`~entwiner_spark.sources.osm.
+        via_way_splits`).  Per restriction the via chain's minor nodes
+        are DUPLICATED into a shadow copy (ids suffixed
+        ``<sep>r<rel_id>``): the from-way approach's arc onto the
+        chain is redirected into the shadow, shadow arcs mirror the
+        chain, departures off the chain return to ORIGINAL minor
+        nodes, and the shadow's exit onto the to way at the chain end
+        does not exist.  Traffic entering the via way from any other
+        entrance keeps the original unrestricted maneuvers — the
+        sequence ban is exact, unlike the exit-pair approximation.
+        All patch frames are restriction-sized and broadcast; the big
+        edge table is only ever probed with equi-joins.
+
         Assumes a SIMPLE digraph — distinct ``(u, v)`` pairs, the
         reference's own ``edges_uv_index`` invariant (SURVEY §1.1);
         parallel edges would emit duplicate minor-node ids.
@@ -4260,24 +4323,62 @@ class SparkGraph:
             F.col("_v").alias("_edge_v"),
             *attrs,
         )
+        vchain = ventry = vexits = None
+        if via_splits is not None:
+            vchain = via_splits.filter(F.col("kind") == "via").select(
+                "rel_id",
+                "seq",
+                F.col("_u").alias("_cu"),
+                F.col("_v").alias("_cv"),
+            )
+            ventry = (
+                via_splits.filter(F.col("kind") == "from")
+                .select(
+                    "rel_id",
+                    F.col("_u").alias("_fu"),
+                    F.col("_v").alias("_fv"),
+                )
+                .join(vchain.filter(F.col("seq") == 0), "rel_id")
+            )
+            vexits = via_splits.filter(F.col("kind") == "to").select(
+                F.col("rel_id").alias("_xrel"),
+                F.col("_u").alias("_tu"),
+                F.col("_v").alias("_tv"),
+            )
         j = self._edges_raw.alias("e1").join(
             base.alias("e2"), F.col("e1._v") == F.col("e2._u")
         )
         if not allow_uturn:
             j = j.filter(F.col("e2._v") != F.col("e1._u"))
-        if banned_turns is not None:
+        if ventry is not None:
+            # the approach's original arc onto the chain head is
+            # REDIRECTED into the shadow copy (added below) — remove
+            # the unrestricted original
+            j = j.join(
+                F.broadcast(ventry),
+                (F.col("e1._u") == F.col("_fu"))
+                & (F.col("e1._v") == F.col("_fv"))
+                & (F.col("e2._u") == F.col("_cu"))
+                & (F.col("e2._v") == F.col("_cv")),
+                "left_anti",
+            )
+        def _ban_anti(df):
             # OSM turn restrictions (sources/osm.banned_turn_pairs):
             # a banned maneuver is a maneuver the minor graph simply
             # does not contain — an infinite turn cost, expressed as
             # a broadcast anti-join (restrictions are tiny vs |E|²
-            # adjacency fan-out; no extra shuffle)
+            # adjacency fan-out; no extra shuffle).  Applied to the
+            # main adjacency AND to every shadow arc set (a node-via
+            # ban holds inside a via-way shadow too).
+            if banned_turns is None:
+                return df
             ban = banned_turns.select(
                 F.col("_u1").alias("__b_u1"),
                 F.col("_v1").alias("__b_v1"),
                 F.col("_u2").alias("__b_u2"),
                 F.col("_v2").alias("__b_v2"),
             )
-            j = j.join(
+            return df.join(
                 F.broadcast(ban),
                 (F.col("e1._u") == F.col("__b_u1"))
                 & (F.col("e1._v") == F.col("__b_v1"))
@@ -4285,6 +4386,8 @@ class SparkGraph:
                 & (F.col("e2._v") == F.col("__b_v2")),
                 "left_anti",
             )
+
+        j = _ban_anti(j)
         e1 = lambda c: F.col(f"e1.{c}")  # noqa: E731
         e2 = lambda c: F.col(f"e2.{c}")  # noqa: E731
         # base cost: downstream edge weight, or 1.0 hop semantics when
@@ -4319,6 +4422,111 @@ class SparkGraph:
             wcol.alias("w"),
             *angle_cols,
         )
+        if via_splits is not None:
+            sfx = F.concat(
+                F.lit(sep + "r"), F.col("rel_id").cast("string")
+            )
+            # next chain edge per (rel, seq); NULL marks the chain end
+            nxt = vchain.select(
+                "rel_id",
+                (F.col("seq") - 1).alias("seq"),
+                F.col("_cu").alias("_nu"),
+                F.col("_cv").alias("_nv"),
+            )
+            chain_x = vchain.join(nxt, ["rel_id", "seq"], "left")
+            # shadow minor nodes: the chain edges, duplicated per
+            # restriction, attrs carried like lnodes
+            sh_nodes = base.join(
+                F.broadcast(vchain),
+                (F.col("_u") == F.col("_cu"))
+                & (F.col("_v") == F.col("_cv")),
+            ).select(
+                F.concat(eid(F.col("_u"), F.col("_v")), sfx).alias("_n"),
+                F.col("_u").alias("_edge_u"),
+                F.col("_v").alias("_edge_v"),
+                *attrs,
+            )
+
+            def _arc_select(df, s1, s2):
+                return df.select(
+                    F.concat(eid(e1("_u"), e1("_v")), s1).alias("_u"),
+                    F.concat(eid(e2("_u"), e2("_v")), s2).alias("_v"),
+                    e1("_v").alias("_via"),
+                    wcol.alias("w"),
+                    *angle_cols,
+                )
+
+            def _no_uturn(df):
+                return (
+                    df
+                    if allow_uturn
+                    else df.filter(e2("_v") != e1("_u"))
+                )
+
+            # entry + chain-internal shadow arcs share one spec shape:
+            # (tail edge, head edge, tail suffix, head suffix)
+            specs = ventry.select(
+                F.col("_fu").alias("_au"),
+                F.col("_fv").alias("_av"),
+                F.col("_cu").alias("_bu"),
+                F.col("_cv").alias("_bv"),
+                F.lit("").alias("_s1"),
+                sfx.alias("_s2"),
+            ).unionByName(
+                chain_x.filter(F.col("_nu").isNotNull()).select(
+                    F.col("_cu").alias("_au"),
+                    F.col("_cv").alias("_av"),
+                    F.col("_nu").alias("_bu"),
+                    F.col("_nv").alias("_bv"),
+                    sfx.alias("_s1"),
+                    sfx.alias("_s2"),
+                )
+            )
+            pa = (
+                base.alias("e1")
+                .join(
+                    F.broadcast(specs),
+                    (e1("_u") == F.col("_au"))
+                    & (e1("_v") == F.col("_av")),
+                )
+                .join(
+                    base.alias("e2"),
+                    (e2("_u") == F.col("_bu"))
+                    & (e2("_v") == F.col("_bv")),
+                )
+            )
+            pa = _ban_anti(_no_uturn(pa))
+            arcs_in = _arc_select(pa, F.col("_s1"), F.col("_s2"))
+            # departures off the chain return to ORIGINAL minor nodes
+            # (the restriction's memory ends when the via way is
+            # left); the next chain edge is excluded (shadow-to-shadow
+            # above), and at the chain end the to-way exits simply do
+            # not exist — the exact sequence ban
+            pd_left = base.alias("e1").join(
+                F.broadcast(chain_x),
+                (e1("_u") == F.col("_cu")) & (e1("_v") == F.col("_cv")),
+            )
+            pdep = base.alias("e2").join(
+                F.broadcast(pd_left), e2("_u") == e1("_v")
+            )
+            pdep = pdep.filter(
+                ~F.coalesce(
+                    (e2("_u") == F.col("_nu"))
+                    & (e2("_v") == F.col("_nv")),
+                    F.lit(False),
+                )
+            )
+            pdep = _no_uturn(pdep).join(
+                F.broadcast(vexits),
+                (F.col("rel_id") == F.col("_xrel"))
+                & (e2("_u") == F.col("_tu"))
+                & (e2("_v") == F.col("_tv")),
+                "left_anti",
+            )
+            pdep = _ban_anti(pdep)
+            arcs_out = _arc_select(pdep, sfx, F.lit(""))
+            lnodes = lnodes.unionByName(sh_nodes)
+            ledges = ledges.unionByName(arcs_in).unionByName(arcs_out)
         return SparkGraph(lnodes, ledges)
 
     def _local_contract_chains(

@@ -198,7 +198,10 @@ def _iter_osm_elements(path: str) -> Iterator[dict]:
             rtype = tags.get("restriction")
             if (
                 tags.get("type") == "restriction"
-                and rtype
+                # a relation tagged ONLY restriction:conditional is
+                # still a restriction — its effective type resolves
+                # per time bucket (restrictions_at)
+                and (rtype or tags.get("restriction:conditional"))
                 and ok
                 and f_way is not None
                 and t_way is not None
@@ -273,7 +276,12 @@ def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
     maneuver from the same approach.  ``except_tag`` surfaces the
     ``except=`` transport-mode list (``psv;bicycle`` style) so
     profile-aware expansion can skip restrictions that don't apply
-    to the routed mode (``banned_turn_pairs(profile=)``)."""
+    to the routed mode (``banned_turn_pairs(profile=)``).
+    ``cond_tag`` surfaces ``restriction:conditional`` (time-windowed
+    bans / lifts) — resolve it to an instant's effective restriction
+    set with :func:`restrictions_at` before expansion; ``rtype`` is
+    NULL on conditional-only relations (``banned_turn_pairs`` skips
+    those until resolved)."""
     return elems.filter(F.col("kind") == "restriction").select(
         F.col("osm_id").alias("rel_id"),
         F.col("tags").getItem("restriction").alias("rtype"),
@@ -282,6 +290,7 @@ def osm_turn_restrictions(elems: DataFrame) -> DataFrame:
         F.col("via_way"),
         F.col("to_way"),
         F.col("tags").getItem("except").alias("except_tag"),
+        F.col("tags").getItem("restriction:conditional").alias("cond_tag"),
     )
 
 
@@ -289,6 +298,7 @@ def banned_turn_pairs(
     edges: DataFrame,
     restrictions: DataFrame,
     profile: str | None = None,
+    via_way: str = "exit_pair",
 ) -> DataFrame:
     """Expand turn-restriction relations into banned maneuver pairs
     over an ``edges_from_osm`` table: one row per banned adjacent edge
@@ -327,8 +337,23 @@ def banned_turn_pairs(
     before expansion (OSM semantics: ``except=bicycle`` on a
     no_left_turn means cyclists MAY turn).  ``None`` (default) keeps
     every restriction — the conservative choice for an unspecified
-    mode.  ``restriction:conditional`` values remain out of scope
-    (the condition would need time-dependent metrics, documented)."""
+    mode.  ``restriction:conditional`` values resolve per instant via
+    :func:`restrictions_at` (r16; unresolved conditional-only rows
+    expand to nothing).
+
+    ``via_way``: ``"exit_pair"`` (default) applies the conservative
+    expansion described above; ``"skip"`` omits via-way relations
+    entirely — use it when ALSO passing :func:`via_way_splits` to
+    ``to_linegraph(via_splits=)``, which handles them exactly (the
+    exit pairs would otherwise over-ban other entrants)."""
+    if via_way not in ("exit_pair", "skip"):
+        raise ValueError(
+            f"via_way must be 'exit_pair' or 'skip': {via_way!r}"
+        )
+    # conditional-only relations carry rtype NULL until a time bucket
+    # resolves them (restrictions_at) — unresolved, they expand to
+    # nothing rather than poisoning the no_*/only_* predicates
+    restrictions = restrictions.filter(F.col("rtype").isNotNull())
     if profile is not None and "except_tag" in restrictions.columns:
         restrictions = restrictions.filter(
             ~F.array_contains(
@@ -337,9 +362,11 @@ def banned_turn_pairs(
             )
         )
     if "via_way" in restrictions.columns:
-        via_way_rows = restrictions.filter(
-            F.col("via_way").isNotNull()
-        ).collect()
+        via_way_rows = (
+            restrictions.filter(F.col("via_way").isNotNull()).collect()
+            if via_way == "exit_pair"
+            else []
+        )
         restrictions = restrictions.filter(F.col("via_way").isNull())
     else:  # pre-r15 caller-built frames
         via_way_rows = []
@@ -412,11 +439,15 @@ def banned_turn_pairs(
     return out
 
 
-def _via_way_pairs(edges: DataFrame, vrows: list) -> list[tuple]:
+def _via_way_resolved(edges: DataFrame, vrows: list) -> list[dict]:
     """Driver-side via-way chain resolution (restriction-bounded: only
-    the few ways a relation names are ever collected).  Returns banned
-    ``(_u1, _v1, _u2, _v2)`` exit pairs — see ``banned_turn_pairs``
-    for the semantics and the documented approximation."""
+    the few ways a relation names are ever collected).  Per resolvable
+    ``no_*`` relation returns ``{rel_id, approaches, chain, exits}`` in
+    engine ``(_u, _v)`` ids: every from-way edge ENTERING junction A,
+    the directed via chain A→B in order, and every to-way departure
+    LEAVING junction B.  Ambiguous shared junctions, chains with no
+    directed path, and ``only_*`` via-way relations are skipped (see
+    ``banned_turn_pairs``)."""
     from collections import deque
 
     vrows = [
@@ -441,7 +472,7 @@ def _via_way_pairs(edges: DataFrame, vrows: list) -> list[tuple]:
     by_way: dict = {}
     for e in erows:
         by_way.setdefault(e["_way_id"], []).append(e)
-    pairs: set = set()
+    out: list[dict] = []
     for r in vrows:
         f_e = by_way.get(r["from_way"], [])
         v_e = by_way.get(r["via_way"], [])
@@ -467,13 +498,100 @@ def _via_way_pairs(edges: DataFrame, vrows: list) -> list[tuple]:
                 if x["_v_ref"] not in prev:
                     prev[x["_v_ref"]] = x
                     qd.append(x["_v_ref"])
-        last = prev.get(b)
-        if last is None:
+        if b not in prev:
             continue  # no directed via path: skip
-        for t in t_e:
-            if t["_u_ref"] == b:
-                pairs.add((last["_u"], last["_v"], t["_u"], t["_v"]))
+        chain, cur = [], b
+        while prev[cur] is not None:
+            e = prev[cur]
+            chain.append((e["_u"], e["_v"]))
+            cur = e["_u_ref"]
+        chain.reverse()
+        out.append(
+            {
+                "rel_id": r["rel_id"],
+                "approaches": sorted(
+                    (x["_u"], x["_v"]) for x in f_e if x["_v_ref"] == a
+                ),
+                "chain": chain,
+                "exits": sorted(
+                    (x["_u"], x["_v"]) for x in t_e if x["_u_ref"] == b
+                ),
+            }
+        )
+    return out
+
+
+def _via_way_pairs(edges: DataFrame, vrows: list) -> list[tuple]:
+    """Conservative EXIT-PAIR expansion of via-way relations (last
+    chain edge → every to-way departure at B) — see
+    ``banned_turn_pairs`` for the semantics and the documented
+    approximation; :func:`via_way_splits` is the exact path."""
+    pairs: set = set()
+    for r in _via_way_resolved(edges, vrows):
+        if not r["chain"]:
+            continue
+        lu, lv = r["chain"][-1]
+        for tu, tv in r["exits"]:
+            pairs.add((lu, lv, tu, tv))
     return list(pairs)
+
+
+def via_way_splits(
+    edges: DataFrame,
+    restrictions: DataFrame,
+    profile: str | None = None,
+) -> DataFrame:
+    """EXACT via-way restriction handling (r15-verdict task #2) via
+    stateful edge splitting: resolve every ``no_*`` via-WAY relation
+    to ``(rel_id, kind, seq, _u, _v)`` rows — ``kind='from'`` the
+    approach edges entering junction A, ``kind='via'`` the directed
+    chain A→B (``seq`` ordered), ``kind='to'`` the banned departures
+    at B — and feed the frame to
+    :meth:`SparkGraph.to_linegraph(via_splits=)`, which duplicates the
+    chain's minor nodes PER RESTRICTION (a shadow copy entered only
+    from the approach, whose exit onto the to way does not exist).
+    Unlike the exit-pair approximation inside
+    :func:`banned_turn_pairs`, traffic entering the via way from any
+    OTHER entrance keeps the original unrestricted maneuvers — the
+    sequence ban is exact.
+
+    Use with ``banned_turn_pairs(..., via_way="skip")`` so the
+    conservative exit pairs are not ALSO applied.  ``profile`` filters
+    ``except=``-listed relations, same as ``banned_turn_pairs``."""
+    if profile is not None and "except_tag" in restrictions.columns:
+        restrictions = restrictions.filter(
+            ~F.array_contains(
+                F.split(F.coalesce(F.col("except_tag"), F.lit("")), ";"),
+                profile,
+            )
+        )
+    restrictions = restrictions.filter(F.col("rtype").isNotNull())
+    vrows = (
+        restrictions.filter(F.col("via_way").isNotNull()).collect()
+        if "via_way" in restrictions.columns
+        else []
+    )
+    rows = []
+    for r in _via_way_resolved(edges, vrows):
+        if not r["chain"]:
+            continue
+        for u, v in r["approaches"]:
+            rows.append((int(r["rel_id"]), "from", 0, u, v))
+        for i, (u, v) in enumerate(r["chain"]):
+            rows.append((int(r["rel_id"]), "via", i, u, v))
+        for u, v in r["exits"]:
+            rows.append((int(r["rel_id"]), "to", 0, u, v))
+    idt = edges.schema["_u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rel_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("seq", T.IntegerType(), False),
+            T.StructField("_u", idt, False),
+            T.StructField("_v", idt, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def edges_from_osm(
@@ -806,6 +924,218 @@ def traversal_seconds(
     return edges.withColumn(
         out_col, F.col(length_col) / (kmh / F.lit(3.6))
     )
+
+
+# --------------------------------------------------------------------
+# Time-dependent metrics: OSM *:conditional tags (r15-verdict task #1)
+# --------------------------------------------------------------------
+
+_DAY_NAMES = ("Mo", "Tu", "We", "Th", "Fr", "Sa", "Su")
+_DAY_RE = r"(?:Mo|Tu|We|Th|Fr|Sa|Su)(?:-(?:Mo|Tu|We|Th|Fr|Sa|Su))?"
+_SPAN_RE = r"\d{1,2}:\d{2}-\d{1,2}:\d{2}"
+
+#: the conditional-maxspeed tag name, for tag_cols lists
+COND_MAXSPEED = "maxspeed:conditional"
+
+
+def _day_idx(tok: F.Column) -> F.Column:
+    expr = F.when(tok == _DAY_NAMES[0], 0)
+    for i, d in enumerate(_DAY_NAMES[1:], 1):
+        expr = expr.when(tok == d, i)
+    return expr
+
+
+def conditional_value_at(cond, dow: int, minute: int) -> F.Column:
+    """Value of an OSM ``*:conditional`` tag column at one instant —
+    ``dow`` 0=Mo..6=Su, ``minute`` minutes past local midnight — or
+    NULL when no clause applies (public tagging scheme: semicolon-
+    separated ``value @ (condition)`` clauses, rightmost applicable
+    clause wins).
+
+    Supported condition subset (the time-interval grammar — the shapes
+    that matter for routing metrics): day ranges (``Mo-Fr``, ``Sa-Su``,
+    single days, comma lists, week-wrapping ``Fr-Mo``) and time spans
+    (``07:00-09:00``, comma lists, midnight-wrapping ``22:00-06:00``,
+    start-inclusive end-exclusive).  A clause with neither days nor
+    spans matches always; non-time predicates (``wet``, ``snow``,
+    vehicle properties) contribute no day/span tokens and therefore
+    match conservatively — callers routing a known mode should prefer
+    explicit buckets.  Pure Catalyst (split / regexp_extract_all /
+    exists) — whole-stage codegen over the edge table, no UDF; the
+    instant is a plan-time literal, so each bucket compiles to a
+    constant-folded CASE cascade."""
+    if not 0 <= dow <= 6:
+        raise ValueError(f"dow must be 0(Mo)..6(Su), got {dow}")
+    if not 0 <= minute < 1440:
+        raise ValueError(f"minute must be 0..1439, got {minute}")
+    cond = F.col(cond) if isinstance(cond, str) else cond
+    q_day = F.lit(int(dow))
+    q_min = F.lit(int(minute))
+
+    def day_tok_matches(tok):
+        a = _day_idx(F.substring(tok, 1, 2))
+        b = F.when(
+            F.length(tok) > 2, _day_idx(F.substring(tok, 4, 2))
+        ).otherwise(a)
+        return F.when(
+            a <= b, (q_day >= a) & (q_day <= b)
+        ).otherwise((q_day >= a) | (q_day <= b))
+
+    def span_matches(s):
+        p = F.split(s, r"[:\-]")
+        start = p[0].cast("int") * 60 + p[1].cast("int")
+        end = p[2].cast("int") * 60 + p[3].cast("int")
+        return F.when(
+            start <= end, (q_min >= start) & (q_min < end)
+        ).otherwise((q_min >= start) | (q_min < end))
+
+    def clause_active(cl):
+        c = F.regexp_extract(cl, r"@\s*\(([^)]*)\)\s*$", 1)
+        days = F.regexp_extract_all(c, F.lit(_DAY_RE), 0)
+        spans = F.regexp_extract_all(c, F.lit(_SPAN_RE), 0)
+        return ((F.size(days) == 0) | F.exists(days, day_tok_matches)) & (
+            (F.size(spans) == 0) | F.exists(spans, span_matches)
+        )
+
+    active = F.filter(F.split(cond, ";"), clause_active)
+    last = F.try_element_at(active, F.lit(-1))
+    val = F.trim(F.regexp_extract(last, r"^\s*([^@]*?)\s*@", 1))
+    return F.when(val != "", val)
+
+
+def speed_kmh_at(
+    dow: int,
+    minute: int,
+    highway_col: str = "highway",
+    maxspeed_col: str | None = "maxspeed",
+    conditional_col: str | None = COND_MAXSPEED,
+    speeds: dict[str, float] | None = None,
+    default_kmh: float = 30.0,
+) -> F.Column:
+    """:func:`speed_kmh_col` at one instant: an applicable
+    ``maxspeed:conditional`` clause wins over everything (same numeric
+    parse, mph honored), then the plain ``maxspeed`` tag, then the
+    class table, then the default."""
+    base = speed_kmh_col(
+        highway_col=highway_col,
+        maxspeed_col=maxspeed_col,
+        speeds=speeds,
+        default_kmh=default_kmh,
+    )
+    if conditional_col is None:
+        return base
+    cv = conditional_value_at(F.col(conditional_col), dow, minute)
+    num = F.regexp_extract(cv, r"^\s*(\d+(?:\.\d+)?)", 1)
+    cond_kmh = F.when(
+        num != "",
+        num.cast("double")
+        * F.when(
+            F.upper(cv).contains("MPH"), F.lit(_MPH_TO_KMH)
+        ).otherwise(F.lit(1.0)),
+    )
+    return F.coalesce(cond_kmh, base)
+
+
+def traversal_seconds_at(
+    edges: DataFrame,
+    dow: int,
+    minute: int,
+    speeds: dict[str, float] | None = None,
+    default_kmh: float = 30.0,
+    highway_col: str = "highway",
+    maxspeed_col: str | None = "maxspeed",
+    conditional_col: str | None = COND_MAXSPEED,
+    length_col: str = "_length",
+    out_col: str = "_traversal_sec",
+) -> DataFrame:
+    """:func:`traversal_seconds` at one instant — the per-time-bucket
+    cost profile (``maxspeed:conditional`` rush-hour limits change the
+    metric).  Same zero-shuffle map-side arithmetic."""
+    if length_col not in edges.columns:
+        raise ValueError(
+            f"traversal_seconds_at needs {length_col!r} (pass "
+            "with_length=True to edges_from_osm)"
+        )
+    ms = maxspeed_col if maxspeed_col in edges.columns else None
+    cc = conditional_col if conditional_col in edges.columns else None
+    kmh = speed_kmh_at(
+        dow,
+        minute,
+        highway_col=highway_col,
+        maxspeed_col=ms,
+        conditional_col=cc,
+        speeds=speeds,
+        default_kmh=default_kmh,
+    )
+    return edges.withColumn(
+        out_col, F.col(length_col) / (kmh / F.lit(3.6))
+    )
+
+
+def restrictions_at(
+    restrictions: DataFrame, dow: int, minute: int
+) -> DataFrame:
+    """Materialize the turn-restriction set ACTIVE at one instant:
+    an applicable ``restriction:conditional`` clause overrides the
+    unconditional ``restriction`` value (so ``no_left_turn @ (Mo-Fr
+    07:00-09:00)`` bans only during rush hour, and ``none @ (...)``
+    LIFTS a base restriction inside its window); rows left with no
+    effective type drop.  Feed the result to
+    :func:`banned_turn_pairs` — one banned-pairs set per time bucket,
+    composing with per-bucket minors / :class:`~entwiner_spark.
+    operators.ch_edge.EdgeBasedCH` builds."""
+    if "cond_tag" not in restrictions.columns:
+        return restrictions.filter(F.col("rtype").isNotNull())
+    eff = F.coalesce(
+        conditional_value_at(F.col("cond_tag"), dow, minute),
+        F.col("rtype"),
+    )
+    return (
+        restrictions.withColumn("rtype", eff)
+        .filter(F.col("rtype").isNotNull() & (F.col("rtype") != "none"))
+    )
+
+
+def time_profiles(
+    edges: DataFrame,
+    ch,
+    buckets: dict[str, tuple[int, int]],
+    speeds: dict[str, float] | None = None,
+    default_kmh: float = 30.0,
+    highway_col: str = "highway",
+    maxspeed_col: str | None = "maxspeed",
+    conditional_col: str | None = COND_MAXSPEED,
+    length_col: str = "_length",
+    strategy: str = "auto",
+) -> dict:
+    """Per-time-bucket routing metrics over ONE contraction order —
+    the standard CCH deployment shape (Dibbelt/Strasser/Wagner 2014:
+    contract once, customize per metric).  ``buckets`` maps bucket
+    name → ``(dow, minute)`` instants; each bucket's traversal-time
+    metric (``maxspeed:conditional`` resolved at that instant) is
+    served through :meth:`~entwiner_spark.operators.ch.
+    ContractionHierarchy.customize` — one join pass per build level,
+    NO recontraction — so k buckets cost k customizations, not k
+    hierarchy builds.  Returns bucket name → customized hierarchy.
+
+    ``ch`` must be ``build(customizable=True)`` over the SAME edge
+    table (any positive base metric)."""
+    out = {}
+    for name, (dow, minute) in buckets.items():
+        metric = traversal_seconds_at(
+            edges,
+            dow,
+            minute,
+            speeds=speeds,
+            default_kmh=default_kmh,
+            highway_col=highway_col,
+            maxspeed_col=maxspeed_col,
+            conditional_col=conditional_col,
+            length_col=length_col,
+            out_col="w",
+        ).select("_u", "_v", "w")
+        out[name] = ch.customize(metric, strategy=strategy)
+    return out
 
 
 def graph_from_osm(

@@ -464,6 +464,28 @@ def test_edge_based_staleness_guard(spark, tmp_path, grid):
         re1.check_fresh(grid, "w")
 
 
+def test_edge_based_route_matrix_matches_per_pair(spark, grid):
+    """route_matrix == per-pair route() (cost AND path) for every
+    reachable pair, trivial diagonal rows included; one batched
+    hierarchy query serves the whole matrix."""
+    eb = EdgeBasedCH.build(grid, weight="w", allow_uturn=True)
+    srcs = ["0,0", "2,2", "4,0"]
+    tgts = ["4,4", "0,3", "2,2"]
+    got = {
+        (r["src"], r["dst"]): (list(r["path"]), r["dist"])
+        for r in eb.route_matrix(srcs, tgts).collect()
+    }
+    assert set(got) == {(s, t) for s in srcs for t in tgts}
+    for s in srcs:
+        for t in tgts:
+            want = eb.route(s, t)
+            assert got[(s, t)][0] == want[0]
+            assert got[(s, t)][1] == pytest.approx(want[1], abs=1e-12)
+    assert got[("2,2", "2,2")] == (["2,2"], 0.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        eb.route_matrix([], tgts)
+
+
 def test_edge_based_turn_config_staleness(spark, tmp_path, grid):
     """r15 ADVICE: the base fingerprint covers only the edge table —
     the TURN configuration (banned pairs, allow_uturn, turn_cost)

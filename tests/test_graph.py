@@ -654,6 +654,14 @@ def test_label_propagation_matches_python_reference(spark):
     g = SparkGraph(nodes, edges)
     got = {r["_n"]: r["label"]
            for r in g.label_propagation(iterations=4).collect()}
+    # the r16 local twin and the pregel loop implement the same rule
+    got_pregel = {
+        r["_n"]: r["label"]
+        for r in g.label_propagation(
+            iterations=4, strategy="pregel"
+        ).collect()
+    }
+    assert got == got_pregel
 
     adj = collections.defaultdict(set)
     for a, b in pairs:

@@ -456,6 +456,142 @@ def test_via_way_only_and_unresolvable_skipped(spark, tmp_path):
     )
 
 
+_MULTI_ENTRY_XML = textwrap.dedent(
+    """\
+    <osm>
+      <node id="1" lon="0.0" lat="0.0"/>
+      <node id="2" lon="0.001" lat="0.0"/>
+      <node id="3" lon="0.002" lat="0.0"/>
+      <node id="4" lon="0.003" lat="0.0"/>
+      <node id="5" lon="0.004" lat="0.0"/>
+      <node id="6" lon="0.002" lat="0.001"/>
+      <node id="7" lon="0.002" lat="-0.002"/>
+      <way id="10"><nd ref="1"/><nd ref="2"/>
+        <tag k="highway" v="primary"/></way>
+      <way id="20"><nd ref="2"/><nd ref="3"/><nd ref="4"/>
+        <tag k="highway" v="primary"/><tag k="oneway" v="yes"/></way>
+      <way id="30"><nd ref="4"/><nd ref="5"/>
+        <tag k="highway" v="primary"/></way>
+      <way id="40"><nd ref="6"/><nd ref="3"/>
+        <tag k="highway" v="residential"/>
+        <tag k="oneway" v="yes"/></way>
+      <way id="50"><nd ref="2"/><nd ref="7"/><nd ref="5"/>
+        <tag k="highway" v="residential"/></way>
+      <relation id="900">
+        <tag k="type" v="restriction"/>
+        <tag k="restriction" v="no_straight_on"/>
+        <member type="way" role="from" ref="10"/>
+        <member type="way" role="via" ref="20"/>
+        <member type="way" role="to" ref="30"/>
+      </relation>
+    </osm>
+    """
+)
+# topology: X(1)-A(2) from way; via way A(2)->M(3)->B(4) oneway with a
+# junction at M; to way B(4)-Y(5); OTHER ENTRANCE C(6)->M oneway;
+# detour A(2)->7->Y(5).  The restriction bans the SEQUENCE
+# X->A->M->B->Y; C->M->B->Y is legal (multi-entry).
+
+
+def _minor_route(minor, edges, src_ref_pair, tgt_ref):
+    refs = {
+        (r["_u"], r["_v"]): (r["_u_ref"], r["_v_ref"])
+        for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect()
+    }
+    src_uv = next(k for k, rr in refs.items() if rr == src_ref_pair)
+    src = f"{src_uv[0]}|{src_uv[1]}"
+    tgts = [f"{u}|{v}" for (u, v), rr in refs.items() if rr[1] == tgt_ref]
+    best = None
+    for t in tgts:
+        r = minor.shortest_path(src, t, weight="w")
+        if r is not None and (best is None or r[1] < best[1]):
+            best = r
+    if best is None:
+        return None
+    # shadow minor ids carry a |r<rel> suffix — strip for decode
+    out = []
+    for m in best[0]:
+        u, v = m.split("|")[:2]
+        out.append(refs[(u, v)])
+    return [out[0][0]] + [p[1] for p in out], best[1]
+
+
+def test_via_way_splits_exact_vs_exit_pair(spark, tmp_path):
+    """r15-verdict task #2: on a MULTI-ENTRY via way the exit-pair
+    expansion is provably conservative — it bans the other entrance's
+    legal exit — while via_way_splits + to_linegraph(via_splits=)
+    is exact: the restricted sequence is gone, the other entrance
+    keeps its route."""
+    from entwiner_spark.sources.osm import via_way_splits
+
+    p = tmp_path / "multi.osm"
+    p.write_text(_MULTI_ENTRY_XML)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    res = osm_turn_restrictions(elems)
+    g = SparkGraph(nodes_from_edges(edges), edges)
+
+    splits = via_way_splits(edges, res)
+    srows = splits.collect()
+    by_kind = {}
+    for r in srows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert len(by_kind["via"]) == 2  # chain A->M->B split at M
+    assert len(by_kind["from"]) == 1  # one approach (1->2)
+    assert len(by_kind["to"]) == 1  # one exit (4->5)
+
+    # conservative mode: the exit pair bans C's legal route too
+    cons = banned_turn_pairs(edges, res)  # via_way="exit_pair" default
+    minor_cons = g.to_linegraph(
+        weight="_length", allow_uturn=False, banned_turns=cons
+    )
+    got = _minor_route(minor_cons, edges, (6, 3), 5)
+    assert got is None or got[0] != [6, 3, 4, 5]  # over-ban, proven
+
+    # exact mode: splits + skip
+    bans = banned_turn_pairs(edges, res, via_way="skip")
+    assert bans.count() == 0  # the fixture has ONLY the via-way rel
+    minor = g.to_linegraph(
+        weight="_length",
+        allow_uturn=False,
+        banned_turns=bans,
+        via_splits=splits,
+    )
+    # the other entrance's route is legal and direct
+    assert _minor_route(minor, edges, (6, 3), 5)[0] == [6, 3, 4, 5]
+    # the restricted sequence is gone: X-traffic detours via 7
+    path, cost = _minor_route(minor, edges, (1, 2), 5)
+    assert path == [1, 2, 5]  # way 50's single junction-split edge
+    # and the unrestricted minor (no splits) prefers the via way,
+    # proving the detour is restriction-forced, not metric-forced
+    free = g.to_linegraph(weight="_length", allow_uturn=False)
+    fpath, fcost = _minor_route(free, edges, (1, 2), 5)
+    assert fpath == [1, 2, 3, 4, 5]
+    assert cost > fcost
+
+    # and the split composes with the contracted hierarchy: the
+    # shadow minor nodes contract like any other
+    from entwiner_spark.operators.ch_edge import EdgeBasedCH
+
+    node_ref = {}
+    for r in edges.select("_u", "_v", "_u_ref", "_v_ref").collect():
+        node_ref[r["_u"]] = r["_u_ref"]
+        node_ref[r["_v"]] = r["_v_ref"]
+    ids = {rr: n for n, rr in node_ref.items()}
+    eb = EdgeBasedCH.build(
+        g, weight="_length", banned_turns=bans, via_splits=splits
+    )
+    lens = {
+        (node_ref[r["_u"]], node_ref[r["_v"]]): r["_length"]
+        for r in edges.select("_u", "_v", "_length").collect()
+    }
+    p1, c1 = eb.route(ids[1], ids[5])
+    assert [node_ref[n] for n in p1] == [1, 2, 5]
+    assert c1 == pytest.approx(lens[(1, 2)] + lens[(2, 5)], rel=1e-12)
+    p6, _c6 = eb.route(ids[6], ids[5])
+    assert [node_ref[n] for n in p6] == [6, 3, 4, 5]
+
+
 def test_except_tag_profile_filtering(spark, tmp_path):
     """except=: a restriction listing the routed profile does not
     apply to it — banned_turn_pairs(profile=) drops it before
