@@ -25,76 +25,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r15 head = 4 new
-# (edge-based CH turn routing, the restrictions×customize×
-# alternatives composition, PHAST isochrone, penalty-method CH
-# alternatives) + 11 changed-since-green (every CH gate: fingerprint/
-# save/trace/build-branch changes; the OSM restriction gates:
-# banned_turn_pairs rework + via-way parser; landmark centralities:
-# contracted= dispatch) + the 23 remaining r10-vintage rows + the 12
-# stalest r11 rows = 50 — after this round the oldest vintage is r11
-# (r13 verdict task, continued).  Regenerate every round with the
-# same rule.
+# round first, alphabetical within a round).  r16 head = 4 new
+# (time-profile CCH buckets, time-windowed restrictions, exact
+# via-way splitting, turn-aware route matrix) + 15 changed-since-
+# green (the OSM restriction/conditional parser and ban expansion;
+# to_linegraph ban refactor + via_splits; PHAST leveled down-sweep
+# consumers; LPA local twin; maneuver-walk matching; the slimmed
+# forced-pregel alts gate) + ALL 31 remaining r11-vintage rows = 50
+# — after this round the oldest vintage is r12 (r15 verdict task
+# #8).  Regenerate every round with the same rule.
 _PRIORITY = [
-    # --- never sampled (new in round 15) ---
-    "g_ch_turn",
-    "g_ch_turn_alts",
-    "g_isochrone_ch",
-    "g_kshortest_ch",
-    # --- changed in r15 since newest driver-green (ch.py: replace-aside
-    # save, edge fingerprint, bounded _trace, customizable build
-    # branch; osm.py: banned_turn_pairs same-way no_* + via-way
-    # expansion, parser via-way; graph.py: landmark contracted=
-    # dispatch) ---
-    "g_ch_full",
-    "g_ch_matrix",
+    # --- never sampled (new in round 16) ---
+    "g_ch_turn_matrix",
+    "g_time_profile",
+    "g_time_restriction",
+    "g_via_way_exact",
+    # --- changed in r16 since newest driver-green (osm.py:
+    # banned_turn_pairs no_u_turn pin + rtype filter + via_way
+    # modes, conditional parser; graph.py: to_linegraph ban
+    # refactor + via_splits, isochrone ch check_fresh, LPA local
+    # twin; ch.py: leveled PHAST down-sweep, load .old fallback;
+    # ch_edge.py: turn fingerprint, route_matrix, via_splits;
+    # matching.py: maneuver-walk transitions; catalog: alts gate
+    # slimmed 3x3 forced-pregel, _kshortest_ch_edges(n)) ---
     "g_ch_persist",
     "g_ch_phast",
-    "g_ch_route",
-    "g_ch_route_matrix",
+    "g_ch_turn",
+    "g_ch_turn_alts",
     "g_closeness_landmarks",
     "g_cost_profile",
     "g_harmonic_landmarks",
+    "g_isochrone_ch",
+    "g_kshortest_ch",
+    "g_lpa_communities",
+    "g_maneuver_classes",
     "g_turn_restriction",
+    "g_turn_routing",
+    "geo_map_match_route",
     "s15_osm_ingest",
-    # --- newest driver-green row: round 10 ---
-    "g_node2vec_walks",
-    "g_skipgram_pairs",
-    "g_topo_levels",
-    "g_walks",
-    "m3_scd2_history",
-    "q12_late_priority",
-    "s10_random_projection",
-    "s12_ivfpq_encode",
-    "s8_ivf_recall",
-    "s9_pq_encode",
-    "samp3_token_budget",
-    "samp4_temperature",
-    "t11_pii_redact",
-    "t14_gopher_rules",
-    "t15_bm25_rank",
-    "t16_bigram_logprob",
-    "t17_lm_buckets",
-    "t18_kl_divergence",
-    "t19_pipeline_e2e",
-    "t20_split_leakage",
-    "t21_feature_hashing",
-    "w6_range_interval",
-    "x5_zorder_values",
-    # --- newest driver-green row: round 11 (head fill to 50) ---
-    "a2b_approx_degree",
-    "d16_dup_span_removal",
-    "d4b_simhash_neardup",
-    "d5_ngram_jaccard_pairs",
-    "d6_embedding_neardup",
-    "d6b_embedding_neardup_lsh",
-    "d7_contamination",
-    "d8_dedup_clusters",
-    "e3_sessionize",
-    "e5_asof_last_view",
-    "e6_interval_join",
-    "g_adamic_adar",
-    # --- newest driver-green row: round 11 (tail) ---
+    # --- newest driver-green row: round 11 ---
     "g_am_weighted_degree",
     "g_msf",
     "g_p5_successors",
@@ -189,7 +158,6 @@ _PRIORITY = [
     "g_feature_prop",
     "g_isochrone",
     "g_kcore",
-    "g_lpa_communities",
     "g_motif_anchored",
     "g_scc_fwbw",
     "g_triangles",
@@ -241,12 +209,9 @@ _PRIORITY = [
     "g_j1_sssp_weighted",
     "g_kshortest",
     "g_ktruss",
-    "g_maneuver_classes",
     "g_motif_ffw_triangle",
     "g_motif_open_wedge",
-    "g_turn_routing",
     "geo_map_match",
-    "geo_map_match_route",
     "samp1_stratified",
     "samp2_hash_bernoulli",
     "t10_corpus_filter",
@@ -259,6 +224,46 @@ _PRIORITY = [
     "w3_rank_dense",
     "w4_lag_lead",
     "w5_distribution_ranks",
+    # --- newest driver-green row: round 15 ---
+    "a2b_approx_degree",
+    "d16_dup_span_removal",
+    "d4b_simhash_neardup",
+    "d5_ngram_jaccard_pairs",
+    "d6_embedding_neardup",
+    "d6b_embedding_neardup_lsh",
+    "d7_contamination",
+    "d8_dedup_clusters",
+    "e3_sessionize",
+    "e5_asof_last_view",
+    "e6_interval_join",
+    "g_adamic_adar",
+    "g_ch_full",
+    "g_ch_matrix",
+    "g_ch_route",
+    "g_ch_route_matrix",
+    "g_node2vec_walks",
+    "g_skipgram_pairs",
+    "g_topo_levels",
+    "g_walks",
+    "m3_scd2_history",
+    "q12_late_priority",
+    "s10_random_projection",
+    "s12_ivfpq_encode",
+    "s8_ivf_recall",
+    "s9_pq_encode",
+    "samp3_token_budget",
+    "samp4_temperature",
+    "t11_pii_redact",
+    "t14_gopher_rules",
+    "t15_bm25_rank",
+    "t16_bigram_logprob",
+    "t17_lm_buckets",
+    "t18_kl_divergence",
+    "t19_pipeline_e2e",
+    "t20_split_leakage",
+    "t21_feature_hashing",
+    "w6_range_interval",
+    "x5_zorder_values",
 ]
 
 def _ordered(d: dict) -> dict:

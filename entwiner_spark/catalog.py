@@ -6859,14 +6859,15 @@ def g_kshortest(spark, sf_dir):
     )
 
 
-def _kshortest_ch_edges() -> list[tuple[str, str, float]]:
-    """Closed-form 4×4 two-way grid with dyadic tie-free weights
+def _kshortest_ch_edges(n: int = 4) -> list[tuple[str, str, float]]:
+    """Closed-form n×n (default 4×4) two-way grid with dyadic
+    tie-free weights
     (forward 4 + 2^-k, reverse + 2^-(30+k)): every path cost is a sum
     of distinct binary powers, so all optima are unique and every sum
     is float-exact — shared verbatim by the Spark gate and the
     pure-Python replay oracle."""
     rows = []
-    n, k = 4, 0
+    k = 0
     for i in range(n):
         for j in range(n):
             for di, dj in ((0, 1), (1, 0)):
@@ -6994,10 +6995,11 @@ def _ch_turn_alts_oracle_sql() -> str:
     traversal, compounding), min over terminal pairs with the
     engine's (cost, src, dst) tie-break; first 2 distinct node paths
     reported under the ORIGINAL metric.  Dyadic weights keep every
-    float exact."""
+    float exact.  3×3 grid (r15-verdict task #3: slim enough that the
+    gate affords FORCED pregel end-to-end)."""
     import heapq
 
-    basew = {(u, v): w for u, v, w in _kshortest_ch_edges()}
+    basew = {(u, v): w for u, v, w in _kshortest_ch_edges(3)}
     banned = (("0:0", "1:0"), ("1:0", "2:0"))
     arcs: dict = {}
     for e1 in basew:
@@ -7007,7 +7009,7 @@ def _ch_turn_alts_oracle_sql() -> str:
             arcs[(f"{e1[0]}|{e1[1]}", f"{e2[0]}|{e2[1]}")] = basew[e2]
     terms = {f"{u}|{v}": (u, v, w) for (u, v), w in basew.items()}
     srcs = {n: w for n, (u, _v, w) in terms.items() if u == "0:0"}
-    tgts = {n for n, (_u, v, _w) in terms.items() if v == "3:3"}
+    tgts = {n for n, (_u, v, _w) in terms.items() if v == "2:2"}
     adj: dict = {}
     for a, b in arcs:
         adj.setdefault(a, []).append(b)
@@ -7084,16 +7086,15 @@ def g_ch_turn_alts(spark, sf_dir):
     first-edge offset, re-CUSTOMIZE the minor, re-route), value-hashed
     (rank, UNROUNDED original-metric cost, full node route) against an
     independent penalty-Dijkstra replay over the same closed-form
-    dyadic minor.  The distributed loops this composes are each
-    force-certified by their own gates (pregel minor route_matrix:
-    ``g_ch_turn``; pregel build/customize/route: ``g_kshortest_ch``),
-    so this gate runs ``auto`` and certifies the COMPOSITION —
-    all-pregel end-to-end was measured green once at 157 s and left
-    out of the per-round sample budget."""
+    dyadic minor.  r16 (r15-verdict task #3): the fixture slimmed
+    4×4 → 3×3 so the gate runs FORCED ``strategy="pregel"`` end-to-end
+    — build, customize, and every re-route certify the distributed
+    loops inside the sample budget (~47 s cold vs the 4×4's measured
+    157 s) instead of delegating to the per-loop gates."""
     from entwiner_spark.operators.ch_edge import EdgeBasedCH
 
     edges = spark.createDataFrame(
-        _kshortest_ch_edges(), "_u string, _v string, w double"
+        _kshortest_ch_edges(3), "_u string, _v string, w double"
     )
     nodes = (
         edges.select(F.col("_u").alias("_n"))
@@ -7111,8 +7112,11 @@ def g_ch_turn_alts(spark, sf_dir):
         allow_uturn=True,
         banned_turns=ban,
         customizable=True,
+        strategy="pregel",
     )
-    alts = eb.alternatives("0:0", "3:3", k=2, penalty=2.0)
+    alts = eb.alternatives(
+        "0:0", "2:2", k=2, penalty=2.0, strategy="pregel"
+    )
     return spark.createDataFrame(
         [
             (i + 1, cost, ">".join(path))

@@ -1429,11 +1429,68 @@ class ContractionHierarchy:
         downk.unpersist()
         return out
 
+    #: leveled down-sweep guard: a locally-built hierarchy assigns one
+    #: rank per node, so one-pass-per-level would run |V| passes —
+    #: beyond this many levels the convergence-probed fixpoint (rounds
+    #: = down-DAG depth << |V|) is the right sweep
+    _LEVELED_MAX_LEVELS = 1024
+
+    def _down_sweep_leveled(
+        self, dist: DataFrame, down: DataFrame, key_cols: list, stats=None
+    ) -> DataFrame:
+        """PHAST down-sweep in EXACTLY one relaxation pass per
+        contraction level, top-down (the r14/r15 standing idea,
+        r15-verdict task #7): down edges bucket by their TAIL's build
+        level, and because same-level nodes are never adjacent (the
+        pregel build's independent-set invariant) descending levels
+        are a topological order of the down-DAG — when level r fires,
+        every tail at r is already final (the core is settled by the
+        upward fixpoint, whose edge set includes the core-internal
+        arcs).  Replaces fixpoint-until-quiet: no empty-frontier probe
+        job per round, and the round count is the hierarchy height by
+        construction instead of discovered dynamically."""
+        levels = sorted(
+            (
+                r["_ru"]
+                for r in down.select("_ru").distinct().collect()
+            ),
+            reverse=True,
+        )
+        downk = down.select(
+            "_ru", F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
+        ).persist()
+        try:
+            for lvl in levels:
+                adjk = downk.filter(F.col("_ru") == lvl).drop("_ru")
+                fr = dist.select(
+                    *key_cols,
+                    F.col("_n").alias("_k"),
+                    F.col("dist").alias("_fd"),
+                )
+                msgs = fr.join(adjk.hint("shuffle_hash"), "_k").select(
+                    *key_cols,
+                    F.col("_t").alias("_n"),
+                    (F.col("_fd") + F.col("w")).alias("dist"),
+                )
+                dist = (
+                    dist.unionByName(msgs)
+                    .groupBy(*key_cols, "_n")
+                    .agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True)
+                )
+        finally:
+            downk.unpersist()
+        if stats is not None:
+            stats["down_rounds"] = len(levels)
+            stats["down_mode"] = "leveled"
+        return dist
+
     def sssp(
         self,
         source,
         strategy: str = "auto",
         max_iterations: int = 400,
+        stats: dict | None = None,
     ) -> DataFrame:
         """One-to-ALL distances over the hierarchy — PHAST (Delling et
         al. 2011) in DataFrame form: (1) upward search from the source
@@ -1445,7 +1502,13 @@ class ContractionHierarchy:
         down-DAG depth (~build rounds, plus core diameter if a core
         exists), NOT the graph diameter that plain pregel SSSP pays
         (the 64×64 grid: ~21-level hierarchy vs ~126-hop diameter).
-        Returns ``(_n, dist)`` for every reachable node."""
+        r16: the down-sweep runs LEVEL-BUCKETED — exactly one
+        relaxation pass per contraction level, no per-round
+        convergence probe (:meth:`_down_sweep_leveled`; hierarchies
+        beyond ``_LEVELED_MAX_LEVELS`` fall back to the probed
+        fixpoint).  Pass ``stats={}`` to receive ``down_rounds`` /
+        ``down_mode``.  Returns ``(_n, dist)`` for every reachable
+        node."""
         local = strategy == "local" or (
             strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
         )
@@ -1506,7 +1569,12 @@ class ContractionHierarchy:
 
         try:
             dist = fixpoint(dist, upk, "upward")
-            dist = fixpoint(dist, downf, "down-sweep")
+            if self.rounds <= self._LEVELED_MAX_LEVELS:
+                dist = self._down_sweep_leveled(dist, down, [], stats)
+            else:
+                dist = fixpoint(dist, downf, "down-sweep")
+                if stats is not None:
+                    stats["down_mode"] = "fixpoint"
         finally:
             upk.unpersist()
             downf.unpersist()
@@ -1517,6 +1585,7 @@ class ContractionHierarchy:
         sources: list,
         strategy: str = "auto",
         max_iterations: int = 400,
+        stats: dict | None = None,
     ) -> DataFrame:
         """Batched PHAST — one-to-all from EVERY source in one pair of
         fixpoints, state keyed ``(src, _n)`` so each round's
@@ -1605,7 +1674,14 @@ class ContractionHierarchy:
 
         try:
             dist = fixpoint(dist, upk, "upward")
-            dist = fixpoint(dist, downf, "down-sweep")
+            if self.rounds <= self._LEVELED_MAX_LEVELS:
+                dist = self._down_sweep_leveled(
+                    dist, down, ["src"], stats
+                )
+            else:
+                dist = fixpoint(dist, downf, "down-sweep")
+                if stats is not None:
+                    stats["down_mode"] = "fixpoint"
         finally:
             upk.unpersist()
             downf.unpersist()

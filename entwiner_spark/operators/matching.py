@@ -58,6 +58,7 @@ def map_match(
     transition: str = "simple",
     hop_window: int = 2,
     beta_m: float = 10.0,
+    banned_turns: DataFrame | None = None,
 ) -> DataFrame:
     """Match each GPS trace onto the edge table: one output row per
     MATCHED point — ``(trace_key, seq, edge_key, _u, _v,
@@ -87,7 +88,19 @@ def map_match(
     join (one HOF column), network distances are ONE bounded
     multi-source relaxation (``hop_window`` broadcast-joined rounds
     from the distinct candidate end-nodes — never all-pairs), and the
-    per-pair costs reach Viterbi via a cogrouped ``applyInPandas``."""
+    per-pair costs reach Viterbi via a cogrouped ``applyInPandas``.
+
+    ``banned_turns`` (requires ``transition="route"``): the OSM
+    restriction pair frame (``sources/osm.banned_turn_pairs``) — the
+    route-distance relaxation then walks the MANEUVER graph instead of
+    the node graph (r15-verdict task #6): each state carries its
+    arriving directed edge, every expansion and the final step onto
+    the candidate edge are checked against the banned pairs, and the
+    seed state's arriving edge is the previous candidate itself (so an
+    immediately-adjacent banned turn prices as unreachable).  A match
+    over the node graph can rank candidates by routes a real vehicle
+    is forbidden to drive; the maneuver walk prices those as detour or
+    ``trans_jump``."""
     pts = traces.withColumn(
         "_pid", F.struct(F.col(trace_key), F.col(seq_col))
     )
@@ -105,6 +118,11 @@ def map_match(
     if transition not in ("simple", "route"):
         raise ValueError(
             f"transition must be 'simple' or 'route', got {transition!r}"
+        )
+    if banned_turns is not None and transition != "route":
+        raise ValueError(
+            "banned_turns requires transition='route' (the simple "
+            "adjacent/jump model has no route to restrict)"
         )
     wk = Window.partitionBy("_pid").orderBy(
         F.col("_dist").asc(), F.col(edge_key).asc()
@@ -231,6 +249,7 @@ def map_match(
         F.col(trace_key).alias("_tk"),
         F.col("_ly").alias("_ly1"),
         F.col(edge_key).alias("_pe"),
+        F.col("_u").alias("_u1"),
         F.col("_v").alias("_v1"),
         F.col("_along").alias("_a1"),
         F.col("_elen").alias("_l1"),
@@ -243,40 +262,113 @@ def map_match(
         F.col("_ly").alias("_ly2"),
         F.col(edge_key).alias("_ce"),
         F.col("_u").alias("_u2"),
+        F.col("_v").alias("_v2"),
         F.col("_along").alias("_a2"),
         F.col(lon_col).alias("_x2"),
         F.col(lat_col).alias("_y2"),
     )
     pairs = c1.join(c2, "_tk").filter(F.col("_ly2") == F.col("_ly1") + 1)
-    # bounded multi-source network distances end(e1) -> start(e2):
-    # hop_window rounds of frontier ⋈ edges from the DISTINCT end
-    # nodes — candidate-bounded sources, never all-pairs
-    step = edges.select(
-        F.col("_u").alias("_node"),
-        F.col("_v").alias("_next"),
-        linestring_length_m(F.col(coords_col)).alias("_w"),
-    )
-    srcs = pairs.select(F.col("_v1").alias("_src")).distinct()
-    cur = srcs.select(
-        "_src", F.col("_src").alias("_node"), F.lit(0.0).alias("_d")
-    )
-    acc = cur
-    for _ in range(max(0, int(hop_window))):
-        cur = cur.join(step, "_node").select(
-            "_src",
-            F.col("_next").alias("_node"),
-            (F.col("_d") + F.col("_w")).alias("_d"),
+    if banned_turns is None:
+        # bounded multi-source network distances end(e1) -> start(e2):
+        # hop_window rounds of frontier ⋈ edges from the DISTINCT end
+        # nodes — candidate-bounded sources, never all-pairs
+        step = edges.select(
+            F.col("_u").alias("_node"),
+            F.col("_v").alias("_next"),
+            linestring_length_m(F.col(coords_col)).alias("_w"),
         )
-        acc = acc.unionByName(cur)
-    dnet = acc.groupBy("_src", "_node").agg(F.min("_d").alias("_dnet"))
-    beta = float(beta_m)
-    pcost = (
-        pairs.join(
+        srcs = pairs.select(F.col("_v1").alias("_src")).distinct()
+        cur = srcs.select(
+            "_src", F.col("_src").alias("_node"), F.lit(0.0).alias("_d")
+        )
+        acc = cur
+        for _ in range(max(0, int(hop_window))):
+            cur = cur.join(step, "_node").select(
+                "_src",
+                F.col("_next").alias("_node"),
+                (F.col("_d") + F.col("_w")).alias("_d"),
+            )
+            acc = acc.unionByName(cur)
+        dnet = acc.groupBy("_src", "_node").agg(F.min("_d").alias("_dnet"))
+        pairs = pairs.join(
             dnet,
             (F.col("_v1") == F.col("_src"))
             & (F.col("_u2") == F.col("_node")),
             "left",
         )
+    else:
+        # turn-aware variant: the walk runs over the MANEUVER graph —
+        # state = (source candidate edge, arriving directed edge,
+        # dist at its head); every expansion AND the final step onto
+        # the next candidate are anti-joined against the banned pairs
+        # (broadcast — restrictions are tiny); the seed's arriving
+        # edge is the source candidate itself, so an immediately
+        # adjacent banned turn is priced as unreachable, not free
+        ban = banned_turns.select(
+            F.col("_u1").alias("__m_u1"),
+            F.col("_v1").alias("__m_v1"),
+            F.col("_u2").alias("__m_u2"),
+            F.col("_v2").alias("__m_v2"),
+        )
+        step = edges.select(
+            F.col("_u").alias("_eu"),
+            F.col("_v").alias("_ev"),
+            linestring_length_m(F.col(coords_col)).alias("_w"),
+        )
+        seed = (
+            pairs.select(
+                F.col("_pe").alias("_spe"),
+                F.col("_u1").alias("_cu"),
+                F.col("_v1").alias("_cv"),
+            )
+            .distinct()
+            .withColumn("_d", F.lit(0.0))
+        )
+        cur, acc = seed, seed
+        for _ in range(max(0, int(hop_window))):
+            cur = (
+                cur.join(step, F.col("_cv") == F.col("_eu"))
+                .join(
+                    F.broadcast(ban),
+                    (F.col("_cu") == F.col("__m_u1"))
+                    & (F.col("_cv") == F.col("__m_v1"))
+                    & (F.col("_eu") == F.col("__m_u2"))
+                    & (F.col("_ev") == F.col("__m_v2")),
+                    "left_anti",
+                )
+                .select(
+                    "_spe",
+                    F.col("_eu").alias("_cu"),
+                    F.col("_ev").alias("_cv"),
+                    (F.col("_d") + F.col("_w")).alias("_d"),
+                )
+            )
+            acc = acc.unionByName(cur)
+        dnet_e = acc.groupBy("_spe", "_cu", "_cv").agg(
+            F.min("_d").alias("_d")
+        )
+        legal = (
+            pairs.select("_tk", "_seq2", "_pe", "_ce", "_u2", "_v2")
+            .join(
+                dnet_e,
+                (F.col("_pe") == F.col("_spe"))
+                & (F.col("_cv") == F.col("_u2")),
+            )
+            .join(
+                F.broadcast(ban),
+                (F.col("_cu") == F.col("__m_u1"))
+                & (F.col("_cv") == F.col("__m_v1"))
+                & (F.col("_u2") == F.col("__m_u2"))
+                & (F.col("_v2") == F.col("__m_v2")),
+                "left_anti",
+            )
+            .groupBy("_tk", "_seq2", "_pe", "_ce")
+            .agg(F.min("_d").alias("_dnet"))
+        )
+        pairs = pairs.join(legal, ["_tk", "_seq2", "_pe", "_ce"], "left")
+    beta = float(beta_m)
+    pcost = (
+        pairs
         .withColumn(
             "_droute",
             F.when(

@@ -472,6 +472,66 @@ def test_ch_staleness_guard(spark, tmp_path, grid6):
         ch2.check_fresh(g, "w")
 
 
+def test_phast_leveled_down_sweep_parity_and_rounds(spark):
+    """r15-verdict task #7: the level-bucketed down-sweep runs EXACTLY
+    one pass per contraction level present in the down-DAG (measured
+    via stats) and equals (a) the probed-fixpoint sweep it replaces
+    and (b) raw pregel SSSP, per source, to the last double."""
+    g = _grid_graph(spark, 6)
+    ch = ContractionHierarchy.build(g, weight="w", strategy="pregel")
+    stats: dict = {}
+    lev = {
+        (r["src"], r["_n"]): r["dist"]
+        for r in ch.sssp_multi(
+            ["0:0", "5:5"], strategy="pregel", stats=stats
+        ).collect()
+    }
+    assert stats["down_mode"] == "leveled"
+    n_levels = (
+        ch.search.filter(
+            (F.col("_ru") > F.col("_rv"))
+            | (F.col("_ru") == F.col("_rv"))
+        )
+        .select("_ru")
+        .distinct()
+        .count()
+    )
+    assert stats["down_rounds"] == n_levels  # height, by construction
+    # force the fixpoint fallback (the locally-built-rank guard) and
+    # compare — the two sweeps must agree exactly
+    old = ch.rounds
+    try:
+        ch.rounds = ContractionHierarchy._LEVELED_MAX_LEVELS + 1
+        stats2: dict = {}
+        fix = {
+            (r["src"], r["_n"]): r["dist"]
+            for r in ch.sssp_multi(
+                ["0:0", "5:5"], strategy="pregel", stats=stats2
+            ).collect()
+        }
+        assert stats2["down_mode"] == "fixpoint"
+    finally:
+        ch.rounds = old
+    assert lev.keys() == fix.keys()
+    for k in fix:
+        assert lev[k] == pytest.approx(fix[k], rel=1e-12)
+    # and single-source sssp rides the same sweep
+    raw = {
+        r["_n"]: r["dist"]
+        for r in g.shortest_path_lengths(
+            "0:0", weight="w", strategy="pregel"
+        ).collect()
+    }
+    via = {
+        r["_n"]: r["dist"]
+        for r in ch.sssp("0:0", strategy="pregel").collect()
+    }
+    assert via.keys() == raw.keys()
+    for k in raw:
+        assert via[k] == pytest.approx(raw[k], rel=1e-12)
+        assert lev[("0:0", k)] == pytest.approx(via[k], rel=1e-12)
+
+
 def test_ch_load_old_fallback(spark, tmp_path, grid6):
     """r15 ADVICE: a crash between the publish's two renames leaves
     the artifact only at <store>.old — load() serves that last

@@ -244,6 +244,64 @@ def test_route_transition_matches_simple_on_clean_trace(spark):
     assert route == simple
 
 
+def test_route_transition_honors_banned_turns(spark):
+    """r15-verdict task #6: the route-distance transitions relax over
+    the MANEUVER graph when banned_turns is passed — a match that is
+    only coherent through a banned turn (S3→C1 here) re-routes: the
+    node-graph model snaps fix 4 onto the banned connector C1; the
+    restricted model keeps the arterial and reaches the north road
+    through the LEGAL connector C2 (priced via the maneuver walk,
+    u-turn included)."""
+    rows = []
+    for i in range(8):
+        x0, x1 = i * 1.0e-3, (i + 1) * 1.0e-3
+        rows.append((f"S{i}", f"s{i}", f"s{i+1}", [[x0, 0.0], [x1, 0.0]]))
+        rows.append(
+            (f"N{i}", f"n{i}", f"n{i+1}", [[x0, 6.0e-4], [x1, 6.0e-4]])
+        )
+        rows.append(
+            (f"W{i}", f"n{i+1}", f"n{i}", [[x1, 6.0e-4], [x0, 6.0e-4]])
+        )
+    rows.append(("C1", "s4", "n4", [[4.0e-3, 0.0], [4.0e-3, 6.0e-4]]))
+    rows.append(("C2", "s5", "n5", [[5.0e-3, 0.0], [5.0e-3, 6.0e-4]]))
+    edges = spark.createDataFrame(
+        rows,
+        "fid string, _u string, _v string, "
+        "coordinates array<array<double>>",
+    )
+    trace = spark.createDataFrame(
+        [
+            ("t", 3, 3.5e-3, 1.0e-4),
+            ("t", 4, 4.05e-3, 2.2e-4),  # nearest C1; S4 in range
+            ("t", 5, 4.6e-3, 5.2e-4),  # on the north road
+        ],
+        "trace_id string, seq long, lon double, lat double",
+    )
+    bans = spark.createDataFrame(
+        [("s3", "s4", "s4", "n4")], ["_u1", "_v1", "_u2", "_v2"]
+    )
+    kw = dict(
+        max_dist_m=50.0,
+        sigma_m=10.0,
+        transition="route",
+        hop_window=2,
+        trans_jump=1000.0,
+    )
+    free = {
+        r["seq"]: r["fid"]
+        for r in map_match(trace, edges, **kw).collect()
+    }
+    res = {
+        r["seq"]: r["fid"]
+        for r in map_match(trace, edges, banned_turns=bans, **kw).collect()
+    }
+    assert free == {3: "S3", 4: "C1", 5: "N4"}  # rides the banned turn
+    assert res == {3: "S3", 4: "S4", 5: "W4"}  # legal: via C2, no C1
+    # simple-model composition is rejected loudly
+    with pytest.raises(ValueError, match="transition='route'"):
+        map_match(trace, edges, banned_turns=bans)
+
+
 def test_map_match_rejects_bad_transition(spark):
     edges = spark.createDataFrame(
         [("e", "a", "b", [[0.0, 0.0], [0.001, 0.0]])],
