@@ -4325,11 +4325,16 @@ class SparkGraph:
         )
         vchain = ventry = vexits = None
         if via_splits is not None:
+            if "only" not in via_splits.columns:  # pre-r16 frames
+                via_splits = via_splits.withColumn(
+                    "only", F.lit(False)
+                )
             vchain = via_splits.filter(F.col("kind") == "via").select(
                 "rel_id",
                 "seq",
                 F.col("_u").alias("_cu"),
                 F.col("_v").alias("_cv"),
+                "only",
             )
             ventry = (
                 via_splits.filter(F.col("kind") == "from")
@@ -4337,8 +4342,14 @@ class SparkGraph:
                     "rel_id",
                     F.col("_u").alias("_fu"),
                     F.col("_v").alias("_fv"),
+                    "only",
                 )
-                .join(vchain.filter(F.col("seq") == 0), "rel_id")
+                .join(
+                    vchain.filter(F.col("seq") == 0).select(
+                        "rel_id", "_cu", "_cv"
+                    ),
+                    "rel_id",
+                )
             )
             vexits = via_splits.filter(F.col("kind") == "to").select(
                 F.col("rel_id").alias("_xrel"),
@@ -4355,11 +4366,26 @@ class SparkGraph:
             # REDIRECTED into the shadow copy (added below) — remove
             # the unrestricted original
             j = j.join(
-                F.broadcast(ventry),
+                F.broadcast(ventry.filter(~F.col("only"))),
                 (F.col("e1._u") == F.col("_fu"))
                 & (F.col("e1._v") == F.col("_fv"))
                 & (F.col("e2._u") == F.col("_cu"))
                 & (F.col("e2._v") == F.col("_cv")),
+                "left_anti",
+            )
+            # only_*: the shadow entry is the approach's SOLE legal
+            # continuation — every original departure of the from
+            # edge disappears (the approach ends at the via junction
+            # by construction, so this bans exactly its maneuvers
+            # there)
+            j = j.join(
+                F.broadcast(
+                    ventry.filter(F.col("only"))
+                    .select("_fu", "_fv")
+                    .distinct()
+                ),
+                (F.col("e1._u") == F.col("_fu"))
+                & (F.col("e1._v") == F.col("_fv")),
                 "left_anti",
             )
         def _ban_anti(df):
@@ -4501,9 +4527,12 @@ class SparkGraph:
             # (the restriction's memory ends when the via way is
             # left); the next chain edge is excluded (shadow-to-shadow
             # above), and at the chain end the to-way exits simply do
-            # not exist — the exact sequence ban
+            # not exist — the exact sequence ban.  only_* inverts the
+            # polarity: the shadow is PINNED to the chain (no interior
+            # departures) and the chain end permits ONLY the to-way
+            # exits — semi-join instead of anti-join
             pd_left = base.alias("e1").join(
-                F.broadcast(chain_x),
+                F.broadcast(chain_x.filter(~F.col("only"))),
                 (e1("_u") == F.col("_cu")) & (e1("_v") == F.col("_cv")),
             )
             pdep = base.alias("e2").join(
@@ -4525,8 +4554,32 @@ class SparkGraph:
             )
             pdep = _ban_anti(pdep)
             arcs_out = _arc_select(pdep, sfx, F.lit(""))
+            po_left = base.alias("e1").join(
+                F.broadcast(
+                    chain_x.filter(
+                        F.col("only") & F.col("_nu").isNull()
+                    )
+                ),
+                (e1("_u") == F.col("_cu")) & (e1("_v") == F.col("_cv")),
+            )
+            ponly = base.alias("e2").join(
+                F.broadcast(po_left), e2("_u") == e1("_v")
+            )
+            ponly = _no_uturn(ponly).join(
+                F.broadcast(vexits),
+                (F.col("rel_id") == F.col("_xrel"))
+                & (e2("_u") == F.col("_tu"))
+                & (e2("_v") == F.col("_tv")),
+                "left_semi",
+            )
+            ponly = _ban_anti(ponly)
+            arcs_only = _arc_select(ponly, sfx, F.lit(""))
             lnodes = lnodes.unionByName(sh_nodes)
-            ledges = ledges.unionByName(arcs_in).unionByName(arcs_out)
+            ledges = (
+                ledges.unionByName(arcs_in)
+                .unionByName(arcs_out)
+                .unionByName(arcs_only)
+            )
         return SparkGraph(lnodes, ledges)
 
     def _local_contract_chains(

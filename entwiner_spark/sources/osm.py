@@ -326,10 +326,11 @@ def banned_turn_pairs(
     reachable only from the from way, the overwhelming real-world
     shape) this is exact; when the via way has other entrances it
     conservatively also restricts their exit onto the to way — the
-    standard pair-based approximation (exact sequence bans need
-    stateful edge splitting).  ``only_*`` via-way relations and
-    unresolvable chains (ambiguous shared junctions, no directed
-    path) are skipped.
+    standard pair-based approximation — :func:`via_way_splits` +
+    ``to_linegraph(via_splits=)`` is the EXACT path (stateful edge
+    splitting, r16).  ``only_*`` via-way relations (inexpressible as
+    pairs; the splits path handles them) and unresolvable chains
+    (ambiguous shared junctions, no directed path) are skipped.
 
     ``profile``: the routed transport mode (``"motorcar"``,
     ``"bicycle"``, ``"psv"``, …).  A restriction whose ``except=``
@@ -439,21 +440,25 @@ def banned_turn_pairs(
     return out
 
 
-def _via_way_resolved(edges: DataFrame, vrows: list) -> list[dict]:
+def _via_way_resolved(
+    edges: DataFrame, vrows: list, include_only: bool = False
+) -> list[dict]:
     """Driver-side via-way chain resolution (restriction-bounded: only
     the few ways a relation names are ever collected).  Per resolvable
-    ``no_*`` relation returns ``{rel_id, approaches, chain, exits}`` in
+    relation returns ``{rel_id, only, approaches, chain, exits}`` in
     engine ``(_u, _v)`` ids: every from-way edge ENTERING junction A,
     the directed via chain A→B in order, and every to-way departure
-    LEAVING junction B.  Ambiguous shared junctions, chains with no
-    directed path, and ``only_*`` via-way relations are skipped (see
-    ``banned_turn_pairs``)."""
+    LEAVING junction B.  Ambiguous shared junctions and chains with no
+    directed path are skipped; ``only_*`` relations are included only
+    when ``include_only`` (the exit-pair approximation cannot express
+    them — :func:`via_way_splits` can)."""
     from collections import deque
 
     vrows = [
         r
         for r in vrows
-        if r["rtype"] is not None and not r["rtype"].startswith("only_")
+        if r["rtype"] is not None
+        and (include_only or not r["rtype"].startswith("only_"))
     ]
     if not vrows:
         return []
@@ -509,6 +514,7 @@ def _via_way_resolved(edges: DataFrame, vrows: list) -> list[dict]:
         out.append(
             {
                 "rel_id": r["rel_id"],
+                "only": r["rtype"].startswith("only_"),
                 "approaches": sorted(
                     (x["_u"], x["_v"]) for x in f_e if x["_v_ref"] == a
                 ),
@@ -555,6 +561,13 @@ def via_way_splits(
     OTHER entrance keeps the original unrestricted maneuvers — the
     sequence ban is exact.
 
+    ``only_*`` via-way relations (``only_straight_on`` through a
+    connector) are expressible ONLY here (r16; the pair approximation
+    skips them): rows carry ``only=true``, and the split then REMOVES
+    every original departure of the approach (the shadow entry is the
+    sole continuation), pins the shadow to the chain, and permits
+    only the to-way exits at the chain end.
+
     Use with ``banned_turn_pairs(..., via_way="skip")`` so the
     conservative exit pairs are not ALSO applied.  ``profile`` filters
     ``except=``-listed relations, same as ``banned_turn_pairs``."""
@@ -572,15 +585,16 @@ def via_way_splits(
         else []
     )
     rows = []
-    for r in _via_way_resolved(edges, vrows):
+    for r in _via_way_resolved(edges, vrows, include_only=True):
         if not r["chain"]:
             continue
+        only = bool(r["only"])
         for u, v in r["approaches"]:
-            rows.append((int(r["rel_id"]), "from", 0, u, v))
+            rows.append((int(r["rel_id"]), "from", 0, u, v, only))
         for i, (u, v) in enumerate(r["chain"]):
-            rows.append((int(r["rel_id"]), "via", i, u, v))
+            rows.append((int(r["rel_id"]), "via", i, u, v, only))
         for u, v in r["exits"]:
-            rows.append((int(r["rel_id"]), "to", 0, u, v))
+            rows.append((int(r["rel_id"]), "to", 0, u, v, only))
     idt = edges.schema["_u"].dataType
     schema = T.StructType(
         [
@@ -589,6 +603,7 @@ def via_way_splits(
             T.StructField("seq", T.IntegerType(), False),
             T.StructField("_u", idt, False),
             T.StructField("_v", idt, False),
+            T.StructField("only", T.BooleanType(), False),
         ]
     )
     return edges.sparkSession.createDataFrame(rows, schema)

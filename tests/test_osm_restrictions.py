@@ -592,6 +592,71 @@ def test_via_way_splits_exact_vs_exit_pair(spark, tmp_path):
     assert [node_ref[n] for n in p6] == [6, 3, 4, 5]
 
 
+def test_only_via_way_split_forces_through_route(spark, tmp_path):
+    """r16: only_* via-WAY relations are expressible via edge
+    splitting (the pair approximation never could): the from-way
+    approach's only continuation is the shadow chain and the chain
+    end permits only the to-way exit — so the banned-approach route
+    provably takes the LONG via way; the via junction's other
+    entrance keeps the short direct road."""
+    from entwiner_spark.sources.osm import via_way_splits
+
+    xml = textwrap.dedent(
+        """\
+        <osm>
+          <node id="1" lon="0.0" lat="0.0"/>
+          <node id="2" lon="0.001" lat="0.0"/>
+          <node id="3" lon="0.001" lat="0.003"/>
+          <node id="4" lon="0.002" lat="0.0"/>
+          <node id="6" lon="0.001" lat="-0.001"/>
+          <way id="10"><nd ref="1"/><nd ref="2"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="20"><nd ref="2"/><nd ref="3"/>
+            <tag k="highway" v="primary"/>
+            <tag k="oneway" v="yes"/></way>
+          <way id="30"><nd ref="3"/><nd ref="4"/>
+            <tag k="highway" v="primary"/></way>
+          <way id="50"><nd ref="2"/><nd ref="4"/>
+            <tag k="highway" v="residential"/></way>
+          <way id="40"><nd ref="6"/><nd ref="2"/>
+            <tag k="highway" v="residential"/>
+            <tag k="oneway" v="yes"/></way>
+          <relation id="901">
+            <tag k="type" v="restriction"/>
+            <tag k="restriction" v="only_straight_on"/>
+            <member type="way" role="from" ref="10"/>
+            <member type="way" role="via" ref="20"/>
+            <member type="way" role="to" ref="30"/>
+          </relation>
+        </osm>
+        """
+    )
+    p = tmp_path / "only_vw.osm"
+    p.write_text(xml)
+    elems = read_osm_elements(spark, str(p))
+    edges = edges_from_osm(spark, str(p), elems=elems).localCheckpoint()
+    res = osm_turn_restrictions(elems)
+    g = SparkGraph(nodes_from_edges(edges), edges)
+
+    splits = via_way_splits(edges, res)
+    assert {r["only"] for r in splits.collect()} == {True}
+    # the exit-pair path skips only_ via-way rels entirely
+    assert banned_turn_pairs(edges, res).count() == 0
+
+    free = g.to_linegraph(weight="_length", allow_uturn=False)
+    fpath, fcost = _minor_route(free, edges, (1, 2), 4)
+    assert fpath == [1, 2, 4]  # the short direct road
+
+    minor = g.to_linegraph(
+        weight="_length", allow_uturn=False, via_splits=splits
+    )
+    path, cost = _minor_route(minor, edges, (1, 2), 4)
+    assert path == [1, 2, 3, 4]  # forced through the long via way
+    assert cost > fcost
+    # the via junction's OTHER entrance keeps the direct road
+    assert _minor_route(minor, edges, (6, 2), 4)[0] == [6, 2, 4]
+
+
 def test_except_tag_profile_filtering(spark, tmp_path):
     """except=: a restriction listing the routed profile does not
     apply to it — banned_turn_pairs(profile=) drops it before
