@@ -25,29 +25,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # the head, then (b) queries whose implementation or oracle CHANGED
 # since their newest driver-green row ("changed outranks stale"),
 # then (c) everything else in staleness order (oldest newest-green
-# round first, alphabetical within a round).  r16 head = 4 new
-# (time-profile CCH buckets, time-windowed restrictions, exact
-# via-way splitting, turn-aware route matrix) + 15 changed-since-
-# green (the OSM restriction/conditional parser and ban expansion;
-# to_linegraph ban refactor + via_splits; PHAST leveled down-sweep
-# consumers; LPA local twin; maneuver-walk matching; the slimmed
-# forced-pregel alts gate) + ALL 31 remaining r11-vintage rows = 50
-# — after this round the oldest vintage is r12 (r15 verdict task
-# #8).  Regenerate every round with the same rule.
+# round first, alphabetical within a round).  r16 head = 5 new
+# (time-profile CCH buckets, the buckets×restrictions composition,
+# time-windowed restrictions, exact via-way splitting, turn-aware
+# route matrix) + 15 changed-since-green (the OSM restriction/
+# conditional parser and ban expansion; to_linegraph ban refactor +
+# via_splits; PHAST leveled down-sweep consumers; LPA local twin;
+# maneuver-walk matching; the slimmed forced-pregel alts gate) + 30
+# of the 31 remaining r11-vintage rows = 50 (u4_props_json_roundtrip
+# slides to 51st; the oldest vintage after this round is r11 by that
+# one row, r12 otherwise — r15 verdict task #8).  Regenerate every
+# round with the same rule.
 _PRIORITY = [
     # --- never sampled (new in round 16) ---
     "g_ch_turn_matrix",
     "g_time_profile",
+    "g_time_profile_turn",
     "g_time_restriction",
     "g_via_way_exact",
-    # --- changed in r16 since newest driver-green (osm.py:
-    # banned_turn_pairs no_u_turn pin + rtype filter + via_way
-    # modes, conditional parser; graph.py: to_linegraph ban
-    # refactor + via_splits, isochrone ch check_fresh, LPA local
-    # twin; ch.py: leveled PHAST down-sweep, load .old fallback;
-    # ch_edge.py: turn fingerprint, route_matrix, via_splits;
-    # matching.py: maneuver-walk transitions; catalog: alts gate
-    # slimmed 3x3 forced-pregel, _kshortest_ch_edges(n)) ---
+    # --- changed in r16 since newest driver-green (see comment
+    # above; full list regenerated per-rule) ---
     "g_ch_persist",
     "g_ch_phast",
     "g_ch_turn",

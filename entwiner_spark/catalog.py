@@ -3323,6 +3323,157 @@ def g_time_profile(spark, sf_dir):
     )
 
 
+def _tpt_oracle_sql() -> str:
+    """Independent replay for the buckets × restrictions composition:
+    per (scenario, bucket) a MANEUVER-graph Dijkstra over the diamond
+    — per-bucket speeds (conditional clamp inside its window), the
+    banned pair absent in the 'banned' scenario, no u-turns — emitted
+    as node sequences + 3-dp costs.  Mechanism-free: no hierarchy, no
+    customization."""
+    import heapq
+    import math
+
+    def hav(a, b):
+        (x1, y1), (x2, y2) = _COST_PTS[a], _COST_PTS[b]
+        dlat = math.radians(y2 - y1)
+        dlon = math.radians(x2 - x1)
+        s = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(y1))
+            * math.cos(math.radians(y2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6_371_000.0 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+
+    def kmh(seg, dow, minute):
+        if seg in ((1, 2), (2, 3)):
+            if dow <= 4 and 420 <= minute < 540:
+                return 10.0
+            return 60.0
+        return 65.0
+
+    segs = [(1, 2), (2, 3), (1, 4), (4, 3)]
+    dir_edges = segs + [s[::-1] for s in segs]
+    rows = []
+    for scen, banned in (
+        ("free", set()),
+        ("banned", {((1, 4), (4, 3))}),
+    ):
+        for bucket, (dow, minute) in sorted(_TP_BUCKETS.items()):
+            t = {
+                e: hav(*e) / (kmh(tuple(sorted(e)), dow, minute) / 3.6)
+                for e in dir_edges
+            }
+            starts = [e for e in dir_edges if e[0] == 1]
+            dist = {e: t[e] for e in starts}
+            pred: dict = {e: None for e in starts}
+            pq = [(d, e) for e, d in dist.items()]
+            heapq.heapify(pq)
+            while pq:
+                d, e = heapq.heappop(pq)
+                if d > dist[e]:
+                    continue
+                for e2 in dir_edges:
+                    if e2[0] != e[1] or e2[1] == e[0]:
+                        continue
+                    if (e, e2) in banned:
+                        continue
+                    nd = d + t[e2]
+                    if nd < dist.get(e2, float("inf")):
+                        dist[e2], pred[e2] = nd, e
+                        heapq.heappush(pq, (nd, e2))
+            best = min(
+                (e for e in dist if e[1] == 3),
+                key=lambda e: (dist[e], e),
+            )
+            epath, cur = [], best
+            while cur is not None:
+                epath.append(cur)
+                cur = pred[cur]
+            epath.reverse()
+            path = [epath[0][0]] + [e[1] for e in epath]
+            for i, n in enumerate(path):
+                rows.append(
+                    f"('{scen}', '{bucket}', {i}, {n}, "
+                    f"{round(dist[best], 3)!r})"
+                )
+    vals = ", ".join(rows)
+    return (
+        "SELECT scenario, bucket, CAST(step AS BIGINT) AS step, "
+        "CAST(node_ref AS BIGINT) AS node_ref, "
+        "CAST(cost_sec AS DOUBLE) AS cost_sec "
+        f"FROM (VALUES {vals}) t(scenario, bucket, step, node_ref, "
+        "cost_sec)"
+    )
+
+
+@q("g_time_profile_turn", _tpt_oracle_sql())
+def g_time_profile_turn(spark, sf_dir):
+    """Buckets × RESTRICTIONS on the turn-aware hierarchy
+    (``EdgeBasedCH.time_profiles`` — the r16 composition of the two
+    new r16 capabilities): the maneuver minor is contracted ONCE per
+    scenario (free / detour-turn-banned, both customizable) and each
+    time bucket re-metrics it via one ``customize()`` pass — banned
+    maneuvers stay absent in every bucket, turn semantics and the
+    conditional speed clamp compose.  Free rush provably flips to the
+    primary detour; with the detour turn banned, rush is FORCED onto
+    the 10 km/h residential clamp.  Value-hashed against an
+    independent per-(scenario, bucket) maneuver-Dijkstra replay.
+    Runs ``auto`` (tiny closed-form minors); the distributed
+    build/customize/route loops are force-certified by
+    ``g_time_profile`` and ``g_ch_turn_alts``."""
+    import os
+    import tempfile
+
+    from entwiner_spark.operators.ch_edge import EdgeBasedCH
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.sources.geojson import nodes_from_edges
+    from entwiner_spark.sources.osm import (
+        edges_from_osm,
+        traversal_seconds,
+    )
+
+    d = tempfile.mkdtemp(prefix="g_tpt_")
+    p = os.path.join(d, "tp.osm")
+    with open(p, "w") as fh:
+        fh.write(_tp_fixture_xml())
+    edges = traversal_seconds(
+        edges_from_osm(
+            spark,
+            p,
+            tag_cols=("highway", "maxspeed", "maxspeed:conditional"),
+        )
+    ).localCheckpoint()
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    refs = {
+        r["_u"]: r["_u_ref"]
+        for r in edges.select("_u", "_u_ref").collect()
+    }
+    ids = {v: k for k, v in refs.items()}
+    bans = spark.createDataFrame(
+        [(ids[1], ids[4], ids[4], ids[3])], ["_u1", "_v1", "_u2", "_v2"]
+    )
+    out = []
+    for scen, bt in (("free", None), ("banned", bans)):
+        eb = EdgeBasedCH.build(
+            g,
+            weight="_traversal_sec",
+            allow_uturn=False,
+            banned_turns=bt,
+            customizable=True,
+        )
+        profs = eb.time_profiles(edges, _TP_BUCKETS)
+        for bucket in sorted(_TP_BUCKETS):
+            path, cost = profs[bucket].route(ids[1], ids[3])
+            for i, n in enumerate(path):
+                out.append((scen, bucket, i, refs[n], round(cost, 3)))
+    return spark.createDataFrame(
+        out,
+        "scenario string, bucket string, step long, node_ref long, "
+        "cost_sec double",
+    )
+
+
 def _mm_fixture():
     """Map-matching fixture (SF-independent, the closed-form-topology
     precedent): two parallel E-W roads ~100 m apart in 10 segments

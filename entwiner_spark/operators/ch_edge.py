@@ -611,6 +611,94 @@ class EdgeBasedCH:
             cur = self.ch.customize(new_w, strategy=strategy)
         return out
 
+    def time_profiles(
+        self,
+        edges: DataFrame,
+        buckets: dict,
+        speeds: dict | None = None,
+        default_kmh: float = 30.0,
+        highway_col: str = "highway",
+        maxspeed_col: str | None = "maxspeed",
+        conditional_col: str | None = "maxspeed:conditional",
+        length_col: str = "_length",
+        strategy: str = "auto",
+    ) -> dict:
+        """Per-time-bucket metrics on the TURN-AWARE hierarchy — the
+        buckets × restrictions composition (:func:`~entwiner_spark.
+        sources.osm.time_profiles` re-metrics the node hierarchy; this
+        re-metrics the maneuver MINOR, so banned maneuvers stay absent
+        and turn costs stay priced in every bucket).  Requires
+        ``build(..., customizable=True)``.
+
+        Per bucket: the instant's per-edge traversal time
+        (``maxspeed:conditional`` resolved) re-weights every minor arc
+        as ``w' = w − w_build(head edge) + w_bucket(head edge)`` — the
+        build weight per edge is exactly the terminal registry's
+        ``_w0``, so no assumption about the build's weight column is
+        needed and turn-cost components carry through unchanged — then
+        ONE :meth:`~entwiner_spark.operators.ch.ContractionHierarchy.
+        customize` pass re-metrics the hierarchy (no recontraction)
+        and the terminal offsets swap to the bucket's first-edge
+        weights.  Returns bucket name → :class:`EdgeBasedCH`."""
+        from entwiner_spark.sources.osm import traversal_seconds_at
+
+        if not self.ch.customizable or self.ch.orig_edges is None:
+            raise ValueError(
+                "time_profiles() requires EdgeBasedCH.build("
+                "customizable=True)"
+            )
+        term = self.terminals.select(
+            F.col("_n").alias("_tn"),
+            "_edge_u",
+            "_edge_v",
+            F.col("_w0").alias("_wb"),
+        )
+        out = {}
+        for name, (dow, minute) in buckets.items():
+            wnew = traversal_seconds_at(
+                edges,
+                dow,
+                minute,
+                speeds=speeds,
+                default_kmh=default_kmh,
+                highway_col=highway_col,
+                maxspeed_col=maxspeed_col,
+                conditional_col=conditional_col,
+                length_col=length_col,
+                out_col="_wn",
+            ).select(
+                F.col("_u").alias("_edge_u"),
+                F.col("_v").alias("_edge_v"),
+                "_wn",
+            )
+            arcs = (
+                self.ch.orig_edges.join(
+                    term, F.col("_v") == F.col("_tn")
+                )
+                .join(wnew, ["_edge_u", "_edge_v"])
+                .select(
+                    "_u",
+                    "_v",
+                    (F.col("w") - F.col("_wb") + F.col("_wn")).alias(
+                        "w"
+                    ),
+                )
+            )
+            nterm = term.join(wnew, ["_edge_u", "_edge_v"]).select(
+                F.col("_tn").alias("_n"),
+                "_edge_u",
+                "_edge_v",
+                F.col("_wn").alias("_w0"),
+            )
+            tfp = self.turn_fingerprint
+            out[name] = EdgeBasedCH(
+                self.ch.customize(arcs, strategy=strategy),
+                nterm.localCheckpoint(eager=False),
+                self.base_fingerprint,
+                (tfp or "") + f"|bucket={name}:{dow}:{minute}",
+            )
+        return out
+
     def isochrone(
         self,
         source,

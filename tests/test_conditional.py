@@ -224,6 +224,60 @@ def test_time_profiles_flip_via_customize(spark, tmp_path):
         assert got[name][1] == pytest.approx(cost, rel=1e-12)
 
 
+def test_edge_based_time_profiles_compose_with_bans(spark, tmp_path):
+    """Buckets × restrictions on the turn-aware hierarchy
+    (EdgeBasedCH.time_profiles): per bucket the MINOR re-metrics via
+    customize (banned maneuvers stay absent), so the rush-hour
+    optimum that would flip to the primary detour is FORCED onto the
+    slow conditional-clamped residential when the detour turn is
+    banned — while the free build still flips."""
+    from entwiner_spark.catalog import _tp_fixture_xml
+    from entwiner_spark.operators.ch_edge import EdgeBasedCH
+    from entwiner_spark.operators.graph import SparkGraph
+    from entwiner_spark.sources.geojson import nodes_from_edges
+
+    p = tmp_path / "tp.osm"
+    p.write_text(_tp_fixture_xml())
+    edges = traversal_seconds(
+        edges_from_osm(
+            spark,
+            str(p),
+            tag_cols=("highway", "maxspeed", "maxspeed:conditional"),
+        )
+    ).localCheckpoint()
+    g = SparkGraph(nodes_from_edges(edges), edges)
+    refs = {
+        r["_u"]: r["_u_ref"] for r in edges.select("_u", "_u_ref").collect()
+    }
+    ids = {v: k for k, v in refs.items()}
+    bans = spark.createDataFrame(
+        [(ids[1], ids[4], ids[4], ids[3])], ["_u1", "_v1", "_u2", "_v2"]
+    )
+    got = {}
+    for label, bt in (("free", None), ("banned", bans)):
+        eb = EdgeBasedCH.build(
+            g,
+            weight="_traversal_sec",
+            allow_uturn=False,
+            banned_turns=bt,
+            customizable=True,
+        )
+        profs = eb.time_profiles(edges, {"off": SUN_8, "rush": TUE_8})
+        for nm, prof in profs.items():
+            path, cost = prof.route(ids[1], ids[3])
+            got[(label, nm)] = ([refs[n] for n in path], round(cost, 2))
+    assert got[("free", "off")][0] == [1, 2, 3]
+    assert got[("free", "rush")][0] == [1, 4, 3]  # flips to detour
+    assert got[("banned", "off")][0] == [1, 2, 3]
+    # the detour turn is banned: rush is FORCED onto the slow clamp
+    assert got[("banned", "rush")][0] == [1, 2, 3]
+    assert got[("banned", "rush")][1] > 3 * got[("banned", "off")][1]
+    # requires a customizable build
+    eb0 = EdgeBasedCH.build(g, weight="_traversal_sec")
+    with pytest.raises(ValueError, match="customizable"):
+        eb0.time_profiles(edges, {"off": SUN_8})
+
+
 def test_traversal_seconds_at_requires_length(spark):
     df = spark.createDataFrame([("residential",)], ["highway"])
     with pytest.raises(ValueError, match="_length"):
