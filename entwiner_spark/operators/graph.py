@@ -4345,8 +4345,10 @@ class SparkGraph:
                     "only",
                 )
                 .join(
-                    vchain.filter(F.col("seq") == 0).select(
-                        "rel_id", "_cu", "_cv"
+                    F.broadcast(
+                        vchain.filter(F.col("seq") == 0).select(
+                            "rel_id", "_cu", "_cv"
+                        )
                     ),
                     "rel_id",
                 )
@@ -4459,7 +4461,9 @@ class SparkGraph:
                 F.col("_cu").alias("_nu"),
                 F.col("_cv").alias("_nv"),
             )
-            chain_x = vchain.join(nxt, ["rel_id", "seq"], "left")
+            chain_x = vchain.join(
+                F.broadcast(nxt), ["rel_id", "seq"], "left"
+            )
             # shadow minor nodes: the chain edges, duplicated per
             # restriction, attrs carried like lnodes
             sh_nodes = base.join(
@@ -4508,18 +4512,17 @@ class SparkGraph:
                     sfx.alias("_s2"),
                 )
             )
-            pa = (
-                base.alias("e1")
-                .join(
-                    F.broadcast(specs),
-                    (e1("_u") == F.col("_au"))
-                    & (e1("_v") == F.col("_av")),
-                )
-                .join(
-                    base.alias("e2"),
-                    (e2("_u") == F.col("_bu"))
-                    & (e2("_v") == F.col("_bv")),
-                )
+            pa_left = base.alias("e1").join(
+                F.broadcast(specs),
+                (e1("_u") == F.col("_au")) & (e1("_v") == F.col("_av")),
+            )
+            # spec-bounded (restriction-sized) at runtime even though
+            # statically base-shaped — broadcast it onto the e2 probe,
+            # same as the departure joins below
+            pa = base.alias("e2").join(
+                F.broadcast(pa_left),
+                (e2("_u") == F.col("_bu"))
+                & (e2("_v") == F.col("_bv")),
             )
             pa = _ban_anti(_no_uturn(pa))
             arcs_in = _arc_select(pa, F.col("_s1"), F.col("_s2"))
