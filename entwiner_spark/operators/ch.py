@@ -1429,14 +1429,37 @@ class ContractionHierarchy:
         downk.unpersist()
         return out
 
-    #: leveled down-sweep guard: a locally-built hierarchy assigns one
-    #: rank per node, so one-pass-per-level would run |V| passes —
-    #: beyond this many levels the convergence-probed fixpoint (rounds
-    #: = down-DAG depth << |V|) is the right sweep
-    _LEVELED_MAX_LEVELS = 1024
+    #: leveled down-sweep guard: one pass PER DISTINCT LEVEL is only a
+    #: win when the level count tracks the distributed build rounds —
+    #: a local-finish block (or a fully local build) assigns one rank
+    #: per node, inflating the level count far beyond the down-DAG
+    #: DEPTH that the probed fixpoint actually pays (measured on the
+    #: 64x64 XL grid, local_finish=512: 525 levels -> leveled 346 s vs
+    #: fixpoint 20.8 s at ~25 depth-bound rounds).  The sweep is
+    #: chosen per query from the REAL level count: leveled only when
+    #: len(levels) <= max(_LEVELED_MIN_LEVELS, 2 * build rounds).
+    _LEVELED_MIN_LEVELS = 64
+
+    def _down_levels(self, down: DataFrame) -> list:
+        """Distinct tail-levels of the down-DAG, descending (driver-
+        sized: one tiny distinct per one-to-all query)."""
+        return sorted(
+            (r["_ru"] for r in down.select("_ru").distinct().collect()),
+            reverse=True,
+        )
+
+    def _use_leveled(self, levels: list) -> bool:
+        return len(levels) <= max(
+            self._LEVELED_MIN_LEVELS, 2 * self.rounds
+        )
 
     def _down_sweep_leveled(
-        self, dist: DataFrame, down: DataFrame, key_cols: list, stats=None
+        self,
+        dist: DataFrame,
+        down: DataFrame,
+        key_cols: list,
+        stats=None,
+        levels: list | None = None,
     ) -> DataFrame:
         """PHAST down-sweep in EXACTLY one relaxation pass per
         contraction level, top-down (the r14/r15 standing idea,
@@ -1449,13 +1472,8 @@ class ContractionHierarchy:
         arcs).  Replaces fixpoint-until-quiet: no empty-frontier probe
         job per round, and the round count is the hierarchy height by
         construction instead of discovered dynamically."""
-        levels = sorted(
-            (
-                r["_ru"]
-                for r in down.select("_ru").distinct().collect()
-            ),
-            reverse=True,
-        )
+        if levels is None:
+            levels = self._down_levels(down)
         downk = down.select(
             "_ru", F.col("_u").alias("_k"), F.col("_v").alias("_t"), "w"
         ).persist()
@@ -1504,11 +1522,14 @@ class ContractionHierarchy:
         (the 64×64 grid: ~21-level hierarchy vs ~126-hop diameter).
         r16: the down-sweep runs LEVEL-BUCKETED — exactly one
         relaxation pass per contraction level, no per-round
-        convergence probe (:meth:`_down_sweep_leveled`; hierarchies
-        beyond ``_LEVELED_MAX_LEVELS`` fall back to the probed
-        fixpoint).  Pass ``stats={}`` to receive ``down_rounds`` /
-        ``down_mode``.  Returns ``(_n, dist)`` for every reachable
-        node."""
+        convergence probe (:meth:`_down_sweep_leveled`) — but ONLY
+        when the real level count tracks the distributed build rounds
+        (:meth:`_use_leveled`); hierarchies whose local-finish block
+        inflated the level count far beyond the down-DAG depth keep
+        the probed fixpoint (measured: 525 levels → leveled 346 s vs
+        fixpoint 20.8 s on the XL grid).  Pass ``stats={}`` to
+        receive ``down_rounds`` / ``down_mode``.  Returns
+        ``(_n, dist)`` for every reachable node."""
         local = strategy == "local" or (
             strategy == "auto" and self.n_search_edges < LOCAL_THRESHOLD
         )
@@ -1569,8 +1590,11 @@ class ContractionHierarchy:
 
         try:
             dist = fixpoint(dist, upk, "upward")
-            if self.rounds <= self._LEVELED_MAX_LEVELS:
-                dist = self._down_sweep_leveled(dist, down, [], stats)
+            levels = self._down_levels(down)
+            if self._use_leveled(levels):
+                dist = self._down_sweep_leveled(
+                    dist, down, [], stats, levels=levels
+                )
             else:
                 dist = fixpoint(dist, downf, "down-sweep")
                 if stats is not None:
@@ -1674,9 +1698,10 @@ class ContractionHierarchy:
 
         try:
             dist = fixpoint(dist, upk, "upward")
-            if self.rounds <= self._LEVELED_MAX_LEVELS:
+            levels = self._down_levels(down)
+            if self._use_leveled(levels):
                 dist = self._down_sweep_leveled(
-                    dist, down, ["src"], stats
+                    dist, down, ["src"], stats, levels=levels
                 )
             else:
                 dist = fixpoint(dist, downf, "down-sweep")

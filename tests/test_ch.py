@@ -497,11 +497,12 @@ def test_phast_leveled_down_sweep_parity_and_rounds(spark):
         .count()
     )
     assert stats["down_rounds"] == n_levels  # height, by construction
-    # force the fixpoint fallback (the locally-built-rank guard) and
+    # force the fixpoint fallback (the inflated-level-count guard) and
     # compare — the two sweeps must agree exactly
     old = ch.rounds
     try:
-        ch.rounds = ContractionHierarchy._LEVELED_MAX_LEVELS + 1
+        ch._LEVELED_MIN_LEVELS = 0  # instance shadow
+        ch.rounds = 0
         stats2: dict = {}
         fix = {
             (r["src"], r["_n"]): r["dist"]
@@ -512,6 +513,7 @@ def test_phast_leveled_down_sweep_parity_and_rounds(spark):
         assert stats2["down_mode"] == "fixpoint"
     finally:
         ch.rounds = old
+        del ch._LEVELED_MIN_LEVELS
     assert lev.keys() == fix.keys()
     for k in fix:
         assert lev[k] == pytest.approx(fix[k], rel=1e-12)

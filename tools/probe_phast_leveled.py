@@ -1,15 +1,23 @@
 """XL A/B probe for the level-bucketed PHAST down-sweep (r15-verdict
-task #7 acceptance: measured down-sweep round count == number of
-contraction levels in the down-DAG, parity vs the probed fixpoint it
-replaces, wall-clock comparison).
+task #7 acceptance, revised by its own first measurement).
 
-Graph: the same N x N xxhash-weighted junction grid as
-tools/probe_ch_xl.py.  Build once (pregel), then run the SAME batched
-``sssp_multi`` (4 deterministic landmark sources) twice: leveled
-(default) and fixpoint (forced via the ``rounds`` guard), asserting
-exact key parity and <=1e-9 relative distance parity.
+Finding that reshaped the feature: with a local-finish block the rank
+structure has one level PER LOCALLY-CONTRACTED NODE, so "one pass per
+level" runs hundreds of rounds while the probed fixpoint only pays
+down-DAG DEPTH rounds — measured 64x64 / local_finish=512: 525 levels,
+leveled 346 s vs fixpoint 20.8 s (parity exact).  The sweep is
+therefore CHOSEN per query from the real level count
+(``_use_leveled``: leveled only when len(levels) <=
+max(64, 2 * build rounds)).
 
-Usage: python tools/probe_phast_leveled.py [N]   (default 64)
+Phase 1 (the production shape): local_finish=512 build — asserts the
+selector picks FIXPOINT and times it.
+Phase 2 (the pure-distributed shape): local_finish=1 build on a
+smaller grid — asserts the selector picks LEVELED, down_rounds == the
+down-DAG's distinct level count, and exact parity vs a forced
+fixpoint.
+
+Usage: python tools/probe_phast_leveled.py [N1] [N2]  (default 64 40)
 """
 
 from __future__ import annotations
@@ -26,32 +34,8 @@ from entwiner_spark.operators.ch import ContractionHierarchy  # noqa: E402
 from tools.probe_ch_xl import grid  # noqa: E402
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    spark = es.get_spark(
-        "probe-phast-lvl", master="local[32]", shuffle_partitions=32
-    )
-    g = grid(spark, n)
-    t0 = time.time()
-    ch = ContractionHierarchy.build(
-        g, weight="w", strategy="pregel", max_rounds=40, local_finish=512
-    )
-    print(
-        f"build {time.time() - t0:.1f}s rounds={ch.rounds} "
-        f"core={ch.core_size} search={ch.n_search_edges}"
-    )
-    srcs = ["0:0", f"{n - 1}:{n - 1}", f"{n // 2}:0", f"0:{n // 2}"]
-
-    stats_l: dict = {}
-    t0 = time.time()
-    lev = {
-        (r["src"], r["_n"]): r["dist"]
-        for r in ch.sssp_multi(srcs, strategy="pregel", stats=stats_l)
-        .collect()
-    }
-    t_lev = time.time() - t0
-
-    n_levels = (
+def n_levels(ch):
+    return (
         ch.search.filter(
             (F.col("_ru") > F.col("_rv")) | (F.col("_ru") == F.col("_rv"))
         )
@@ -59,35 +43,76 @@ def main():
         .distinct()
         .count()
     )
-    old = ch.rounds
-    try:
-        ch.rounds = ContractionHierarchy._LEVELED_MAX_LEVELS + 1
-        stats_f: dict = {}
-        t0 = time.time()
-        fix = {
-            (r["src"], r["_n"]): r["dist"]
-            for r in ch.sssp_multi(srcs, strategy="pregel", stats=stats_f)
-            .collect()
-        }
-        t_fix = time.time() - t0
-    finally:
-        ch.rounds = old
 
-    assert lev.keys() == fix.keys(), (len(lev), len(fix))
-    worst = max(
-        abs(lev[k] - fix[k]) / max(abs(fix[k]), 1e-12) for k in fix
+
+def run(ch, srcs, force_fixpoint=False):
+    stats: dict = {}
+    if force_fixpoint:
+        ch._LEVELED_MIN_LEVELS = 0
+        old = ch.rounds
+        ch.rounds = 0
+    t0 = time.time()
+    try:
+        d = {
+            (r["src"], r["_n"]): r["dist"]
+            for r in ch.sssp_multi(
+                srcs, strategy="pregel", stats=stats
+            ).collect()
+        }
+    finally:
+        if force_fixpoint:
+            ch.rounds = old
+            del ch._LEVELED_MIN_LEVELS
+    return d, stats, time.time() - t0
+
+
+def main():
+    n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    spark = es.get_spark(
+        "probe-phast-lvl", master="local[32]", shuffle_partitions=32
     )
-    assert worst <= 1e-9, worst
-    assert stats_l["down_mode"] == "leveled"
-    assert stats_l["down_rounds"] == n_levels, (
-        stats_l["down_rounds"],
-        n_levels,
+
+    # phase 1: local-finish build (production default shape)
+    g = grid(spark, n1)
+    t0 = time.time()
+    ch = ContractionHierarchy.build(
+        g, weight="w", strategy="pregel", max_rounds=40, local_finish=512
     )
     print(
-        f"leveled: {t_lev:.1f}s down_rounds={stats_l['down_rounds']} "
-        f"(== {n_levels} levels, by construction) | "
-        f"fixpoint: {t_fix:.1f}s mode={stats_f.get('down_mode')} | "
-        f"parity worst-rel {worst:.1e} over {len(lev)} (src,node) pairs"
+        f"p1 build {time.time() - t0:.1f}s rounds={ch.rounds} "
+        f"levels={n_levels(ch)}"
+    )
+    srcs = ["0:0", f"{n1 - 1}:{n1 - 1}", f"{n1 // 2}:0", f"0:{n1 // 2}"]
+    d1, s1, t1 = run(ch, srcs)
+    assert s1["down_mode"] == "fixpoint", s1  # selector must refuse
+    print(f"p1 auto(fixpoint): {t1:.1f}s over {len(d1)} pairs")
+
+    # phase 2: pure-distributed build (no local-finish inflation)
+    g2 = grid(spark, n2)
+    t0 = time.time()
+    ch2 = ContractionHierarchy.build(
+        g2, weight="w", strategy="pregel", max_rounds=60, local_finish=1
+    )
+    lv = n_levels(ch2)
+    print(
+        f"p2 build {time.time() - t0:.1f}s rounds={ch2.rounds} "
+        f"core={ch2.core_size} levels={lv}"
+    )
+    srcs2 = ["0:0", f"{n2 - 1}:{n2 - 1}"]
+    d2, s2, t2 = run(ch2, srcs2)
+    assert s2["down_mode"] == "leveled", s2
+    assert s2["down_rounds"] == lv, (s2, lv)
+    d2f, s2f, t2f = run(ch2, srcs2, force_fixpoint=True)
+    assert d2.keys() == d2f.keys()
+    worst = max(
+        abs(d2[k] - d2f[k]) / max(abs(d2f[k]), 1e-12) for k in d2f
+    )
+    assert worst <= 1e-9, worst
+    print(
+        f"p2 leveled: {t2:.1f}s down_rounds={s2['down_rounds']}(=={lv}) "
+        f"| forced fixpoint: {t2f:.1f}s | parity worst-rel {worst:.1e} "
+        f"over {len(d2)} pairs"
     )
     spark.stop()
 
