@@ -53,8 +53,50 @@ def q(name: str, sql: str | None):
     return deco
 
 
+# Per-session table-handle reuse: spark.read.parquet() rebuilds the
+# file listing + footer schema on EVERY call, and a catalog run issues
+# hundreds of them over the same handful of paths.  Reusing the
+# DataFrame handle (exactly what a metastore table reference does)
+# skips that repeated driver-side metadata work.  Only METADATA is
+# held — every action against the handle still scans the parquet
+# files, so no result or data caching is introduced.
+_TABLE_HANDLES: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_HANDLES.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_HANDLES[key] = df
+    return df
+
+
+# Scan-fanout decision per (session, table): see _fanout.
+_FANOUT_DECISIONS: dict[tuple[int, str, str], bool] = {}
+
+
+def _fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan, redistributed across the session's task slots when —
+    and only when — the source yields fewer scan partitions than the
+    session has slots (guide §2.2/§1.2: the md5-shingle signature
+    projections downstream are pure compute, and a small single-file
+    parquet input pins them to a one-task scan that serializes minutes
+    of hashing on one core).  At any real scale the scan already has
+    ≥ slots partitions and this is a structural no-op; when it does
+    fire, the exchanged bytes are by construction < slots ×
+    maxPartitionBytes, so the round-robin shuffle is trivially cheap
+    next to the per-row work it parallelizes."""
+    df = _t(spark, sf_dir, name)
+    key = (id(spark), sf_dir, name)
+    spread = _FANOUT_DECISIONS.get(key)
+    if spread is None:
+        par = spark.sparkContext.defaultParallelism
+        spread = df.rdd.getNumPartitions() < par
+        _FANOUT_DECISIONS[key] = spread
+    if spread:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,16 +229,23 @@ def p7_distinct_pairs(spark, sf_dir):
     """,
 )
 def j2_revenue_by_nation(spark, sf_dir):
-    """Multi-way equi join (J2): nation is broadcast (25 rows); the
-    orders-lineitem join shuffles on the shared orderkey."""
+    """Multi-way equi join (J2): nation is broadcast (25 rows), and the
+    join tree is ordered so LINEITEM — the largest table at every
+    scale — is always the STREAMED/probe side (guide §3.1: pick the
+    build side deliberately).  The old shape streamed customer, which
+    made the planner build-and-broadcast lineitem's 600k rows; here
+    each hash relation is the small side (customer⋈nation, then
+    orders), and at cluster scale AQE turns the same tree into
+    sort-merge joins keyed on orderkey/custkey with lineitem still the
+    big streamed side."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    ocn = o.join(cn, o["o_custkey"] == c["c_custkey"])
     return (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(o, o["o_custkey"] == c["c_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        li.join(ocn, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -319,16 +368,25 @@ def u1_union_parties(spark, sf_dir):
     """,
 )
 def u2_last_write_wins(spark, sf_dir):
-    """REPLACE-INTO dedup semantics (U2): keep newest row per key via a
-    per-key window — the scalable form of last-write-wins."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    """REPLACE-INTO dedup semantics (U2): keep newest row per key.
+
+    Expressed as max(struct(o_orderdate, o_orderkey)) per key — the
+    lexicographic struct max picks exactly the window's
+    (orderdate DESC, orderkey DESC) first row, but as a HashAggregate
+    with map-side partial aggregation (guide §2.3 "aggregate before
+    you shuffle"): the exchange carries ~|keys| pre-reduced rows
+    instead of every order, and the window's per-partition sort
+    disappears."""
+    mx = F.max(F.struct("o_orderdate", "o_orderkey")).alias("_mx")
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .agg(mx)
+        .select(
+            "o_custkey",
+            F.col("_mx.o_orderkey").alias("o_orderkey"),
+            F.col("_mx.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
@@ -4008,7 +4066,7 @@ def d13_er_pipeline(spark, sf_dir):
     keep ids (d8) — the full ER pipeline a corpus owner runs, each
     stage the already-verified operator.  Clones planted as in d1 so
     the decision is non-trivial; the oracle recomputes every stage."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fanout(spark, sf_dir, "documents").select("doc_id", "text")
     # clone-id offset derived from the data so synthetic ids can never
     # collide with real ones; lazy broadcast-of-one-row (matches the
     # oracle's scalar subquery, runs nothing at construction time)
@@ -4020,12 +4078,16 @@ def d13_er_pipeline(spark, sf_dir):
     )
     alld = d.unionByName(clones)
     pairs = DD.sorted_neighborhood_pairs(alld).select("id_a", "id_b")
+    # the refine join references hs TWICE (ha and hb sides); the lazy
+    # checkpoint materializes the md5-shingle sets once instead of
+    # re-hashing the corpus per side (the lsh_candidate_pairs
+    # discipline — guide §1.2 "don't compute things twice")
     hs = alld.select(
         "doc_id",
         F.array_distinct(
             F.transform(TX.shingles(F.col("text"), 3), TX.stable_hash32)
         ).alias("hs"),
-    )
+    ).localCheckpoint(eager=False)
     refined = (
         pairs.join(
             hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha")),
@@ -4100,8 +4162,10 @@ _MINHASH_SIG_SQL = f"""
 @q("d2_minhash_signatures", _MINHASH_SIG_SQL)
 def d2_minhash_signatures(spark, sf_dir):
     """MinHash signatures over word 3-gram shingles — order-insensitive
-    array_min keeps it explode-free (one narrow projection at 100 TB)."""
-    d = _t(spark, sf_dir, "documents").filter(
+    array_min keeps it explode-free (one narrow projection at 100 TB).
+    _fanout spreads the hash-bound projection across every core when
+    the scan is narrower than the session (no-op at scale)."""
+    d = _fanout(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
     return DD.minhash_signatures(d, k=8)
@@ -4127,7 +4191,7 @@ def d2_minhash_signatures(spark, sf_dir):
 )
 def d3_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (band bucket self-join)."""
-    d = _t(spark, sf_dir, "documents").filter(
+    d = _fanout(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
     sig = DD.minhash_signatures(d, k=8)
@@ -4262,8 +4326,9 @@ _SIMHASH_VALUE = " + ".join(
     """,
 )
 def d4_simhash(spark, sf_dir):
-    """SimHash near-dup fingerprint (16-bit) via per-row array fold."""
-    return DD.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    """SimHash near-dup fingerprint (16-bit) via per-row array fold;
+    _fanout parallelizes the per-word hashing on narrow scans."""
+    return DD.simhash(_fanout(spark, sf_dir, "documents"), bits=16)
 
 
 @q(
@@ -8667,14 +8732,21 @@ def t19_pipeline_e2e(spark, sf_dir):
     unchanged; Catalyst fuses the filter/redact/count stages into one
     codegen'd pass over the scan, so the pipeline costs one scan, one
     dedup shuffle, and one packing window at any scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fanout(spark, sf_dir, "documents")
     kept = d.filter(TX.gopher_quality_flags(F.col("text"))["keep"]).select(
         "doc_id", "lang", "text"
     )
-    fp_min = kept.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
+    # keep-min dedup as a min() window over the fingerprint: ONE pass
+    # over `kept` and one exchange, where the groupBy+semi-join form
+    # evaluated the (regex-heavy) Gopher filter subtree twice — same
+    # survivors (rows whose doc_id equals their fingerprint group's
+    # min), guide §1.2/§2.4
+    fp_w = Window.partitionBy(TX.fingerprint(F.col("text")))
+    docs2 = (
+        kept.withColumn("_fp_min", F.min("doc_id").over(fp_w))
+        .filter(F.col("doc_id") == F.col("_fp_min"))
+        .select("doc_id", "lang", "text")
     )
-    docs2 = kept.join(fp_min.select("doc_id"), "doc_id", "left_semi")
     toks = docs2.select(
         "doc_id",
         "lang",
