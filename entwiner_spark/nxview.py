@@ -367,6 +367,8 @@ class LazyDiGraphView(nx.DiGraph):
         if self._writes % _CHECKPOINT_EVERY == 0:
             new_edges = new_edges.localCheckpoint(eager=True)
         self.sg.edges = new_edges
+        self.sg._edges_raw = new_edges
+        self.sg._invalidate_size_caches()
         self._generation += 1
         self._succ._lru.clear()
         self._pred._lru.clear()

@@ -22,6 +22,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from entwiner_spark.functions.text import fingerprint, shingles, stable_hash32, words
 
@@ -328,7 +329,65 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # the output casts back to it (hard-coding "long" would NULL out
     # every id for a string-keyed corpus).
     _id_type = pairs.schema["id_a"].dataType
-    e = pairs.select(
+    # Lazy checkpoint: everything below probes this pair set several
+    # times (local-size probe, or the distributed path's edge-count
+    # dispatch + node derivation + star-contraction rounds), and each
+    # probe would otherwise re-execute the caller's ENTIRE
+    # candidate+refine pipeline — measured 3 full re-runs on the ER
+    # pipeline (guide §1.2 "don't compute things you throw away").
+    # eager=False keeps construction action-free; the first action
+    # materializes the (small, post-refinement) pair set once and every
+    # later pass reads it back.
+    pairs_ck = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    spark = pairs_ck.sparkSession
+    # Local twin (the SparkGraph LOCAL_THRESHOLD discipline): the pair
+    # set is the post-refinement RESIDUE — tiny next to the corpus —
+    # and every node the CC needs is a pair endpoint, so one BOUNDED
+    # collect replaces the graph path's count + nodes-collect +
+    # triples-collect + canon join (each a separate driver job; the
+    # dispatch overhead dominated the ER pipeline's wall time).
+    # limit(T+1) costs at most T+1 rows regardless of pair count; an
+    # over-threshold residue falls through to the distributed CC.
+    head = pairs_ck.limit(SparkGraph.LOCAL_THRESHOLD + 1).collect()
+    if len(head) <= SparkGraph.LOCAL_THRESHOLD:
+        # union-find with canonical = min (Python min == Spark min for
+        # the id types at hand: numeric order for numbers, UTF-8
+        # code-point order for strings)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in head:
+            a, b = r["id_a"], r["id_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        members: dict = {}
+        for n in parent:
+            r0 = find(n)
+            comp_min[r0] = min(comp_min.get(r0, n), n)
+            members.setdefault(r0, []).append(n)
+        schema = T.StructType(
+            [
+                T.StructField(id_col, _id_type, False),
+                T.StructField("canonical_id", _id_type, False),
+                T.StructField("cluster_size", T.LongType(), False),
+            ]
+        )
+        rows = [
+            (n, comp_min[r0], len(ms))
+            for r0, ms in members.items()
+            for n in ms
+        ]
+        return spark.createDataFrame(rows, schema)
+    e = pairs_ck.select(
         F.col("id_a").cast("string").alias("_u"),
         F.col("id_b").cast("string").alias("_v"),
     )

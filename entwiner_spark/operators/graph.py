@@ -531,7 +531,65 @@ class SparkGraph:
             self._cached_edge_count = self.edges.count()
         return self._cached_edge_count
 
-    def _use_local(self, strategy: str) -> bool:
+    @staticmethod
+    def _triples_key(weight):
+        """Cache key for a probed triple list: hop counts and named
+        columns are stable keys; arbitrary Column expressions are not
+        hashable/comparable, so they bypass the cache."""
+        if weight is None:
+            return "\x00hop"
+        if isinstance(weight, str):
+            return ("col", weight)
+        return None
+
+    def _probe_local_triples(self, weight) -> list | None:
+        """ONE bounded job replacing the auto-dispatch's count()-then-
+        collect() pair: fetch at most LOCAL_THRESHOLD+1 ``(_u,_v,_w)``
+        rows via limit().  A local-sized edge table comes back whole
+        (the exact count is cached as a byproduct); a larger one
+        returns None and the too-big verdict is remembered so later
+        dispatches cost nothing.  Probing ``_edges_raw`` (the
+        pre-repartition handle) matters at scale: a limit over the
+        repartitioned plan would execute the full map side of the _u
+        exchange, while the raw scan short-circuits after ~one split.
+        """
+        if getattr(self, "_nonlocal_verdict", False):
+            return None
+        cnt = getattr(self, "_cached_edge_count", None)
+        if cnt is not None and cnt > self.LOCAL_THRESHOLD:
+            return None
+        key = self._triples_key(weight)
+        cache = self.__dict__.setdefault("_triples_cache", {})
+        if key is not None and key in cache:
+            return cache[key]
+        w = self._weight_col(weight)
+        rows = (
+            self._edges_raw.select("_u", "_v", w.alias("_w"))
+            .limit(self.LOCAL_THRESHOLD + 1)
+            .collect()
+        )
+        if len(rows) > self.LOCAL_THRESHOLD:
+            self._nonlocal_verdict = True
+            return None
+        self._cached_edge_count = len(rows)
+        triples = [(r["_u"], r["_v"], r["_w"]) for r in rows]
+        if key is not None:
+            cache[key] = triples
+        return triples
+
+    def _invalidate_size_caches(self) -> None:
+        """Drop memoized size/triple state after an in-place edge swap
+        (mutable nx views) so dispatch and local twins never read a
+        stale snapshot."""
+        for attr in ("_cached_edge_count", "_nonlocal_verdict", "_triples_cache"):
+            self.__dict__.pop(attr, None)
+
+    def _use_local(self, strategy: str, weight=None) -> bool:
+        """Dispatch gate.  For ``auto`` this runs the bounded triple
+        probe (one job) instead of a full count, and the probed rows
+        are cached so the local twin's _collect_triples re-uses them —
+        the count job disappears from every auto-dispatched local
+        operator."""
         if strategy == "local":
             return True
         if strategy == "pregel":
@@ -543,7 +601,10 @@ class SparkGraph:
             raise ValueError(
                 f"unknown strategy {strategy!r}: expected auto|local|pregel"
             )
-        return self._edge_count() <= self.LOCAL_THRESHOLD
+        cnt = getattr(self, "_cached_edge_count", None)
+        if cnt is not None:
+            return cnt <= self.LOCAL_THRESHOLD
+        return self._probe_local_triples(weight) is not None
 
     def _id_type(self) -> T.DataType:
         """Node-id datatype, derived from the nodes table — every
@@ -566,11 +627,20 @@ class SparkGraph:
         return weight.cast("double")
 
     def _collect_triples(self, weight) -> list[tuple[str, str, float]]:
+        # serve from the dispatch probe's stash when it matches — the
+        # auto path then costs exactly one driver job end to end
+        key = self._triples_key(weight)
+        cache = self.__dict__.setdefault("_triples_cache", {})
+        if key is not None and key in cache:
+            return cache[key]
         w = self._weight_col(weight)
-        return [
+        triples = [
             (r["_u"], r["_v"], r["_w"])
             for r in self.edges.select("_u", "_v", w.alias("_w")).collect()
         ]
+        if key is not None and len(triples) <= self.LOCAL_THRESHOLD:
+            cache[key] = triples
+        return triples
 
     def _local_sssp(self, source: str, weight: str | None) -> DataFrame:
         """Driver-side Dijkstra — identical additions to the Pregel
@@ -880,7 +950,7 @@ class SparkGraph:
                     "Bellman-Ford bound); use strategy='pregel' or "
                     "drop max_iterations"
                 )
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             out = self._local_sssp(source, weight)
             if weight is None and bounded:
                 # truncated BFS == k-hop neighborhood
@@ -1117,7 +1187,7 @@ class SparkGraph:
             raise ValueError(
                 f"via must be 'raw', 'contracted' or 'ch', got {via!r}"
             )
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             import heapq
 
             adj: dict[str, list[tuple[str, float]]] = {}
@@ -1362,7 +1432,7 @@ class SparkGraph:
             ]
         if via != "raw":
             raise ValueError(f"via must be 'raw' or 'contracted', got {via!r}")
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             # one collect, then pure-Python Yen: k·|path| in-memory
             # Dijkstras instead of k·|path| Spark jobs (the stress
             # gate measured 202 s -> sub-second on a 3,600-node grid)
@@ -2909,7 +2979,7 @@ class SparkGraph:
         this is |V| SSSP runs — run per-landmark sampling instead
         (call shortest_path_lengths for a landmark subset).
         """
-        if not self._use_local(strategy):
+        if not self._use_local(strategy, weight):
             raise ValueError(
                 "exact all-pairs closeness is O(V) SSSP runs; at scale "
                 "sample landmarks via shortest_path_lengths instead"
@@ -2958,7 +3028,7 @@ class SparkGraph:
         substitute).  Output rounded to 6 dp so the DuckDB oracle's
         different summation order cannot shift the value.
         """
-        if not self._use_local(strategy):
+        if not self._use_local(strategy, weight):
             raise ValueError(
                 "exact all-pairs harmonic centrality is O(V) SSSP runs; "
                 "at scale sample landmarks via closeness_landmarks"
@@ -3564,7 +3634,7 @@ class SparkGraph:
             .groupBy("u", "v")
             .agg(F.min("w").alias("w"))
         )
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             parent: dict[str, str] = {}
 
             def find(x: str) -> str:
@@ -4094,7 +4164,7 @@ class SparkGraph:
         dependency accumulation — O(depth) joins per source, so keep
         ``sources`` small at scale (that's the sampling design point).
         """
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             return self._betweenness_local(sources, weight)
         if weight is not None:
             raise ValueError(
@@ -4711,7 +4781,7 @@ class SparkGraph:
         below the small-graph threshold, identical rows —
         pytest-pinned), local, or pregel (force distributed).
         """
-        if self._use_local(strategy):
+        if self._use_local(strategy, weight):
             return self._local_contract_chains(weight, keep_path)
         wexpr = self._weight_col(weight)
         e = self.edges.select(
