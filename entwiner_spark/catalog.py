@@ -229,23 +229,32 @@ def p7_distinct_pairs(spark, sf_dir):
     """,
 )
 def j2_revenue_by_nation(spark, sf_dir):
-    """Multi-way equi join (J2): nation is broadcast (25 rows), and the
+    """Multi-way equi join (J2): nation is broadcast (25 rows), the
     join tree is ordered so LINEITEM — the largest table at every
-    scale — is always the STREAMED/probe side (guide §3.1: pick the
-    build side deliberately).  The old shape streamed customer, which
-    made the planner build-and-broadcast lineitem's 600k rows; here
-    each hash relation is the small side (customer⋈nation, then
-    orders), and at cluster scale AQE turns the same tree into
-    sort-merge joins keyed on orderkey/custkey with lineitem still the
-    big streamed side."""
+    scale — is always the STREAMED side, and the top join is pinned
+    SORT-MERGE (guide §3.1: pick the strategy deliberately).  Left to
+    its estimates the planner build-and-broadcasts the column-pruned
+    lineitem — the biggest table — because the 3-column scan estimate
+    slips under the 10 MB threshold while the joined orders side's
+    estimate is inflated; the single-threaded 600k-row hash-relation
+    build was the measured bottleneck (warm noop 0.73 s vs 0.43 s).
+    The orders⋈customer⋈nation side is projected to (o_orderkey,
+    n_name) before the exchange (§2.3: project before the exchange),
+    so both SMJ inputs shuffle only what the aggregate needs; at
+    cluster scale this is exactly the plan the planner would pick with
+    honest sizes, and it spills gracefully where a hash build cannot."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-    ocn = o.join(cn, o["o_custkey"] == c["c_custkey"])
+    ocn = (
+        o.join(cn, o["o_custkey"] == c["c_custkey"])
+        .select(o["o_orderkey"].alias("_ok"), "n_name")
+        .hint("shuffle_merge")
+    )
     return (
-        li.join(ocn, li["l_orderkey"] == o["o_orderkey"])
+        li.join(ocn, li["l_orderkey"] == F.col("_ok"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -286,13 +295,21 @@ def a1_table_counts(spark, sf_dir):
 )
 def a2_orders_per_customer(spark, sf_dir):
     """Degree-style grouped count + COUNT DISTINCT (A2, corrected
-    semantics vs the reference's edge_table.py:129 quirk)."""
+    semantics vs the reference's edge_table.py:129 quirk).
+
+    count(DISTINCT o_orderstatus) is expressed as
+    size(collect_set(...)): COUNT DISTINCT plans as a two-phase
+    aggregate with TWO exchanges (partial on (custkey, status), final
+    on custkey), while collect_set partial-aggregates map-side and
+    needs ONE exchange (guide §2.4).  Identical values: both ignore
+    NULLs, and o_orderstatus has 3 distinct values so the per-key set
+    is bounded; cast to long keeps the COUNT DISTINCT column type."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.count_distinct("o_orderstatus").alias("n_statuses"),
+            F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
             F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
         )
     )
@@ -4911,7 +4928,10 @@ def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
 def s2_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 query vector — the
     exact ANN baseline.  Explicit left-assoc dot chains match the
-    oracle bit-for-bit."""
+    oracle bit-for-bit.  (r16: a broadcast-1-row-cross-join variant
+    that folds the qvec lookup into the plan was measured SLOWER warm
+    — 0.42 s vs 0.35 s — the BNLJ + broadcast exchange cost more than
+    the tiny driver collect; kept the literal form.)"""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return SIM.cosine_topk(emb, qvec, k=10)
@@ -4960,8 +4980,10 @@ def _plane_dot_sql(p: int) -> str:
 )
 def s4_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket assignment — the scale path for
-    ANN (bucket equi-join replaces the O(n^2) cross product)."""
-    return SIM.lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=_DIM, planes=8)
+    ANN (bucket equi-join replaces the O(n^2) cross product).
+    _fanout spreads the 8×64-dim hyperplane folds across every core
+    when the scan is single-task (§2.5 input skew); no-op at scale."""
+    return SIM.lsh_buckets(_fanout(spark, sf_dir, "embeddings"), dim=_DIM, planes=8)
 
 
 @q(
