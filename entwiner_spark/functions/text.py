@@ -33,6 +33,33 @@ def stable_hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def stable_hash32_sql(x: str) -> str:
+    """SQL-string twin of ``stable_hash32`` (same parsed tree, same
+    values) for expression builders that assemble one big F.expr
+    string instead of thousands of Column-API py4j calls."""
+    return f"CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def shingles_sql(text_sql: str, k: int = 3) -> str:
+    """SQL-string twin of ``shingles`` — identical let-bound
+    shifted-slice zip_with chain (split() runs once per row), built as
+    one parseable string."""
+    cnt = f"(size(w) - {k - 1})"
+    combined = f"slice(w, 1, {cnt})"
+    for j in range(1, k):
+        combined = (
+            f"zip_with({combined}, slice(w, {j + 1}, {cnt}), "
+            "(a, b) -> concat(a, ' ', b))"
+        )
+    body = (
+        f"CASE WHEN size(w) >= {k} THEN {combined} "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        f"element_at(transform(array(split({text_sql}, ' ')), w -> {body}), 1)"
+    )
+
+
 def word_count(text: Column) -> Column:
     return F.size(words(text))
 
