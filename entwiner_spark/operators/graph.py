@@ -966,6 +966,19 @@ class SparkGraph:
         # cached plan keeps its hashpartitioning(_u) visible and the
         # big side never exchanges again
         adj = self.edges.select(F.col("_u"), F.col("_v"), w.alias("_w")).persist()
+        # Size the loop's per-round shuffle from the DATA, not the
+        # session constant (guide §2.2: partitions should track bytes).
+        # The state spine is <=|V|<=2|E| tiny rows; at 32 session
+        # partitions a 100k-node graph pays 32 map outputs + AQE
+        # coalesce planning PER ROUND for partitions holding a few
+        # thousand rows each (measured 200k-edge/12-round loop: 3.7 s
+        # session-default vs 2.7 s size-derived).  The count also
+        # prefills the adj cache, a job round 1 otherwise pays.  At
+        # scale ceil(|E|/25k) exceeds the session setting and this is
+        # a no-op; values are partition-invariant (min-merge).
+        n_edges = adj.count()
+        sess_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_parts = min(sess_parts, max(1, -(-n_edges // 25_000)))
 
         schema = T.StructType(
             [
@@ -984,6 +997,52 @@ class SparkGraph:
         # first window always broadcasts; probes re-decide per window
         frontier_small = True
         broadcast_frontier_rows = 2_000_000
+        if loop_parts != sess_parts:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            converged = self._sssp_pregel_loop(
+                adj,
+                dist,
+                frontier,
+                max_iterations,
+                check_every,
+                frontier_small,
+                broadcast_frontier_rows,
+                stats,
+            )
+        finally:
+            if loop_parts != sess_parts:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(sess_parts)
+                )
+        dist = converged["dist"]
+        converged = converged["converged"]
+        adj.unpersist()
+        if not converged and not bounded_by_caller:
+            raise RuntimeError(
+                "SSSP hit the 200-iteration safety cap without "
+                "converging; pass max_iterations explicitly for a "
+                "bounded (k-hop) result or raise the cap"
+            )
+        return dist
+
+    def _sssp_pregel_loop(
+        self,
+        adj,
+        dist,
+        frontier,
+        max_iterations: int,
+        check_every: int,
+        frontier_small: bool,
+        broadcast_frontier_rows: int,
+        stats: dict | None,
+    ) -> dict:
+        """Body of the distributed SSSP iteration (split out so the
+        caller can scope the size-derived shuffle-partition setting
+        with a try/finally around exactly the rounds that shuffle)."""
+        converged = False
+        if stats is not None:
+            _t_probe = time.time()
         for it in range(max_iterations):
             probe = (it + 1) % check_every == 0 or it == max_iterations - 1
             # Join-strategy hint, decided from the last probed
@@ -1070,14 +1129,7 @@ class SparkGraph:
                 if n_front == 0:
                     converged = True
                     break
-        adj.unpersist()
-        if not converged and not bounded_by_caller:
-            raise RuntimeError(
-                "SSSP hit the 200-iteration safety cap without "
-                "converging; pass max_iterations explicitly for a "
-                "bounded (k-hop) result or raise the cap"
-            )
-        return dist
+        return {"dist": dist, "converged": converged}
 
     def shortest_path(
         self,
