@@ -45,11 +45,32 @@ rows collected, never the graph.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from entwiner_spark.operators.graph import rebase_checkpoint
+from entwiner_spark.session import scoped_shuffle_partitions
+
+
+def _scaled_shuffle(fn):
+    """Scope the session's shuffle-partition count to the hierarchy's
+    own size for the duration of a query method (guide §2.2): every
+    round of the bidirectional / PHAST loops shuffles <= a few
+    multiples of ``n_search_edges`` tiny rows, so on a 32-core local
+    session a small hierarchy pays 32 map outputs + AQE planning per
+    round for near-empty partitions.  All loop merges are min/count
+    aggregates (partition-invariant), and at real scale the derived
+    value exceeds the session setting, making this a no-op."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with scoped_shuffle_partitions(self.spark, self.n_search_edges):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 #: Rank assigned to every uncontracted core node (top of hierarchy).
 CORE_RANK = 1 << 62
@@ -335,13 +356,17 @@ class ContractionHierarchy:
             return cls._build_local(
                 graph, weight, max_rounds, customizable=customizable
             )
-        return cls._build_pregel(
-            graph,
-            weight,
-            max_rounds,
-            local_finish=local_finish,
-            customizable=customizable,
-        )
+        # scope the build loop's shuffles to the graph's size (exact
+        # memoized count; see _scaled_shuffle — same rationale, but the
+        # artifact doesn't exist yet so the basis is the input edges)
+        with scoped_shuffle_partitions(graph.spark, graph._edge_count()):
+            return cls._build_pregel(
+                graph,
+                weight,
+                max_rounds,
+                local_finish=local_finish,
+                customizable=customizable,
+            )
 
     @staticmethod
     def _contract_core(
@@ -846,6 +871,7 @@ class ContractionHierarchy:
         )
 
     # ------------------------------------ customization (CCH re-metric)
+    @_scaled_shuffle
     def customize(
         self,
         new_edges: DataFrame,
@@ -1156,6 +1182,7 @@ class ContractionHierarchy:
         )
         return self._customized_result(out_search, base)
 
+    @_scaled_shuffle
     def alternatives(
         self,
         source,
@@ -1262,6 +1289,7 @@ class ContractionHierarchy:
         )
         return up, down
 
+    @_scaled_shuffle
     def route(
         self,
         source,
@@ -1294,6 +1322,7 @@ class ContractionHierarchy:
             source, target, max_iterations, hops_per_round
         )
 
+    @_scaled_shuffle
     def distance_matrix(
         self,
         sources: list,
@@ -1503,6 +1532,7 @@ class ContractionHierarchy:
             stats["down_mode"] = "leveled"
         return dist
 
+    @_scaled_shuffle
     def sssp(
         self,
         source,
@@ -1604,6 +1634,7 @@ class ContractionHierarchy:
             downf.unpersist()
         return dist
 
+    @_scaled_shuffle
     def sssp_multi(
         self,
         sources: list,
@@ -1746,6 +1777,7 @@ class ContractionHierarchy:
             sorted(d.items(), key=lambda kv: str(kv[0])), schema
         )
 
+    @_scaled_shuffle
     def route_matrix(
         self,
         sources: list,

@@ -977,8 +977,6 @@ class SparkGraph:
         # scale ceil(|E|/25k) exceeds the session setting and this is
         # a no-op; values are partition-invariant (min-merge).
         n_edges = adj.count()
-        sess_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        loop_parts = min(sess_parts, max(1, -(-n_edges // 25_000)))
 
         schema = T.StructType(
             [
@@ -997,9 +995,9 @@ class SparkGraph:
         # first window always broadcasts; probes re-decide per window
         frontier_small = True
         broadcast_frontier_rows = 2_000_000
-        if loop_parts != sess_parts:
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        try:
+        from entwiner_spark.session import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(self.spark, n_edges):
             converged = self._sssp_pregel_loop(
                 adj,
                 dist,
@@ -1010,11 +1008,6 @@ class SparkGraph:
                 broadcast_frontier_rows,
                 stats,
             )
-        finally:
-            if loop_parts != sess_parts:
-                self.spark.conf.set(
-                    "spark.sql.shuffle.partitions", str(sess_parts)
-                )
         dist = converged["dist"]
         converged = converged["converged"]
         adj.unpersist()

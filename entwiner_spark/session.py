@@ -16,6 +16,7 @@ Defaults chosen for correctness-at-scale:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -54,6 +55,32 @@ def get_spark(
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n_rows: int, target: int = 25_000):
+    """Scope ``spark.sql.shuffle.partitions`` to a value derived from
+    the DATA an iterative loop is about to shuffle (guide §2.2:
+    partition count should track bytes, not a session constant).
+
+    ``min(session setting, ceil(n_rows / target))``: a 100k-row state
+    spine stops paying 32 map outputs + AQE coalesce planning per
+    round for partitions holding a few thousand tiny rows; at real
+    scale the derived value exceeds the session setting and the conf
+    is untouched.  Restores the previous value on exit.  Only use
+    around loops whose merge aggregates are partition-invariant
+    (min/count/mode — NOT floating-point sums, whose partial-aggregate
+    order would change results)."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop = min(sess, max(1, -(-int(n_rows) // target)))
+    if loop == sess:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess))
 
 
 def stop_spark() -> None:
