@@ -4101,8 +4101,12 @@ def d13_er_pipeline(spark, sf_dir):
     # discipline — guide §1.2 "don't compute things twice")
     hs = alld.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(TX.shingles(F.col("text"), 3), TX.stable_hash32)
+        F.expr(
+            "array_distinct(transform("
+            + TX.shingles_sql("`text`", 3)
+            + ", s -> "
+            + TX.stable_hash32_sql("s")
+            + "))"
         ).alias("hs"),
     ).localCheckpoint(eager=False)
     refined = (
@@ -4286,8 +4290,12 @@ def d12_minhash_calibration(spark, sf_dir):
     pairs = DD.lsh_candidate_pairs(sig, k=8, bands=4)
     hs = d.select(
         F.col("doc_id"),
-        F.array_distinct(
-            F.transform(TX.shingles(F.col("text"), 3), TX.stable_hash32)
+        F.expr(
+            "array_distinct(transform("
+            + TX.shingles_sql("`text`", 3)
+            + ", s -> "
+            + TX.stable_hash32_sql("s")
+            + "))"
         ).alias("hs"),
     )
     siga = sig.select(
