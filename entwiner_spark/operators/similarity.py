@@ -319,6 +319,19 @@ def l2sq_literal(vec: Column, c: list[float]) -> Column:
     return F.aggregate(sq, F.lit(0.0), lambda a, b: a + b)
 
 
+def l2sq_literal_sql(vec_sql: str, c: list[float]) -> str:
+    """SQL-string twin of ``l2sq_literal`` (same parsed tree, same
+    values) — see dot_literal_sql for why: the K x dim distance-chain
+    fan-out made Column-API plan construction the dominant driver cost
+    of the IVF/PQ family."""
+    arr = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        "(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -332,14 +345,17 @@ def ivf_assign(
     step of IVF-flat ANN.  Ties resolve to the lowest centroid index
     (strict < comparison), mirrored exactly by the SQL oracle.
     """
-    v = F.col(vec_col)
+    vs = f"`{vec_col}`"
     # materialize the K distances as columns, then argmin via least +
     # first-equal CASE.  An iterative when(dk < best_d, ...) fold would
     # nest best_d inside each condition — a 3^K expression-tree blowup
     # that took Catalyst minutes at K=8.
     base = emb.select(
         F.col(id_col),
-        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+        *[
+            F.expr(l2sq_literal_sql(vs, c)).alias(f"_d{k}")
+            for k, c in enumerate(centroids)
+        ],
     )
     # barrier: without it CollapseProject re-inlines every distance
     # chain into least() AND each equality test (~9x duplication),
@@ -448,12 +464,14 @@ def kmeans_centroids(
     dim = len(cents[0])
 
     for _ in range(iterations):
-        v = F.col(vec_col)
+        vs = f"`{vec_col}`"
         base = emb.select(
             F.col(id_col),
-            _as_double(v).alias("_v"),
-            *[l2sq_literal(v, c).alias(f"_d{j}") for j in range(len(cents))
-              for c in [cents[j]]],
+            _as_double(F.col(vec_col)).alias("_v"),
+            *[
+                F.expr(l2sq_literal_sql(vs, cents[j])).alias(f"_d{j}")
+                for j in range(len(cents))
+            ],
         )
         # same projection barrier as ivf_assign: stops CollapseProject
         # from re-inlining every distance chain into the argmin CASE
@@ -491,8 +509,7 @@ def wcss(
 ) -> float:
     """Within-cluster sum of squares for a centroid set — the k-means
     objective, for measuring training quality."""
-    v = F.col(vec_col)
-    dists = [l2sq_literal(v, c) for c in centroids]
+    dists = [F.expr(l2sq_literal_sql(f"`{vec_col}`", c)) for c in centroids]
     return emb.select(F.least(*dists).alias("_d")).agg(F.sum("_d")).collect()[0][0]
 
 
@@ -506,10 +523,13 @@ def ivf_probe_assign(
     """Multi-probe assignment: each vector mapped to its ``probes``
     nearest centroids (one output row per probe).  Recall knob for
     ivf_topk — more probes search more buckets."""
-    v = F.col(vec_col)
+    vs = f"`{vec_col}`"
     base = emb.select(
         F.col(id_col),
-        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+        *[
+            F.expr(l2sq_literal_sql(vs, c)).alias(f"_d{k}")
+            for k, c in enumerate(centroids)
+        ],
     )
     base = base.repartition(F.col(id_col))
     pairs = F.array(
@@ -599,16 +619,17 @@ def pq_encode(
     ``(id, code_0 … code_{m-1})`` — one narrow row per vector, no
     joins, no shuffle beyond the barrier.
     """
-    v = F.col(vec_col)
     base_cols = []
     offset = 1
     for s, cb in enumerate(codebooks):
         width = len(cb[0])
         if any(len(code) != width for code in cb):
             raise ValueError(f"codebook {s} has mixed subvector widths")
-        sub = F.slice(v, offset, width)
+        sub = f"slice(`{vec_col}`, {offset}, {width})"
         for k, code in enumerate(cb):
-            base_cols.append(l2sq_literal(sub, code).alias(f"_d{s}_{k}"))
+            base_cols.append(
+                F.expr(l2sq_literal_sql(sub, code)).alias(f"_d{s}_{k}")
+            )
         offset += width
     base = emb.select(F.col(id_col), *base_cols).repartition(F.col(id_col))
     outs = []
@@ -647,10 +668,10 @@ def random_projection(
     plan is a map over the scan).  Output: ``(id, rp0..rp{out_dim-1})``
     rounded to ``round_dp`` so cross-engine comparison is exact.
     """
-    v = F.col(vec_col)
+    vs = f"`{vec_col}`"
     cols = [
         F.round(
-            dot_literal(v, [float(x) for x in hyperplane(p, dim)])
+            F.expr(dot_literal_sql(vs, [float(x) for x in hyperplane(p, dim)]))
             / F.sqrt(F.lit(float(dim))),
             round_dp,
         ).alias(f"rp{p}")
@@ -740,11 +761,14 @@ def ivfpq_encode(
     """
     n_k = len(centroids)
     dim = len(centroids[0])
-    v = F.col(vec_col)
+    vs = f"`{vec_col}`"
     base = emb.select(
         F.col(id_col),
-        v.alias("_v"),
-        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+        F.col(vec_col).alias("_v"),
+        *[
+            F.expr(l2sq_literal_sql(vs, c)).alias(f"_d{k}")
+            for k, c in enumerate(centroids)
+        ],
     ).repartition(F.col(id_col))
     m = F.least(*[F.col(f"_d{k}") for k in range(n_k)])
     ci = None
@@ -770,9 +794,11 @@ def ivfpq_encode(
     offset, d_cols = 1, []
     for s, cb in enumerate(codebooks):
         width = len(cb[0])
-        sub = F.slice(F.col("_r"), offset, width)
+        sub = f"slice(`_r`, {offset}, {width})"
         for k, code in enumerate(cb):
-            d_cols.append(l2sq_literal(sub, code).alias(f"_e{s}_{k}"))
+            d_cols.append(
+                F.expr(l2sq_literal_sql(sub, code)).alias(f"_e{s}_{k}")
+            )
         offset += width
     pqd = resid.select(F.col(id_col), F.col("centroid"), *d_cols).repartition(
         F.col(id_col)
@@ -816,11 +842,14 @@ def semdedup(
     """
     n_k = len(centroids)
     dim = len(centroids[0])
-    v = F.col(vec_col)
+    vs = f"`{vec_col}`"
     base = emb.select(
         F.col(id_col),
-        v.alias("_v"),
-        *[l2sq_literal(v, c).alias(f"_d{k}") for k, c in enumerate(centroids)],
+        F.col(vec_col).alias("_v"),
+        *[
+            F.expr(l2sq_literal_sql(vs, c)).alias(f"_d{k}")
+            for k, c in enumerate(centroids)
+        ],
     ).repartition(F.col(id_col))
     m = F.least(*[F.col(f"_d{k}") for k in range(n_k)])
     ci = None
