@@ -20,6 +20,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def long_array_lit(values) -> Column:
+    """Array<long> literal that crosses py4j as ONE node, not 16k.
+
+    ``F.lit(list)`` expands client-side to ``array(*[lit(x) ...])`` —
+    one py4j round trip per element — and every later analysis pass
+    walks the 16k-node CreateArray again.  For sketch-sized arrays
+    (bloom bitmap 16,384 words, CMS rows 2,048 cells) that makes plan
+    construction + analysis the dominant query cost (measured r16:
+    7.6 s construct + ~1 s per analysis, vs 0.05 s total here).
+
+    ``from_json('[…]', 'array<bigint>')`` is a TWO-node tree; both its
+    children are foldable so ConstantFolding evaluates it exactly once
+    into the same ``Literal(ArrayData, ArrayType(LongType))`` the lit
+    chain would have folded to — values bit-for-bit identical (JSON
+    longs round-trip exactly, LONG_MIN/MAX verified).
+    """
+    values = [int(v) for v in values]
+    if not values:
+        return F.lit(values)
+    import json as _json
+
+    return F.from_json(F.lit(_json.dumps(values)), "array<bigint>")
+
+
 def let_bound(value: Column, body: Callable[[Column], Column]) -> Column:
     """Evaluate ``value`` once per row and feed it to ``body`` as a
     bound variable: ``let x = value in body(x)`` for Catalyst.

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from entwiner_spark.functions.expr import long_array_lit
 from entwiner_spark.functions.text import (
     fingerprint,
     shingles,
@@ -885,7 +886,7 @@ def bloom_contains(
     ``bloom_build`` frame distributed and broadcast-join on ``word``
     instead — same semantics, one small join."""
     num_bits = 64 * len(bitmap)
-    arr = F.lit(bitmap)
+    arr = long_array_lit(bitmap)
     cond = None
     for i in range(num_hashes):
         pos = _bloom_pos(col, i, num_bits)

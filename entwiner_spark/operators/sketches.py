@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from entwiner_spark.functions.expr import long_array_lit
+
 
 def _cms_pos(col, i: int, width: int) -> Column:
     """Cell column for depth-row ``i``: xxhash64 over (value, 1000+i) —
@@ -80,7 +82,7 @@ def cms_estimate(col, matrix: list[list[int]]) -> Column:
     a 100 TB stream of lookups is zero-shuffle)."""
     depth, width = len(matrix), len(matrix[0])
     ests = [
-        F.element_at(F.lit(matrix[i]), _cms_pos(col, i, width).cast("int") + 1)
+        F.element_at(long_array_lit(matrix[i]), _cms_pos(col, i, width).cast("int") + 1)
         for i in range(depth)
     ]
     return F.least(*ests) if len(ests) > 1 else ests[0]
