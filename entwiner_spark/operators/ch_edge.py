@@ -222,6 +222,22 @@ class EdgeBasedCH:
             banned_turns=banned_turns,
             via_splits=via_splits,
         )
+        # One materialization each for the minor's frames: the build
+        # consumes them through several independent actions (dispatch
+        # count, local-build collects or the pregel seed checkpoint,
+        # the terminal registry below), and every action would
+        # otherwise re-execute the full linegraph derivation — the
+        # base-edge self-join plus, for OSM-backed graphs, the parse
+        # pipeline.  Lazy checkpoints keep plan/partitioning intact
+        # (values identical); _pre_partitioned skips re-exchanging the
+        # already _u-partitioned edge frame.
+        from entwiner_spark.operators.graph import SparkGraph
+
+        minor = SparkGraph(
+            minor.nodes.localCheckpoint(eager=False),
+            minor.edges.localCheckpoint(eager=False),
+            _pre_partitioned=True,
+        )
         ch = ContractionHierarchy.build(minor, weight="w", **ch_kwargs)
         w0 = (
             F.col(weight).cast("double")
