@@ -437,7 +437,12 @@ def banned_turn_pairs(
                 sorted(vw_pairs), out.schema
             )
         ).distinct()
-    return out
+    # The pair set is restriction-sized but its plan chains the edge
+    # table twice (approach/depart sides); consumers reference it
+    # repeatedly (the minor's anti-join, hierarchy turn fingerprints),
+    # so truncate the plan once — analysis and re-execution of the
+    # producing joins collapse to a single materialization.
+    return out.localCheckpoint(eager=False)
 
 
 def _via_way_resolved(
@@ -1198,6 +1203,13 @@ def graph_from_osm(
     )
     if with_traversal_time:
         edges = traversal_seconds(edges, speeds=speeds)
+    # One parse execution for the whole family: nodes_from_edges, the
+    # restriction expansion, and every caller action all reference the
+    # edge frame independently, and each reference would otherwise
+    # re-run the XML parse + junction-split pipeline.  A lazy
+    # checkpoint truncates the logical plan now and materializes on
+    # the first action; values and schema are untouched.
+    edges = edges.localCheckpoint(eager=False)
     attrs = (
         node_attrs_from_osm(elems, node_attr_keys, precision=precision)
         if node_attr_keys
