@@ -707,30 +707,36 @@ def standardize(
     written explicitly as ``s - m*m`` so both engines share the
     expression tree.
     """
-    v = F.col(vec_col)
+    # SQL-string twins of the per-dim Column chains (r16 §1.2: the
+    # 2*dim aggregates + dim CASE projections cost one py4j round trip
+    # per expression NODE through the Column API — plan construction
+    # dominated the query; the parsed trees are identical).
+    vs = f"`{vec_col}`"
 
-    def x(i: int) -> Column:
-        return v[i].cast("double")
+    def x(i: int) -> str:
+        return f"CAST({vs}[{i}] AS DOUBLE)"
 
     stats = emb.agg(
-        *[F.round(F.avg(x(i)), stats_dp).alias(f"m{i}") for i in range(dim)],
-        *[F.round(F.avg(x(i) * x(i)), stats_dp).alias(f"s{i}") for i in range(dim)],
+        *[
+            F.expr(f"round(avg({x(i)}), {stats_dp}) AS m{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.expr(f"round(avg({x(i)} * {x(i)}), {stats_dp}) AS s{i}")
+            for i in range(dim)
+        ],
     )
-    zs = [
-        F.when(
-            F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}") <= 0, F.lit(0.0)
+
+    def z(i: int) -> str:
+        var = f"s{i} - m{i} * m{i}"
+        return (
+            f"CASE WHEN {var} <= 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE round(({x(i)} - m{i}) / sqrt({var}), {round_dp}) END"
         )
-        .otherwise(
-            F.round(
-                (x(i) - F.col(f"m{i}"))
-                / F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}")),
-                round_dp,
-            )
-        )
-        for i in range(dim)
-    ]
-    return emb.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), F.array(*zs).alias("z")
+
+    return emb.crossJoin(F.broadcast(stats)).selectExpr(
+        f"`{id_col}`",
+        "array(" + ", ".join(z(i) for i in range(dim)) + ") AS z",
     )
 
 
@@ -770,26 +776,39 @@ def ivfpq_encode(
             for k, c in enumerate(centroids)
         ],
     ).repartition(F.col(id_col))
-    m = F.least(*[F.col(f"_d{k}") for k in range(n_k)])
-    ci = None
-    for k in range(n_k):
-        cond = F.col(f"_d{k}") == m
-        ci = F.when(cond, F.lit(k)) if ci is None else ci.when(cond, F.lit(k))
-    res_elems = []
-    for i in range(dim):
-        sel = None
-        for k in range(n_k):
-            sel = (
-                F.when(F.col("centroid") == k, F.lit(float(centroids[k][i])))
-                if sel is None
-                else sel.when(F.col("centroid") == k, F.lit(float(centroids[k][i])))
+    # Argmin CASEs and the dim x K residual fan-out as SQL strings
+    # (r16 §1.2 — same twin discipline as the distance chains above;
+    # parsed trees identical, plan construction collapses).
+    m_sql = "least(" + ", ".join(f"_d{k}" for k in range(n_k)) + ")"
+    ci_sql = (
+        "CASE "
+        + " ".join(f"WHEN _d{k} = {m_sql} THEN {k}" for k in range(n_k))
+        + " END"
+    )
+
+    def cent_case(i: int) -> str:
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN centroid = {k} THEN "
+                f"CAST({float(centroids[k][i])!r} AS DOUBLE)"
+                for k in range(n_k)
             )
-        res_elems.append(F.col("_v")[i].cast("double") - sel)
-    staged = base.select(
-        F.col(id_col), ci.cast("int").alias("centroid"), F.col("_v")
+            + " END"
+        )
+
+    staged = base.selectExpr(
+        f"`{id_col}`", f"CAST(({ci_sql}) AS INT) AS centroid", "_v"
     ).repartition(F.col(id_col))
-    resid = staged.select(
-        F.col(id_col), F.col("centroid"), F.array(*res_elems).alias("_r")
+    resid = staged.selectExpr(
+        f"`{id_col}`",
+        "centroid",
+        "array("
+        + ", ".join(
+            f"CAST(_v[{i}] AS DOUBLE) - ({cent_case(i)})"
+            for i in range(dim)
+        )
+        + ") AS _r",
     ).repartition(F.col(id_col))
     offset, d_cols = 1, []
     for s, cb in enumerate(codebooks):
@@ -805,13 +824,18 @@ def ivfpq_encode(
     )
     outs = []
     for s, cb in enumerate(codebooks):
-        ms = F.least(*[F.col(f"_e{s}_{k}") for k in range(len(cb))])
-        expr = None
-        for k in range(len(cb)):
-            cond = F.col(f"_e{s}_{k}") == ms
-            expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
-        outs.append(expr.cast("int").alias(f"code_{s}"))
-    return pqd.select(F.col(id_col), F.col("centroid"), *outs)
+        ms = "least(" + ", ".join(
+            f"_e{s}_{k}" for k in range(len(cb))
+        ) + ")"
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN _e{s}_{k} = {ms} THEN {k}" for k in range(len(cb))
+            )
+            + " END"
+        )
+        outs.append(f"CAST(({case}) AS INT) AS code_{s}")
+    return pqd.selectExpr(f"`{id_col}`", "centroid", *outs)
 
 
 def semdedup(
