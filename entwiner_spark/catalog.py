@@ -232,17 +232,25 @@ def j2_revenue_by_nation(spark, sf_dir):
     """Multi-way equi join (J2): nation is broadcast (25 rows), the
     join tree is ordered so LINEITEM — the largest table at every
     scale — is always the STREAMED side, and the top join is pinned
-    SORT-MERGE (guide §3.1: pick the strategy deliberately).  Left to
-    its estimates the planner build-and-broadcasts the column-pruned
+    SHUFFLED-HASH built on the orders⋈customer side (guide §3.1: pick
+    the strategy deliberately; prefer shuffled-hash over sort-merge
+    when one side is moderately small per partition).  Left to its
+    estimates the planner build-and-broadcasts the column-pruned
     lineitem — the biggest table — because the 3-column scan estimate
-    slips under the 10 MB threshold while the joined orders side's
+    slips under the broadcast threshold while the joined orders side's
     estimate is inflated; the single-threaded 600k-row hash-relation
-    build was the measured bottleneck (warm noop 0.73 s vs 0.43 s).
+    build was the measured bottleneck (warm noop 0.92 s vs 0.65 s).
     The orders⋈customer⋈nation side is projected to (o_orderkey,
     n_name) before the exchange (§2.3: project before the exchange),
-    so both SMJ inputs shuffle only what the aggregate needs; at
-    cluster scale this is exactly the plan the planner would pick with
-    honest sizes, and it spills gracefully where a hash build cannot."""
+    so both join inputs shuffle only what the aggregate needs.  Vs the
+    r16-batch-2 sort-merge pin, shuffled-hash drops BOTH per-partition
+    sorts (alternating-order warm A/B, 10 noop reps each: median 0.379
+    vs 0.426 s, settling 0.37 vs 0.40 s; results identical).  Scale-
+    safe build side: the built
+    relation is |orders| rows of (orderkey, n_name) split across the
+    shuffle partitions — with partitions sized to track bytes (§2.2)
+    each per-partition build fits memory, orderkey is near-unique so
+    no hot key concentrates it, and AQE skew-split applies to SHJ."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
@@ -251,7 +259,7 @@ def j2_revenue_by_nation(spark, sf_dir):
     ocn = (
         o.join(cn, o["o_custkey"] == c["c_custkey"])
         .select(o["o_orderkey"].alias("_ok"), "n_name")
-        .hint("shuffle_merge")
+        .hint("shuffle_hash")
     )
     return (
         li.join(ocn, li["l_orderkey"] == F.col("_ok"))

@@ -835,6 +835,17 @@ class SparkGraph:
         ``(old_state, new_state) -> bool`` implements custom
         tolerance-style convergence, probed every ``check_every``
         rounds.
+
+        A size-derived ``scoped_shuffle_partitions`` wrapper around
+        this loop was A/B-measured in r16 and NOT adopted: pregel
+        users' per-round state is the full node spine joined against
+        the triplet base (~|E| rows through every round's shuffles),
+        where AQE's runtime coalescing already sizes the partitions —
+        LPA/CC/kcore fixtures at 100-200k nodes timed identical with
+        and without the wrapper (5.8-6.3 s LPA, 36.8/36.9 s CC), unlike
+        the SSSP/CH loops whose shuffled state is a wavefront-sized
+        spine.  Float-sum users (pagerank, betweenness) additionally
+        must not change partial-aggregate grouping (last-ulp results).
         """
         state_cols = list(state.columns)
         agg_names = {"agg"} if not isinstance(agg, dict) else set(agg)
@@ -977,6 +988,15 @@ class SparkGraph:
         # scale ceil(|E|/25k) exceeds the session setting and this is
         # a no-op; values are partition-invariant (min-merge).
         n_edges = adj.count()
+        # Re-caching adj at the size-derived width (fewer scan tasks
+        # per round when the frontier is tiny) was A/B-measured in r16
+        # and NOT adopted: a graph CONSTRUCTED at the derived width is
+        # ~20% faster per query (4.3 s vs 5.0 s, 12 bounded rounds at
+        # 200k edges), but resizing INSIDE the operator pays a
+        # cache-to-cache copy per call that eats the savings (quiet
+        # medians 4.33 s resized vs 3.76 s leaving the 32-partition
+        # cache alone).  The construction-time `partitions=` knob is
+        # the right place for that choice.
 
         schema = T.StructType(
             [

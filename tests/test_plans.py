@@ -25,6 +25,19 @@ def test_j2_broadcasts_nation(spark):
     assert any("BroadcastHashJoin" in l for l in lines)
 
 
+def test_j2_top_join_shuffled_hash(spark):
+    """r16: the top li⋈(o⋈c⋈n) join is pinned SHUFFLED-HASH built on
+    the projected orders⋈customer side (guide §3.1) — neither side
+    pays a per-partition sort, and lineitem is never the build side."""
+    from entwiner_spark import catalog
+    from entwiner_spark.plans import plan_summary
+
+    df = catalog.QUERIES["j2_revenue_by_nation"](spark, SF)
+    lines = plan_summary(df)
+    assert any("ShuffledHashJoin" in l for l in lines)
+    assert not any("SortMergeJoin" in l for l in lines)
+
+
 def test_topk_uses_take_ordered(spark):
     from entwiner_spark import catalog
     from entwiner_spark.plans import plan_summary
