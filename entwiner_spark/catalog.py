@@ -60,11 +60,21 @@ def q(name: str, sql: str | None):
 # skips that repeated driver-side metadata work.  Only METADATA is
 # held — every action against the handle still scans the parquet
 # files, so no result or data caching is introduced.
-_TABLE_HANDLES: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session: ``id()`` of a stopped,
+    garbage-collected session can be REUSED by a new one in the same
+    process, handing back a DataFrame bound to a dead SparkContext
+    (r16 VERDICT item 3).  applicationId + startTime survives that:
+    a restarted context always gets a fresh pair."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     df = _TABLE_HANDLES.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -73,7 +83,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Scan-fanout decision per (session, table): see _fanout.
-_FANOUT_DECISIONS: dict[tuple[int, str, str], bool] = {}
+_FANOUT_DECISIONS: dict[tuple[str, str, str], bool] = {}
 
 
 def _fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,7 +98,7 @@ def _fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     maxPartitionBytes, so the round-robin shuffle is trivially cheap
     next to the per-row work it parallelizes."""
     df = _t(spark, sf_dir, name)
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     spread = _FANOUT_DECISIONS.get(key)
     if spread is None:
         par = spark.sparkContext.defaultParallelism
@@ -215,6 +225,35 @@ def p7_distinct_pairs(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
+def _hash_join_build_fits(spark: SparkSession, path: str) -> bool:
+    """Gate for pinning a SHUFFLED-HASH join (r16-ADVICE): SHJ builds
+    cannot spill, so the pin is only safe when each per-partition hash
+    build provably fits executor memory.  Estimate the build side from
+    its source's on-disk bytes (driver-side stat, no Spark job; the
+    projected build is narrower than the stored table, which roughly
+    cancels parquet compression) divided by the session's shuffle
+    partitions, and require a wide margin under a 64 MB per-partition
+    budget.  Unknown size (non-local filesystem) -> False: the caller
+    falls back to sort-merge, which spills gracefully.  On real
+    clusters shuffle partitions must be raised to track bytes (§2.2)
+    for the gate to keep passing — that is the documented contract."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            total = sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _dirs, files in _os.walk(path)
+                for f in files
+            )
+        else:
+            total = _os.path.getsize(path)
+    except OSError:
+        return False
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return total / max(parts, 1) < 64 * 1024 * 1024
+
+
 @q(
     "j2_revenue_by_nation",
     """
@@ -245,21 +284,28 @@ def j2_revenue_by_nation(spark, sf_dir):
     so both join inputs shuffle only what the aggregate needs.  Vs the
     r16-batch-2 sort-merge pin, shuffled-hash drops BOTH per-partition
     sorts (alternating-order warm A/B, 10 noop reps each: median 0.379
-    vs 0.426 s, settling 0.37 vs 0.40 s; results identical).  Scale-
-    safe build side: the built
-    relation is |orders| rows of (orderkey, n_name) split across the
-    shuffle partitions — with partitions sized to track bytes (§2.2)
-    each per-partition build fits memory, orderkey is near-unique so
-    no hot key concentrates it, and AQE skew-split applies to SHJ."""
+    vs 0.426 s, settling 0.37 vs 0.40 s; results identical).
+
+    Scale safety (r16-ADVICE follow-up): a pinned SHJ build cannot
+    spill, so the hint is GATED on ``_hash_join_build_fits`` — the
+    estimated per-partition build of |orders| (orderkey, n_name) rows
+    must fit a 64 MB budget, else the pin falls back to shuffle_merge
+    (sorts, but spills gracefully).  orderkey is near-unique so no hot
+    key concentrates a build, and AQE skew-split applies to SHJ."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    top_hint = (
+        "shuffle_hash"
+        if _hash_join_build_fits(spark, f"{sf_dir}/orders.parquet")
+        else "shuffle_merge"
+    )
     ocn = (
         o.join(cn, o["o_custkey"] == c["c_custkey"])
         .select(o["o_orderkey"].alias("_ok"), "n_name")
-        .hint("shuffle_hash")
+        .hint(top_hint)
     )
     return (
         li.join(ocn, li["l_orderkey"] == F.col("_ok"))
@@ -3536,8 +3582,8 @@ def g_time_profile_turn(spark, sf_dir):
     bans = spark.createDataFrame(
         [(ids[1], ids[4], ids[4], ids[3])], ["_u1", "_v1", "_u2", "_v2"]
     )
-    out = []
-    for scen, bt in (("free", None), ("banned", bans)):
+    def _scenario(item):
+        scen, bt = item
         eb = EdgeBasedCH.build(
             g,
             weight="_traversal_sec",
@@ -3546,10 +3592,21 @@ def g_time_profile_turn(spark, sf_dir):
             customizable=True,
         )
         profs = eb.time_profiles(edges, _TP_BUCKETS)
+        rows = []
         for bucket in sorted(_TP_BUCKETS):
             path, cost = profs[bucket].route(ids[1], ids[3])
             for i, n in enumerate(path):
-                out.append((scen, bucket, i, refs[n], round(cost, 3)))
+                rows.append((scen, bucket, i, refs[n], round(cost, 3)))
+        return rows
+
+    # the two scenarios are independent builds over the same frames —
+    # overlap them (guide §2.6); rows assembled in the fixed scenario
+    # order, so the result is byte-identical to the serial loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        parts = list(pool.map(_scenario, (("free", None), ("banned", bans))))
+    out = [r for rows in parts for r in rows]
     return spark.createDataFrame(
         out,
         "scenario string, bucket string, step long, node_ref long, "

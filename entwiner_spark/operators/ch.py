@@ -608,7 +608,9 @@ class ContractionHierarchy:
         import time as _time
 
         debug = os.environ.get("CH_BUILD_DEBUG") == "1"
-        unranked = all_nodes.localCheckpoint(eager=True)
+        # lazy checkpoint + count fold: the count materializes the
+        # checkpoint and returns the probe value in one scheduled job
+        unranked = all_nodes.localCheckpoint(eager=False)
         n_left = unranked.count()
         rounds = 0
         for r in range(1, max_rounds + 1):
@@ -666,7 +668,9 @@ class ContractionHierarchy:
                 )
                 .select("_n")
             )
-            isdf = rebase_checkpoint(isdf)
+            # lazy rebase + count fold (one job; the count is the
+            # first and only action before isdf is re-referenced)
+            isdf = rebase_checkpoint(isdf, eager=False)
             n_left -= isdf.count()
             inc = active.join(
                 isdf.withColumnRenamed("_n", "_v"), "_v"
@@ -1428,13 +1432,19 @@ class ContractionHierarchy:
                     F.col("b.dist").alias("dist"),
                     F.col("b._new").alias("_imp"),
                 )
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint: the probe count below computes every
+                # partition of this frame anyway (the filter is narrow),
+                # so one job both materializes the round AND answers the
+                # convergence probe — the eager+limit(1) form paid two
+                # scheduled jobs per round for the same work (r17, guide
+                # §1.2 remove driver round-trips)
+                .localCheckpoint(eager=False)
             )
             dist = merged.select("side", "origin", "_n", "dist")
             frontier = merged.filter(F.col("_imp")).select(
                 "side", "origin", "_n", "dist"
             )
-            if frontier.limit(1).count() == 0:
+            if frontier.count() == 0:
                 break
         else:
             upk.unpersist()
@@ -1607,11 +1617,13 @@ class ContractionHierarchy:
                         F.col("b.dist").alias("dist"),
                         F.col("b._new").alias("_imp"),
                     )
-                    .localCheckpoint(eager=True)
+                    # lazy checkpoint + full-count probe: one scheduled
+                    # job per round (see distance_matrix)
+                    .localCheckpoint(eager=False)
                 )
                 dist = merged.select("_n", "dist")
                 frontier = merged.filter(F.col("_imp")).select("_n", "dist")
-                if frontier.limit(1).count() == 0:
+                if frontier.count() == 0:
                     return dist
             raise RuntimeError(
                 f"sssp {phase} phase hit the iteration cap; raise "
@@ -1714,13 +1726,15 @@ class ContractionHierarchy:
                         F.col("b.dist").alias("dist"),
                         F.col("b._new").alias("_imp"),
                     )
-                    .localCheckpoint(eager=True)
+                    # lazy checkpoint + full-count probe: one scheduled
+                    # job per round (see distance_matrix)
+                    .localCheckpoint(eager=False)
                 )
                 dist = merged.select("src", "_n", "dist")
                 frontier = merged.filter(F.col("_imp")).select(
                     "src", "_n", "dist"
                 )
-                if frontier.limit(1).count() == 0:
+                if frontier.count() == 0:
                     return dist
             raise RuntimeError(
                 f"sssp_multi {phase} phase hit the iteration cap; "
@@ -1906,13 +1920,15 @@ class ContractionHierarchy:
                     F.col("b.pred").alias("pred"),
                     F.col("b._new").alias("_imp"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy checkpoint + full-count probe: one scheduled job
+                # per round (see distance_matrix)
+                .localCheckpoint(eager=False)
             )
             dist = merged.select("side", "origin", "_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select(
                 "side", "origin", "_n", "dist"
             )
-            if frontier.limit(1).count() == 0:
+            if frontier.count() == 0:
                 break
         else:
             upk.unpersist()
@@ -2215,7 +2231,11 @@ class ContractionHierarchy:
                     F.col("b.pred").alias("pred"),
                     F.col("b._new").alias("_imp"),
                 )
-                .localCheckpoint(eager=True)
+                # probe rounds: LAZY checkpoint — the probe's aggregate
+                # below scans every partition of this frame, so its one
+                # job both materializes the round and answers the probe
+                # (non-probe rounds keep the eager materialization)
+                .localCheckpoint(eager=not probe)
             )
             dist = merged.select("side", "_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select(

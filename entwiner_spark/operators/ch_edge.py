@@ -669,8 +669,9 @@ class EdgeBasedCH:
             "_edge_v",
             F.col("_w0").alias("_wb"),
         )
-        out = {}
-        for name, (dow, minute) in buckets.items():
+
+        def _one_bucket(item):
+            name, (dow, minute) = item
             wnew = traversal_seconds_at(
                 edges,
                 dow,
@@ -707,13 +708,27 @@ class EdgeBasedCH:
                 F.col("_wn").alias("_w0"),
             )
             tfp = self.turn_fingerprint
-            out[name] = EdgeBasedCH(
+            return name, EdgeBasedCH(
                 self.ch.customize(arcs, strategy=strategy),
                 nterm.localCheckpoint(eager=False),
                 self.base_fingerprint,
                 (tfp or "") + f"|bucket={name}:{dow}:{minute}",
             )
-        return out
+
+        # Buckets are independent re-metrics of the same hierarchy —
+        # overlap their customize passes (guide §2.6: the next bucket's
+        # jobs back-fill the scheduler while the previous one sits in
+        # per-level driver latency).  2-3 in flight is plenty; each
+        # bucket's result is identical to the serial form (customize is
+        # a pure function of (arcs, hierarchy); the scoped shuffle conf
+        # both threads touch derives the same value and only affects
+        # partition counts of partition-invariant merges).
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(buckets.items())
+        with ThreadPoolExecutor(max_workers=min(3, max(1, len(items)))) as pool:
+            results = dict(pool.map(_one_bucket, items))
+        return {name: results[name] for name, _ in items}
 
     def isochrone(
         self,

@@ -123,6 +123,20 @@ def band_keys(k: int, bands: int) -> list:
             "rows would be silently ignored, lowering recall"
         )
     rows_per_band = k // bands
+    if rows_per_band * 31 <= 63:
+        # Shuffle fewer bytes (guide §2.3): each minhash component is
+        # < 2^31 - 1 (mod MERSENNE_P), so up to two pack LOSSLESSLY
+        # into one BIGINT — key equality is exactly component-tuple
+        # equality, the same pairs as the concat_ws(":") string form,
+        # but the band self-join exchanges 8 fixed bytes per row
+        # instead of a 13-22 char string.
+        def _packed(b: int):
+            key = F.col(f"m{b * rows_per_band}").cast("long")
+            for j in range(1, rows_per_band):
+                key = F.shiftleft(key, 31) + F.col(f"m{b * rows_per_band + j}")
+            return key
+
+        return [_packed(b) for b in range(bands)]
     return [
         F.concat_ws(
             ":", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]

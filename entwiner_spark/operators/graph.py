@@ -36,8 +36,16 @@ from pyspark.sql import types as T
 from entwiner_spark.operators import spatial
 
 
-def rebase_checkpoint(df: DataFrame) -> DataFrame:
+def rebase_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint(eager=True)`` with full provenance severing.
+
+    ``eager=False`` defers materialization to the caller's next action
+    over the returned frame (the probe-fold pattern: a count that
+    immediately follows both materializes the checkpoint and answers
+    the probe in ONE scheduled job).  Only safe when that action runs
+    before the frame is referenced more than once — the plan is
+    already a bare ExternalRDD scan either way, so Catalyst analysis
+    stays flat; it is the RDD compute that must not be repeated.
 
     ``Dataset.localCheckpoint`` truncates plan and RDD lineage but the
     returned Dataset still carries origin metadata from the plan it
@@ -64,9 +72,9 @@ def rebase_checkpoint(df: DataFrame) -> DataFrame:
         # Spark Connect: py4j internals absent.  Plain localCheckpoint
         # keeps correctness; only the flat-self-join-loop perf
         # mitigation is lost.
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     jdf = spark._jsparkSession.createDataFrame(df._jdf.javaRDD(), df._jdf.schema())
-    return DataFrame(jdf, spark).localCheckpoint(eager=True)
+    return DataFrame(jdf, spark).localCheckpoint(eager=eager)
 
 
 class FixpointProbe:
@@ -872,7 +880,10 @@ class SparkGraph:
             )
         except (TypeError, ValueError):
             wants_prev = False
-        state = state.localCheckpoint(eager=True)
+        # probe-fold: when the signature probe runs right after the
+        # checkpoint, a lazy checkpoint lets the probe's aggregate job
+        # materialize the frame — one scheduled job per round, not two
+        state = state.localCheckpoint(eager=halt is not None)
         probe = FixpointProbe(*state_cols) if halt is None else None
         if probe is not None:
             probe.converged(state)
@@ -898,10 +909,16 @@ class SparkGraph:
                         f"got {new_state.columns}"
                     )
                 new_state = new_state.select(*state_cols)
+                # rounds with a signature probe fold the checkpoint
+                # materialization into the probe's aggregate job
+                will_probe = halt is None or (
+                    halt is not False
+                    and ((it + 1) % check_every == 0 or it == max_iterations - 1)
+                )
                 if rebase_every and (it + 1) % rebase_every == 0:
-                    new_state = rebase_checkpoint(new_state)
+                    new_state = rebase_checkpoint(new_state, eager=not will_probe)
                 else:
-                    new_state = new_state.localCheckpoint(eager=True)
+                    new_state = new_state.localCheckpoint(eager=not will_probe)
                 done = False
                 if halt is None:
                     done = probe.converged(new_state)
@@ -1108,14 +1125,18 @@ class SparkGraph:
                     (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).alias("_imp"),
                 )
             )
-            # ONE eager checkpoint per round materializes the merge
-            # and severs lineage, keeping every iteration's plan flat.
+            # ONE checkpoint per round materializes the merge and
+            # severs lineage, keeping every iteration's plan flat.
             # Two lazier cadences were measured and REJECTED on the
             # 200k-edge stress: lazy-uncached windows recompute 2^k
             # subtrees (4x worse), and persist()-ed windows with a
             # probe-boundary checkpoint pay memory-store overhead for
-            # no job savings (25% worse than eager).
-            merged = merged.localCheckpoint(eager=True)
+            # no job savings (25% worse than eager).  On PROBE rounds
+            # the checkpoint is LAZY: the probe's frontier.count()
+            # scans every partition of the merge anyway, so one
+            # scheduled job both materializes the round and answers
+            # the probe (r17 fold; non-probe rounds stay eager).
+            merged = merged.localCheckpoint(eager=not probe)
             dist = merged.select("_n", "dist")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
             if probe:
@@ -1332,7 +1353,9 @@ class SparkGraph:
                     F.col("best.pred").alias("pred"),
                     F.col("best._new").alias("_imp"),
                 )
-                .localCheckpoint(eager=True)
+                # probe rounds: lazy — the probe aggregate below both
+                # materializes the round and answers the probe (fold)
+                .localCheckpoint(eager=not probe)
             )
             dist = merged.select("_n", "dist", "pred")
             frontier = merged.filter(F.col("_imp")).select("_n", "dist")
@@ -1417,7 +1440,8 @@ class SparkGraph:
                 .select(F.col("pred").alias("_n"))
                 .filter(F.col("_n").isNotNull())
             )
-            anc = anc.unionByName(ext).distinct().localCheckpoint(eager=True)
+            # lazy + count fold (one job materializes and probes)
+            anc = anc.unionByName(ext).distinct().localCheckpoint(eager=False)
             new_n = anc.count()
             if new_n == n_anc:
                 break
@@ -1762,7 +1786,10 @@ class SparkGraph:
                 .select(F.col("m").alias("a"), F.col("a").alias("b"))
                 .unionByName(sm.select(F.col("m").alias("a"), F.col("b")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                # lazy: the probe's aggregate job right below both
+                # materializes the round and answers the probe (r17
+                # fold — one scheduled job per alternation, not two)
+                .localCheckpoint(eager=False)
             )
             edges = small
             if probe.converged(edges):
@@ -1843,7 +1870,10 @@ class SparkGraph:
                     *keys,
                     F.coalesce("pp", "p").alias("p"),
                     F.least("a", F.coalesce("pa", "a")).alias("a"),
-                )
+                ),
+                # probe-fold: converged()'s aggregate materializes the
+                # rebase before the next round's self-join
+                eager=False,
             )
             if probe.converged(fptr):
                 break
@@ -1956,7 +1986,10 @@ class SparkGraph:
                 lab.unionByName(relax)
                 .unionByName(jump)
                 .groupBy(*nk)
-                .agg(F.min("lab").alias("lab"))
+                .agg(F.min("lab").alias("lab")),
+                # probe-fold: converged() materializes before the next
+                # round's double reference (relax + jump self-join)
+                eager=False,
             )
             if probe.converged(lab):
                 break
@@ -2055,9 +2088,10 @@ class SparkGraph:
                 both = edges.select("part", F.col("_v").alias("_n")).intersect(
                     edges.select("part", F.col("_u").alias("_n"))
                 )
+                # lazy + count fold: one job materializes and probes
                 trivial = rem.join(
                     both, ["part", "_n"], "left_anti"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
                 n_triv = trivial.count()
                 if n_triv == 0:
                     break
@@ -2450,9 +2484,10 @@ class SparkGraph:
                     remaining.join(has_in, "_n", "left_anti")
                     .unionByName(remaining.join(has_out, "_n", "left_anti"))
                     .distinct()
-                    .localCheckpoint(eager=True)
+                    # lazy + count fold: one job materializes and probes
+                    .localCheckpoint(eager=False)
                 )
-                if trivial.limit(1).count() == 0:
+                if trivial.count() == 0:
                     break
                 finished.append(
                     trivial.select("_n", F.col("_n").alias("component"))
@@ -2529,9 +2564,11 @@ class SparkGraph:
                 .localCheckpoint(eager=True)
             )
             finished.append(member.select("_n", F.col("c").alias("component")))
+            # lazy: the end-of-pass completion probe below (count in
+            # both branches) materializes this checkpoint in its job
             remaining = remaining.join(
                 member.select("_n"), "_n", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             edges = (
                 edges.join(
                     member.select(F.col("_n").alias("_u")), "_u", "left_anti"
@@ -2567,7 +2604,9 @@ class SparkGraph:
                         )
                         done = True
             else:
-                done = remaining.limit(1).count() == 0
+                # full count (not limit(1)): the probe doubles as the
+                # lazy checkpoint's materialization above
+                done = remaining.count() == 0
             if done:
                 break
         else:
@@ -2715,9 +2754,10 @@ class SparkGraph:
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+        # lazy: round 1's alive.count() probe materializes it (fold)
         sym = ue.unionByName(
             ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         prev_alive = None
         deg = None
         for _ in range(max_iterations):
@@ -2732,7 +2772,9 @@ class SparkGraph:
             sym = (
                 sym.join(alive, "a", "left_semi")
                 .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
-                .localCheckpoint(eager=True)
+                # lazy: next round's alive.count() probe materializes
+                # this checkpoint in the same scheduled job (fold)
+                .localCheckpoint(eager=False)
             )
         else:
             raise RuntimeError(
@@ -3211,25 +3253,27 @@ class SparkGraph:
         for lv in range(max_iterations):
             if done:
                 break
+            # lazy + count fold: one job materializes and probes
             frontier = remaining.join(
                 edges.select(F.col("_v").alias("_n")).distinct(),
                 "_n",
                 "left_anti",
-            ).localCheckpoint(eager=True)
-            if frontier.limit(1).count() == 0:
+            ).localCheckpoint(eager=False)
+            if frontier.count() == 0:
                 raise ValueError(
                     "graph has a cycle; topological levels undefined"
                 )
             parts.append(frontier.select("_n", F.lit(lv).cast("long").alias("level")))
             remaining = remaining.join(frontier, "_n", "left_anti").localCheckpoint(
-                eager=True
+                eager=False
             )
             edges = edges.join(
                 frontier.withColumnRenamed("_n", "_u"), "_u", "left_anti"
             ).localCheckpoint(eager=True)
             # probe completion HERE so a depth-N DAG finishes with
-            # max_iterations == N instead of tripping the for-else
-            done = remaining.limit(1).count() == 0
+            # max_iterations == N instead of tripping the for-else;
+            # the full count also materializes the lazy checkpoint
+            done = remaining.count() == 0
             if done:
                 break
         else:
@@ -3407,16 +3451,18 @@ class SparkGraph:
         counts: list[int] = []
         _saturated = False
         if method == "exact":
+            # lazy + count folds throughout this loop: each count
+            # materializes the checkpoint it probes in one job
             pairs = nodes.select(
                 F.col("_n").alias("s"), F.col("_n").alias("d")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             counts.append(pairs.count())
             for _h in range(max_hops):
                 nxt = pairs.join(
                     edges.withColumnRenamed("_u", "d"), "d"
                 ).select("s", F.col("_v").alias("d"))
                 pairs = rebase_checkpoint(
-                    pairs.unionByName(nxt).distinct()
+                    pairs.unionByName(nxt).distinct(), eager=False
                 )
                 n = pairs.count()
                 if n == counts[-1]:  # saturated: N is monotone
@@ -3426,7 +3472,7 @@ class SparkGraph:
         elif method == "hll":
             state = nodes.groupBy("_n").agg(
                 F.hll_sketch_agg("_n", F.lit(lgk)).alias("sk")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             probe = FixpointProbe("_n", "sk")
             est = F.sum(F.hll_sketch_estimate("sk"))
             # seed the signature and take the hop-0 estimate in the
@@ -3441,7 +3487,8 @@ class SparkGraph:
                 state = rebase_checkpoint(
                     state.unionByName(msgs)
                     .groupBy("_n")
-                    .agg(F.hll_union_agg("sk").alias("sk"))
+                    .agg(F.hll_union_agg("sk").alias("sk")),
+                    eager=False,
                 )
                 done, row = probe.converged_with(state, est=est)
                 if done:  # balls saturated (exact-confirmed fixpoint)
@@ -3586,7 +3633,8 @@ class SparkGraph:
                 [(a, b, sup[(a, b)]) for a, b in edges], schema
             )
 
-        live = und.localCheckpoint(eager=True)
+        # lazy + count fold (one job materializes and probes)
+        live = und.localCheckpoint(eager=False)
         n_live = live.count()
         for _ in range(max_iterations):
             # degree-(re)oriented triangle enumeration on the current
@@ -3653,7 +3701,7 @@ class SparkGraph:
                 "a", "b", F.coalesce("support", F.lit(0)).alias("support")
             )
             keep = scored.filter(F.col("support") >= k - 2).localCheckpoint(
-                eager=True
+                eager=False
             )
             n_keep = keep.count()
             if n_keep == n_live:
@@ -3754,9 +3802,10 @@ class SparkGraph:
                     "v",
                 )
                 .filter(F.col("cu") != F.col("cv"))
-                .localCheckpoint(eager=True)
+                # lazy + count fold (one job materializes and probes)
+                .localCheckpoint(eager=False)
             )
-            if lab.limit(1).count() == 0:
+            if lab.count() == 0:
                 break
             # min outgoing edge per component, deterministic tiebreak;
             # carry the OTHER endpoint's component so the pick doubles
@@ -3773,8 +3822,11 @@ class SparkGraph:
             selc = (
                 cand.groupBy("comp")
                 .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))
-                .localCheckpoint(eager=True)
+                # lazy: the n_active count below materializes it before
+                # sel (and everything else) references it
+                .localCheckpoint(eager=False)
             )
+            n_active = selc.count()
             sel = selc.select(
                 F.col("m.u").alias("u"),
                 F.col("m.v").alias("v"),
@@ -3790,7 +3842,6 @@ class SparkGraph:
             # union-find (per-round job overhead dwarfs the work);
             # larger ones hook the larger label under the smaller and
             # square pointers — O(log depth) self-joins.
-            n_active = selc.count()
             if n_active <= self.RELABEL_LOCAL_THRESHOLD:
                 pairs = selc.select(
                     F.col("comp").alias("c"), F.col("m.other").alias("p")
@@ -3854,10 +3905,11 @@ class SparkGraph:
                             F.col("pp").alias("p"),
                             (F.col("p") != F.col("pp")).alias("_moved"),
                         )
-                        .localCheckpoint(eager=True)
+                        # lazy + count fold (one job per doubling round)
+                        .localCheckpoint(eager=False)
                     )
                     ptr = j.select("c", "p")
-                    if j.filter(F.col("_moved")).limit(1).count() == 0:
+                    if j.filter(F.col("_moved")).count() == 0:
                         break
                 else:
                     raise RuntimeError(
@@ -4335,9 +4387,10 @@ class SparkGraph:
                         F.lit(depth + 1).alias("level"),
                         F.col("sigma"),
                     )
-                    .localCheckpoint(eager=True)
+                    # lazy + count fold (one job materializes and probes)
+                    .localCheckpoint(eager=False)
                 )
-                if nxt.isEmpty():
+                if nxt.count() == 0:
                     break
                 lvl = lvl.unionByName(nxt).localCheckpoint(eager=False)
                 frontier = nxt
@@ -4974,7 +5027,8 @@ class SparkGraph:
                 ),
                 F.col("_out_eid").alias("_nxt"),
             )
-            .localCheckpoint(eager=True)
+            # lazy + count fold (one job materializes and probes)
+            .localCheckpoint(eager=False)
         )
         pending = state.filter(F.col("_nxt").isNotNull()).count()
         for _ in range(max_rounds):
@@ -5027,7 +5081,10 @@ class SparkGraph:
                         else []
                     ),
                     F.col("_t_nxt").alias("_nxt"),
-                )
+                ),
+                # probe-fold: the count below materializes the rebase
+                # before the next round's self-join references it
+                eager=False,
             )
             now = state.filter(F.col("_nxt").isNotNull()).count()
             if now == pending:  # plateau: only pure chain cycles left
