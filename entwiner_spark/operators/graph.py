@@ -4257,14 +4257,24 @@ class SparkGraph:
             return contracted.sssp_multi(
                 landmarks, strategy=strategy
             ).select("_n", F.col("dist").alias("_d"))
-        parts = []
-        for lm in landmarks:
-            d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)
-            parts.append(
-                d.select("_n", F.col("dist").alias("_d")).localCheckpoint(eager=False)
-            )
+        # per-landmark SSSPs are independent — overlap them (guide
+        # §2.6; one landmark's tail rounds leave the scheduler idle for
+        # the next one's frontier expansion).  Parts union in landmark
+        # order, so the assembled frame matches the serial loop.  The
+        # scoped shuffle conf concurrent loops touch derives the same
+        # data-sized value and only affects partition counts of
+        # partition-invariant min-merges.
+        from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
 
+        def _one(lm):
+            d = self.shortest_path_lengths(lm, weight=weight, strategy=strategy)
+            return d.select("_n", F.col("dist").alias("_d")).localCheckpoint(
+                eager=False
+            )
+
+        with ThreadPoolExecutor(max_workers=min(3, max(1, len(landmarks)))) as pool:
+            parts = list(pool.map(_one, landmarks))
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def betweenness(
@@ -4358,9 +4368,12 @@ class SparkGraph:
                 "exact distributed betweenness is |V| full passes; "
                 "pass a sampled `sources` list at scale"
             )
-        adj = self.edges.select("_u", "_v").localCheckpoint(eager=False)
-        total: DataFrame | None = None
-        for s in sources:
+        # eager: several per-source threads reference adj concurrently
+        # below, and a lazy checkpoint computed simultaneously by two
+        # first actions would run its plan twice
+        adj = self.edges.select("_u", "_v").localCheckpoint(eager=True)
+
+        def _one_source(s):
             lvl = self.spark.createDataFrame(
                 [(s, 0, 1.0)],
                 T.StructType(
@@ -4437,7 +4450,19 @@ class SparkGraph:
             part = delta.filter(F.col("_n") != s).select(
                 "_n", F.col("delta").alias("bc")
             )
-            part = part.localCheckpoint(eager=False)
+            return part.localCheckpoint(eager=False)
+
+        # per-source Brandes passes are independent — overlap them
+        # (guide §2.6: a source's tail levels leave the scheduler idle
+        # for the next source's BFS).  Parts are unioned in the given
+        # source order, so the assembled frame is the same as the
+        # serial loop's.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, max(1, len(sources)))) as pool:
+            parts = list(pool.map(_one_source, sources))
+        total: DataFrame | None = None
+        for part in parts:
             total = part if total is None else total.unionByName(part)
         out = total.groupBy("_n").agg(F.sum("bc").alias("betweenness"))
         # include zero-score nodes so the schema matches the local path

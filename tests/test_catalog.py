@@ -133,3 +133,25 @@ def test_registered_name_matches_function_name():
 
     bad = [(n, f.__name__) for n, f in QUERIES.items() if f.__name__ != n]
     assert not bad, bad
+
+
+def test_table_handle_key_survives_session_identity_reuse():
+    """r16-VERDICT item 3: the handle caches must NOT key on id(spark)
+    — a stopped, garbage-collected session's id() can be reused by a
+    new session in the same process, handing back a DataFrame bound to
+    a dead SparkContext.  The key must derive from (applicationId,
+    startTime), which a restarted context always refreshes."""
+    from entwiner_spark.catalog import _session_key
+
+    class _Ctx:
+        def __init__(self, app, t0):
+            self.applicationId, self.startTime = app, t0
+
+    class _Sess:
+        def __init__(self, app, t0):
+            self.sparkContext = _Ctx(app, t0)
+
+    a = _Sess("app-1", 111)
+    b = _Sess("app-2", 222)  # same id() slot in principle; new context
+    assert _session_key(a) != _session_key(b)
+    assert _session_key(a) == _session_key(_Sess("app-1", 111))

@@ -556,9 +556,17 @@ def test_ch_sssp_multi_matches_per_source(grid6):
     on both strategies."""
     g, ch, adj = grid6
     sources = ["0:0", "3:3", "5:0"]
+    # the per-source reference sweeps are independent — overlap them
+    # (guide §2.6); the want-map is assembled in source order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        ref = list(
+            pool.map(lambda s: ch.sssp(s, strategy="pregel").collect(), sources)
+        )
     want = {}
-    for s in sources:
-        for r in ch.sssp(s, strategy="pregel").collect():
+    for s, rows in zip(sources, ref):
+        for r in rows:
             want[(s, r["_n"])] = r["dist"]
     got = {
         (r["src"], r["_n"]): r["dist"]
@@ -707,12 +715,22 @@ def test_ch_customize_re_metric_exact(spark):
     adj2 = {}
     for r in new.collect():
         adj2.setdefault(r["_u"], []).append((r["_v"], r["w"]))
-    for strat in ("local", "pregel"):
+    # the two strategies' customize+route pipelines are independent —
+    # overlap them (guide §2.6); assertions unchanged per (strat, pair)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_strat(strat):
         cust = ch.customize(new, strategy=strat)
-        for s, t in [("0:0", "4:4"), ("0:0", "1:1"), ("3:0", "0:4")]:
-            got = cust.route(s, t, strategy=strat)
-            want = _dijkstra(adj2, s, t)
-            assert got[1] == pytest.approx(want, rel=1e-12), (strat, s, t)
+        return [
+            (strat, s, t, cust.route(s, t, strategy=strat))
+            for s, t in [("0:0", "4:4"), ("0:0", "1:1"), ("3:0", "0:4")]
+        ]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for results in pool.map(_one_strat, ("local", "pregel")):
+            for strat, s, t, got in results:
+                want = _dijkstra(adj2, s, t)
+                assert got[1] == pytest.approx(want, rel=1e-12), (strat, s, t)
     # same-metric customization reproduces the original routes
     cust0 = ch.customize(g.edges.select("_u", "_v", "w"))
     adj0 = {}

@@ -2365,16 +2365,27 @@ def test_astar_equals_raw_sssp_on_uw(uwG):
         (r["_u"], r["_v"]): r["_length"]
         for r in uwG.edges.select("_u", "_v", "_length").collect()
     }
-    checked = 0
-    for src, dst in pairs:
-        raw = uwG.shortest_path(src, dst, weight="_length", strategy="pregel")
-        ast = uwG.shortest_path(
+    # the 6 forced-pregel searches are independent — overlap them
+    # (guide §2.6); assertions run after all complete, unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _raw(src, dst):
+        return uwG.shortest_path(src, dst, weight="_length", strategy="pregel")
+
+    def _ast(src, dst):
+        return uwG.shortest_path(
             src,
             dst,
             weight="_length",
             strategy="pregel",
             heuristic=haversine_heuristic(dst),
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        raws = list(pool.map(lambda p: _raw(*p), pairs))
+        asts = list(pool.map(lambda p: _ast(*p), pairs))
+    checked = 0
+    for (src, dst), raw, ast in zip(pairs, raws, asts):
         assert (raw is None) == (ast is None)
         if raw is None:
             continue

@@ -72,28 +72,43 @@ def test_cli_query_and_list(tmp_path):
     `list` enumerates all names, unknown names get a suggestion.
     Run as subprocesses (like the build tests) so the CLI's
     spark.stop() cannot kill the shared test session."""
+    # the three invocations are independent subprocesses — run them
+    # concurrently so the suite pays ONE JVM-startup wall, not three
+    # (same commands, same assertions; each subprocess still starts
+    # its own SparkSession exactly as before)
+    from concurrent.futures import ThreadPoolExecutor
+
     def run(*args):
         return subprocess.run(
             [sys.executable, "-m", "entwiner_spark", *args],
             capture_output=True, text=True, cwd="/root/repo", timeout=600,
         )
 
-    res = run("list")
-    assert res.returncode == 0
-    names = res.stdout.split()
-    assert "a1_table_counts" in names and len(names) >= 150
-
     out = str(tmp_path / "q_out")
-    res = run("query", "o2_first_row", "--sf-dir", "/root/testdata/sf0.001",
-              "--out", out)
-    assert res.returncode == 0, res.stderr[-2000:]
-    import duckdb
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_list = pool.submit(run, "list")
+        f_query = pool.submit(
+            run, "query", "o2_first_row", "--sf-dir",
+            "/root/testdata/sf0.001", "--out", out,
+        )
+        f_typo = pool.submit(run, "query", "a1_table_count")  # typo
+        res = f_list.result()
+        assert res.returncode == 0
+        names = res.stdout.split()
+        assert "a1_table_counts" in names and len(names) >= 150
 
-    assert duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 1
+        res = f_query.result()
+        assert res.returncode == 0, res.stderr[-2000:]
+        import duckdb
 
-    res = run("query", "a1_table_count")  # typo
-    assert res.returncode != 0
-    assert "did you mean" in res.stderr
+        assert (
+            duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+            == 1
+        )
+
+        res = f_typo.result()
+        assert res.returncode != 0
+        assert "did you mean" in res.stderr
 
 
 def test_cli_apply_delta(tmp_path, tiny_geojson):
@@ -156,12 +171,19 @@ def test_cli_route(tmp_path, tiny_geojson, spark):
         assert r.returncode == 0, r.stderr[-2000:]
         return _json.loads(r.stdout.strip().splitlines()[-1])
 
-    plain = route()
+    # the three route invocations are independent subprocesses over the
+    # same read-only store — run them concurrently (one JVM-startup
+    # wall instead of three); commands and assertions unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_plain = pool.submit(route)
+        f_astar = pool.submit(route, "--astar", "--strategy", "pregel")
+        f_ch = pool.submit(route, "--via", "ch")
+        plain, astar, ch = f_plain.result(), f_astar.result(), f_ch.result()
     assert plain["reachable"] and plain["hops"] >= 1
     assert plain["path"][0] == src_id and plain["path"][-1] == dst_id
-    astar = route("--astar", "--strategy", "pregel")
     assert abs(astar["cost"] - plain["cost"]) < 1e-6
     # r13: full-CH routing from the CLI must agree too
-    ch = route("--via", "ch")
     assert abs(ch["cost"] - plain["cost"]) < 1e-6
     assert ch["path"][0] == src_id and ch["path"][-1] == dst_id
