@@ -1565,13 +1565,16 @@ class SparkGraph:
         A: list[tuple[list, float]] = [first]
         B: list[tuple[float, tuple]] = []
         seen = {tuple(first[0])}
+        from concurrent.futures import ThreadPoolExecutor
+
         while len(A) < k:
             prev = A[-1][0]
             pw = pair_weights(prev)
             prefix = [0.0]
             for a, b in zip(prev, prev[1:]):
                 prefix.append(prefix[-1] + pw[(a, b)])
-            for i in range(len(prev) - 1):
+
+            def _spur(i):
                 spur = prev[i]
                 root = prev[: i + 1]
                 removed = {
@@ -1599,13 +1602,22 @@ class SparkGraph:
                 # constructor's repartition (one full edge shuffle
                 # per spur otherwise; r13 ADVICE)
                 g_sub = SparkGraph(self.nodes, sub, _pre_partitioned=True)
-                r = g_sub.shortest_path(
+                return g_sub.shortest_path(
                     spur, target, weight="_w", strategy=strategy
                 )
+
+            # one Yen iteration's spur searches are independent (each
+            # reads only A and prev, fixed before the loop) — overlap
+            # them (guide §2.6); candidates are processed in spur-index
+            # order afterwards, so seen/heap behavior — and the k
+            # result routes — are identical to the serial loop
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                spur_results = list(pool.map(_spur, range(len(prev) - 1)))
+            for i, r in enumerate(spur_results):
                 if r is None:
                     continue
                 spath, scost = r
-                cand = tuple(root[:-1]) + tuple(spath)
+                cand = tuple(prev[: i]) + tuple(spath)
                 if cand in seen:
                     continue
                 seen.add(cand)
@@ -4273,7 +4285,12 @@ class SparkGraph:
                 eager=False
             )
 
-        with ThreadPoolExecutor(max_workers=min(3, max(1, len(landmarks)))) as pool:
+        # overlap only when the SSSPs actually run the distributed
+        # loop: the driver-local twin is GIL-bound Python where threads
+        # add overhead without overlap (A/B: 59.8/61.0 s threaded vs
+        # 57.6/58.5 s serial on the all-landmarks local-twin test)
+        workers = 1 if self._use_local(strategy, weight) else 3
+        with ThreadPoolExecutor(max_workers=min(workers, max(1, len(landmarks)))) as pool:
             parts = list(pool.map(_one, landmarks))
         return reduce(lambda a, b: a.unionByName(b), parts)
 

@@ -704,20 +704,20 @@ def test_scc_matches_networkx(spark):
     edges = spark.createDataFrame([(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"])
     nodes = edges.select(F.col("_u").alias("_n")).union(edges.select("_v")).distinct()
     g = SparkGraph(nodes, edges)
-    loc = {
-        r["_n"]: r["component"]
-        for r in g.strongly_connected_components(strategy="local").collect()
-    }
-    dist = {
-        r["_n"]: r["component"]
-        for r in g.strongly_connected_components(strategy="pregel").collect()
-    }
+    # the three strategies are independent runs over the same frames —
+    # overlap them (guide §2.6); assertions unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _scc(strategy):
+        return {
+            r["_n"]: r["component"]
+            for r in g.strongly_connected_components(strategy=strategy).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        loc, dist, fwbw = pool.map(_scc, ("local", "pregel", "fwbw"))
     assert loc == want
     assert dist == want
-    fwbw = {
-        r["_n"]: r["component"]
-        for r in g.strongly_connected_components(strategy="fwbw").collect()
-    }
     assert fwbw == want
 
 
@@ -850,6 +850,11 @@ def test_scc_fwbw_property_random_digraphs(spark):
     import random
 
     rng = random.Random(97)
+    # generate all trials first (rng order preserved), then overlap the
+    # independent fwbw/local runs (guide §2.6); assertions unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    trials = []
     for trial in range(3):
         n = 30 + trial * 10
         pairs = set()
@@ -857,8 +862,12 @@ def test_scc_fwbw_property_random_digraphs(spark):
             u, v = rng.randrange(n), rng.randrange(n)
             if u != v:
                 pairs.add((str(u), str(v)))
+        trials.append((trial, n, sorted(pairs)))
+
+    def _one(args):
+        trial, n, pairs = args
         edges = spark.createDataFrame(
-            [(u, v, 1.0) for u, v in sorted(pairs)], ["_u", "_v", "w"]
+            [(u, v, 1.0) for u, v in pairs], ["_u", "_v", "w"]
         )
         nodes = spark.createDataFrame(
             [(str(i),) for i in range(n)], ["_n"]
@@ -872,7 +881,11 @@ def test_scc_fwbw_property_random_digraphs(spark):
             r["_n"]: r["component"]
             for r in g.strongly_connected_components(strategy="fwbw").collect()
         }
-        assert got == want, f"trial {trial}"
+        return trial, want, got
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for trial, want, got in pool.map(_one, trials):
+            assert got == want, f"trial {trial}"
 
 
 def test_condensation_matches_networkx(spark):
