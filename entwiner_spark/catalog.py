@@ -2683,8 +2683,8 @@ def g_time_restriction(spark, sf_dir):
             (F.col("_u") == src_uv[0]) & (F.col("_v") == src_uv[1])
         ).collect()
     )
-    out = []
-    for scen, (dow, minute) in (("offpeak", (6, 480)), ("rush", (1, 480))):
+    def _scenario(item):
+        scen, (dow, minute) = item
         bans = banned_turn_pairs(edges, restrictions_at(res, dow, minute))
         minor = g.to_linegraph(
             weight="_length", allow_uturn=False, banned_turns=bans
@@ -2694,6 +2694,22 @@ def g_time_restriction(spark, sf_dir):
             r = minor.shortest_path(src, t, weight="w")
             if r is not None and (best is None or r[1] < best[1]):
                 best = r
+        return scen, best
+
+    # the two scenario pipelines (ban set → minor build → routes) are
+    # independent — overlap them (guide §2.6); rows assembled in the
+    # fixed scenario order, result identical
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(
+            pool.map(
+                _scenario,
+                (("offpeak", (6, 480)), ("rush", (1, 480))),
+            )
+        )
+    out = []
+    for scen, best in results:
         path, mcost = best
         cost = first_len + mcost
         for step, mid in enumerate(path):
@@ -3139,9 +3155,15 @@ def g_via_way_exact(spark, sf_dir):
         eb = EdgeBasedCH.build(
             g, weight="_length", banned_turns=bans, via_splits=splits
         )
+        # both scenario routes share the target: one origin-keyed
+        # route_matrix sweep instead of two sequential pregel loops
+        # (§2.4 remove jobs outright); per-source selection identical
+        scens = (("from_entry", 1), ("other_entry", 6))
+        routes = eb._route_many(
+            [ids[src] for _, src in scens], ids[5], strategy="pregel"
+        )
         rows = []
-        for scen, src in (("from_entry", 1), ("other_entry", 6)):
-            path, cost = eb.route(ids[src], ids[5], strategy="pregel")
+        for (scen, _), (path, cost) in zip(scens, routes):
             for i, n in enumerate(path):
                 rows.append((scen, i, node_ref[n], round(cost, 3)))
     finally:
@@ -3440,11 +3462,23 @@ def g_time_profile(spark, sf_dir):
         for r in edges.select("_u", "_u_ref").collect()
     }
     ids = {v: k for k, v in refs.items()}
-    out = []
-    for scen in sorted(_TP_BUCKETS):
-        path, cost = profiles[scen].route(
-            ids[1], ids[3], strategy="pregel"
+    # the per-bucket routes run on separate customized hierarchies —
+    # independent forced-pregel loops, overlap them (guide §2.6);
+    # rows assembled in sorted-bucket order, result identical
+    from concurrent.futures import ThreadPoolExecutor
+
+    scens = sorted(_TP_BUCKETS)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        routes = list(
+            pool.map(
+                lambda scen: profiles[scen].route(
+                    ids[1], ids[3], strategy="pregel"
+                ),
+                scens,
+            )
         )
+    out = []
+    for scen, (path, cost) in zip(scens, routes):
         for step, n in enumerate(path):
             out.append((scen, step, refs[n], round(cost, 3)))
     return spark.createDataFrame(
@@ -6464,14 +6498,22 @@ def g_eff_diameter(spark, sf_dir):
     HLL-sketch scale path lands within 3·rsd of them (lgk=12 → the
     25-node balls sit in sparse exact mode, so est == exact here)."""
     g = _graph_as_spark_graph(spark, sf_dir)
-    ex = g.effective_diameter(q=0.9, max_hops=10, method="exact")
-    ap = (
-        g.effective_diameter(q=0.9, max_hops=10, method="hll")
-        .select(
+    # exact and HLL are independent iterative sweeps over the same
+    # graph — overlap them (guide §2.6); outputs combined identically
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ex_f = pool.submit(
+            g.effective_diameter, q=0.9, max_hops=10, method="exact"
+        )
+        ap_f = pool.submit(
+            g.effective_diameter, q=0.9, max_hops=10, method="hll"
+        )
+        ex = ex_f.result()
+        ap = ap_f.result().select(
             F.col("effective_diameter").alias("eff_a"),
             F.col("avg_distance").alias("avg_a"),
         )
-    )
     # 1-row × 1-row join (both sides are single-row summary frames)
     return ex.crossJoin(ap).select(
         F.round("effective_diameter", 6).alias("effective_diameter"),

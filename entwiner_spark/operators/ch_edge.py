@@ -396,28 +396,65 @@ class EdgeBasedCH:
         costs, banned maneuvers absent), or None if no legal route
         exists.  One batched ``route_matrix`` over out-degree ×
         in-degree terminal pairs."""
-        if source == target:
-            return [source], 0.0
-        srcs = self._source_terminals(source)
-        tgts = self._target_terminals(target)
-        if not srcs or not tgts:
-            return None
-        rm = self.ch.route_matrix(
-            [s for s, _ in srcs],
-            tgts,
-            strategy=strategy,
+        return self._route_many(
+            [source], target, strategy=strategy,
             max_iterations=max_iterations,
-        )
-        w0 = dict(srcs)
-        best = None
-        for r in rm.collect():
-            c = w0[r["src"]] + r["dist"]
-            key = (c, str(r["src"]), str(r["dst"]))
-            if best is None or key < best[0]:
-                best = (key, r["path"])
-        if best is None:
-            return None
-        return self._decode(list(best[1])), best[0][0]
+        )[0]
+
+    def _route_many(
+        self,
+        sources: list,
+        target,
+        strategy: str = "auto",
+        max_iterations: int = 200,
+    ) -> list[tuple[list, float] | None]:
+        """Batch several point-to-point routes to one target into ONE
+        ``route_matrix`` sweep: the underlying search state is keyed
+        ``(origin, node)``, so k independent routes cost one pregel
+        loop instead of k (one job cadence, shared exchanges).  Result
+        i is exactly ``route(sources[i], target)`` — per-source best
+        selection and tie-breaks are unchanged."""
+        per_src: dict = {}
+        all_terms: list[tuple] = []
+        for source in dict.fromkeys(sources):
+            if source == target:
+                per_src[source] = "self"
+                continue
+            terms = self._source_terminals(source)
+            per_src[source] = terms
+            all_terms.extend(terms)
+        tgts = self._target_terminals(target) if all_terms else []
+        rows: list = []
+        if all_terms and tgts:
+            rm = self.ch.route_matrix(
+                [s for s, _ in all_terms],
+                tgts,
+                strategy=strategy,
+                max_iterations=max_iterations,
+            )
+            rows = rm.collect()
+        by_term: dict = {}
+        for r in rows:
+            by_term.setdefault(r["src"], []).append(r)
+        out: dict = {}
+        for source, terms in per_src.items():
+            if terms == "self":
+                out[source] = ([source], 0.0)
+                continue
+            w0 = dict(terms)
+            best = None
+            for s, _ in terms:
+                for r in by_term.get(s, ()):
+                    c = w0[r["src"]] + r["dist"]
+                    key = (c, str(r["src"]), str(r["dst"]))
+                    if best is None or key < best[0]:
+                        best = (key, r["path"])
+            out[source] = (
+                None
+                if best is None
+                else (self._decode(list(best[1])), best[0][0])
+            )
+        return [out[s] for s in sources]
 
     def route_matrix(
         self,

@@ -252,6 +252,9 @@ def test_ch_deep_hierarchy_path_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in ids], "_n string")
     g = SparkGraph(nodes, edges)
     ch = ContractionHierarchy.build(g, weight="w", strategy="local")
+    # measured: overlapping the local and pregel routes here is ~15%
+    # SLOWER (the local twin's driver-Python work contends with the
+    # ~200 per-level driver jobs of the pregel unpack) — keep serial
     pl, cl = ch.route(ids[0], ids[-1], strategy="local")
     pp, cp = ch.route(ids[0], ids[-1], strategy="pregel")
     assert cl == pytest.approx(float(n - 1))

@@ -2158,18 +2158,25 @@ def test_relabel_ids_roundtrip_parity(spark):
     so cc/scc compare as partitions; sssp/kcore compare value-exact."""
     g = _mkgraph(spark, _rand_triples(7))
     src = "n00"
-    want_sssp = {
-        r["_n"]: r["dist"]
-        for r in g.shortest_path_lengths(src, weight="w").collect()
-    }
-    want_cc = {}
-    for r in g.connected_components().collect():
-        want_cc.setdefault(r["component"], set()).add(r["_n"])
-    want_parts = {frozenset(v) for v in want_cc.values()}
-    want_core = {
-        (r["_n"], r["core_degree"]) for r in g.kcore(k=2).collect()
-    }
-    for method in ("hash", "dense"):
+
+    # the string-keyed baseline and the two relabeled pipelines are
+    # independent — overlap them (guide §2.6); assertions unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _baseline():
+        sssp = {
+            r["_n"]: r["dist"]
+            for r in g.shortest_path_lengths(src, weight="w").collect()
+        }
+        cc = {}
+        for r in g.connected_components().collect():
+            cc.setdefault(r["component"], set()).add(r["_n"])
+        core = {
+            (r["_n"], r["core_degree"]) for r in g.kcore(k=2).collect()
+        }
+        return sssp, {frozenset(v) for v in cc.values()}, core
+
+    def _relabeled(method):
         g2, mapping = g.relabel_ids(method=method)
         assert dict(g2.nodes.dtypes)["_n"] == "bigint"
         assert dict(g2.edges.dtypes)["_u"] == "bigint"
@@ -2183,20 +2190,28 @@ def test_relabel_ids_roundtrip_parity(spark):
                 ["_n"],
             ).collect()
         }
-        assert d == want_sssp, method
         cc = {}
         for r in SparkGraph.restore_ids(
             g2.connected_components(), mapping, ["_n", "component"]
         ).collect():
             cc.setdefault(r["component"], set()).add(r["_n"])
-        assert {frozenset(v) for v in cc.values()} == want_parts, method
         core = {
             (r["_n"], r["core_degree"])
             for r in SparkGraph.restore_ids(
                 g2.kcore(k=2), mapping, ["_n"]
             ).collect()
         }
-        assert core == want_core, method
+        return d, {frozenset(v) for v in cc.values()}, core
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        base_f = pool.submit(_baseline)
+        meth_f = {m: pool.submit(_relabeled, m) for m in ("hash", "dense")}
+        want_sssp, want_parts, want_core = base_f.result()
+        for method, f in meth_f.items():
+            d, got_parts, core = f.result()
+            assert d == want_sssp, method
+            assert got_parts == want_parts, method
+            assert core == want_core, method
     with pytest.raises(ValueError, match="method"):
         g.relabel_ids(method="bogus")
 
@@ -2214,46 +2229,53 @@ def test_relabel_ids_distributed_paths_on_long_keys(spark):
     g = _mkgraph(spark, sorted(set(triples)))
     g2, mapping = g.relabel_ids()
     mp = {r["_n"]: r["_id"] for r in mapping.collect()}
-    want = {
-        r["_n"]: r["dist"]
-        for r in g.shortest_path_lengths(
-            "n00", weight="w", strategy="pregel"
-        ).collect()
-    }
-    got = {
-        r["_n"]: r["dist"]
-        for r in SparkGraph.restore_ids(
-            g2.shortest_path_lengths(mp["n00"], weight="w", strategy="pregel"),
-            mapping,
-            ["_n"],
-        ).collect()
-    }
-    assert got == want
+
     def parts(rows):
         by = {}
         for r in rows:
             by.setdefault(r["component"], set()).add(r["_n"])
         return {frozenset(v) for v in by.values()}
 
-    assert parts(
-        SparkGraph.restore_ids(
+    # the six pregel runs below are independent pipelines over the two
+    # fixed graphs — overlap them (guide §2.6); assertions unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "want_sssp": lambda: g.shortest_path_lengths(
+            "n00", weight="w", strategy="pregel"
+        ).collect(),
+        "got_sssp": lambda: SparkGraph.restore_ids(
+            g2.shortest_path_lengths(mp["n00"], weight="w", strategy="pregel"),
+            mapping,
+            ["_n"],
+        ).collect(),
+        "got_scc": lambda: SparkGraph.restore_ids(
             g2.strongly_connected_components(strategy="pregel"),
             mapping,
             ["_n", "component"],
-        ).collect()
-    ) == parts(g.strongly_connected_components(strategy="pregel").collect())
-    pr_want = {
-        r["_n"]: r["rank"]
-        for r in g.pagerank(strategy="pregel", max_iterations=8).collect()
-    }
-    pr_got = {
-        r["_n"]: r["rank"]
-        for r in SparkGraph.restore_ids(
+        ).collect(),
+        "want_scc": lambda: g.strongly_connected_components(
+            strategy="pregel"
+        ).collect(),
+        "want_pr": lambda: g.pagerank(
+            strategy="pregel", max_iterations=8
+        ).collect(),
+        "got_pr": lambda: SparkGraph.restore_ids(
             g2.pagerank(strategy="pregel", max_iterations=8),
             mapping,
             ["_n"],
-        ).collect()
+        ).collect(),
     }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {k: pool.submit(f) for k, f in jobs.items()}
+        res = {k: f.result() for k, f in futs.items()}
+
+    want = {r["_n"]: r["dist"] for r in res["want_sssp"]}
+    got = {r["_n"]: r["dist"] for r in res["got_sssp"]}
+    assert got == want
+    assert parts(res["got_scc"]) == parts(res["want_scc"])
+    pr_want = {r["_n"]: r["rank"] for r in res["want_pr"]}
+    pr_got = {r["_n"]: r["rank"] for r in res["got_pr"]}
     assert set(pr_got) == set(pr_want)
     for n in pr_want:
         assert pr_got[n] == pytest.approx(pr_want[n], abs=1e-9), n

@@ -4,10 +4,42 @@ from __future__ import annotations
 
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cli_builds(tmp_path_factory, tiny_geojson):
+    """The four `build` CLI invocations the module needs are
+    independent subprocesses over the same read-only fixture — run
+    them concurrently ONCE so the module pays a single JVM-startup
+    wall instead of four (guide §2.6).  Commands identical to the
+    previous per-test runs; each consumer still asserts its own
+    returncode/stdout."""
+    base = tmp_path_factory.mktemp("cli_stores")
+
+    def build(name, extra):
+        out = str(base / name)
+        res = subprocess.run(
+            [sys.executable, "-m", "entwiner_spark", "build",
+             tiny_geojson, out, *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        return out, res
+
+    specs = {
+        "store": [],
+        "sstore": ["--spatial-cell-deg", "0.0005"],
+        "astore": [],
+        "rstore": [],
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {k: pool.submit(build, k, x) for k, x in specs.items()}
+        return {k: f.result() for k, f in futs.items()}
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -32,15 +64,8 @@ def test_salted_count_matches_plain(spark):
     assert plain == salted
 
 
-def test_cli_build(tmp_path, tiny_geojson):
-    out = str(tmp_path / "store")
-    res = subprocess.run(
-        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        timeout=300,
-    )
+def test_cli_build(cli_builds):
+    out, res = cli_builds["store"]
     assert res.returncode == 0, res.stderr[-2000:]
     assert "8 edges, 5 nodes" in res.stdout
     import os
@@ -48,16 +73,8 @@ def test_cli_build(tmp_path, tiny_geojson):
     assert os.path.exists(f"{out}/edges.parquet")
 
 
-def test_cli_build_spatial_cells(tmp_path, tiny_geojson):
-    out = str(tmp_path / "sstore")
-    res = subprocess.run(
-        [sys.executable, "-m", "entwiner_spark", "build",
-         tiny_geojson, out, "--spatial-cell-deg", "0.0005"],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        timeout=300,
-    )
+def test_cli_build_spatial_cells(cli_builds):
+    out, res = cli_builds["sstore"]
     assert res.returncode == 0, res.stderr[-2000:]
     import os
 
@@ -111,16 +128,12 @@ def test_cli_query_and_list(tmp_path):
         assert "did you mean" in res.stderr
 
 
-def test_cli_apply_delta(tmp_path, tiny_geojson):
+def test_cli_apply_delta(tmp_path, cli_builds):
     """build then apply a delta via the CLI: counts in stdout, store
     updated in place."""
     import json as _json
 
-    out = str(tmp_path / "astore")
-    res = subprocess.run(
-        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
-    )
+    out, res = cli_builds["astore"]
     assert res.returncode == 0, res.stderr[-2000:]
     delta = {
         "type": "FeatureCollection",
@@ -145,16 +158,12 @@ def test_cli_apply_delta(tmp_path, tiny_geojson):
     assert "upserted=2" in res.stdout and "edges=10" in res.stdout
 
 
-def test_cli_route(tmp_path, tiny_geojson, spark):
+def test_cli_route(cli_builds, spark):
     """r12: `route` subcommand — build a store, route between two real
     node ids, and the A* flag must return the identical cost."""
     import json as _json
 
-    out = str(tmp_path / "rstore")
-    res = subprocess.run(
-        [sys.executable, "-m", "entwiner_spark", "build", tiny_geojson, out],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
-    )
+    out, res = cli_builds["rstore"]
     assert res.returncode == 0, res.stderr[-2000:]
     from entwiner_spark.sources.parquet_store import read_graph_tables
 
