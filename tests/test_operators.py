@@ -957,6 +957,8 @@ def test_jaccard_prefix_property_random_docs(spark):
     """Property check on adversarial inputs (empty docs, single words,
     heavy repetition, identical docs): prefix-filtered == brute force
     at several thresholds."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -979,14 +981,21 @@ def test_jaccard_prefix_property_random_docs(spark):
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
         )
-        brute = {
-            (r["id_a"], r["id_b"], r["jaccard"])
-            for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
-        }
-        fast = {
-            (r["id_a"], r["id_b"], r["jaccard"])
-            for r in jaccard_pairs_prefix(df, threshold=threshold).collect()
-        }
+        # brute and prefix-filtered are independent pipelines over the
+        # same frame — overlap them (guide §2.6); assertion unchanged
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_b = pool.submit(
+                lambda: ngram_jaccard_pairs(df, threshold=threshold).collect()
+            )
+            f_f = pool.submit(
+                lambda: jaccard_pairs_prefix(df, threshold=threshold).collect()
+            )
+            brute = {
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in f_b.result()
+            }
+            fast = {
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in f_f.result()
+            }
         assert fast == brute
 
     run()
