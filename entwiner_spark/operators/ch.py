@@ -2380,34 +2380,48 @@ class ContractionHierarchy:
         pair — starting from ``frontier``, recursing into mids — to
         its bypass node (None = original edge).  Batching many paths'
         pairs into ONE frontier amortizes the per-level collects
-        across all of them (the route_matrix case)."""
+        across all of them (the route_matrix case).
+
+        Each collect fetches every search edge INCIDENT to the
+        not-yet-queried frontier nodes (OR, not both-endpoints AND):
+        every expansion pair keeps one parent endpoint, so one fetch
+        discovers whole descendant chains transitively, and the
+        per-pair value is unchanged — all rows of an exact (u, v) key
+        are fetched together the first time either endpoint is
+        queried, so the min-w mid is the same one the per-level AND
+        filter produced.  Job count drops from nesting depth (linear
+        in chain length for sequentially contracted chains — ~200
+        collects on the deep-hierarchy regression fixture) to the
+        incidence-discovery radius (~2-3 there)."""
         resolved: dict = {}
+        seen_rows: dict = {}  # (u, v) -> (min w, its mid) over fetched rows
+        queried: set = set()
         # each level strictly descends the hierarchy (a shortcut's mid
         # always ranks below both endpoints), so this terminates; depth
-        # is unbounded in general — sequential contraction of a chain
-        # nests shortcuts linearly — hence no fixed iteration cap
+        # is unbounded in general — hence no fixed iteration cap
         while frontier:
-            nodes = sorted({str(n) for p in frontier for n in p})
-            rows = (
-                self.search.filter(
-                    F.col("_u").cast("string").isin(nodes)
-                    & F.col("_v").cast("string").isin(nodes)
-                )
-                .select("_u", "_v", "w", "mid")
-                .collect()
+            nodes = sorted(
+                {str(n) for p in frontier for n in p} - queried
             )
-            best: dict = {}
-            for r in rows:
-                k = (r["_u"], r["_v"])
-                if k in frontier and (
-                    k not in best or r["w"] < best[k][0]
-                ):
-                    best[k] = (r["w"], r["mid"])
+            if nodes:
+                rows = (
+                    self.search.filter(
+                        F.col("_u").cast("string").isin(nodes)
+                        | F.col("_v").cast("string").isin(nodes)
+                    )
+                    .select("_u", "_v", "w", "mid")
+                    .collect()
+                )
+                queried.update(nodes)
+                for r in rows:
+                    k = (r["_u"], r["_v"])
+                    if k not in seen_rows or r["w"] < seen_rows[k][0]:
+                        seen_rows[k] = (r["w"], r["mid"])
             nxt = set()
             for k in frontier:
-                if k not in best:
+                if k not in seen_rows:
                     raise KeyError(f"no search edge {k[0]!r} -> {k[1]!r}")
-                w, mid = best[k]
+                w, mid = seen_rows[k]
                 resolved[k] = mid
                 if mid is not None:
                     nxt.add((k[0], mid))
